@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface over the driver-provided TPC-H-ish tables.
+  *
+  * Design notes for oracle (DuckDB) parity:
+  *   - Aggregated money amounts are cast per-row to DECIMAL before SUM so
+  *     the aggregation is exact and order-independent, then cast back to
+  *     DOUBLE (deterministic nearest-double) — a plain SUM(DOUBLE) is
+  *     order-dependent and would hash-mismatch between engines.
+  *   - `events.ts` is nanosecond parquet; Spark reads microseconds. Raw ts
+  *     values are never emitted — only epoch-micros or derived values.
+  *   - Every query has a total deterministic ORDER BY so row order is
+  *     stable in both engines.
+  *
+  * Scale notes (100 TB):
+  *   - Dimension tables (nation, region, part at TPC-H proportions) are
+  *     broadcast; fact-fact joins shuffle on the join key and rely on AQE
+  *     for skew handling.
+  *   - Aggregations are expressed as groupBy().agg() → Catalyst plans
+  *     partial (map-side) + final aggregation automatically.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with a microsecond-epoch `ts_us` long column, whether the
+    * session read `ts` as TIMESTAMP or as raw nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong). Source ns values are
+    * µs-aligned, so `div 1000` is exact. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
+
+  /** Two-decimal money value as exact decimal (source data has exactly
+    * two decimal digits, so this cast is lossless). */
+  private def m2(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Exact, order-independent sum of a decimal expression, surfaced as
+    * DOUBLE (the exact-decimal → nearest-double cast is deterministic
+    * and identical across engines, unlike a SUM over doubles). */
+  private def dsum(c: Column): Column = sum(c).cast("double")
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1 style pricing summary: scan + filter + hash agg.
+    * Partial agg happens map-side; only 4-ish groups shuffle. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        dsum(m2($"l_extendedprice")).as("sum_base_price"),
+        dsum(m2($"l_extendedprice") * m2(lit(1) - $"l_discount")).as("sum_disc_price"),
+        dsum(m2($"l_extendedprice") * m2(lit(1) - $"l_discount") * m2(lit(1) + $"l_tax")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Revenue by nation: fact-fact shuffle joins + broadcast dims.
+    * customer/supplier joins shuffle on keys; nation is broadcast. */
+  def q2RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lineitem = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val nation = t(s, dir, "nation")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        dsum(m2($"l_extendedprice") * m2(lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  val q2Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** Shipping-priority top-10: join + agg + total-order top-k.
+    * Catalyst plans TakeOrderedAndProject — no full sort at scale. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lineitem = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(dsum(m2($"l_extendedprice") * m2(lit(1) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** Order-priority count via EXISTS (left-semi join). */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").filter($"l_quantity" > 45)
+    orders
+      .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Customers with no recent order (left-anti join) per market segment. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = t(s, dir, "customer")
+    val recent = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    customer
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           dsum(m2($"c_acctbal")).as("total_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q5Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** TPC-H Q6 style forecast-revenue: highly selective filter fully
+    * pushed to the parquet scan, single global agg. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              $"l_shipdate" <  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+              $"l_discount" >= 0.03 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24)
+      .agg(dsum(m2($"l_extendedprice") * m2($"l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Per-user event sequence: lag + row_number — the relational analog of
+    * the reference's previous-revision pairing (SURVEY §2.5 W1:
+    * lag(revision) OVER (PARTITION BY page ORDER BY position)). */
+  def q7WindowLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .select($"event_id", $"user_id", $"rn", $"prev_value", $"prev_type")
+      .orderBy($"event_id")
+  }
+
+  val q7Sql: String =
+    """SELECT event_id, user_id,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(value) OVER w AS prev_value,
+      |  LAG(event_type) OVER w AS prev_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Set operations: UNION / INTERSECT / EXCEPT over customer keys. */
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val active = orders.select($"o_custkey".as("custkey")).distinct()
+    val rich = customer.filter($"c_acctbal" > 7500).select($"c_custkey".as("custkey"))
+    val building = customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    rich.intersect(active).except(building)
+      .union(building.except(active))
+      .distinct()
+      .orderBy($"custkey")
+  }
+
+  val q8Sql: String =
+    """SELECT custkey FROM (
+      |  (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7500
+      |   INTERSECT SELECT DISTINCT o_custkey FROM orders
+      |   EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |  UNION
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   EXCEPT SELECT DISTINCT o_custkey FROM orders)
+      |)
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** ROLLUP aggregation (grouping sets); null group keys coalesced to
+    * 'ALL' so both engines emit identical, null-free rows. */
+  def q9Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(m2($"o_totalprice")).as("total_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"n_orders", $"total_price")
+      .orderBy($"status", $"priority")
+  }
+
+  val q9Sql: String =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+      |  COALESCE(o_orderpriority,'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Distinct aggregation: distinct users + event counts per type. */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val q10Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Ranking window: top-3 parts per brand by retail price. */
+  def q11RankPerBrand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    t(s, dir, "part")
+      .withColumn("rank_in_brand", row_number().over(w))
+      .filter($"rank_in_brand" <= 3)
+      .select($"p_brand", $"rank_in_brand", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"rank_in_brand")
+  }
+
+  val q11Sql: String =
+    """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |                       ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      |  FROM part) t
+      |WHERE rank_in_brand <= 3
+      |ORDER BY p_brand, rank_in_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Sessionization (gaps-and-islands): a new session starts after a
+    * >30-minute silence; counts sessions and events per user. Exercises
+    * lag + conditional + running-sum window composition. */
+  def q12Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    events(s, dir)
+      .withColumn("prev_ts_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts_us".isNull ||
+             $"ts_us" - $"prev_ts_us" > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_ts IS NULL
+      |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events) a) b) c
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Backward as-of join: each event picks up the user's most recent
+    * order at-or-before the event time (see [[graft.operators.AsOfJoin]]).
+    * The right side is pre-deduped to one row per (custkey, orderdate) so
+    * tie-breaking is deterministic in both engines. */
+  def q13AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).drop("ts")
+    val orders = t(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so this cast is
+      // the identity wall-clock mapping.
+      .withColumn("odate_us", unix_micros($"o_orderdate".cast("timestamp")))
+    graft.operators.AsOfJoin.backward(
+      ev, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTs = "ts_us", rightTs = "odate_us",
+      payload = Seq("o_orderkey"))
+      .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"))
+      .orderBy($"event_id")
+  }
+
+  val q13Sql: String =
+    """SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+      |FROM events e
+      |ASOF LEFT JOIN (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate) o
+      |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Query registry for this module. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_revenue_by_nation" -> q2RevenueByNation _,
+    "q3_top_orders" -> q3TopOrders _,
+    "q4_semi_join" -> q4SemiJoin _,
+    "q5_anti_join" -> q5AntiJoin _,
+    "q6_forecast" -> q6Forecast _,
+    "q7_window_lag" -> q7WindowLag _,
+    "q8_set_ops" -> q8SetOps _,
+    "q9_rollup" -> q9Rollup _,
+    "q10_distinct" -> q10Distinct _,
+    "q11_rank_per_brand" -> q11RankPerBrand _,
+    "q12_sessionize" -> q12Sessionize _,
+    "q13_asof_join" -> q13AsOfJoin _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_revenue_by_nation" -> q2Sql,
+    "q3_top_orders" -> q3Sql,
+    "q4_semi_join" -> q4Sql,
+    "q5_anti_join" -> q5Sql,
+    "q6_forecast" -> q6Sql,
+    "q7_window_lag" -> q7Sql,
+    "q8_set_ops" -> q8Sql,
+    "q9_rollup" -> q9Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_rank_per_brand" -> q11Sql,
+    "q12_sessionize" -> q12Sql,
+    "q13_asof_join" -> q13Sql,
+  )
+}

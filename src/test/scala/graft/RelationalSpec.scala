@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and matches its oracle's column set") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed to run")
+      assert(df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates are consistent") {
+    val rows = graft.queries.Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("count_order") > 0)
+      assert(r.getAs[Double]("sum_base_price") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+}
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("backward as-of join picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 6L, 102L))
+      .toDF("rk", "rt", "payload")
+    val out = graft.operators.AsOfJoin.backward(
+      left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .select("tag", "payload").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(100L))   // equal ts is inclusive
+    assert(out("b") == Some(101L))   // latest at-or-before 20
+    assert(out("c") == None)         // right row is after left ts
+    assert(out("d") == None)         // no right rows for key 3
+  }
+}
