@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Debug CLI (the analog of the reference's jar main,
+  * wikihadoop `TestStreamWikiDumpInputFormat.java:450-501`): reads a
+  * MediaWiki dump and prints the revision records.
+  *
+  * Usage: runMain graft.Main [dumpPath] [limit]
+  * With no args, reads the bundled sample dump.
+  */
+object Main {
+  /** Extract the bundled sample dump to a temp file, return its path. */
+  def sampleDumpPath(): String = {
+    val in = getClass.getResourceAsStream("/graft/sample_dump.xml")
+    require(in != null, "bundled sample dump missing")
+    val f = java.io.File.createTempFile("sample_dump", ".xml")
+    f.deleteOnExit()
+    java.nio.file.Files.copy(in, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    f.getAbsolutePath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(sampleDumpPath())
+    val limit = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-mediawiki-dump")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.format("mediawiki").load(path)
+    df.selectExpr("page_id", "title", "rev_seq", "curr.rev_id", "prev.rev_id as prev_rev_id",
+        "curr.timestamp", "coalesce(curr.contributor.username, curr.contributor.ip) as who",
+        "substring(curr.text, 0, 40) as text_head")
+      .show(limit, truncate = false)
+    println(s"total revisions: ${df.count()}")
+    spark.stop()
+  }
+}

@@ -9,9 +9,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: read a MediaWiki dump through the custom source and emit
+    * revision records with prev/curr pairing (the reference engine's core
+    * dataflow). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    spark.read.format("mediawiki").load(Main.sampleDumpPath())
+      .selectExpr("page_id", "title", "rev_seq",
+        "prev.rev_id as prev_rev_id", "curr.rev_id as rev_id",
+        "curr.timestamp as ts", "curr.text as text")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

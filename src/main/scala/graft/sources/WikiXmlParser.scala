@@ -1,0 +1,367 @@
+package graft.sources
+
+import java.io.InputStream
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import graft.{Contributor, PageInfo, Revision, RevisionPair}
+
+/** Byte source with an ownership coordinate per delivered byte.
+  *
+  * For plain files the coordinate is the exact byte offset; for
+  * block-compressed splittable streams (bz2 BYBLOCK) it is the
+  * compressed-stream position reported by the codec, which only moves at
+  * block boundaries. Split ownership of a page is decided on this
+  * coordinate (see [[PageRecordIterator]]).
+  */
+trait PosByteSource {
+  /** Next byte (0-255) or -1 at EOF. */
+  def read(): Int
+  /** Ownership coordinate of the byte most recently returned. */
+  def pos: Long
+  def close(): Unit
+}
+
+/** Exact-offset source over an InputStream that begins at `startOffset`
+  * in the underlying file. Buffered internally. */
+final class CountingByteSource(in: InputStream, startOffset: Long) extends PosByteSource {
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var offset = startOffset - 1 // pos of last returned byte
+
+  def read(): Int = {
+    if (bufPos >= bufLen) {
+      bufLen = in.read(buf)
+      bufPos = 0
+      if (bufLen <= 0) return -1
+    }
+    val b = buf(bufPos) & 0xff
+    bufPos += 1
+    offset += 1
+    b
+  }
+  def pos: Long = offset
+  def close(): Unit = in.close()
+}
+
+/** Streaming scanner over a [[PosByteSource]]: finds literal byte
+  * patterns with an ends-with check (correct under self-overlapping
+  * patterns, unlike restart-at-zero matching — cf. the naive matcher the
+  * reference acknowledges at wikihadoop `StreamWikiDumpInputFormat.java:570`),
+  * optionally capturing the scanned bytes, and recording the ownership
+  * position of each match's first byte.
+  */
+final class StreamScanner(src: PosByteSource) {
+  private var eof = false
+  /** ring of (byte, ownership-pos) for the last 32 bytes delivered */
+  private val ring = new Array[Long](32)
+  private val last = new Array[Byte](32)
+  private var count = 0L // total bytes delivered
+
+  var matchStartPos: Long = -1L
+  var matchedPattern: Int = -1
+
+  def atEof: Boolean = eof
+
+  private def endsWith(pat: Array[Byte]): Boolean = {
+    val n = pat.length
+    if (count < n) return false
+    var i = 0
+    while (i < n) {
+      if (last(((count - n + i) & 31).toInt) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Scan until one of `pats` matches. Returns the index of the matched
+    * pattern, or -1 at EOF. Bytes scanned (including the match itself)
+    * are written to `capture` if non-null. Sets `matchStartPos` to the
+    * ownership pos of the match's first byte. */
+  def readUntil(pats: Array[Array[Byte]], capture: java.io.ByteArrayOutputStream): Int = {
+    if (eof) return -1
+    val nPats = pats.length
+    // fast-path discriminator: a pattern can only complete on its last byte
+    val lastBytes = new Array[Byte](nPats)
+    var q = 0
+    while (q < nPats) { lastBytes(q) = pats(q)(pats(q).length - 1); q += 1 }
+    while (true) {
+      val b = src.read()
+      if (b == -1) { eof = true; matchedPattern = -1; return -1 }
+      val bb = b.toByte
+      val idx = (count & 31).toInt
+      last(idx) = bb
+      ring(idx) = src.pos
+      count += 1
+      if (capture != null) capture.write(b)
+      var p = 0
+      while (p < nPats) {
+        if (lastBytes(p) == bb && endsWith(pats(p))) {
+          matchedPattern = p
+          matchStartPos = ring(((count - pats(p).length) & 31).toInt)
+          return p
+        }
+        p += 1
+      }
+    }
+    -1
+  }
+}
+
+/** Minimal XML field extraction for the regular, machine-generated
+  * MediaWiki export format (schema per SURVEY §1.2; fields evidenced by
+  * the reference's consumer `python/revision_differ.py:131-160`). */
+object XmlFields {
+
+  /** Decode the five named XML entities plus numeric character refs. */
+  def unescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val ent = s.substring(i + 1, semi)
+          ent match {
+            case "amp"  => out.append('&'); i = semi + 1
+            case "lt"   => out.append('<'); i = semi + 1
+            case "gt"   => out.append('>'); i = semi + 1
+            case "quot" => out.append('"'); i = semi + 1
+            case "apos" => out.append('\''); i = semi + 1
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              try { out.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
+              catch { case _: NumberFormatException => out.append(c); i += 1 }
+            case _ if ent.startsWith("#") =>
+              try { out.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
+              catch { case _: NumberFormatException => out.append(c); i += 1 }
+            case _ => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Find element `<tag ...>content</tag>` or `<tag ... />` at/after
+    * `from`. Returns (attrs, content, indexAfterElement). */
+  def element(s: String, tag: String, from: Int): Option[(String, String, Int)] = {
+    var i = from
+    val open = "<" + tag
+    while (true) {
+      val start = s.indexOf(open, i)
+      if (start < 0) return None
+      val afterName = start + open.length
+      if (afterName >= s.length) return None
+      val nc = s.charAt(afterName)
+      if (nc == '>' || nc == ' ' || nc == '/' || nc == '\t' || nc == '\n') {
+        val gt = s.indexOf('>', afterName)
+        if (gt < 0) return None
+        val attrs = s.substring(afterName, gt).trim
+        if (attrs.endsWith("/")) {
+          return Some((attrs.dropRight(1).trim, "", gt + 1))
+        }
+        val close = "</" + tag + ">"
+        val end = s.indexOf(close, gt + 1)
+        if (end < 0) return None
+        return Some((attrs, s.substring(gt + 1, end), end + close.length))
+      }
+      i = afterName
+    }
+    None
+  }
+
+  def attr(attrs: String, name: String): Option[String] = {
+    val k = name + "=\""
+    val i = attrs.indexOf(k)
+    if (i < 0) None
+    else {
+      val start = i + k.length
+      val end = attrs.indexOf('"', start)
+      if (end < 0) None else Some(unescape(attrs.substring(start, end)))
+    }
+  }
+
+  def tagText(s: String, tag: String, from: Int = 0): Option[String] =
+    element(s, tag, from).map { case (_, c, _) => unescape(c) }
+
+  private val isoFmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  def parseTimestampUs(iso: String): Option[Long] =
+    try Some(java.time.Instant.from(isoFmt.parse(iso))).map(t => t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    catch { case _: Exception => None }
+
+  /** Parse a page header fragment: bytes from `<page>` up to (not
+    * including) the first `<revision` (reference record layout,
+    * `StreamWikiDumpInputFormat.java:42-121`). */
+  def parsePageHeader(header: String): PageInfo = {
+    val title = tagText(header, "title").getOrElse("")
+    val ns = tagText(header, "ns").flatMap(v => v.trim.toIntOption)
+    // page id: first <id> AFTER </title> (titles can't contain tags —
+    // entity-escaped — so the first <id> in the header is the page id).
+    val pageId = tagText(header, "id").flatMap(_.trim.toLongOption).getOrElse(-1L)
+    val redirect = element(header, "redirect", 0).map { case (attrs, _, _) =>
+      attr(attrs, "title").getOrElse("")
+    }
+    PageInfo(pageId, title, ns, redirect, header)
+  }
+
+  /** Parse one `<revision ...>...</revision>` fragment. */
+  def parseRevision(rev: String, keepRaw: Boolean): Revision = {
+    val revId = tagText(rev, "id").flatMap(_.trim.toLongOption).getOrElse(-1L)
+    val parentId = tagText(rev, "parentid").flatMap(_.trim.toLongOption)
+    val ts = tagText(rev, "timestamp").flatMap(parseTimestampUs)
+    val contributor = element(rev, "contributor", 0).map { case (attrs, content, _) =>
+      if (attr(attrs, "deleted").contains("deleted"))
+        Contributor(None, None, None, deleted = true)
+      else Contributor(
+        tagText(content, "id").flatMap(_.trim.toLongOption),
+        tagText(content, "username"),
+        tagText(content, "ip"),
+        deleted = false)
+    }
+    val minor = rev.contains("<minor/>") || rev.contains("<minor />") || rev.contains("<minor></minor>")
+    val comment = element(rev, "comment", 0).flatMap { case (attrs, content, _) =>
+      if (attr(attrs, "deleted").contains("deleted")) None else Some(unescape(content))
+    }
+    val model = tagText(rev, "model")
+    val format = tagText(rev, "format")
+    val textEl = element(rev, "text", 0)
+    val text = textEl.flatMap { case (attrs, content, _) =>
+      if (attr(attrs, "deleted").contains("deleted")) None else Some(unescape(content))
+    }
+    val bytes = textEl.flatMap { case (attrs, _, _) => attr(attrs, "bytes").flatMap(_.toLongOption) }
+    val sha1 = textEl.flatMap { case (_, _, after) => tagText(rev, "sha1", after) }
+      .orElse(tagText(rev, "sha1"))
+    Revision(revId, parentId, ts, contributor, minor, comment, model, format,
+      text, sha1, bytes, if (keepRaw) Some(rev) else None)
+  }
+}
+
+object PageRecordIterator {
+  private val PAGE_BEGIN = "<page>".getBytes(StandardCharsets.UTF_8)
+  private val PAGE_END = "</page>".getBytes(StandardCharsets.UTF_8)
+  private val REV_BEGIN = "<revision".getBytes(StandardCharsets.UTF_8)
+  private val REV_END = "</revision>".getBytes(StandardCharsets.UTF_8)
+
+  /** The reference's dummy previous revision marking page starts
+    * (`StreamWikiDumpInputFormat.java:301`) — compat-mode raw form. */
+  val DummyPrevRaw = "<revision beginningofpage=\"true\"><text xml:space=\"preserve\"></text></revision>\n"
+}
+
+/** Iterator of [[RevisionPair]]s over one split of a dump stream.
+  *
+  * Ownership rule (fixes the reference's duplicate emission, Issue #1
+  * per `README.rst:277-280`): a page belongs to this split iff the
+  * ownership position of its `<page>` tag's first byte is in
+  * [ownStart, ownEnd) when `exclusiveStart=false` (exact-offset mode) or
+  * (ownStart, ownEnd] when `exclusiveStart=true` (block-compressed mode,
+  * where positions only advance at compression-block boundaries and the
+  * codec reports the same adjusted boundary to both neighboring splits).
+  *
+  * Memory bound: one revision's bytes at a time (plus the page header) —
+  * the reference's key property for GB-scale pages (`README.rst:18-26`).
+  */
+final class PageRecordIterator(
+    src: PosByteSource,
+    ownStart: Long,
+    ownEnd: Long,
+    exclusiveStart: Boolean,
+    excludePagesWith: Option[Pattern] = None,
+    keepRaw: Boolean = false)
+  extends Iterator[RevisionPair] with AutoCloseable {
+
+  import PageRecordIterator._
+
+  private val scanner = new StreamScanner(src)
+  private var page: PageInfo = _
+  private var prev: Option[Revision] = None
+  private var revSeqNo = 0
+  private var inPage = false
+  private var nextRec: RevisionPair = _
+  private var done = false
+
+  private def owned(p: Long): Boolean =
+    if (exclusiveStart) p > ownStart && p <= ownEnd
+    else p >= ownStart && p < ownEnd
+
+  /** Advance to the next owned page; parse its header. Returns false at
+    * end of this split's pages. */
+  private def nextPage(): Boolean = {
+    while (true) {
+      if (scanner.readUntil(Array(PAGE_BEGIN), null) < 0) return false
+      val pStart = scanner.matchStartPos
+      if (!exclusiveStart && pStart >= ownEnd) return false
+      if (owned(pStart)) {
+        // capture header up to first <revision> or </page>
+        val cap = new java.io.ByteArrayOutputStream(256)
+        val m = scanner.readUntil(Array(REV_BEGIN, PAGE_END), cap)
+        if (m < 0) return false // truncated page: drop
+        if (m == 1) {
+          // revision-less page: emit nothing (reference emits per revision)
+        } else {
+          val capArr = cap.toByteArray
+          val header = "<page>" + new String(capArr, 0, capArr.length - REV_BEGIN.length, StandardCharsets.UTF_8)
+          val excluded = excludePagesWith.exists(p => p.matcher(header).find())
+          if (!excluded) {
+            page = XmlFields.parsePageHeader(header)
+            prev = None
+            revSeqNo = 0
+            inPage = true
+            return true
+          } else {
+            // skip the rest of this page (text is entity-escaped, so a
+            // literal </page> cannot occur inside revision content)
+            if (scanner.readUntil(Array(PAGE_END), null) < 0) return false
+          }
+        }
+      } else if (exclusiveStart && pStart > ownEnd) {
+        return false
+      } else {
+        // unowned page (before our start): skip it entirely
+        if (scanner.readUntil(Array(PAGE_END), null) < 0) return false
+      }
+    }
+    false
+  }
+
+  /** Read one revision; scanner is positioned just after `<revision`. */
+  private def readRevision(): Option[Revision] = {
+    val cap = new java.io.ByteArrayOutputStream(1024)
+    if (scanner.readUntil(Array(REV_END), cap) < 0) return None // truncated
+    val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
+    Some(XmlFields.parseRevision(raw, keepRaw))
+  }
+
+  private def advance(): Unit = {
+    nextRec = null
+    while (nextRec == null && !done) {
+      if (!inPage) {
+        if (!nextPage()) { done = true; return }
+      }
+      // positioned just after a matched <revision
+      readRevision() match {
+        case None => done = true; return
+        case Some(curr) =>
+          nextRec = RevisionPair(page, revSeqNo, prev, curr)
+          prev = Some(curr)
+          revSeqNo += 1
+          // find next revision or end of page
+          val m = scanner.readUntil(Array(REV_BEGIN, PAGE_END), null)
+          if (m == 1 || m < 0) inPage = false
+      }
+    }
+  }
+
+  advance()
+
+  override def hasNext: Boolean = nextRec != null
+  override def next(): RevisionPair = {
+    val r = nextRec
+    advance()
+    r
+  }
+  override def close(): Unit = src.close()
+}

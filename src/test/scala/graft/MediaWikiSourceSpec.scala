@@ -1,0 +1,141 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.BZip2Codec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaWikiSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val fixture = "src/test/resources/fixtures/sample_dump.xml"
+
+  /** Deterministic synthetic dump: `nPages` pages, 1-5 revisions each,
+    * with poorly-compressible filler so bz2 yields multiple blocks. */
+  def genDump(nPages: Int, fillerLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append("<mediawiki>\n")
+    val rnd = new scala.util.Random(42)
+    var revId = 1000
+    for (p <- 1 to nPages) {
+      sb.append(s"  <page>\n    <title>Page $p</title>\n    <ns>0</ns>\n    <id>$p</id>\n")
+      val nRevs = 1 + (p % 5)
+      for (r <- 1 to nRevs) {
+        revId += 1
+        val filler = Array.fill(fillerLen)(rnd.nextPrintableChar()).mkString
+          .replace("<", "x").replace(">", "y").replace("&", "z")
+        sb.append(s"    <revision>\n      <id>$revId</id>\n")
+        sb.append(s"      <timestamp>2021-0${1 + p % 9}-0${1 + r % 9}T00:00:0${r % 10}Z</timestamp>\n")
+        sb.append(s"      <contributor><username>u$r</username><id>$r</id></contributor>\n")
+        sb.append(s"      <text xml:space=\"preserve\">rev $r of page $p: $filler</text>\n")
+        sb.append("    </revision>\n")
+      }
+      sb.append("  </page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    sb.toString
+  }
+
+  def expectedRevCount(nPages: Int): Long = (1 to nPages).map(p => 1 + (p % 5)).sum
+
+  test("reads fixture end-to-end with prev pairing") {
+    val df = spark.read.format("mediawiki").load(fixture)
+    val rows = df.orderBy($"curr.rev_id").collect()
+    assert(rows.map(_.getAs[Long]("page_id")).toList == List(11L, 11L, 11L, 12L, 13L, 13L))
+    val prevIds = rows.map { r =>
+      Option(r.getAs[org.apache.spark.sql.Row]("prev")).map(_.getAs[Long]("rev_id"))
+    }.toList
+    assert(prevIds == List(None, Some(101L), Some(102L), None, None, Some(301L)))
+    // field spot checks through the Spark row
+    val r102 = rows(1)
+    val curr = r102.getAs[org.apache.spark.sql.Row]("curr")
+    assert(curr.getAs[org.apache.spark.sql.Row]("contributor").getAs[String]("ip") == "192.0.2.55")
+    assert(curr.getAs[Boolean]("minor"))
+    assert(curr.getAs[String]("comment") == "fix wording <test>")
+  }
+
+  test("in-source prev pairing equals the lag-window formulation (SURVEY W1)") {
+    val df = spark.read.format("mediawiki").load(fixture)
+    val w = Window.partitionBy($"page_id").orderBy($"rev_seq")
+    val mismatches = df
+      .withColumn("lag_rev_id", lag($"curr.rev_id", 1).over(w))
+      .filter(coalesce($"prev.rev_id", lit(-1L)) =!= coalesce($"lag_rev_id", lit(-1L)))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("options: previousRevision=false drops prev; excludePagesWith filters; raw compat") {
+    val noPrev = spark.read.format("mediawiki")
+      .option("previousRevision", "false").load(fixture)
+    assert(!noPrev.columns.contains("prev"))
+    assert(noPrev.count() == 6)
+
+    val excl = spark.read.format("mediawiki")
+      .option("excludePagesWith", "<title>Talk:").load(fixture)
+    assert(excl.select($"curr.rev_id").as[Long].collect().sorted.toList ==
+      List(101L, 102L, 103L, 301L, 302L))
+
+    val raw = spark.read.format("mediawiki").option("raw", "true").load(fixture)
+    val first = raw.orderBy($"curr.rev_id").select($"raw_xml").as[String].head()
+    assert(first.startsWith("<page>"))
+    assert(first.contains("<revision beginningofpage=\"true\">")) // dummy prev
+    assert(first.endsWith("\n</page>\n"))
+  }
+
+  test("uncompressed multi-split read: exact partition of revisions") {
+    val dump = genDump(nPages = 120, fillerLen = 400)
+    val dir = Files.createTempDirectory("mwsplit").toFile
+    val f = new File(dir, "dump.xml")
+    Files.write(f.toPath, dump.getBytes("UTF-8"))
+    val expected = expectedRevCount(120)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "20000")
+    try {
+      val df = spark.read.format("mediawiki").load(f.getAbsolutePath)
+      assert(df.rdd.getNumPartitions > 3, "expected multiple splits")
+      assert(df.count() == expected)
+      assert(df.select($"curr.rev_id").distinct().count() == expected) // no dups
+      // pairing survives splitting
+      val w = Window.partitionBy($"page_id").orderBy($"rev_seq")
+      val bad = df.withColumn("lag_id", lag($"curr.rev_id", 1).over(w))
+        .filter(coalesce($"prev.rev_id", lit(-1L)) =!= coalesce($"lag_id", lit(-1L))).count()
+      assert(bad == 0)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("bz2 splittable read: exact partition of revisions across blocks") {
+    val nPages = 60
+    val dump = genDump(nPages, fillerLen = 40000) // ~2.5MB raw, poorly compressible
+    val dir = Files.createTempDirectory("mwbz2").toFile
+    val f = new File(dir, "dump.xml.bz2")
+    // 100KB compression blocks so modest split sizes cross many block
+    // boundaries (the scale-interesting case)
+    val fos = new java.io.FileOutputStream(f)
+    fos.write('B'); fos.write('Z')
+    val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+    out.write(dump.getBytes("UTF-8"))
+    out.close()
+    val expected = expectedRevCount(nPages)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "200000")
+    try {
+      val df = spark.read.format("mediawiki")
+        .option("minSplitBytes", "200000").load(f.getAbsolutePath)
+      assert(df.rdd.getNumPartitions > 2, s"expected multiple bz2 splits, file=${f.length()}")
+      val ids = df.select($"curr.rev_id").as[Long].collect().toList
+      assert(ids.length == expected, s"count: got ${ids.length} expected $expected")
+      assert(ids.distinct.length == expected, "duplicates across bz2 splits")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format("mediawiki").load(fixture).select($"page_id", $"title")
+    assert(df.distinct().count() == 3)
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves().head.schema
+    assert(!scanSchema.fieldNames.contains("curr"), s"pruning failed: $scanSchema")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.{ByteArrayInputStream, FileInputStream}
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CountingByteSource, PageRecordIterator, XmlFields}
+
+class WikiXmlParserSpec extends AnyFunSuite {
+
+  val fixturePath = "src/test/resources/fixtures/sample_dump.xml"
+  def fixtureBytes: Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixturePath))
+
+  def parseAll(bytes: Array[Byte], start: Long = 0, end: Long = Long.MaxValue,
+               exclude: Option[Pattern] = None, keepRaw: Boolean = false): List[RevisionPair] = {
+    val in = new ByteArrayInputStream(bytes)
+    in.skip(start)
+    val it = new PageRecordIterator(
+      new CountingByteSource(in, start), start, end, exclusiveStart = false, exclude, keepRaw)
+    try it.toList finally it.close()
+  }
+
+  test("parses all revisions in document order with prev pairing") {
+    val recs = parseAll(fixtureBytes)
+    assert(recs.map(_.curr.revId) == List(101L, 102L, 103L, 201L, 301L, 302L))
+    assert(recs.map(_.page.pageId) == List(11L, 11L, 11L, 12L, 13L, 13L))
+    assert(recs.map(_.revSeq) == List(0, 1, 2, 0, 0, 0 + 1))
+    // prev pairing: None at each page start, then the prior revision
+    assert(recs.map(_.prev.map(_.revId)) ==
+      List(None, Some(101L), Some(102L), None, None, Some(301L)))
+  }
+
+  test("parses revision fields: contributor, minor, comment, text, entities") {
+    val recs = parseAll(fixtureBytes)
+    val r101 = recs(0).curr
+    assert(r101.contributor == Some(Contributor(Some(7L), Some("EditorOne"), None, false)))
+    assert(r101.comment == Some("create page"))
+    assert(!r101.minor)
+    assert(r101.text.get.contains("two protons & two neutrons")) // &amp; decoded
+    assert(r101.bytes == Some(54L))
+    assert(r101.sha1 == Some("aaa111"))
+    assert(r101.timestampUs == Some(java.time.Instant.parse("2020-01-05T10:00:00Z").getEpochSecond * 1000000L))
+
+    val r102 = recs(1).curr
+    assert(r102.contributor == Some(Contributor(None, None, Some("192.0.2.55"), false)))
+    assert(r102.minor)
+    assert(r102.parentId == Some(101L))
+    assert(r102.comment == Some("fix wording <test>")) // entities decoded
+
+    val r103 = recs(2).curr // fully deleted revision
+    assert(r103.contributor == Some(Contributor(None, None, None, true)))
+    assert(r103.comment == None)
+    assert(r103.text == None)
+  }
+
+  test("parses page header: title, ns, redirect") {
+    val recs = parseAll(fixtureBytes)
+    assert(recs(0).page.title == "Alpha Particle")
+    assert(recs(0).page.ns == Some(0))
+    assert(recs(0).page.redirect == None)
+    assert(recs(3).page.title == "Talk:Beta Decay")
+    assert(recs(3).page.ns == Some(1))
+    assert(recs(4).page.redirect == Some("Gamma radiation"))
+  }
+
+  test("excludePagesWith drops whole pages before record assembly") {
+    val recs = parseAll(fixtureBytes, exclude = Some(Pattern.compile("<title>Talk:")))
+    assert(recs.map(_.curr.revId) == List(101L, 102L, 103L, 301L, 302L))
+  }
+
+  test("split ownership: pages partition exactly, no dups, no loss") {
+    val bytes = fixtureBytes
+    val n = bytes.length
+    for (splitSize <- List(200, 500, 1000, 1500, n + 10)) {
+      val splits = (0 until n by splitSize).map(s => (s.toLong, math.min(s + splitSize, n).toLong))
+      val all = splits.flatMap { case (s, e) => parseAll(bytes, s, e).map(_.curr.revId) }
+      assert(all.sorted == List(101L, 102L, 103L, 201L, 301L, 302L),
+        s"splitSize=$splitSize got $all")
+    }
+  }
+
+  test("garbage prefix and truncated tail page are tolerated") {
+    val s = new String(fixtureBytes, StandardCharsets.UTF_8)
+    val withGarbage = ("garbage bytes 123 " + s).getBytes(StandardCharsets.UTF_8)
+    assert(parseAll(withGarbage).map(_.curr.revId) == List(101L, 102L, 103L, 201L, 301L, 302L))
+    // truncate mid-way through the last page's first revision
+    val cut = s.indexOf("<sha1>ccc111")
+    val truncated = s.substring(0, cut).getBytes(StandardCharsets.UTF_8)
+    val recs = parseAll(truncated)
+    assert(recs.map(_.curr.revId) == List(101L, 102L, 103L, 201L)) // 301 incomplete → dropped
+  }
+
+  test("raw compat record: header + dummy/prev + curr + footer") {
+    val recs = parseAll(fixtureBytes, keepRaw = true)
+    val first = recs(0)
+    assert(first.prev == None)
+    assert(first.curr.raw.get.startsWith("<revision>"))
+    assert(first.curr.raw.get.endsWith("</revision>"))
+    assert(first.page.headerRaw.startsWith("<page>"))
+    assert(first.page.headerRaw.contains("<title>Alpha Particle</title>"))
+  }
+
+  test("unescape handles named and numeric entities") {
+    assert(XmlFields.unescape("a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;") == "a & b <c> \"d\" A B")
+    assert(XmlFields.unescape("no entities") == "no entities")
+    assert(XmlFields.unescape("dangling & amp") == "dangling & amp")
+  }
+}
