@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * wikihadoop `TestStreamWikiDumpInputFormat.java:450-501`): reads a
   * MediaWiki dump and prints the revision records.
   *
-  * Usage: runMain graft.Main [dumpPath] [limit]
-  * With no args, reads the bundled sample dump.
+  * Usage: runMain graft.Main [dumpPath] [limit] [--diff]
+  * With no args, reads the bundled sample dump. With --diff, prints the
+  * diffdb table (tokenized revision diffs) instead of raw records.
   */
 object Main {
   /** Extract the bundled sample dump to a temp file, return its path. */
@@ -22,8 +23,9 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    val path = args.headOption.getOrElse(sampleDumpPath())
-    val limit = args.lift(1).map(_.toInt).getOrElse(20)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val path = positional.headOption.getOrElse(sampleDumpPath())
+    val limit = positional.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-mediawiki-dump")
@@ -33,11 +35,19 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.format("mediawiki").load(path)
-    df.selectExpr("page_id", "title", "rev_seq", "curr.rev_id", "prev.rev_id as prev_rev_id",
-        "curr.timestamp", "coalesce(curr.contributor.username, curr.contributor.ip) as who",
-        "substring(curr.text, 0, 40) as text_head")
-      .show(limit, truncate = false)
-    println(s"total revisions: ${df.count()}")
+    if (flags.contains("--diff")) {
+      val db = graft.functions.GraftFunctions.diffdb(df)
+      db.selectExpr("rev_id", "page_id", "namespace", "timestamp", "user_text",
+          "transform(diffs, d -> concat(d.position, ':', d.action, ':', substring(d.content, 0, 30))) as diffs")
+        .show(limit, truncate = false)
+      println(s"total revisions: ${db.count()}")
+    } else {
+      df.selectExpr("page_id", "title", "rev_seq", "curr.rev_id", "prev.rev_id as prev_rev_id",
+          "curr.timestamp", "coalesce(curr.contributor.username, curr.contributor.ip) as who",
+          "substring(curr.text, 0, 40) as text_head")
+        .show(limit, truncate = false)
+      println(s"total revisions: ${df.count()}")
+    }
     spark.stop()
   }
 }

@@ -9,14 +9,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship: read a MediaWiki dump through the custom source and emit
-    * revision records with prev/curr pairing (the reference engine's core
-    * dataflow). Driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.format("mediawiki").load(Main.sampleDumpPath())
-      .selectExpr("page_id", "title", "rev_seq",
-        "prev.rev_id as prev_rev_id", "curr.rev_id as rev_id",
-        "curr.timestamp as ts", "curr.text as text")
+  /** Flagship: the reference's full dataflow — read a MediaWiki dump
+    * through the custom source, pair prev/curr revisions, tokenize +
+    * diff, emit the diffdb table (`fileformat.rst:4-27`). Driver
+    * smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val revs = spark.read.format("mediawiki").load(Main.sampleDumpPath())
+    graft.functions.GraftFunctions.diffdb(revs,
+      nsByName = Map("talk" -> 1, "user" -> 2, "category" -> 14))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL/Column exposure of the graft function surface.
+  *
+  * `register(spark)` installs them for `spark.sql(...)`:
+  *  - `wiki_tokenize(text) -> array<string>`
+  *  - `wiki_diff(old, new) -> array<struct<position int, action int, content string>>`
+  *  - `wiki_edit_distance(old, new) -> bigint` (token-level)
+  *  - `normalize_title(title) -> struct<ns int, title string>` via a
+  *    namespaces map (reference `revision_differ.py:141-142`).
+  */
+object GraftFunctions {
+
+  val tokenizeUdf = udf((s: String) => if (s == null) Array.empty[String] else DiffKernel.tokenize(s))
+
+  val diffUdf = udf((a: String, b: String) => DiffKernel.diffOps(a, b))
+
+  val editDistanceUdf = udf { (a: String, b: String) =>
+    DiffKernel.diffOps(a, b).iterator.map(_.content.length.toLong).sum
+  }
+
+  def wikiTokenize(c: Column): Column = tokenizeUdf(c)
+  def wikiDiff(oldC: Column, newC: Column): Column = diffUdf(oldC, newC)
+  def wikiEditDistance(oldC: Column, newC: Column): Column = editDistanceUdf(oldC, newC)
+
+  /** Title namespace resolution against a (lowercased name → id) map;
+    * default namespace 0 when no recognized prefix. Underscores are
+    * canonicalized to spaces. */
+  def normalizeTitle(title: String, nsByName: Map[String, Int]): (Int, String) = {
+    if (title == null) return (0, null)
+    val t = title.replace('_', ' ')
+    val idx = t.indexOf(':')
+    if (idx > 0) {
+      val prefix = t.substring(0, idx).trim.toLowerCase
+      nsByName.get(prefix) match {
+        case Some(ns) => (ns, t.substring(idx + 1).trim)
+        case None => (0, t)
+      }
+    } else (0, t)
+  }
+
+  def normalizeTitleUdf(nsByName: Map[String, Int]) =
+    udf((t: String) => normalizeTitle(t, nsByName))
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("wiki_tokenize", tokenizeUdf)
+    spark.udf.register("wiki_diff", diffUdf)
+    spark.udf.register("wiki_edit_distance", editDistanceUdf)
+  }
+
+  /** The reference's end product: the diffdb dataset
+    * (`fileformat.rst:4-27`) as a DataFrame — one row per revision with
+    * nested diff ops (ArrayType replaces the reference's trailing TSV
+    * columns), computed from a mediawiki-source DataFrame with
+    * `prev`/`curr` columns. */
+  def diffdb(revisions: DataFrame, nsByName: Map[String, Int] = Map.empty): DataFrame = {
+    val norm = normalizeTitleUdf(nsByName)
+    revisions
+      .withColumn("__norm", norm(col("title")))
+      .select(
+        col("curr.rev_id").as("rev_id"),
+        col("page_id"),
+        coalesce(col("ns"), col("__norm._1")).as("namespace"),
+        col("__norm._2").as("title"),
+        (unix_micros(col("curr.timestamp")) / 1000000L).cast("long").as("timestamp"),
+        col("curr.comment").as("comment"),
+        col("curr.minor").as("minor"),
+        col("curr.contributor.id").as("user_id"),
+        coalesce(col("curr.contributor.username"), col("curr.contributor.ip")).as("user_text"),
+        wikiDiff(coalesce(col("prev.text"), lit("")), coalesce(col("curr.text"), lit(""))).as("diffs"))
+  }
+}

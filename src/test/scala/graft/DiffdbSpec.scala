@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DiffKernel, DiffOp, GraftFunctions}
+
+class DiffdbSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("entry produces the diffdb table end-to-end") {
+    val db = SparkEntry.entry(spark).orderBy($"rev_id")
+    val rows = db.collect()
+    assert(rows.length == 6)
+    val first = rows(0)
+    assert(first.getAs[Long]("rev_id") == 101L)
+    assert(first.getAs[Long]("page_id") == 11L)
+    assert(first.getAs[Int]("namespace") == 0)
+    assert(first.getAs[Long]("timestamp") ==
+      java.time.Instant.parse("2020-01-05T10:00:00Z").getEpochSecond)
+    assert(first.getAs[String]("user_text") == "EditorOne")
+    // first revision of a page: diff from empty = one big add at pos 0
+    val diffs0 = first.getSeq[Row](first.fieldIndex("diffs"))
+    assert(diffs0.length == 1)
+    assert(diffs0.head.getAs[Int]("action") == 1)
+    assert(diffs0.head.getAs[Int]("position") == 0)
+
+    // namespace resolved from title prefix for ns-less normalization path
+    val talk = rows.find(_.getAs[Long]("rev_id") == 201L).get
+    assert(talk.getAs[Int]("namespace") == 1) // from <ns>, title normalized
+    assert(talk.getAs[String]("title") == "Talk:Beta Decay" || talk.getAs[String]("title") == "Beta Decay")
+
+    // revision 102: replaying its diffs over rev 101's text gives 102's text
+    val revs = spark.read.format("mediawiki").load(Main.sampleDumpPath())
+    val texts = revs.select($"curr.rev_id", $"curr.text").as[(Long, String)]
+      .collect().toMap
+    val r102 = rows.find(_.getAs[Long]("rev_id") == 102L).get
+    val ops = r102.getSeq[Row](r102.fieldIndex("diffs")).map(r =>
+      DiffOp(r.getAs[Int]("position"), r.getAs[Int]("action"), r.getAs[String]("content")))
+    assert(DiffKernel.replay(texts(101L), ops) == texts(102L))
+  }
+
+  test("SQL function registration") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT size(wiki_diff('a b c', 'a x c')) AS n").as[Int].head()
+    assert(n == 2)
+    val toks = spark.sql("SELECT wiki_tokenize('[[link]] text')").as[Seq[String]].head()
+    assert(toks == Seq("[[", "link", "]]", " ", "text"))
+  }
+}
