@@ -22,6 +22,33 @@ object GraftFunctions {
     DiffKernel.diffOps(a, b).iterator.map(_.content.length.toLong).sum
   }
 
+  /** 64-bit document fingerprint: minimum FNV-1a rolling hash over
+    * char 8-grams (winnowing-style content fingerprint — robust to
+    * reordering of large blocks, unlike a whole-text hash). */
+  def rollingFingerprint(text: String, k: Int = 8): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val n = text.length
+    if (n <= k) return fnv1a(text, 0, n)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + k <= n) {
+      val h = fnv1a(text, i, k)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  private def fnv1a(s: String, off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = off
+    val end = off + len
+    while (i < end) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h & Long.MaxValue // keep non-negative for readability
+  }
+
+  val fingerprint64Udf = udf((s: String) => rollingFingerprint(s))
+
   def wikiTokenize(c: Column): Column = tokenizeUdf(c)
   def wikiDiff(oldC: Column, newC: Column): Column = diffUdf(oldC, newC)
   def wikiEditDistance(oldC: Column, newC: Column): Column = editDistanceUdf(oldC, newC)
@@ -49,6 +76,7 @@ object GraftFunctions {
     spark.udf.register("wiki_tokenize", tokenizeUdf)
     spark.udf.register("wiki_diff", diffUdf)
     spark.udf.register("wiki_edit_distance", editDistanceUdf)
+    spark.udf.register("doc_fingerprint64", fingerprint64Udf)
   }
 
   /** The reference's end product: the diffdb dataset

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, batch-shaped feature extraction via `mapPartitions`.
+  *
+  * The decode step is a STUB — real image/audio codecs are not in this
+  * environment. `FakeDecoder` derives deterministic pseudo-metadata from
+  * the bytes so the Spark-side plumbing (schema, partitioning, batch
+  * iteration, null/error handling) is real and testable; swap
+  * `FakeDecoder.decode` for an actual codec in production.
+  */
+object Multimodal {
+
+  case class MediaBlob(media_id: Long, kind: String, blob: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, checksum: Long, error: String)
+
+  /** STUB decoder: deterministic fake metadata from byte content.
+    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings). */
+  object FakeDecoder {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      // ??? real decode unavailable in this environment — deterministic fake:
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes)
+      val h = crc.getValue
+      kind match {
+        case "image" => (((h % 1920) + 1).toInt, ((h % 1080) + 1).toInt, 3)
+        case "audio" => (((h % 48000) + 1).toInt, 1, ((h % 2) + 1).toInt)
+        case _       => (((h % 65536) + 1).toInt, 0, 0)
+      }
+    }
+  }
+
+  /** Batch feature extraction: one decoder instance per partition (the
+    * expensive-initialization shape real codecs need), one pass over the
+    * partition's rows, per-row error capture so one bad blob never kills
+    * the job. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init of the (stub) decoder goes here
+      it.map { b =>
+        try {
+          val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
+          val (w, h, c) = FakeDecoder.decode(b.kind, bytes)
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes)
+          MediaFeatures(b.media_id, b.kind, bytes.length.toLong, w, h, c, crc.getValue, null)
+        } catch {
+          case e: Exception =>
+            MediaFeatures(b.media_id, b.kind, 0L, 0, 0, 0, 0L, e.getMessage)
+        }
+      }
+    }
+  }
+
+  /** Build a media table from the documents table (text bytes standing
+    * in for media payloads — the plumbing under test, not the codec). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("blob"))
+      .as[MediaBlob]
+  }
+}

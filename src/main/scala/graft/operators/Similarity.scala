@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k. The dot product is a strict
+  *   left-to-right fold (`aggregate` over `zip_with`) in doubles, which
+  *   is deterministic and engine-reproducible.
+  * - `lshTopK`: random-hyperplane LSH bucketing (sign bits from a
+  *   deterministic hash-derived projection), candidates only within the
+  *   same bucket — the scale path: the cross product never materializes,
+  *   the shuffle is by bucket key.
+  *
+  * At 100 TB the brute-force form is the per-query-batch baseline (a
+  * broadcast of the query set against a partitioned corpus — no corpus
+  * shuffle); IVF/LSH variants bound candidates per query.
+  */
+object Similarity {
+
+  /** Strict-fold double dot product of two float-array columns (by
+    * column name — the fold order is the array order, deterministic). */
+  def dotExpr(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Exact cosine top-k neighbors for the query rows (a small filtered
+    * subset, broadcast against the corpus). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val norms = corpus.select(col(idCol).as("__nid"),
+      sqrt(dotExpr(embCol, embCol)).as("__norm"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+    val sims = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot", dotExpr("__qe", "__ce"))
+      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
+      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
+      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): a hash-derived value in [-1, 1). Same formula is used to
+    * build signatures on every row — no RNG state, cluster-safe. */
+  private def planeComponent(p: Int, d: Int): Double = {
+    var h = p * 2654435761L + d * 40503L + 2166136261L
+    h ^= (h >>> 16); h *= 2246822519L; h ^= (h >>> 13)
+    ((h & 0xffffffL).toDouble / 0x800000L.toDouble) - 1.0
+  }
+
+  /** Sign-bit LSH signature (`nPlanes` bits) as a bucket key. */
+  def lshBucket(embName: String, dims: Int, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = (0 until dims).map(d => planeComponent(p, d))
+      val planeSql = plane.mkString("array(", ", ", ")")
+      when(expr(
+        s"aggregate(zip_with($embName, $planeSql, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0,
+        1L << p).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket;
+    * falls back to fewer than k results when the bucket is small. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, nPlanes: Int = 8,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bucket = lshBucket(embCol, dims, nPlanes)
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      bucket.as("__bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+      bucket.as("__bucket"))
+    val norms = corpus.select(col(idCol).as("__nid"), sqrt(dotExpr(embCol, embCol)).as("__norm"))
+    val sims = broadcast(qb).join(cb, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot", dotExpr("__qe", "__ce"))
+      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
+      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
+      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+}

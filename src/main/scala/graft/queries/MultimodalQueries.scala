@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Multimodal + fingerprint query surface. */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- q25
+  /** Binary-column metadata: blob sizes per media kind (oracle-able part
+    * of the multimodal path — kind assignment + byte length). */
+  def q25MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaFromDocuments(docs(s, dir)).toDF()
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum(length($"blob")).as("total_bytes"),
+           max(length($"blob")).as("max_bytes"))
+      .orderBy($"kind")
+  }
+
+  val q25Sql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  COUNT(*) AS n_media,
+      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  MAX(octet_length(encode(text))) AS max_bytes
+      |FROM documents
+      |GROUP BY 1 ORDER BY kind""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Full feature-extraction plumbing (mapPartitions over typed blobs,
+    * stub decoder): rows-only check — CRC/fake-decode not expressible in
+    * the oracle. */
+  def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Rolling-hash (winnowing-style) 64-bit fingerprints: rows-only
+    * check (char-loop hash not expressible in SQL). */
+  def q27RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        graft.functions.GraftFunctions.fingerprint64Udf($"text").as("fingerprint64"))
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_multimodal_meta" -> q25MultimodalMeta _,
+    "q26_multimodal_features" -> q26MultimodalFeatures _,
+    "q27_rolling_fingerprint" -> q27RollingFingerprint _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q25_multimodal_meta" -> q25Sql,
+    // q26, q27: rows-only (stub decoder / char-loop hash not in SQL)
+  )
+}

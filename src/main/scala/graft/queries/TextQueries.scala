@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: text
+  * quality metrics, token statistics, language-ID heuristic, content
+  * fingerprinting, exact + near dedup (n-gram Jaccard, MinHash LSH,
+  * SimHash). Every query is engine-agnostic-deterministic so the DuckDB
+  * oracle matches cell-exact (string mins and md5 instead of
+  * engine-specific hash functions; integer or per-row-double math only).
+  *
+  * Scale notes: per-document metrics are narrow map-only projections;
+  * dedup pipelines are explode → partial-agg → shuffle-by-shingle joins
+  * (the standard MinHash/LSH shape — band join replaces the quadratic
+  * all-pairs comparison).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- q14
+  /** Per-document quality metrics + composite score (all per-row
+    * arithmetic — deterministic in IEEE doubles). */
+  def q14TextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("n_chars_c", length($"text"))
+      .withColumn("n_spaces", length($"text") - length(expr("replace(text, ' ', '')")))
+      .withColumn("n_words", $"n_spaces" + 1)
+      .withColumn("n_the", expr(
+        "CAST((length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' the ', ' '))) / 4 AS BIGINT)"))
+      .withColumn("avg_word_len", ($"n_chars_c" - $"n_spaces") / $"n_words")
+      // double() casts: Spark parses bare decimal literals as DECIMAL,
+      // which would diverge from the oracle's IEEE double arithmetic
+      .withColumn("quality_score", expr(
+        "least(double(1.0), n_words/double(100.0)) * double(0.5) + CASE WHEN n_the > 0 THEN double(0.25) ELSE double(0.0) END + least(double(1.0), n_chars_c/double(500.0)) * double(0.25)"))
+      .select($"doc_id", $"n_chars_c".as("n_chars"), $"n_words", $"n_the",
+        $"avg_word_len", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
+  val q14Sql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  length(text) - length(replace(text,' ','')) + 1 AS n_words,
+      |  CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' '))) / 4 AS BIGINT) AS n_the,
+      |  (length(text) - (length(text) - length(replace(text,' ','')))) * 1.0
+      |    / (length(text) - length(replace(text,' ','')) + 1) AS avg_word_len,
+      |  least(1.0, (length(text) - length(replace(text,' ','')) + 1)/100.0) * 0.5
+      |    + CASE WHEN CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' '))) / 4 AS BIGINT) > 0 THEN 0.25 ELSE 0.0 END
+      |    + least(1.0, length(text)/500.0) * 0.25 AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Token statistics per language: counts are exact ints; the average
+    * is one double division of two exact longs. */
+  def q15TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("n_spaces", length($"text") - length(expr("replace(text, ' ', '')")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_spaces" + 1).as("total_words"),
+           sum(length($"text") - $"n_spaces").as("total_word_chars"))
+      .withColumn("avg_word_len", $"total_word_chars" / $"total_words")
+      .orderBy($"lang")
+  }
+
+  val q15Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(length(text) - length(replace(text,' ','')) + 1) AS total_words,
+      |  SUM(length(replace(text,' ',''))) AS total_word_chars,
+      |  SUM(length(replace(text,' ','')))*1.0 / SUM(length(text) - length(replace(text,' ','')) + 1) AS avg_word_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Language-ID heuristic: stopword-presence scoring with a fixed
+    * priority order on ties (en > de > fr > es). The score logic is the
+    * operator; the labeled `lang` column is kept for accuracy eval. */
+  def q16LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .withColumn("padded", concat(lit(" "), $"text", lit(" ")))
+      .withColumn("sc_en", expr(
+        "CAST(padded LIKE '% the %' AS INT) + CAST(padded LIKE '% and %' AS INT) + CAST(padded LIKE '% of %' AS INT)"))
+      .withColumn("sc_de", expr(
+        "CAST(padded LIKE '% der %' AS INT) + CAST(padded LIKE '% die %' AS INT) + CAST(padded LIKE '% und %' AS INT)"))
+      .withColumn("sc_fr", expr(
+        "CAST(padded LIKE '% le %' AS INT) + CAST(padded LIKE '% la %' AS INT) + CAST(padded LIKE '% et %' AS INT)"))
+      .withColumn("sc_es", expr(
+        "CAST(padded LIKE '% el %' AS INT) + CAST(padded LIKE '% los %' AS INT) + CAST(padded LIKE '% y %' AS INT)"))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+          |     WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+          |     WHEN sc_fr >= sc_es THEN 'fr'
+          |     ELSE 'es' END""".stripMargin))
+    scored.select($"doc_id", $"pred_lang", $"lang",
+        ($"pred_lang" === $"lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val q16Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(' '||text||' ' LIKE '% the %' AS INT) + CAST(' '||text||' ' LIKE '% and %' AS INT) + CAST(' '||text||' ' LIKE '% of %' AS INT) AS sc_en,
+      |    CAST(' '||text||' ' LIKE '% der %' AS INT) + CAST(' '||text||' ' LIKE '% die %' AS INT) + CAST(' '||text||' ' LIKE '% und %' AS INT) AS sc_de,
+      |    CAST(' '||text||' ' LIKE '% le %' AS INT) + CAST(' '||text||' ' LIKE '% la %' AS INT) + CAST(' '||text||' ' LIKE '% et %' AS INT) AS sc_fr,
+      |    CAST(' '||text||' ' LIKE '% el %' AS INT) + CAST(' '||text||' ' LIKE '% los %' AS INT) + CAST(' '||text||' ' LIKE '% y %' AS INT) AS sc_es
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+      |       WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+      |       WHEN sc_fr >= sc_es THEN 'fr'
+      |       ELSE 'es' END AS pred_lang,
+      |  lang,
+      |  (CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+      |        WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+      |        WHEN sc_fr >= sc_es THEN 'fr'
+      |        ELSE 'es' END) = lang AS correct
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text
+    * (the portable form; a 64-bit Karp-Rabin rolling fingerprint is also
+    * provided in Scala, see TextOps.rollingFingerprint). */
+  def q17Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q17Sql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Exact dedup: keep the lowest doc_id per identical content hash. */
+  def q18DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).withColumn("h", md5($"text"))
+    val keep = d.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    d.join(keep, Seq("h", "doc_id"), "inner")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q18Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents d
+      |WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE md5(d2.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Near-dup pairs by word-bigram Jaccard >= 0.5: explode distinct
+    * shingles, self-join on shingle (the inverted-index formulation —
+    * never a quadratic cross join), compute |∩|/|∪| exactly. */
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("jaccard", $"common" / ($"sa.n" + $"sb.n" - $"common"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q19Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+      |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** MinHash + LSH near-dup candidates: k=8 portable min-hashes
+    * (lexicographic min of seeded md5 — identical in any engine), LSH
+    * with 8 bands of 1 row (candidate ⇔ any minhash collides), then
+    * estimated Jaccard = matching-minhash fraction >= 0.25. */
+  def q20MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
+      .distinct()
+    val hashes = sh.crossJoin(s.range(8).toDF("i").hint("broadcast"))
+      .select($"doc_id", $"i",
+        md5(concat($"i".cast("string"), lit(":"), $"shingle")).as("h"))
+    val sig = hashes.groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    val cand = sig.as("a").join(sig.as("b"),
+        $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val est = cand.join(sig.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sig.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.i" === $"sb.i")
+      .groupBy($"doc_a", $"doc_b")
+      .agg((sum(when($"sa.mh" === $"sb.mh", 1).otherwise(0)) / 8.0).as("est_jaccard"))
+    est.filter($"est_jaccard" >= 0.25)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q20Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |sig AS (SELECT doc_id, i, MIN(md5(i::VARCHAR||':'||shingle)) AS mh
+      |        FROM sh, UNNEST(range(0, 8)) AS r(i) GROUP BY doc_id, i),
+      |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+      |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      |est AS (SELECT doc_a, doc_b,
+      |          SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+      |        FROM cand JOIN sig sa ON doc_a = sa.doc_id
+      |                  JOIN sig sb ON doc_b = sb.doc_id AND sa.i = sb.i
+      |        GROUP BY doc_a, doc_b)
+      |SELECT doc_a, doc_b, est_jaccard FROM est
+      |WHERE est_jaccard >= 0.25
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** 16-bit SimHash fingerprint from token md5 bits (sign of the
+    * weighted bit sum; ties → 0). Portable: the bit of hex digit b is
+    * its parity. */
+  def q21SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", md5($"tok"))
+    val bits = toks.crossJoin(s.range(16).toDF("b").hint("broadcast"))
+      .withColumn("contrib", expr(
+        "CASE WHEN substring(h, CAST(b AS INT)+1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum($"contrib").as("sgn"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"sgn" > 0,
+        expr("CAST(power(2, b) AS BIGINT)")).otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val q21Sql: String =
+    """WITH toks AS (SELECT doc_id, md5(t.tok) AS h
+      |              FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)),
+      |bits AS (SELECT doc_id, b,
+      |           SUM(CASE WHEN substr(h, CAST(b AS INT)+1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS sgn
+      |         FROM toks, UNNEST(range(0, 16)) AS r(b)
+      |         GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN sgn > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_text_quality" -> q14TextQuality _,
+    "q15_token_stats" -> q15TokenStats _,
+    "q16_lang_id" -> q16LangId _,
+    "q17_fingerprint" -> q17Fingerprint _,
+    "q18_dedup_exact" -> q18DedupExact _,
+    "q19_ngram_jaccard" -> q19NgramJaccard _,
+    "q20_minhash_lsh" -> q20MinHashLsh _,
+    "q21_simhash" -> q21SimHash _,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q14_text_quality" -> q14Sql,
+    "q15_token_stats" -> q15Sql,
+    "q16_lang_id" -> q16Sql,
+    "q17_fingerprint" -> q17Sql,
+    "q18_dedup_exact" -> q18Sql,
+    "q19_ngram_jaccard" -> q19Sql,
+    "q20_minhash_lsh" -> q20Sql,
+    "q21_simhash" -> q21Sql,
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Multimodal
+
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("ngram jaccard finds true near-duplicates and minhash recalls them") {
+    val jac = graft.queries.TextQueries.q19NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty, "expected some near-dup pairs in synthetic docs")
+    val mh = graft.queries.TextQueries.q20MinHashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-similarity pairs should be recalled by minhash candidates
+    val recalled = jac.count(mh.contains).toDouble / jac.size
+    assert(recalled >= 0.8, s"minhash recall of jaccard>=0.5 pairs too low: $recalled")
+  }
+
+  test("LSH ANN returns plausible neighbors (present in brute-force top list)") {
+    val brute = graft.queries.VectorQueries.q22AnnBrute(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.VectorQueries.q23AnnLsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result has cosine <= the brute-force top-1 for that query
+    val bruteTop = graft.queries.VectorQueries.q22AnnBrute(spark, sf)
+      .filter($"rnk" === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getDouble(2) <= bruteTop(q) + 1e-12)
+    }
+  }
+
+  test("multimodal feature extraction: deterministic, error-free, size-correct") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.error == null))
+    val nchars = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    feats.foreach { f =>
+      assert(f.n_bytes == nchars(f.media_id), s"byte/char mismatch for ${f.media_id}")
+      assert(f.width > 0)
+    }
+    // determinism
+    val feats2 = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
+    assert(feats.map(_.checksum).toList == feats2.map(_.checksum).toList)
+  }
+
+  test("rolling fingerprint: deterministic, content-sensitive") {
+    val a = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")
+    val b = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")
+    val c = GraftFunctions.rollingFingerprint("completely different content with no shared 8-grams")
+    assert(a == b)
+    assert(a != c) // disjoint 8-gram sets → different min-hash fingerprint
+    assert(GraftFunctions.rollingFingerprint("") == 0L)
+    assert(GraftFunctions.rollingFingerprint("ab") == GraftFunctions.rollingFingerprint("ab"))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val sh = graft.queries.TextQueries.q21SimHash(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the strongest jaccard pair should be simhash-close
+    val top = graft.queries.TextQueries.q19NgramJaccard(spark, sf)
+      .orderBy($"jaccard".desc).head()
+    val (a, b) = (top.getLong(0), top.getLong(1))
+    val hamming = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(hamming <= 4, s"near-dup pair ($a,$b) hamming=$hamming")
+  }
+}
