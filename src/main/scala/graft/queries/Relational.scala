@@ -380,6 +380,28 @@ object Relational {
       |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** Tumbling 1-hour window aggregation over events — the batch
+    * equivalent of StreamOps.windowedEventCounts (same grouping keys,
+    * exact decimal sums), oracle-checkable via epoch bucketing. */
+  def q28TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("bucket_us", $"ts_us" - ($"ts_us" % 3600000000L))
+      .groupBy($"bucket_us", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+           dsum(m2($"value")).as("total_value"))
+      .orderBy($"bucket_us", $"event_type")
+  }
+
+  val q28Sql: String =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket_us, event_type""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -395,6 +417,7 @@ object Relational {
     "q11_rank_per_brand" -> q11RankPerBrand _,
     "q12_sessionize" -> q12Sessionize _,
     "q13_asof_join" -> q13AsOfJoin _,
+    "q28_time_window" -> q28TimeWindow _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -411,5 +434,6 @@ object Relational {
     "q11_rank_per_brand" -> q11Sql,
     "q12_sessionize" -> q12Sql,
     "q13_asof_join" -> q13Sql,
+    "q28_time_window" -> q28Sql,
   )
 }

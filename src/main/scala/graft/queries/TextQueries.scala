@@ -207,10 +207,16 @@ object TextQueries {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
       .distinct()
-    val hashes = sh.crossJoin(s.range(8).toDF("i").hint("broadcast"))
-      .select($"doc_id", $"i",
-        md5(concat($"i".cast("string"), lit(":"), $"shingle")).as("h"))
-    val sig = hashes.groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    // hash family: 8 independent 32-bit slices of two md5s — one
+    // projection per shingle, per-doc mins computed map-side in ONE
+    // aggregation (no explode-by-k, k× less hashing and shuffle)
+    val hs = sh.withColumn("m1", md5($"shingle"))
+      .withColumn("m2", md5(concat(lit("x"), $"shingle")))
+    val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
+      (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
+    val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+    val sig = sigWide.selectExpr("doc_id",
+      "stack(8, 0, h0, 1, h1, 2, h2, 3, h3, 4, h4, 5, h5, 6, h6, 7, h7) as (i, mh)")
     val cand = sig.as("a").join(sig.as("b"),
         $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
@@ -226,8 +232,17 @@ object TextQueries {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
       |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
-      |sig AS (SELECT doc_id, i, MIN(md5(i::VARCHAR||':'||shingle)) AS mh
-      |        FROM sh, UNNEST(range(0, 8)) AS r(i) GROUP BY doc_id, i),
+      |hs AS (SELECT doc_id, md5(shingle) m1, md5('x'||shingle) m2 FROM sh),
+      |sigw AS (SELECT doc_id,
+      |           MIN(substr(m1,1,8)) h0, MIN(substr(m1,9,8)) h1,
+      |           MIN(substr(m1,17,8)) h2, MIN(substr(m1,25,8)) h3,
+      |           MIN(substr(m2,1,8)) h4, MIN(substr(m2,9,8)) h5,
+      |           MIN(substr(m2,17,8)) h6, MIN(substr(m2,25,8)) h7
+      |         FROM hs GROUP BY doc_id),
+      |sig AS (SELECT doc_id, i,
+      |          CASE i WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+      |                 WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END AS mh
+      |        FROM sigw, UNNEST(range(0, 8)) AS r(i)),
       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
       |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
       |est AS (SELECT doc_a, doc_b,

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,15 +117,46 @@ class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
 }
 
 class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep declared field order; an empty prune (count(*)) keeps page_id
     val names = requiredSchema.fieldNames.toSet
     val kept = fullSchema.fields.filter(f => names.contains(f.name))
     required = if (kept.isEmpty) StructType(fullSchema.fields.take(1)) else StructType(kept)
   }
-  override def build(): Scan = new MediaWikiScan(required, props)
+
+  /** Accept title predicates — pages failing them are skipped in the
+    * reader before any revision is parsed (the reference's
+    * filter-at-source, `StreamWikiDumpInputFormat.java:387-389`, but
+    * driven by Catalyst pushdown instead of a job conf). The filters are
+    * exact, so Spark needn't re-evaluate them. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (accepted, rest) = filters.partition {
+      case sources.EqualTo("title", _: String) => true
+      case sources.StringContains("title", _) => true
+      case sources.StringStartsWith("title", _) => true
+      case sources.StringEndsWith("title", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val filterProps = pushed.zipWithIndex.map {
+      case (sources.EqualTo("title", v: String), i) => s"__titleFilter$i" -> s"eq:$v"
+      case (sources.StringContains("title", v), i) => s"__titleFilter$i" -> s"contains:$v"
+      case (sources.StringStartsWith("title", v), i) => s"__titleFilter$i" -> s"starts:$v"
+      case (sources.StringEndsWith("title", v), i) => s"__titleFilter$i" -> s"ends:$v"
+      case (f, _) => throw new IllegalStateException(s"unexpected pushed filter $f")
+    }.toMap
+    new MediaWikiScan(required, props ++ filterProps)
+  }
 }
 
 case class MediaWikiInputPartition(
@@ -173,7 +205,19 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MediaWikiReaderFactory(requiredSchema, props)
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PagesReadMetric, new RevisionsReadMetric, new PagesSkippedMetric)
 }
+
+/** Task-level counters surfaced in the Spark UI / listeners — the DSv2
+  * form of the reference's Hadoop counters
+  * (`StreamWikiDumpInputFormat.java:589-591`). */
+abstract class SumMetric(override val name: String, override val description: String)
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric
+class PagesReadMetric extends SumMetric("pagesRead", "pages read")
+class RevisionsReadMetric extends SumMetric("revisionsRead", "revisions read")
+class PagesSkippedMetric extends SumMetric("pagesSkipped", "pages skipped by filters")
 
 class MediaWikiReaderFactory(schema: StructType, props: Map[String, String])
   extends PartitionReaderFactory {
@@ -216,8 +260,24 @@ class MediaWikiPartitionReader(
   private val exclude = props.get("excludePagesWith").filter(_.nonEmpty).map(Pattern.compile)
   private val wantRaw = schema.fieldNames.contains("raw_xml")
 
+  /** Conjunction of pushed-down title predicates (exact semantics). */
+  private val titleFilter: Option[String => Boolean] = {
+    val preds = props.collect {
+      case (k, v) if k.startsWith("__titleFilter") =>
+        val Array(kind, arg) = v.split(":", 2)
+        kind match {
+          case "eq" => (t: String) => t == arg
+          case "contains" => (t: String) => t.contains(arg)
+          case "starts" => (t: String) => t.startsWith(arg)
+          case "ends" => (t: String) => t.endsWith(arg)
+        }
+    }.toSeq
+    if (preds.isEmpty) None else Some(t => preds.forall(p => p(t)))
+  }
+
   private val iter = new PageRecordIterator(
-    source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw)
+    source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw,
+    titleFilter = titleFilter)
 
   private var current: RevisionPair = _
 
@@ -264,6 +324,16 @@ class MediaWikiPartitionReader(
   }
 
   override def close(): Unit = iter.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    def m(n: String, v: Long) = new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
+    Array(m("pagesRead", iter.pagesRead),
+      m("revisionsRead", iter.revisionsRead),
+      m("pagesSkipped", iter.pagesSkipped))
+  }
 }
 
 /** Ownership positions from a block-compressed splittable stream: the

@@ -270,10 +270,17 @@ final class PageRecordIterator(
     ownEnd: Long,
     exclusiveStart: Boolean,
     excludePagesWith: Option[Pattern] = None,
-    keepRaw: Boolean = false)
+    keepRaw: Boolean = false,
+    titleFilter: Option[String => Boolean] = None)
   extends Iterator[RevisionPair] with AutoCloseable {
 
   import PageRecordIterator._
+
+  /** Task counters (the reference's FOUND_PAGES / WRITTEN_REVISIONS /
+    * SKIPPED_PAGES, `StreamWikiDumpInputFormat.java:589-591`). */
+  var pagesRead: Long = 0L
+  var revisionsRead: Long = 0L
+  var pagesSkipped: Long = 0L
 
   private val scanner = new StreamScanner(src)
   private var page: PageInfo = _
@@ -305,13 +312,17 @@ final class PageRecordIterator(
           val capArr = cap.toByteArray
           val header = "<page>" + new String(capArr, 0, capArr.length - REV_BEGIN.length, StandardCharsets.UTF_8)
           val excluded = excludePagesWith.exists(p => p.matcher(header).find())
-          if (!excluded) {
-            page = XmlFields.parsePageHeader(header)
+          val parsed = if (excluded) null else XmlFields.parsePageHeader(header)
+          val titleDrop = parsed != null && titleFilter.exists(f => !f(parsed.title))
+          if (!excluded && !titleDrop) {
+            page = parsed
             prev = None
             revSeqNo = 0
             inPage = true
+            pagesRead += 1
             return true
           } else {
+            pagesSkipped += 1
             // skip the rest of this page (text is entity-escaped, so a
             // literal </page> cannot occur inside revision content)
             if (scanner.readUntil(Array(PAGE_END), null) < 0) return false
@@ -345,6 +356,7 @@ final class PageRecordIterator(
       readRevision() match {
         case None => done = true; return
         case Some(curr) =>
+          revisionsRead += 1
           nextRec = RevisionPair(page, revSeqNo, prev, curr)
           prev = Some(curr)
           revSeqNo += 1

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9: the reference is
+  * bounded-streaming I/O only; these are the unbounded-stream
+  * re-expressions its data model invites — event time = revision/event
+  * timestamp, a dump replay is the natural source).
+  */
+object StreamOps {
+
+  /** Tumbling-window event aggregation with a watermark for late data.
+    * Works identically on a batch or streaming DataFrame with a
+    * TimestampType `ts` column. */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
+  case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
+      prev_rev_id: Option[Long], prev_text: Option[String], text: String)
+
+  /** The reference's previous-revision pairing (SURVEY W1) as a
+    * stateful streaming operator: state per page carries the last seen
+    * revision; each batch's new revisions are processed in rev_seq
+    * order. `flatMapGroupsWithState` keyed by page_id — the unbounded
+    * form of the in-reader pairing. */
+  def pairRevisionsStream(revs: Dataset[RevEvent]): Dataset[RevPair] = {
+    import revs.sparkSession.implicits._
+    revs.groupByKey(_.page_id)
+      .flatMapGroupsWithState[RevEvent, RevPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pageId: Long, batch: Iterator[RevEvent], state: GroupState[RevEvent]) =>
+          var prev = state.getOption
+          val out = batch.toSeq.sortBy(_.rev_seq).map { r =>
+            val pair = RevPair(pageId, r.rev_seq, r.rev_id,
+              prev.map(_.rev_id), prev.flatMap(p => Option(p.text)), r.text)
+            prev = Some(r)
+            pair
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+}

@@ -132,6 +132,23 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("title filter pushdown reaches the scan (no post-filter duplicates)") {
+    val df = spark.read.format("mediawiki").load(fixture)
+      .filter($"title".startsWith("Talk:"))
+    assert(df.select($"curr.rev_id").as[Long].collect().toList == List(201L))
+    // the predicate shows as pushed in the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("mediawiki"), plan)
+    // equality pushdown
+    val eq = spark.read.format("mediawiki").load(fixture)
+      .filter($"title" === "Gamma Ray")
+    assert(eq.count() == 2)
+    // non-title filters still work (evaluated by Spark post-scan)
+    val other = spark.read.format("mediawiki").load(fixture)
+      .filter($"curr.minor" === true)
+    assert(other.count() == 1)
+  }
+
   test("column pruning reaches the reader") {
     val df = spark.read.format("mediawiki").load(fixture).select($"page_id", $"title")
     assert(df.distinct().count() == 3)

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** events at sf0.001 staged as a file-stream source with proper
+    * timestamps (ts arrives as nanos long under nanosAsLong). */
+  private def stagedEventsDir(): String = {
+    val dir = Files.createTempDirectory("stream-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed aggregation equals the batch computation") {
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.windowedEventCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_counts").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; with AvailableNow
+    // the final watermark closes all but the last window(s)
+    val streamed = spark.table("win_counts")
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+    val batch = StreamOps.windowedEventCounts(spark.read.parquet(dir))
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("window_start", "event_type"))
+    val mismatches = joined.filter($"s.n_events" =!= $"b.n_events" ||
+      $"s.total_value" =!= $"b.total_value").count()
+    assert(mismatches == 0)
+    assert(streamed.count() > 0, "no windows emitted")
+  }
+
+  test("stateful prev-revision pairing across micro-batches") {
+    import StreamOps.{RevEvent, RevPair}
+    val dir = Files.createTempDirectory("stream-revs").toString
+    // batch 1: first revisions; batch 2: later revisions of same pages
+    Seq(RevEvent(1L, 0, 100L, "a"), RevEvent(2L, 0, 200L, "x"))
+      .toDS().write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val checkpoint = Files.createTempDirectory("stream-ckpt").toString
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[RevPair]()
+    def runBatch(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/b*")
+        .as[RevEvent]
+      val q = StreamOps.pairRevisionsStream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[RevPair], _: Long) =>
+          batch.collect().foreach(collected.add)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runBatch()
+    Seq(RevEvent(1L, 1, 101L, "a2"), RevEvent(1L, 2, 102L, "a3"), RevEvent(2L, 1, 201L, "x2"))
+      .toDS().write.parquet(s"$dir/b2")
+    runBatch()
+    import scala.jdk.CollectionConverters._
+    val pairs = collected.asScala.map(p => p.rev_id -> p.prev_rev_id).toMap
+    // state carried across micro-batches: 101's prev is 100 from batch 1
+    assert(pairs(100L) == None)
+    assert(pairs(101L) == Some(100L))
+    assert(pairs(102L) == Some(101L))
+    assert(pairs(201L) == Some(200L))
+  }
+}
