@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * wikihadoop `TestStreamWikiDumpInputFormat.java:450-501`): reads a
   * MediaWiki dump and prints the revision records.
   *
-  * Usage: runMain graft.Main [dumpPath] [limit] [--diff]
-  * With no args, reads the bundled sample dump. With --diff, prints the
-  * diffdb table (tokenized revision diffs) instead of raw records.
+  * Usage: runMain graft.Main [dumpPath] [limit] [--diff|--tsv]
+  * With no args, reads the bundled sample dump. --diff prints the diffdb
+  * table (tokenized revision diffs); --tsv prints it in the reference's
+  * repr-encoded TSV format.
   */
 object Main {
   /** Extract the bundled sample dump to a temp file, return its path. */
@@ -24,8 +25,14 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
-    val path = positional.headOption.getOrElse(sampleDumpPath())
-    val limit = positional.lift(1).map(_.toInt).getOrElse(20)
+    // a lone numeric positional is a limit, not a path
+    val (pathOpt, limitOpt) = positional.toList match {
+      case Nil => (None, None)
+      case one :: Nil if one.forall(_.isDigit) => (None, Some(one.toInt))
+      case p :: rest => (Some(p), rest.headOption.map(_.toInt))
+    }
+    val path = pathOpt.getOrElse(sampleDumpPath())
+    val limit = limitOpt.getOrElse(20)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-mediawiki-dump")
@@ -35,7 +42,11 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = spark.read.format("mediawiki").load(path)
-    if (flags.contains("--diff")) {
+    if (flags.contains("--tsv")) {
+      // reference-compatible repr-encoded diffdb TSV (fileformat.rst)
+      graft.functions.ReprCompat.diffdbTsv(graft.functions.GraftFunctions.diffdb(df))
+        .collect().take(limit).foreach(println)
+    } else if (flags.contains("--diff")) {
       val db = graft.functions.GraftFunctions.diffdb(df)
       db.selectExpr("rev_id", "page_id", "namespace", "timestamp", "user_text",
           "transform(diffs, d -> concat(d.position, ':', d.action, ':', substring(d.content, 0, 30))) as diffs")

@@ -380,6 +380,30 @@ object Relational {
       |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** CUBE grouping sets over order status × priority (all four grouping
+    * combinations), null keys coalesced like q9. */
+  def q29Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(m2($"o_totalprice")).as("total_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"n_orders", $"total_price")
+      .orderBy($"status", $"priority")
+  }
+
+  val q29Sql: String =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+      |  COALESCE(o_orderpriority,'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   // ---------------------------------------------------------------- q28
   /** Tumbling 1-hour window aggregation over events — the batch
     * equivalent of StreamOps.windowedEventCounts (same grouping keys,
@@ -418,6 +442,7 @@ object Relational {
     "q12_sessionize" -> q12Sessionize _,
     "q13_asof_join" -> q13AsOfJoin _,
     "q28_time_window" -> q28TimeWindow _,
+    "q29_cube" -> q29Cube _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -435,5 +460,6 @@ object Relational {
     "q12_sessionize" -> q12Sql,
     "q13_asof_join" -> q13Sql,
     "q28_time_window" -> q28Sql,
+    "q29_cube" -> q29Sql,
   )
 }

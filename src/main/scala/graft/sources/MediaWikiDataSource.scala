@@ -345,22 +345,37 @@ class MediaWikiPartitionReader(
   * after that read — byte-at-a-time codec reads (what the reference's
   * ByteMatcher does) are ~100× slower. */
 final class BlockPosByteSource(in: SplitCompressionInputStream) extends PosByteSource {
-  private val buf = new Array[Byte](64 * 1024)
+  private val buf = new Array[Byte](256 * 1024)
   private var bufLen = 0
   private var bufPos = 0
   private var chunkPos = 0L
 
+  private def refill(): Boolean = {
+    bufLen = in.read(buf)
+    bufPos = 0
+    if (bufLen < 0) return false
+    chunkPos = in.getPos
+    true
+  }
+
   def read(): Int = {
-    while (bufPos >= bufLen) {
-      bufLen = in.read(buf)
-      bufPos = 0
-      if (bufLen < 0) return -1
-      chunkPos = in.getPos
-    }
+    while (bufPos >= bufLen) if (!refill()) return -1
     val b = buf(bufPos) & 0xff
     bufPos += 1
     b
   }
   def pos: Long = chunkPos
   def close(): Unit = in.close()
+
+  // BYBLOCK reads never span a compression block, so every byte of the
+  // current chunk shares the codec-reported position.
+  def bulkFill(): Boolean = {
+    while (bufPos >= bufLen) if (!refill()) return false
+    true
+  }
+  def bulkBuf: Array[Byte] = buf
+  def bulkStart: Int = bufPos
+  def bulkEnd: Int = bufLen
+  def bulkPosOf(idx: Int): Long = chunkPos
+  def bulkConsume(n: Int): Unit = bufPos += n
 }

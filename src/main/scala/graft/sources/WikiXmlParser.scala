@@ -20,29 +20,56 @@ trait PosByteSource {
   /** Ownership coordinate of the byte most recently returned. */
   def pos: Long
   def close(): Unit
+
+  // Bulk-view fast path: a window of already-buffered bytes that the
+  // scanner can search without per-byte calls. The window never spans a
+  // refill, so per-byte ownership positions stay well-defined.
+  /** Make bytes available in the window; false at EOF. */
+  def bulkFill(): Boolean
+  def bulkBuf: Array[Byte]
+  def bulkStart: Int
+  def bulkEnd: Int
+  /** Ownership pos of the window byte at absolute index `idx`. */
+  def bulkPosOf(idx: Int): Long
+  /** Consume `n` bytes from the window start. */
+  def bulkConsume(n: Int): Unit
 }
 
 /** Exact-offset source over an InputStream that begins at `startOffset`
   * in the underlying file. Buffered internally. */
 final class CountingByteSource(in: InputStream, startOffset: Long) extends PosByteSource {
-  private val buf = new Array[Byte](64 * 1024)
+  private val buf = new Array[Byte](256 * 1024)
   private var bufLen = 0
   private var bufPos = 0
-  private var offset = startOffset - 1 // pos of last returned byte
+  /** file offset of buf(0) */
+  private var bufBase = startOffset
+  private var lastPos = startOffset - 1
 
   def read(): Int = {
-    if (bufPos >= bufLen) {
-      bufLen = in.read(buf)
-      bufPos = 0
-      if (bufLen <= 0) return -1
-    }
+    if (bufPos >= bufLen && !refill()) return -1
     val b = buf(bufPos) & 0xff
+    lastPos = bufBase + bufPos
     bufPos += 1
-    offset += 1
     b
   }
-  def pos: Long = offset
+  private def refill(): Boolean = {
+    bufBase += bufLen
+    bufLen = in.read(buf)
+    bufPos = 0
+    bufLen > 0
+  }
+  def pos: Long = lastPos
   def close(): Unit = in.close()
+
+  def bulkFill(): Boolean = bufPos < bufLen || refill()
+  def bulkBuf: Array[Byte] = buf
+  def bulkStart: Int = bufPos
+  def bulkEnd: Int = bufLen
+  def bulkPosOf(idx: Int): Long = bufBase + idx
+  def bulkConsume(n: Int): Unit = {
+    bufPos += n
+    if (n > 0) lastPos = bufBase + bufPos - 1
+  }
 }
 
 /** Streaming scanner over a [[PosByteSource]]: finds literal byte
@@ -78,31 +105,95 @@ final class StreamScanner(src: PosByteSource) {
   /** Scan until one of `pats` matches. Returns the index of the matched
     * pattern, or -1 at EOF. Bytes scanned (including the match itself)
     * are written to `capture` if non-null. Sets `matchStartPos` to the
-    * ownership pos of the match's first byte. */
+    * ownership pos of the match's first byte.
+    *
+    * Fast path: every pattern starts with '<', so the hot loop is a
+    * bulk scan for '<' over the source's buffer window with in-place
+    * pattern comparison; only candidates too close to a buffer boundary
+    * drop to the per-byte ends-with path (which reads across refills). */
   def readUntil(pats: Array[Array[Byte]], capture: java.io.ByteArrayOutputStream): Int = {
     if (eof) return -1
     val nPats = pats.length
-    // fast-path discriminator: a pattern can only complete on its last byte
+    var maxLen = 0
     val lastBytes = new Array[Byte](nPats)
     var q = 0
-    while (q < nPats) { lastBytes(q) = pats(q)(pats(q).length - 1); q += 1 }
+    while (q < nPats) {
+      lastBytes(q) = pats(q)(pats(q).length - 1)
+      if (pats(q).length > maxLen) maxLen = pats(q).length
+      q += 1
+    }
+    var slowLeft = 0
     while (true) {
-      val b = src.read()
-      if (b == -1) { eof = true; matchedPattern = -1; return -1 }
-      val bb = b.toByte
-      val idx = (count & 31).toInt
-      last(idx) = bb
-      ring(idx) = src.pos
-      count += 1
-      if (capture != null) capture.write(b)
-      var p = 0
-      while (p < nPats) {
-        if (lastBytes(p) == bb && endsWith(pats(p))) {
-          matchedPattern = p
-          matchStartPos = ring(((count - pats(p).length) & 31).toInt)
-          return p
+      if (slowLeft > 0) {
+        // ---- slow path: per-byte with ring (handles buffer boundaries)
+        val b = src.read()
+        if (b == -1) { eof = true; matchedPattern = -1; return -1 }
+        val bb = b.toByte
+        val idx = (count & 31).toInt
+        last(idx) = bb
+        ring(idx) = src.pos
+        count += 1
+        if (capture != null) capture.write(b)
+        var p = 0
+        while (p < nPats) {
+          if (lastBytes(p) == bb && endsWith(pats(p))) {
+            matchedPattern = p
+            matchStartPos = ring(((count - pats(p).length) & 31).toInt)
+            return p
+          }
+          p += 1
         }
-        p += 1
+        slowLeft -= 1
+        if (slowLeft == 0) {
+          // stay slow while a recent '<' could still start a spanning match
+          var k = 1
+          val lim = math.min(maxLen - 1, count).toInt
+          while (k <= lim && slowLeft == 0) {
+            if (last(((count - k) & 31).toInt) == '<') slowLeft = maxLen
+            k += 1
+          }
+        }
+      } else {
+        // ---- fast path: bulk scan the buffered window for '<'
+        if (!src.bulkFill()) { eof = true; matchedPattern = -1; return -1 }
+        val buf = src.bulkBuf
+        val s0 = src.bulkStart
+        val end = src.bulkEnd
+        var i = s0
+        while (i < end && buf(i) != '<') i += 1
+        if (i == end) {
+          if (capture != null) capture.write(buf, s0, end - s0)
+          src.bulkConsume(end - s0)
+        } else if (end - i >= maxLen) {
+          var matched = -1
+          var p = 0
+          while (p < nPats && matched < 0) {
+            val pat = pats(p)
+            var j = 1 // byte 0 is '<'
+            val pl = pat.length
+            while (j < pl && buf(i + j) == pat(j)) j += 1
+            if (j == pl) matched = p
+            p += 1
+          }
+          if (matched >= 0) {
+            val pl = pats(matched).length
+            if (capture != null) capture.write(buf, s0, i + pl - s0)
+            matchStartPos = src.bulkPosOf(i)
+            src.bulkConsume(i + pl - s0)
+            matchedPattern = matched
+            return matched
+          } else {
+            if (capture != null) capture.write(buf, s0, i + 1 - s0)
+            src.bulkConsume(i + 1 - s0)
+          }
+        } else {
+          // candidate too close to the window edge: hand the next
+          // stretch to the per-byte path (it reads across the refill)
+          if (capture != null) capture.write(buf, s0, i - s0)
+          src.bulkConsume(i - s0)
+          count = 0 // reset ring; slow path starts exactly at '<'
+          slowLeft = maxLen
+        }
       }
     }
     -1
