@@ -20,7 +20,53 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = ingestMbps(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest}""")
     spark.stop()
+  }
+
+  /** End-to-end dump-ingest throughput: synthesize a ~64MB dump, run the
+    * full mediawiki-source → diffdb pipeline over it, report MB/s.
+    * (Reference cluster baseline: ~8.3 MB/s decompressed on 24 cores,
+    * BASELINE.md.) */
+  private def ingestMbps(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("bench-dump")
+    val f = dir.resolve("dump.xml").toFile
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)
+    val rnd = new scala.util.Random(5)
+    w.write("<mediawiki>\n")
+    var revId = 0
+    var page = 0
+    while (f.length() < 192L * 1024 * 1024 || page < 100) {
+      page += 1
+      w.write(s"<page><title>Page $page</title><ns>0</ns><id>$page</id>\n")
+      var r = 0
+      val revs = 1 + page % 7
+      var text = Array.fill(300)("w" + rnd.nextInt(5000)).mkString(" ")
+      while (r < revs) {
+        r += 1
+        revId += 1
+        // evolve the text so diffs are non-trivial
+        val words = text.split(" ")
+        val at = rnd.nextInt(words.length)
+        text = (words.take(at) ++ Array.fill(20)("w" + rnd.nextInt(5000)) ++ words.drop(at + 10)).mkString(" ")
+        w.write(s"<revision><id>$revId</id><timestamp>2021-01-01T00:00:00Z</timestamp>")
+        w.write(s"<contributor><username>u${r % 50}</username><id>${r % 50}</id></contributor>")
+        w.write(s"<text xml:space=\"preserve\">$text</text></revision>\n")
+      }
+      w.write("</page>\n")
+      if (page % 50 == 0) w.flush()
+    }
+    w.write("</mediawiki>\n")
+    w.close()
+    val sizeMb = f.length() / 1e6
+    spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(16 * 1024 * 1024))
+    val t0 = System.nanoTime()
+    val db = graft.functions.GraftFunctions.diffdb(
+      spark.read.format("mediawiki").load(f.getAbsolutePath))
+    db.selectExpr("sum(size(diffs))").collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    f.delete()
+    math.round(sizeMb / sec * 10.0) / 10.0
   }
 }

@@ -380,6 +380,49 @@ object Relational {
       |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** TPC-H Q17-style correlated aggregate: revenue from small-quantity
+    * line items (quantity below 20% of the part's average). Expressed as
+    * a join against the per-part average (what Catalyst de-correlates a
+    * scalar subquery into); sums are integral-exact. */
+  def q30SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val avgQty = li.groupBy($"l_partkey".as("pk"))
+      .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(dsum(m2($"l_extendedprice")).as("total_price"),
+           count(lit(1)).as("n_items"))
+  }
+
+  val q30Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l
+      |WHERE l_quantity < (SELECT SUM(l_quantity)/COUNT(*) * 0.2
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Salted join (skew path) — must equal the plain join bit-for-bit;
+    * the oracle is the unsalted formulation. */
+  def q31SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    val part = t(s, dir, "part").select($"p_partkey", $"p_brand")
+    graft.operators.Salting.saltedJoin(
+        li, part, key = "p_partkey", tiebreak = "l_orderkey", saltFactor = 8)
+      .groupBy($"p_brand")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  val q31Sql: String =
+    """SELECT p_brand, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** CUBE grouping sets over order status × priority (all four grouping
     * combinations), null keys coalesced like q9. */
@@ -443,6 +486,8 @@ object Relational {
     "q13_asof_join" -> q13AsOfJoin _,
     "q28_time_window" -> q28TimeWindow _,
     "q29_cube" -> q29Cube _,
+    "q30_small_qty_revenue" -> q30SmallQtyRevenue _,
+    "q31_salted_join" -> q31SaltedJoin _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -461,5 +506,7 @@ object Relational {
     "q13_asof_join" -> q13Sql,
     "q28_time_window" -> q28Sql,
     "q29_cube" -> q29Sql,
+    "q30_small_qty_revenue" -> q30Sql,
+    "q31_salted_join" -> q31Sql,
   )
 }

@@ -22,6 +22,18 @@ class DiffKernelSpec extends AnyFunSuite {
     assert(DiffKernel.tokenize("").toList == Nil)
   }
 
+  test("hand-rolled tokenizer equals the regex reference (differential)") {
+    val vocab = "abc Z9_ [ ] [[ ]] { } {{ }} {| |} |- | ' '' ''' = == &amp; &x &y; & \n \n\n   . , \r é 中"
+      .split(" ", -1)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 2000) {
+      val s = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString
+      val got = DiffKernel.tokenize(s).toList
+      val exp = DiffKernel.tokenizeRegex(s).toList
+      assert(got == exp, s"tokenizer diverged on ${s.replace("\n", "\\n")}")
+    }
+  }
+
   test("simple diffs") {
     // identical → no reported ops
     assert(DiffKernel.diffOps("same text", "same text").isEmpty)
