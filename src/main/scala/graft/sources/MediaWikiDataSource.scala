@@ -123,10 +123,12 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
   private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // keep declared field order; an empty prune (count(*)) keeps page_id
-    val names = requiredSchema.fieldNames.toSet
-    val kept = fullSchema.fields.filter(f => names.contains(f.name))
-    required = if (kept.isEmpty) StructType(fullSchema.fields.take(1)) else StructType(kept)
+    // accept Spark's pruned schema verbatim — including nested pruning
+    // inside curr/prev (a text-less scan skips capturing the dominant
+    // <text> bytes entirely); an empty prune (count(*)) keeps page_id
+    required = if (requiredSchema.fields.isEmpty)
+      StructType(fullSchema.fields.take(1))
+    else requiredSchema
   }
 
   /** Accept title predicates — pages failing them are skipped in the
@@ -275,9 +277,19 @@ class MediaWikiPartitionReader(
     if (preds.isEmpty) None else Some(t => preds.forall(p => p(t)))
   }
 
+  /** Does any requested column need the revision text (or a field that
+    * follows it in the element, like sha1)? If not, the reader skips
+    * capturing text bodies entirely. */
+  private val needText: Boolean = wantRaw || schema.fields.exists { f =>
+    (f.name == "curr" || f.name == "prev") && (f.dataType match {
+      case st: StructType => st.fieldNames.contains("text") || st.fieldNames.contains("sha1")
+      case _ => true
+    })
+  }
+
   private val iter = new PageRecordIterator(
     source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw,
-    titleFilter = titleFilter)
+    titleFilter = titleFilter, needText = needText)
 
   private var current: RevisionPair = _
 
@@ -288,16 +300,35 @@ class MediaWikiPartitionReader(
   private def str(o: Option[String]): AnyRef = o.map(UTF8String.fromString).orNull
   private def lng(o: Option[Long]): AnyRef = o.map(java.lang.Long.valueOf).orNull
 
-  private def revRow(r: Revision): GenericInternalRow = {
-    val contrib = r.contributor.map { c =>
-      new GenericInternalRow(Array[Any](
-        lng(c.id), str(c.username), str(c.ip), c.deleted))
-    }.orNull
-    new GenericInternalRow(Array[Any](
-      r.revId, lng(r.parentId), lng(r.timestampUs), contrib, r.minor,
-      str(r.comment), str(r.model), str(r.format), str(r.text),
-      str(r.sha1), lng(r.bytes)))
-  }
+  private def contribRow(c: graft.Contributor, st: StructType): GenericInternalRow =
+    new GenericInternalRow(st.fields.map[Any](_.name match {
+      case "id" => lng(c.id)
+      case "username" => str(c.username)
+      case "ip" => str(c.ip)
+      case "deleted" => c.deleted
+      case other => throw new IllegalStateException(s"unknown contributor field $other")
+    }))
+
+  /** Build a revision struct row matching the (possibly nested-pruned)
+    * requested struct type. */
+  private def revRow(r: Revision, st: StructType): GenericInternalRow =
+    new GenericInternalRow(st.fields.map[Any] { f =>
+      f.name match {
+        case "rev_id" => r.revId
+        case "parent_id" => lng(r.parentId)
+        case "timestamp" => lng(r.timestampUs)
+        case "contributor" =>
+          r.contributor.map(c => contribRow(c, f.dataType.asInstanceOf[StructType])).orNull
+        case "minor" => r.minor
+        case "comment" => str(r.comment)
+        case "model" => str(r.model)
+        case "format" => str(r.format)
+        case "text" => str(r.text)
+        case "sha1" => str(r.sha1)
+        case "bytes" => lng(r.bytes)
+        case other => throw new IllegalStateException(s"unknown revision field $other")
+      }
+    })
 
   /** Reference-compat page-like element: pageHeader + prev (or the
     * beginningofpage dummy) + curr + "\n</page>\n" footer
@@ -309,16 +340,18 @@ class MediaWikiPartitionReader(
 
   override def get(): InternalRow = {
     val rp = current
-    val values: Array[Any] = schema.fieldNames.map[Any] {
-      case "page_id" => rp.page.pageId: java.lang.Long
-      case "title" => UTF8String.fromString(rp.page.title)
-      case "ns" => rp.page.ns.map(java.lang.Integer.valueOf).orNull
-      case "redirect" => str(rp.page.redirect)
-      case "rev_seq" => java.lang.Integer.valueOf(rp.revSeq)
-      case "curr" => revRow(rp.curr)
-      case "prev" => rp.prev.map(revRow).orNull
-      case "raw_xml" => UTF8String.fromString(rawRecord(rp))
-      case other => throw new IllegalStateException(s"unknown column $other")
+    val values: Array[Any] = schema.fields.map[Any] { f =>
+      f.name match {
+        case "page_id" => rp.page.pageId: java.lang.Long
+        case "title" => UTF8String.fromString(rp.page.title)
+        case "ns" => rp.page.ns.map(java.lang.Integer.valueOf).orNull
+        case "redirect" => str(rp.page.redirect)
+        case "rev_seq" => java.lang.Integer.valueOf(rp.revSeq)
+        case "curr" => revRow(rp.curr, f.dataType.asInstanceOf[StructType])
+        case "prev" => rp.prev.map(revRow(_, f.dataType.asInstanceOf[StructType])).orNull
+        case "raw_xml" => UTF8String.fromString(rawRecord(rp))
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
     }
     new GenericInternalRow(values)
   }

@@ -122,6 +122,11 @@ final class StreamScanner(src: PosByteSource) {
       if (pats(q).length > maxLen) maxLen = pats(q).length
       q += 1
     }
+    // distinct first bytes of the patterns (usually just '<')
+    val f0 = pats(0)(0)
+    var f1 = f0
+    q = 1
+    while (q < nPats) { if (pats(q)(0) != f0) f1 = pats(q)(0); q += 1 }
     var slowLeft = 0
     while (true) {
       if (slowLeft > 0) {
@@ -145,11 +150,13 @@ final class StreamScanner(src: PosByteSource) {
         }
         slowLeft -= 1
         if (slowLeft == 0) {
-          // stay slow while a recent '<' could still start a spanning match
+          // stay slow while a recent pattern-start byte could still
+          // begin a match spanning the window boundary
           var k = 1
           val lim = math.min(maxLen - 1, count).toInt
           while (k <= lim && slowLeft == 0) {
-            if (last(((count - k) & 31).toInt) == '<') slowLeft = maxLen
+            val b0 = last(((count - k) & 31).toInt)
+            if (b0 == f0 || b0 == f1) slowLeft = maxLen
             k += 1
           }
         }
@@ -160,7 +167,7 @@ final class StreamScanner(src: PosByteSource) {
         val s0 = src.bulkStart
         val end = src.bulkEnd
         var i = s0
-        while (i < end && buf(i) != '<') i += 1
+        while (i < end && buf(i) != f0 && buf(i) != f1) i += 1
         if (i == end) {
           if (capture != null) capture.write(buf, s0, end - s0)
           src.bulkConsume(end - s0)
@@ -169,7 +176,7 @@ final class StreamScanner(src: PosByteSource) {
           var p = 0
           while (p < nPats && matched < 0) {
             val pat = pats(p)
-            var j = 1 // byte 0 is '<'
+            var j = 0
             val pl = pat.length
             while (j < pl && buf(i + j) == pat(j)) j += 1
             if (j == pl) matched = p
@@ -336,6 +343,8 @@ object PageRecordIterator {
   private val PAGE_END = "</page>".getBytes(StandardCharsets.UTF_8)
   private val REV_BEGIN = "<revision".getBytes(StandardCharsets.UTF_8)
   private val REV_END = "</revision>".getBytes(StandardCharsets.UTF_8)
+  private val TEXT_BEGIN = "<text".getBytes(StandardCharsets.UTF_8)
+  private val GT = ">".getBytes(StandardCharsets.UTF_8)
 
   /** The reference's dummy previous revision marking page starts
     * (`StreamWikiDumpInputFormat.java:301`) — compat-mode raw form. */
@@ -362,7 +371,8 @@ final class PageRecordIterator(
     exclusiveStart: Boolean,
     excludePagesWith: Option[Pattern] = None,
     keepRaw: Boolean = false,
-    titleFilter: Option[String => Boolean] = None)
+    titleFilter: Option[String => Boolean] = None,
+    needText: Boolean = true)
   extends Iterator[RevisionPair] with AutoCloseable {
 
   import PageRecordIterator._
@@ -429,12 +439,39 @@ final class PageRecordIterator(
     false
   }
 
-  /** Read one revision; scanner is positioned just after `<revision`. */
+  /** Read one revision; scanner is positioned just after `<revision`.
+    *
+    * When text is pruned (`needText=false`, no raw mode) the `<text>`
+    * body — typically >90% of the bytes — is scanned without being
+    * captured or materialized: the head is closed with a synthetic
+    * self-closing text tag so field extraction still sees the attrs. */
   private def readRevision(): Option[Revision] = {
     val cap = new java.io.ByteArrayOutputStream(1024)
-    if (scanner.readUntil(Array(REV_END), cap) < 0) return None // truncated
-    val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
-    Some(XmlFields.parseRevision(raw, keepRaw))
+    if (needText || keepRaw) {
+      if (scanner.readUntil(Array(REV_END), cap) < 0) return None // truncated
+      val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
+      Some(XmlFields.parseRevision(raw, keepRaw))
+    } else {
+      val m = scanner.readUntil(Array(REV_END, TEXT_BEGIN), cap)
+      if (m < 0) return None
+      if (m == 0) {
+        // revision had no <text> element at all
+        val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
+        Some(XmlFields.parseRevision(raw, keepRaw = false))
+      } else {
+        // capture the text attrs (small), then skip the body — and any
+        // post-text fields like sha1 — uncaptured to </revision>
+        if (scanner.readUntil(Array(GT), cap) < 0) return None
+        val head = cap.toString(StandardCharsets.UTF_8)
+        if (scanner.readUntil(Array(REV_END), null) < 0) return None
+        // close the text tag synthetically; parsed text value is unused
+        // (pruned) but attrs (bytes=...) remain extractable
+        val raw = "<revision" +
+          (if (head.endsWith("/>")) head else head.dropRight(1) + "/>") +
+          "</revision>"
+        Some(XmlFields.parseRevision(raw, keepRaw = false))
+      }
+    }
   }
 
   private def advance(): Unit = {

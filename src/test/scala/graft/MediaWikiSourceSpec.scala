@@ -149,6 +149,25 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(other.count() == 1)
   }
 
+  test("nested pruning: metadata-only scan skips text capture") {
+    val df = spark.read.format("mediawiki").load(fixture)
+      .select($"page_id", $"curr.rev_id".as("rid"), $"curr.timestamp".as("ts"))
+    val rows = df.orderBy($"rid").collect()
+    assert(rows.map(_.getAs[Long]("rid")).toList == List(101L, 102L, 103L, 201L, 301L, 302L))
+    val leaf = df.queryExecution.executedPlan.collectLeaves().head.schema
+    val curr = leaf.fields.find(_.name == "curr")
+    // nested struct reaching the scan should be pruned below full width
+    curr.foreach { f =>
+      val width = f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fields.length
+      assert(width < 11, s"curr not nested-pruned: width=$width in $leaf")
+    }
+    // bytes attr still available without text capture
+    val b = spark.read.format("mediawiki").load(fixture)
+      .select($"curr.rev_id".as("rid"), $"curr.bytes".as("nb"))
+      .orderBy($"rid").collect()
+    assert(b.head.getAs[Long]("nb") == 54L)
+  }
+
   test("column pruning reaches the reader") {
     val df = spark.read.format("mediawiki").load(fixture).select($"page_id", $"title")
     assert(df.distinct().count() == 3)

@@ -103,6 +103,29 @@ class WikiXmlParserSpec extends AnyFunSuite {
     assert(first.page.headerRaw.contains("<title>Alpha Particle</title>"))
   }
 
+  test("fuzz: arbitrary garbage never throws or hangs") {
+    val rnd = new scala.util.Random(99)
+    val pieces = Array("<page>", "</page>", "<revision>", "</revision>", "<revision ",
+      "<title>", "</title>", "<id>", "</id>", "<text", ">", "/>", "<", ">", "&",
+      "&amp;", "abc", "123", " ", "\n", "é", "<contributor>", "</contributor>",
+      "<timestamp>", "</timestamp>", "bad<timestamp>xx</timestamp>", "<minor/>")
+    for (trial <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(60))(pieces(rnd.nextInt(pieces.length))).mkString
+      val recs = parseAll(s.getBytes(StandardCharsets.UTF_8))
+      // never throws; every emitted record has a parsed page
+      recs.foreach(r => assert(r.page != null))
+    }
+    // fuzz split boundaries over a valid dump too
+    val bytes = fixtureBytes
+    for (_ <- 1 to 50) {
+      val cut = rnd.nextInt(bytes.length)
+      val ids = parseAll(bytes, 0, cut).map(_.curr.revId) ++
+        parseAll(bytes, cut, Long.MaxValue).map(_.curr.revId)
+      assert(ids.sorted == List(101L, 102L, 103L, 201L, 301L, 302L),
+        s"cut=$cut lost/duped: $ids")
+    }
+  }
+
   test("unescape handles named and numeric entities") {
     assert(XmlFields.unescape("a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;") == "a & b <c> \"d\" A B")
     assert(XmlFields.unescape("no entities") == "no entities")
