@@ -18,6 +18,15 @@ object GraftFunctions {
 
   val diffUdf = udf((a: String, b: String) => DiffKernel.diffOps(a, b))
 
+  /** Error-capturing diff (the reference's per-record failure rows,
+    * `revision_differ.py:167-170`): a kernel failure yields an error
+    * message instead of killing the job — a hard requirement at dump
+    * scale. Returns (ops, error) with exactly one side set. */
+  val diffSafeUdf = udf { (a: String, b: String) =>
+    try (DiffKernel.diffOps(a, b), null: String)
+    catch { case e: Throwable => (Array.empty[DiffOp], s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+  }
+
   val editDistanceUdf = udf { (a: String, b: String) =>
     DiffKernel.diffOps(a, b).iterator.map(_.content.length.toLong).sum
   }
@@ -98,6 +107,9 @@ object GraftFunctions {
         col("curr.minor").as("minor"),
         col("curr.contributor.id").as("user_id"),
         coalesce(col("curr.contributor.username"), col("curr.contributor.ip")).as("user_text"),
-        wikiDiff(coalesce(col("prev.text"), lit("")), coalesce(col("curr.text"), lit(""))).as("diffs"))
+        diffSafeUdf(coalesce(col("prev.text"), lit("")), coalesce(col("curr.text"), lit(""))).as("__d"))
+      .withColumn("diffs", col("__d._1"))
+      .withColumn("diff_error", col("__d._2"))
+      .drop("__d")
   }
 }

@@ -62,7 +62,13 @@ object ReprCompat {
       s"${d.getAs[Int]("position")}:${d.getAs[Int]("action")}:" +
         pyStrRepr(d.getAs[String]("content"), unicodePrefix = true)
     }
-    (cells ++ diffs).mkString("\t")
+    // failure rows append diff_fail + message (revision_differ.py:167-170)
+    val fail = r.schema.fieldNames.contains("diff_error") match {
+      case true if !r.isNullAt(r.fieldIndex("diff_error")) =>
+        Seq("diff_fail", r.getAs[String]("diff_error"))
+      case _ => Nil
+    }
+    (cells ++ diffs ++ fail).mkString("\t")
   }
 
   /** diffdb DataFrame → repr-encoded TSV lines (write with

@@ -423,6 +423,50 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL with
+    * cardinality accounting. */
+  def q32SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val liKeys = t(s, dir, "lineitem").select($"l_orderkey".as("k"))
+    val ordKeys = t(s, dir, "orders").select($"o_orderkey".as("k"))
+    val surplus = liKeys.exceptAll(ordKeys)   // lineitem multiplicity - 1 per key
+    val both = liKeys.intersectAll(ordKeys)   // min(multiplicity) = 1 per key
+    surplus.groupBy($"k").agg(count(lit(1)).as("n_surplus"))
+      .join(both.groupBy($"k").agg(count(lit(1)).as("n_common")), Seq("k"))
+      .orderBy($"k")
+      .limit(1000)
+  }
+
+  val q32Sql: String =
+    """WITH surplus AS (
+      |  SELECT l_orderkey AS k FROM lineitem
+      |  EXCEPT ALL
+      |  SELECT o_orderkey FROM orders),
+      |both_keys AS (
+      |  SELECT l_orderkey AS k FROM lineitem
+      |  INTERSECT ALL
+      |  SELECT o_orderkey FROM orders)
+      |SELECT s.k, s.n_surplus, b.n_common
+      |FROM (SELECT k, COUNT(*) n_surplus FROM surplus GROUP BY k) s
+      |JOIN (SELECT k, COUNT(*) n_common FROM both_keys GROUP BY k) b USING (k)
+      |ORDER BY k
+      |LIMIT 1000""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Sketch aggregates (HLL distinct, approximate percentile): Spark's
+    * implementations differ from any oracle engine's → rows-only check.
+    * Both are merge-order-independent, so results are deterministic. */
+  def q33ApproxSketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+           percentile_approx($"value", lit(0.5), lit(1000)).as("p50_value"),
+           percentile_approx($"value", lit(0.99), lit(1000)).as("p99_value"))
+      .orderBy($"event_type")
+  }
+
   // ---------------------------------------------------------------- q29
   /** CUBE grouping sets over order status × priority (all four grouping
     * combinations), null keys coalesced like q9. */
@@ -488,6 +532,8 @@ object Relational {
     "q29_cube" -> q29Cube _,
     "q30_small_qty_revenue" -> q30SmallQtyRevenue _,
     "q31_salted_join" -> q31SaltedJoin _,
+    "q32_setops_all" -> q32SetOpsAll _,
+    "q33_approx_sketches" -> q33ApproxSketches _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -508,5 +554,7 @@ object Relational {
     "q29_cube" -> q29Sql,
     "q30_small_qty_revenue" -> q30Sql,
     "q31_salted_join" -> q31Sql,
+    "q32_setops_all" -> q32Sql,
+    // q33_approx_sketches: rows-only (sketch implementations are engine-specific)
   )
 }

@@ -41,6 +41,17 @@ class DiffdbSpec extends AnyFunSuite {
     assert(DiffKernel.replay(texts(101L), ops) == texts(102L))
   }
 
+  test("typed Dataset facade") {
+    val revs = MediaWiki.revisions(spark, Main.sampleDumpPath())
+    val collected = revs.collect().sortBy(_.rev_id)
+    assert(collected.map(_.rev_id).toList == List(101L, 102L, 103L, 201L, 301L, 302L))
+    assert(collected(1).prev_rev_id == Some(101L))
+    assert(collected(1).ip == Some("192.0.2.55"))
+    assert(collected(2).text == None) // deleted
+    val db = MediaWiki.diffdb(spark, Main.sampleDumpPath())
+    assert(db.collect().forall(_.diff_error.isEmpty))
+  }
+
   test("SQL function registration") {
     GraftFunctions.register(spark)
     val n = spark.sql(
