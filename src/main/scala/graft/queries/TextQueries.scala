@@ -220,11 +220,15 @@ object TextQueries {
     val cand = sig.as("a").join(sig.as("b"),
         $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    val est = cand.join(sig.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sig.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.i" === $"sb.i")
-      .groupBy($"doc_a", $"doc_b")
-      .agg((sum(when($"sa.mh" === $"sb.mh", 1).otherwise(0)) / 8.0).as("est_jaccard"))
+    // estimate with ONE wide-signature join per pair (not 8 narrow rows)
+    val wa = sigWide.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
+    val wb = sigWide.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
+    val matchCount = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
+      .withColumn("est_jaccard", matchCount / 8.0)
     est.filter($"est_jaccard" >= 0.25)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -246,10 +250,12 @@ object TextQueries {
       |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
       |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
       |est AS (SELECT doc_a, doc_b,
-      |          SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
-      |        FROM cand JOIN sig sa ON doc_a = sa.doc_id
-      |                  JOIN sig sb ON doc_b = sb.doc_id AND sa.i = sb.i
-      |        GROUP BY doc_a, doc_b)
+      |          ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+      |        FROM cand JOIN sigw sa ON doc_a = sa.doc_id
+      |                  JOIN sigw sb ON doc_b = sb.doc_id)
       |SELECT doc_a, doc_b, est_jaccard FROM est
       |WHERE est_jaccard >= 0.25
       |ORDER BY doc_a, doc_b""".stripMargin

@@ -129,6 +129,18 @@ class MediaWikiSourceSpec extends AnyFunSuite {
       val ids = df.select($"curr.rev_id").as[Long].collect().toList
       assert(ids.length == expected, s"count: got ${ids.length} expected $expected")
       assert(ids.distinct.length == expected, "duplicates across bz2 splits")
+      // strict determinism: full records (incl. pairing) identical for
+      // different split sizes (the reference only asserts >= counts,
+      // tolerating dup emission — TestStreamWikiDumpInputFormat golden)
+      def fingerprint(minSplit: String): List[(Long, Long, Any)] =
+        spark.read.format("mediawiki").option("minSplitBytes", minSplit)
+          .load(f.getAbsolutePath)
+          .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toList.sortBy(t => (t._1, t._2))
+      val a = fingerprint("200000")
+      val b = fingerprint("400000")
+      val c = fingerprint("100000000")
+      assert(a == b && b == c, "split-size-dependent output")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
