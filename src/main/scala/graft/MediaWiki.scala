@@ -30,6 +30,47 @@ object MediaWiki {
       .as[FlatRevision]
   }
 
+  /** Parse the dump's `<siteinfo>` namespaces map (key → name; the main
+    * namespace key 0 has an empty name) — the dimension the reference's
+    * consumer uses for title normalization (`revision_differ.py:94-117`).
+    * Reads only the dump prefix, never the page stream. */
+  def siteinfoNamespaces(spark: SparkSession, path: String): Map[Int, String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf).getCodec(p)
+    val raw = fs.open(p)
+    val in = if (codec == null) raw: java.io.InputStream
+             else codec.createInputStream(raw)
+    try {
+      val buf = new Array[Byte](256 * 1024)
+      var len = 0
+      var done = false
+      while (!done && len < buf.length) {
+        val n = in.read(buf, len, buf.length - len)
+        if (n < 0) done = true
+        else {
+          len += n
+          if (new String(buf, 0, len, "UTF-8").contains("</siteinfo>")) done = true
+        }
+      }
+      val head = new String(buf, 0, len, "UTF-8")
+      val m = java.util.regex.Pattern
+        .compile("<namespace key=\"(-?\\d+)\"[^>]*(?:/>|>([^<]*)</namespace>)")
+        .matcher(head)
+      val out = scala.collection.mutable.Map.empty[Int, String]
+      while (m.find()) {
+        out(m.group(1).toInt) =
+          Option(m.group(2)).map(graft.sources.XmlFields.unescape).getOrElse("")
+      }
+      out.toMap
+    } finally in.close()
+  }
+
+  /** Inverse lookup (lowercased name → key) for normalizeTitle. */
+  def namespacesByName(ns: Map[Int, String]): Map[String, Int] =
+    ns.collect { case (k, v) if v.nonEmpty => v.toLowerCase -> k }
+
   /** Typed diffdb row. */
   case class DiffRow(rev_id: Long, page_id: Long, namespace: Int, title: String,
       timestamp: Option[Long], comment: Option[String], minor: Boolean,

@@ -41,6 +41,22 @@ class DiffdbSpec extends AnyFunSuite {
     assert(DiffKernel.replay(texts(101L), ops) == texts(102L))
   }
 
+  test("siteinfo namespaces parse from the dump prefix") {
+    val ns = MediaWiki.siteinfoNamespaces(spark, Main.sampleDumpPath())
+    assert(ns(0) == "")
+    assert(ns(1) == "Talk")
+    assert(ns(2) == "User")
+    assert(ns(14) == "Category")
+    assert(ns(-2) == "Media")
+    val byName = MediaWiki.namespacesByName(ns)
+    assert(byName("talk") == 1)
+    // full loop: siteinfo-driven diffdb resolves Talk: titles
+    val db = graft.functions.GraftFunctions.diffdb(
+      spark.read.format("mediawiki").load(Main.sampleDumpPath()), byName)
+    val talk = db.filter($"rev_id" === 201L).head()
+    assert(talk.getAs[Int]("namespace") == 1)
+  }
+
   test("typed Dataset facade") {
     val revs = MediaWiki.revisions(spark, Main.sampleDumpPath())
     val collected = revs.collect().sortBy(_.rev_id)
