@@ -12,6 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, shuffle machinery) and the OS page
+    // cache for EVERY table uniformly, so the first measured query
+    // doesn't absorb JVM startup and no query gets a selectively warm
+    // cache
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings")) {
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
