@@ -35,7 +35,7 @@ object Bench {
     spark.stop()
   }
 
-  /** End-to-end dump-ingest throughput: synthesize a ~64MB dump, run the
+  /** End-to-end dump-ingest throughput: synthesize a ~192MB dump, run the
     * full mediawiki-source → diffdb pipeline over it, report MB/s.
     * (Reference cluster baseline: ~8.3 MB/s decompressed on 24 cores,
     * BASELINE.md.) */

@@ -232,24 +232,31 @@ object DiffKernel {
     (-1, -1)
   }
 
+  /** Canonicalize runs: within every maximal region of non-equal ops,
+    * emit one merged delete followed by one merged insert (the order the
+    * reference's diff library also normalizes to); adjacent equal runs
+    * merge too. Segment-wise so a delete…insert…delete region collapses
+    * to a single delete+insert pair rather than interleaved fragments. */
   private def merge(ops: List[(Int, Array[Int])]): List[(Int, Array[Int])] = {
     val out = mutable.ListBuffer.empty[(Int, Array[Int])]
-    for ((act, toks) <- ops if toks.nonEmpty) {
-      out.lastOption match {
-        case Some((a0, t0)) if a0 == act => out.update(out.length - 1, (act, t0 ++ toks))
-        case _ => out += ((act, toks))
-      }
+    val dels = mutable.ArrayBuffer.empty[Int]
+    val ins = mutable.ArrayBuffer.empty[Int]
+    def flush(): Unit = {
+      if (dels.nonEmpty) { out += ((-1, dels.toArray)); dels.clear() }
+      if (ins.nonEmpty) { out += ((1, ins.toArray)); ins.clear() }
     }
-    // normalize ordering: within a replace region emit delete before insert
-    val norm = mutable.ListBuffer.empty[(Int, Array[Int])]
-    var i = 0
-    val arr = out.toArray
-    while (i < arr.length) {
-      if (i + 1 < arr.length && arr(i)._1 == 1 && arr(i + 1)._1 == -1) {
-        norm += arr(i + 1); norm += arr(i); i += 2
-      } else { norm += arr(i); i += 1 }
+    for ((act, toks) <- ops if toks.nonEmpty) act match {
+      case 0 =>
+        flush()
+        out.lastOption match {
+          case Some((0, t0)) => out.update(out.length - 1, (0, t0 ++ toks))
+          case _ => out += ((0, toks))
+        }
+      case -1 => dels ++= toks
+      case 1 => ins ++= toks
     }
-    norm.toList
+    flush()
+    out.toList
   }
 
   /** Full pipeline: tokenize, intern, diff, un-intern, emit ops with the

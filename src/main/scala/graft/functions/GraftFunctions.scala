@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *  - `wiki_tokenize(text) -> array<string>`
   *  - `wiki_diff(old, new) -> array<struct<position int, action int, content string>>`
   *  - `wiki_edit_distance(old, new) -> bigint` (token-level)
-  *  - `normalize_title(title) -> struct<ns int, title string>` via a
-  *    namespaces map (reference `revision_differ.py:141-142`).
+  *  - `doc_fingerprint64(text) -> bigint` (rolling min-hash fingerprint)
+  *
+  * Title normalization (reference `revision_differ.py:141-142`) needs a
+  * namespaces map, so it is exposed as `normalizeTitleUdf(nsMap)`
+  * rather than a fixed SQL registration.
   */
 object GraftFunctions {
 

@@ -35,24 +35,29 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val nullLit: String => Column = c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")
+    // Payload travels inside ONE struct that is non-null for every right
+    // row — so a right row whose payload VALUES are null still wins the
+    // as-of race (ignoreNulls only skips "no right row here" markers,
+    // never a genuine null payload value).
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
 
     val taggedRight = right.select(
       (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        payload.map(c => col(c).as(s"__p_$c")) ++:
+        payloadStruct.as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        payload.map(nullLit) ++: leftCols.map(col)): _*)
+        lit(null).cast(nullStructType).as("__p") +: leftCols.map(col)): _*)
 
     // Right rows sort before left rows at equal ts (side 0 < 1), so the
     // join is inclusive: rightTs == leftTs matches.
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, c) => df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__c_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__c.$c").as(c)): _*)
   }
 }

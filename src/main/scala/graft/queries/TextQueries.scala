@@ -21,6 +21,18 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Distinct word-bigram shingles per document (shared by the Jaccard
+    * and MinHash dedup pipelines — keep their shingling identical). */
+  private def bigramShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- q14
   /** Per-document quality metrics + composite score (all per-row
     * arithmetic — deterministic in IEEE doubles). */
@@ -173,12 +185,7 @@ object TextQueries {
     * the right physical shape. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir)
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .filter(size($"ts") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
-      .distinct()
+    val sh = bigramShingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -213,12 +220,7 @@ object TextQueries {
     * estimated Jaccard = matching-minhash fraction >= 0.25. */
   def q20MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docs(s, dir)
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .filter(size($"ts") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
-      .distinct()
+    val sh = bigramShingles(s, dir)
     // hash family: 8 independent 32-bit slices of two md5s — one
     // projection per shingle, per-doc mins computed map-side in ONE
     // aggregation (no explode-by-k, k× less hashing and shuffle)

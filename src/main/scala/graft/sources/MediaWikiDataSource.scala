@@ -95,12 +95,13 @@ object MediaWikiTable {
     StructType(fields)
   }
 
-  /** Resolve input paths from DSv2 properties ("path" or "paths" JSON). */
+  /** Resolve input paths from DSv2 properties ("path" or "paths" JSON
+    * array — parsed with Jackson so commas/quotes in paths survive). */
   def resolvePaths(props: Map[String, String]): Seq[String] = {
     props.get("paths").map { json =>
-      // minimal JSON string-array parse: ["a","b"]
-      json.trim.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(json)
+      (0 until node.size()).map(i => node.get(i).asText())
     }.orElse(props.get("path").map(Seq(_))).getOrElse(
       throw new IllegalArgumentException("mediawiki source requires a path"))
   }
@@ -171,6 +172,16 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
   override def toBatch: Batch = this
   override def description(): String = "mediawiki dump scan"
 
+  /** Session Hadoop conf captured at planning time, shipped to readers
+    * (a bare `new Configuration()` on executors would drop
+    * spark.hadoop.* settings — filesystem credentials, codec config). */
+  private def hadoopConfMap(conf: Configuration): Map[String, String] = {
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
@@ -205,8 +216,10 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new MediaWikiReaderFactory(requiredSchema, props)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confMap = hadoopConfMap(SparkSession.active.sessionState.newHadoopConf())
+    new MediaWikiReaderFactory(requiredSchema, props, confMap)
+  }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new PagesReadMetric, new RevisionsReadMetric, new PagesSkippedMetric)
@@ -221,11 +234,11 @@ class PagesReadMetric extends SumMetric("pagesRead", "pages read")
 class RevisionsReadMetric extends SumMetric("revisionsRead", "revisions read")
 class PagesSkippedMetric extends SumMetric("pagesSkipped", "pages skipped by filters")
 
-class MediaWikiReaderFactory(schema: StructType, props: Map[String, String])
-  extends PartitionReaderFactory {
+class MediaWikiReaderFactory(schema: StructType, props: Map[String, String],
+    hadoopConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[MediaWikiInputPartition]
-    new MediaWikiPartitionReader(p, schema, props)
+    new MediaWikiPartitionReader(p, schema, props, hadoopConf)
   }
 }
 
@@ -233,10 +246,15 @@ class MediaWikiReaderFactory(schema: StructType, props: Map[String, String])
   * boundaries for splittable compression — cf. reference
   * `SeekableInputStream.java:47-74`), then drives [[PageRecordIterator]]. */
 class MediaWikiPartitionReader(
-    part: MediaWikiInputPartition, schema: StructType, props: Map[String, String])
+    part: MediaWikiInputPartition, schema: StructType, props: Map[String, String],
+    hadoopConf: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = {
+    val c = new Configuration(false)
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    if (hadoopConf.isEmpty) new Configuration() else c
+  }
   private val path = new Path(part.path)
   private val fs: FileSystem = path.getFileSystem(conf)
   private val codec = new CompressionCodecFactory(conf).getCodec(path)

@@ -229,12 +229,15 @@ object XmlFields {
             case "gt"   => out.append('>'); i = semi + 1
             case "quot" => out.append('"'); i = semi + 1
             case "apos" => out.append('\''); i = semi + 1
+            // IllegalArgumentException also covers appendCodePoint on
+            // out-of-range refs like &#1114112; (NumberFormatException
+            // is its subclass) — fall back to a literal '&'
             case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
               try { out.appendCodePoint(Integer.parseInt(ent.substring(2), 16)); i = semi + 1 }
-              catch { case _: NumberFormatException => out.append(c); i += 1 }
+              catch { case _: IllegalArgumentException => out.append(c); i += 1 }
             case _ if ent.startsWith("#") =>
               try { out.appendCodePoint(Integer.parseInt(ent.substring(1))); i = semi + 1 }
-              catch { case _: NumberFormatException => out.append(c); i += 1 }
+              catch { case _: IllegalArgumentException => out.append(c); i += 1 }
             case _ => out.append(c); i += 1
           }
         } else { out.append(c); i += 1 }

@@ -63,4 +63,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("c") == None)         // right row is after left ts
     assert(out("d") == None)         // no right rows for key 3
   }
+
+  test("as-of join returns the as-of row's genuine null payload, not a stale value") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 1L, Some(100L)), (1L, 5L, None))
+      .toDF("rk", "rt", "payload")
+    val out = graft.operators.AsOfJoin.backward(
+      left, right, "k", "rk", "t", "rt", Seq("payload")).collect()
+    // the ts=5 row is the as-of match; its payload is genuinely null
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("payload")))
+  }
 }

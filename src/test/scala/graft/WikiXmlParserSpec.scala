@@ -130,5 +130,8 @@ class WikiXmlParserSpec extends AnyFunSuite {
     assert(XmlFields.unescape("a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;") == "a & b <c> \"d\" A B")
     assert(XmlFields.unescape("no entities") == "no entities")
     assert(XmlFields.unescape("dangling & amp") == "dangling & amp")
+    // out-of-range numeric refs fall back to a literal '&', never throw
+    assert(XmlFields.unescape("bad &#1114112; ref") == "bad &#1114112; ref")
+    assert(XmlFields.unescape("bad &#x110000; ref") == "bad &#x110000; ref")
   }
 }
