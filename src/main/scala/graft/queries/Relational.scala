@@ -423,6 +423,48 @@ object Relational {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Pivot / crosstab: events per user × event type (explicit value
+    * list so the output schema is static and oracle-matchable). */
+  def q34Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  val q34Sql: String =
+    """SELECT user_id,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** JSON extraction from the events.props payload column. */
+  def q35Json(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"),
+           sum($"k").as("sum_k"),
+           max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q35Sql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q32
   /** Multiset set operations: INTERSECT ALL / EXCEPT ALL with
     * cardinality accounting. */
@@ -534,6 +576,8 @@ object Relational {
     "q31_salted_join" -> q31SaltedJoin _,
     "q32_setops_all" -> q32SetOpsAll _,
     "q33_approx_sketches" -> q33ApproxSketches _,
+    "q34_pivot" -> q34Pivot _,
+    "q35_json" -> q35Json _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -556,5 +600,7 @@ object Relational {
     "q31_salted_join" -> q31Sql,
     "q32_setops_all" -> q32Sql,
     // q33_approx_sketches: rows-only (sketch implementations are engine-specific)
+    "q34_pivot" -> q34Sql,
+    "q35_json" -> q35Sql,
   )
 }
