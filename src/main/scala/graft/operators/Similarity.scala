@@ -66,6 +66,51 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is coarsely
+    * clustered by nearest centroid (deterministic seed centroids: the
+    * `nCentroids` lowest-id vectors, one assignment pass — a kmeans-lite
+    * that keeps results reproducible cluster-wide with no RNG state);
+    * each query probes only its own `nProbe` nearest clusters. The scan
+    * per query drops from |corpus| to ~|corpus|·nProbe/nCentroids, and
+    * the cluster assignment is a broadcast join — the standard
+    * coarse-quantization scale path. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 2,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(embCol).as("__cent"))
+    def assign(df: DataFrame, id: String, probe: Int): DataFrame = {
+      val sims = df.select(col(id), col(embCol).as("__e"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__sim", dotExpr("__e", "__cent"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id)).orderBy(col("__sim").desc, col("cent_id"))
+      sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
+        .select(col(id), col("cent_id"))
+    }
+    val corpusAssign = assign(corpus, idCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val queryAssign = assign(queries, idCol, nProbe)
+      .withColumnRenamed(idCol, "query_id")
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+      .join(corpusAssign, Seq("neighbor_id"))
+    val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+      .join(queryAssign, Seq("query_id"))
+    val norms = corpus.select(col(idCol).as("__nid"), sqrt(dotExpr(embCol, embCol)).as("__norm"))
+    val sims = broadcast(qb).join(cb, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot", dotExpr("__qe", "__ce"))
+      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
+      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
+      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket;
     * falls back to fewer than k results when the bucket is small. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, nPlanes: Int = 8,

@@ -75,10 +75,23 @@ object VectorQueries {
       |            FROM UNNEST(range(1, len(e.embedding)+1)) t(i)))) AS max_norm
       |FROM embeddings e GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** IVF-bucketed approximate neighbors (coarse quantization): probes 2
+    * of 16 deterministic clusters per query. Rows-only check (centroid
+    * assignment not oracle-expressible). */
+  def q36AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    Similarity.ivfTopK(corpus, corpus.filter($"vec_id" < 10), k = 5,
+        nCentroids = 16, nProbe = 2)
+      .orderBy($"query_id", $"rnk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_embed_stats" -> q24EmbedStats _,
+    "q36_ann_ivf" -> q36AnnIvf _,
   )
 
   def oracles: Map[String, String] = Map(

@@ -37,6 +37,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: bounded by brute-force, deterministic across runs") {
+    val ivf1 = graft.queries.VectorQueries.q36AnnIvf(spark, sf).collect()
+    assert(ivf1.nonEmpty)
+    val bruteTop = graft.queries.VectorQueries.q22AnnBrute(spark, sf)
+      .filter($"rnk" === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf1.foreach(r => assert(r.getDouble(2) <= bruteTop(r.getLong(0)) + 1e-12))
+    val ivf2 = graft.queries.VectorQueries.q36AnnIvf(spark, sf).collect()
+    assert(ivf1.map(_.toString).toList == ivf2.map(_.toString).toList)
+  }
+
   test("multimodal feature extraction: deterministic, error-free, size-correct") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
