@@ -42,7 +42,7 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -108,7 +108,7 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket;
@@ -131,6 +131,6 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
 }

@@ -20,7 +20,7 @@ object MultimodalQueries {
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_media"),
            sum(length($"blob")).as("total_bytes"),
-           max(length($"blob")).as("max_bytes"))
+           max(length($"blob")).cast("long").as("max_bytes"))
       .orderBy($"kind")
   }
 
@@ -28,7 +28,7 @@ object MultimodalQueries {
     """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
       |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |  COUNT(*) AS n_media,
-      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  MAX(octet_length(encode(text))) AS max_bytes
       |FROM documents
       |GROUP BY 1 ORDER BY kind""".stripMargin

@@ -210,7 +210,7 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     events(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("prev_value", lag($"value", 1).over(w))
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .select($"event_id", $"user_id", $"rn", $"prev_value", $"prev_type")
@@ -297,7 +297,7 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
     t(s, dir, "part")
-      .withColumn("rank_in_brand", row_number().over(w))
+      .withColumn("rank_in_brand", row_number().over(w).cast("long"))
       .filter($"rank_in_brand" <= 3)
       .select($"p_brand", $"rank_in_brand", $"p_partkey", $"p_retailprice")
       .orderBy($"p_brand", $"rank_in_brand")
@@ -332,7 +332,7 @@ object Relational {
   }
 
   val q12Sql: String =
-    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -438,11 +438,11 @@ object Relational {
 
   val q34Sql: String =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q35
@@ -461,7 +461,7 @@ object Relational {
   val q35Sql: String =
     """SELECT event_type,
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

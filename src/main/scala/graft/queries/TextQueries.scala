@@ -49,7 +49,8 @@ object TextQueries {
       // which would diverge from the oracle's IEEE double arithmetic
       .withColumn("quality_score", expr(
         "least(double(1.0), n_words/double(100.0)) * double(0.5) + CASE WHEN n_the > 0 THEN double(0.25) ELSE double(0.0) END + least(double(1.0), n_chars_c/double(500.0)) * double(0.25)"))
-      .select($"doc_id", $"n_chars_c".as("n_chars"), $"n_words", $"n_the",
+      .select($"doc_id", $"n_chars_c".cast("long").as("n_chars"),
+        $"n_words".cast("long").as("n_words"), $"n_the",
         $"avg_word_len", $"quality_score")
       .orderBy($"doc_id")
   }
@@ -84,8 +85,8 @@ object TextQueries {
 
   val q15Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
-      |  SUM(length(text) - length(replace(text,' ','')) + 1) AS total_words,
-      |  SUM(length(replace(text,' ',''))) AS total_word_chars,
+      |  CAST(SUM(length(text) - length(replace(text,' ','')) + 1) AS BIGINT) AS total_words,
+      |  CAST(SUM(length(replace(text,' ',''))) AS BIGINT) AS total_word_chars,
       |  SUM(length(replace(text,' ','')))*1.0 / SUM(length(text) - length(replace(text,' ','')) + 1) AS avg_word_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -302,7 +303,7 @@ object TextQueries {
       |         FROM toks, UNNEST(range(0, 16)) AS r(b)
       |         GROUP BY doc_id, b)
       |SELECT doc_id,
-      |  SUM(CASE WHEN sgn > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS simhash
+      |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
