@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling main (not part of the driver contract). */
+object Scratch {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scratch] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+
+    val sh = docs
+      .select($"doc_id", split($"text", " ").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
+      .distinct()
+
+    time("shingles count")(sh.count())
+    time("shingles count again")(sh.count())
+
+    val hs = sh.withColumn("m1", md5($"shingle"))
+      .withColumn("m2", md5(concat(lit("x"), $"shingle")))
+    val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
+      (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
+    val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+    time("sigWide count")(sigWide.count())
+    val sig = sigWide.selectExpr("doc_id",
+      "stack(8, 0, h0, 1, h1, 2, h2, 3, h3, 4, h4, 5, h5, 6, h6, 7, h7) as (i, mh)")
+    time("sig count")(sig.count())
+    val joinedRaw = sig.as("a").join(broadcast(sig.as("b")),
+        $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+    time("q20 join only")(joinedRaw.count())
+    val joined = joinedRaw
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg((count(lit(1)) / 8.0).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.25)
+    time("q20 join+agg")(joined.count())
+    time("q20 join+agg again")(joined.count())
+    time("q20 full (with sort)")(joined.orderBy($"doc_a", $"doc_b").count())
+
+    time("q19 full")(
+      graft.operators.JaccardPairs.pairs(sh, 0.5).orderBy($"doc_a", $"doc_b").count())
+    time("q19 bitmap only")(
+      graft.operators.JaccardPairs.bitmapPairs(sh, 0.5).count())
+    spark.stop()
+  }
+}

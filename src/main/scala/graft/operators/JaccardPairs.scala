@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram-Jaccard near-duplicate pairs, with two physical plans
+  * chosen by the shape of the input.
+  *
+  * Input: a DataFrame of per-document-distinct `(doc_id: long,
+  * shingle: string)` rows (the set representation of each document).
+  * Output: all pairs `doc_a < doc_b` with `|A ∩ B| / |A ∪ B| >=
+  * threshold`, the Jaccard value computed as one double division of
+  * exact longs (portable across engines).
+  *
+  * - **Sparse vocabulary** (natural-language corpora; vocabulary ≫
+  *   documents): `invertedIndexPairs` — self-join on the shingle key,
+  *   count common shingles per pair. Candidate pairs are bounded by
+  *   co-occurrence, the shuffle key is the shingle, partial counts
+  *   combine map-side. This is the formulation that scales
+  *   horizontally: no driver state, no broadcast.
+  * - **Dense vocabulary** (small shared vocabulary, e.g. templated or
+  *   synthetic text): every document co-occurs with nearly every
+  *   other, so the inverted index degenerates to the full quadratic
+  *   pair set while paying a huge shuffle to discover it (measured at
+  *   sf0.1: 931 distinct shingles, 5 000 docs, 36.5M joined rows →
+  *   12.5M pairs). `bitmapPairs` instead encodes each document as a
+  *   `ceil(|V|/64)`-word bitmask over the sorted vocabulary, ships the
+  *   (tiny) signature table as a broadcast, and computes
+  *   popcount(A AND B) per pair in a shuffle-free sweep — per-pair
+  *   cost drops from hash-join rows to ~16 ANDs, and the only cluster
+  *   traffic is one broadcast.
+  *
+  * `pairs` dispatches on one probe aggregation (row count + distinct
+  * docs + distinct shingles). At 100 TB a natural corpus always takes
+  * the inverted-index path; the bitmap path exists because the dense
+  * regime is exactly where the inverted index is pathological.
+  */
+object JaccardPairs {
+
+  /** Max vocabulary for the bitmap path: 4 096 bits = 64 words keeps
+    * a million-doc signature table within a ~0.5 GB broadcast. */
+  val DefaultMaxBitmapVocab = 4096
+
+  /** Max documents for the bitmap path (broadcast-size guard). */
+  val DefaultMaxBitmapDocs = 1000000L
+
+  def pairs(sh: DataFrame, threshold: Double,
+            maxBitmapVocab: Int = DefaultMaxBitmapVocab,
+            maxBitmapDocs: Long = DefaultMaxBitmapDocs): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val (nRows, nDocs, nVocab) = sh
+      .agg(count(lit(1)), countDistinct($"doc_id"), countDistinct($"shingle"))
+      .as[(Long, Long, Long)].first()
+    if (nVocab <= maxBitmapVocab && nDocs <= maxBitmapDocs && nRows <= 20000000L)
+      bitmapPairs(sh, threshold)
+    else invertedIndexPairs(sh, threshold)
+  }
+
+  /** Shuffle-by-shingle inverted-index formulation (sparse regime). */
+  def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val p = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    p.join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("jaccard", $"common" / ($"sa.n" + $"sb.n" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Broadcast-bitmap formulation (dense regime): one collect of the
+    * (small) set table builds vocabulary + signatures driver-side,
+    * then a single shuffle-free quadratic sweep over a broadcast. The
+    * collect is the same data volume the broadcast needs anyway. */
+  def bitmapPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val raw = sh.select($"doc_id".cast("long"), $"shingle")
+      .as[(Long, String)].collect()
+    val vocab = raw.map(_._2).distinct.sorted
+    val idx = vocab.zipWithIndex.toMap
+    val nWords = (vocab.length + 63) >>> 6
+    val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
+    val ids = byDoc.map(_._1)
+    val bits = byDoc.map { case (_, rows) =>
+      val b = new Array[Long](nWords)
+      rows.foreach { case (_, s) =>
+        val i = idx(s); b(i >>> 6) |= 1L << (i & 63)
+      }
+      b
+    }
+    val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bBits = spark.sparkContext.broadcast(bits)
+    val bCounts = spark.sparkContext.broadcast(counts)
+    val slices = spark.sparkContext.defaultParallelism
+    // round-robin over row indices so the triangular sweep (row i owns
+    // pairs (i, j > i)) load-balances across tasks
+    spark.range(ids.length.toLong).as[Long]
+      .repartition(slices)
+      .mapPartitions { iter =>
+        val dIds = bIds.value; val dBits = bBits.value; val dCnt = bCounts.value
+        iter.flatMap { iL =>
+          val i = iL.toInt
+          val ba = dBits(i)
+          val na = dCnt(i)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = i + 1
+          while (j < dIds.length) {
+            val bb = dBits(j)
+            var common = 0
+            var w = 0
+            while (w < ba.length) {
+              common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+            }
+            val jac = common.toDouble / (na + dCnt(j) - common)
+            if (jac >= threshold) out += ((dIds(i), dIds(j), jac))
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -9,7 +9,7 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(s, dir, "documents")
 
   // ---------------------------------------------------------------- q25
   /** Binary-column metadata: blob sizes per media kind (oracle-able part

@@ -19,18 +19,21 @@ import org.apache.spark.sql.expressions.Window
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.spread(s, dir, "documents")
 
   /** Distinct word-bigram shingles per document (shared by the Jaccard
-    * and MinHash dedup pipelines — keep their shingling identical). */
+    * and MinHash dedup pipelines — keep their shingling identical).
+    * Deduplication happens map-side via `array_distinct` BEFORE the
+    * explode: a `.distinct()` after explode would shuffle one row per
+    * raw bigram (tokens−1 per doc), while this ships nothing — the
+    * output is already per-doc-distinct with no exchange in the plan. */
   private def bigramShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id", split($"text", " ").as("ts"))
       .filter(size($"ts") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
-      .distinct()
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))).as("shingle"))
   }
 
   // ---------------------------------------------------------------- q14
@@ -170,34 +173,23 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q19
-  /** Near-dup pairs by word-bigram Jaccard >= 0.5: explode distinct
-    * shingles, self-join on shingle (inverted-index formulation — never
-    * a quadratic cross join), count common per pair, compute |∩|/|∪|
-    * exactly.
+  /** Near-dup pairs by word-bigram Jaccard >= 0.5, via
+    * [[graft.operators.JaccardPairs]] which picks the physical plan by
+    * vocabulary shape: inverted-index shingle self-join for sparse
+    * (natural-language) vocabularies, broadcast-bitmap popcount sweep
+    * for dense ones (this synthetic corpus: 931 shingles / 5 000 docs
+    * at sf0.1, where the inverted index degenerates to a 36M-row
+    * shuffle discovering the all-pairs set).
     *
     * Note on alternatives: a PPJoin-style prefix-filtered variant
     * (index only each doc's globally-rarest `n − ceil(t·n) + 1`
     * shingles, verify candidates by array intersection) was measured 6×
     * SLOWER on this corpus — its tiny shared vocabulary makes every
     * shingle frequent, so prefixes prune nothing while verification
-    * ships whole shingle arrays. Prefix filtering pays off on sparse
-    * natural-language vocabularies; for dense key domains the count-join
-    * below (tiny rows, map-side partial counts, AQE-handled skew) is
-    * the right physical shape. */
+    * ships whole shingle arrays. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = bigramShingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-      .withColumn("jaccard", $"common" / ($"sa.n" + $"sb.n" - $"common"))
-      .filter($"jaccard" >= 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
+    graft.operators.JaccardPairs.pairs(bigramShingles(s, dir), threshold = 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -230,20 +222,10 @@ object TextQueries {
     val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
       (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
     val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
-    val sig = sigWide.selectExpr("doc_id",
-      "stack(8, 0, h0, 1, h1, 2, h2, 3, h3, 4, h4, 5, h5, 6, h6, 7, h7) as (i, mh)")
-    val cand = sig.as("a").join(sig.as("b"),
-        $"a.i" === $"b.i" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    // estimate with ONE wide-signature join per pair (not 8 narrow rows)
-    val wa = sigWide.toDF("doc_a" +: (0 until 8).map(i => s"a$i"): _*)
-    val wb = sigWide.toDF("doc_b" +: (0 until 8).map(i => s"b$i"): _*)
-    val matchCount = (0 until 8).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    val est = cand.join(wa, Seq("doc_a")).join(wb, Seq("doc_b"))
-      .withColumn("est_jaccard", matchCount / 8.0)
-    est.filter($"est_jaccard" >= 0.25)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
+    // LSH candidate = any colliding slice; the per-pair count of
+    // colliding slices IS the minhash estimate (×1/8). The operator
+    // picks band-join (scale path) vs broadcast sweep (small corpus).
+    graft.operators.MinHashLsh.pairs(sigWide, k = 8, minEst = 0.25)
       .orderBy($"doc_a", $"doc_b")
   }
 

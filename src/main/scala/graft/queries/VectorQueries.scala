@@ -9,7 +9,7 @@ import graft.operators.Similarity
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.spread(s, dir, "embeddings")
 
   // ---------------------------------------------------------------- q22
   /** Exact cosine top-5 neighbors for the first 10 vectors. The cosine
