@@ -33,7 +33,7 @@ object Main {
     }
     val path = pathOpt.getOrElse(sampleDumpPath())
     val limit = limitOpt.getOrElse(20)
-    val spark = SparkSession.builder()
+    val spark = SparkSession.builder().withExtensions(graft.plans.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-mediawiki-dump")
       .config("spark.sql.shuffle.partitions", "4")

@@ -20,24 +20,29 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Strict-fold double dot product of two float-array columns (by
-    * column name — the fold order is the array order, deterministic). */
-  def dotExpr(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    * column name — the fold order is the array order, deterministic).
+    * Evaluates via the native codegen kernel
+    * [[graft.functions.FloatDot]] (registered by
+    * [[graft.plans.GraftExtensions]]) — bit-identical to the
+    * declarative `aggregate(zip_with(...))` fold but ~10× cheaper per
+    * row (no per-row intermediate array, stays in whole-stage
+    * codegen). */
+  def dotExpr(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
   /** Exact cosine top-k neighbors for the query rows (a small filtered
     * subset, broadcast against the corpus). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val norms = corpus.select(col(idCol).as("__nid"),
-      sqrt(dotExpr(embCol, embCol)).as("__norm"))
     val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+    // norms recomputed inline per pair: with the codegen dot kernel a
+    // 64-dim self-dot is ~100 ns, far cheaper than the two shuffle
+    // joins a precomputed-norms table would need (and bit-identical —
+    // same strict fold, same sqrt)
     val sims = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__dot", dotExpr("__qe", "__ce"))
-      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
-      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
-      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+      .withColumn("cosine", dotExpr("__qe", "__ce") /
+        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
@@ -58,9 +63,12 @@ object Similarity {
   def lshBucket(embName: String, dims: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val plane = (0 until dims).map(d => planeComponent(p, d))
-      val planeSql = plane.mkString("array(", ", ", ")")
-      when(expr(
-        s"aggregate(zip_with($embName, $planeSql, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") > 0,
+      // CAST('…' AS DOUBLE): a bare decimal literal would parse as
+      // DECIMAL(18,18), not DOUBLE; the string cast is an exact
+      // round-trip and folds to a constant array once
+      val planeSql = plane.map(v => s"CAST('$v' AS DOUBLE)")
+        .mkString("array(", ", ", ")")
+      when(expr(s"float_dot($embName, $planeSql)") > 0,
         1L << p).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -97,13 +105,10 @@ object Similarity {
       .join(corpusAssign, Seq("neighbor_id"))
     val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
       .join(queryAssign, Seq("query_id"))
-    val norms = corpus.select(col(idCol).as("__nid"), sqrt(dotExpr(embCol, embCol)).as("__norm"))
     val sims = broadcast(qb).join(cb, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__dot", dotExpr("__qe", "__ce"))
-      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
-      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
-      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+      .withColumn("cosine", dotExpr("__qe", "__ce") /
+        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))
@@ -120,13 +125,10 @@ object Similarity {
       bucket.as("__bucket"))
     val qb = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
       bucket.as("__bucket"))
-    val norms = corpus.select(col(idCol).as("__nid"), sqrt(dotExpr(embCol, embCol)).as("__norm"))
     val sims = broadcast(qb).join(cb, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__dot", dotExpr("__qe", "__ce"))
-      .join(norms.withColumnRenamed("__nid", "query_id").withColumnRenamed("__norm", "__qn"), Seq("query_id"))
-      .join(norms.withColumnRenamed("__nid", "neighbor_id").withColumnRenamed("__norm", "__cn"), Seq("neighbor_id"))
-      .withColumn("cosine", col("__dot") / (col("__qn") * col("__cn")))
+      .withColumn("cosine", dotExpr("__qe", "__ce") /
+        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     sims.withColumn("rnk", row_number().over(w))

@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDot
+
+/** Session extensions registering graft's native Catalyst expressions.
+  *
+  * Use programmatically:
+  * {{{ SparkSession.builder().withExtensions(GraftExtensions) }}}
+  * or via configuration:
+  * {{{ --conf spark.sql.extensions=graft.plans.GraftSparkSessionExtensions }}}
+  */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_dot expects exactly 2 arguments")
+        FloatDot(children(0), children(1))
+      }))
+  }
+}
+
+/** Config-route entry point (`spark.sql.extensions` needs a class with
+  * a no-arg constructor). */
+class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions(ext)
+}
