@@ -25,17 +25,38 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = ()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (sys.env.contains("SCRATCH_JOBS"))
+          println(s"[job] start ${e.jobId} stages=${e.stageInfos.size} tasks=${e.stageInfos.map(_.numTasks).sum}")
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sys.env.contains("SCRATCH_JOBS")) {
+          val si = e.stageInfo
+          val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
+          println(s"[job]   stage ${si.stageId} '${si.name.take(40)}' tasks=${si.numTasks} ms=${ms.getOrElse(-1L)}")
+        }
+    })
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = graft.queries.Tables.spread(spark, sfDir, "documents")
     docs.count()
 
     val sh = docs
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .filter(size($"ts") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("shingle"))
-      .distinct()
+      .select($"doc_id", explode(expr("shingles(text, 2)")).as("shingle"))
 
+    time("split only")(docs.select($"doc_id", split($"text", " ").as("ts")).count())
+    time("split+transform")(docs.select($"doc_id", expr(
+      "transform(sequence(1, size(split(text,' '))-1), i -> concat(element_at(split(text,' '), i), ' ', element_at(split(text,' '), i+1)))").as("sh")).count())
+    val base = docs.select($"doc_id", split($"text", " ").as("ts")).filter(size($"ts") >= 2)
+    time("transform from ts")(base.select($"doc_id", expr(
+      "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))").as("sh")).count())
+    time("t+distinct")(base.select($"doc_id", array_distinct(expr(
+      "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))")).as("sh")).count())
+    time("t+distinct+explode")(base.select($"doc_id", explode(array_distinct(expr(
+      "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))).as("shingle")).count())
+    println(base.select($"doc_id", explode(array_distinct(expr(
+      "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))).as("shingle"))
+      .queryExecution.executedPlan.toString.linesIterator.take(12).mkString("\n"))
     time("shingles count")(sh.count())
     time("shingles count again")(sh.count())
 
@@ -63,6 +84,25 @@ object Scratch {
       graft.operators.JaccardPairs.pairs(sh, 0.5).orderBy($"doc_a", $"doc_b").count())
     time("q19 bitmap only")(
       graft.operators.JaccardPairs.bitmapPairs(sh, 0.5).count())
+    time("q19 probe agg")(
+      sh.agg(count(lit(1)), countDistinct($"doc_id"), countDistinct($"shingle")).collect())
+    time("q19 collect raw")(
+      sh.select($"doc_id".cast("long"), $"shingle").as[(Long, String)].collect())
+    val spreadDocs = graft.queries.Tables.spread(spark, sfDir, "documents")
+    time("docs spread count")(spreadDocs.count())
+    time("docs spread count2")(spreadDocs.count())
+
+    // isolate ingest throughput (same synthesis as Bench.ingestMbps)
+    if (sys.env.contains("SCRATCH_INGEST")) {
+      (1 to 3).foreach { i =>
+        val mbps = {
+          val meth = Bench.getClass.getDeclaredMethod("ingestMbps", classOf[SparkSession])
+          meth.setAccessible(true)
+          meth.invoke(Bench, spark)
+        }
+        println(s"[scratch] ingest run $i: $mbps MB/s")
+      }
+    }
     spark.stop()
   }
 }

@@ -49,12 +49,23 @@ object JaccardPairs {
             maxBitmapDocs: Long = DefaultMaxBitmapDocs): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val (nRows, nDocs, nVocab) = sh
-      .agg(count(lit(1)), countDistinct($"doc_id"), countDistinct($"shingle"))
-      .as[(Long, Long, Long)].first()
-    if (nVocab <= maxBitmapVocab && nDocs <= maxBitmapDocs && nRows <= 20000000L)
-      bitmapPairs(sh, threshold)
-    else invertedIndexPairs(sh, threshold)
+    // persist across probe + collect so the upstream (scan, shingling)
+    // computes once; the cached set table is small by definition
+    // whenever the bitmap path is even a candidate
+    val cached = sh.persist()
+    try {
+      // approx distinct counts: the thresholds are soft capacity
+      // guards, and exact countDistinct plans an Expand over every
+      // row (3× the probe cost) for precision the decision can't use
+      val (nRows, nDocs, nVocab) = cached
+        .agg(count(lit(1)),
+          approx_count_distinct($"doc_id", 0.02),
+          approx_count_distinct($"shingle", 0.02))
+        .as[(Long, Long, Long)].first()
+      if (nVocab <= maxBitmapVocab * 0.95 && nDocs <= maxBitmapDocs && nRows <= 20000000L)
+        bitmapPairs(cached, threshold) // collects eagerly — cache consumed here
+      else invertedIndexPairs(sh, threshold)
+    } finally cached.unpersist(false)
   }
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime). */

@@ -34,8 +34,13 @@ object MinHashLsh {
 
   def pairs(sigWide: DataFrame, k: Int, minEst: Double,
             maxSweepDocs: Long = DefaultMaxSweepDocs): DataFrame = {
-    if (sigWide.count() <= maxSweepDocs) sweepPairs(sigWide, k, minEst)
-    else bandJoinPairs(sigWide, k, minEst)
+    // persist across probe + collect so the signature build (shingle,
+    // hash, min-agg) computes once
+    val cached = sigWide.persist()
+    try {
+      if (cached.count() <= maxSweepDocs) sweepPairs(cached, k, minEst)
+      else bandJoinPairs(sigWide, k, minEst)
+    } finally cached.unpersist(false)
   }
 
   /** Distributed band-join formulation (scale path). */

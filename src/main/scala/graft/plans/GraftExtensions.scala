@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, TokenShingles}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -22,6 +22,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_dot expects exactly 2 arguments")
         FloatDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingles expects exactly 2 arguments")
+        TokenShingles(children(0), children(1))
       }))
   }
 }

@@ -23,17 +23,17 @@ object TextQueries {
 
   /** Distinct word-bigram shingles per document (shared by the Jaccard
     * and MinHash dedup pipelines — keep their shingling identical).
-    * Deduplication happens map-side via `array_distinct` BEFORE the
-    * explode: a `.distinct()` after explode would shuffle one row per
-    * raw bigram (tokens−1 per doc), while this ships nothing — the
-    * output is already per-doc-distinct with no exchange in the plan. */
+    * Deduplication happens map-side INSIDE [[graft.functions.TokenShingles]]
+    * before the explode: a `.distinct()` after explode would shuffle
+    * one row per raw bigram (tokens−1 per doc), while this ships
+    * nothing — the output is already per-doc-distinct with no exchange
+    * in the plan, and the tokenize→shingle→dedupe loop runs as one
+    * JIT-compiled call per document instead of interpreted HOF lambdas
+    * per element. */
   private def bigramShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id", split($"text", " ").as("ts"))
-      .filter(size($"ts") >= 2)
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(1, size(ts)-1), i -> concat(element_at(ts, i), ' ', element_at(ts, i+1)))"))).as("shingle"))
+      .select($"doc_id", explode(expr("shingles(text, 2)")).as("shingle"))
   }
 
   // ---------------------------------------------------------------- q14
