@@ -53,7 +53,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): a hash-derived value in [-1, 1). Same formula is used to
     * build signatures on every row — no RNG state, cluster-safe. */
-  private def planeComponent(p: Int, d: Int): Double = {
+  private[graft] def planeComponent(p: Int, d: Int): Double = {
     var h = p * 2654435761L + d * 40503L + 2166136261L
     h ^= (h >>> 16); h *= 2246822519L; h ^= (h >>> 13)
     ((h & 0xffffffL).toDouble / 0x800000L.toDouble) - 1.0

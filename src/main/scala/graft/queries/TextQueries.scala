@@ -288,6 +288,35 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN sgn > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** BPE-ish regex token statistics per language: tokens are maximal
+    * alpha runs, digit runs, or single other-symbols — the common
+    * pre-tokenization shape of BPE vocabularies (whitespace-only
+    * counting is q15). Three codegen'd regexp_extract_all passes; the
+    * alternation behaves identically in Java regex and RE2
+    * (leftmost-first, greedy runs). */
+  def q38RegexTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("nt"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("na"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("nn"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"nt").as("total_tokens"),
+           sum($"na").as("total_alpha"),
+           sum($"nn").as("total_num"))
+      .orderBy($"lang")
+  }
+
+  val q38Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS total_alpha,
+      |  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS total_num
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -297,6 +326,7 @@ object TextQueries {
     "q19_ngram_jaccard" -> q19NgramJaccard _,
     "q20_minhash_lsh" -> q20MinHashLsh _,
     "q21_simhash" -> q21SimHash _,
+    "q38_regex_tokens" -> q38RegexTokens _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -308,5 +338,6 @@ object TextQueries {
     "q19_ngram_jaccard" -> q19Sql,
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,
+    "q38_regex_tokens" -> q38Sql,
   )
 }

@@ -77,8 +77,9 @@ object VectorQueries {
 
   // ---------------------------------------------------------------- q36
   /** IVF-bucketed approximate neighbors (coarse quantization): probes 2
-    * of 16 deterministic clusters per query. Rows-only check (centroid
-    * assignment not oracle-expressible). */
+    * of 16 deterministic clusters per query. Fully oracle-checked —
+    * the deterministic centroid choice (16 lowest-id vectors) and the
+    * argmax-dot assignment are plain SQL. */
   def q36AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)
@@ -87,16 +88,120 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
+  private val dotAB =
+    """(SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(a.embedding)+1)) t(i))""".stripMargin
+  private def selfDot(al: String) =
+    s"""sqrt((SELECT SUM(CAST($al.embedding[i] AS DOUBLE) * CAST($al.embedding[i] AS DOUBLE))
+       |      FROM UNNEST(range(1, len($al.embedding)+1)) t(i)))""".stripMargin
+
+  val q36Sql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |dots AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i)) AS sim
+      |  FROM embeddings e, cents c),
+      |corpus_assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) rn
+      |    FROM dots) WHERE rn = 1),
+      |query_assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) rn
+      |    FROM dots WHERE vec_id < 10) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id
+      |  FROM query_assign q JOIN corpus_assign ca ON q.cent_id = ca.cent_id
+      |  WHERE ca.vec_id <> q.vec_id),
+      |cos AS (
+      |  SELECT query_id, neighbor_id,
+      |    $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS cosine
+      |  FROM cand JOIN embeddings a ON query_id = a.vec_id
+      |            JOIN embeddings b ON neighbor_id = b.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cos)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** q23's oracle: the LSH hyperplanes are deterministic constants, so
+    * the bucket computation is expressible by EMBEDDING the plane
+    * component values as array literals in the SQL (generated here
+    * from the same [[Similarity.planeComponent]] source of truth). */
+  val q23Sql: String = {
+    val planes = (0 until 6).map { p =>
+      (0 until 64).map(d => Similarity.planeComponent(p, d))
+        .mkString("[", ", ", "]")
+    }
+    val bucketFor = (al: String) => planes.zipWithIndex.map { case (arr, p) =>
+      s"""(CASE WHEN (SELECT SUM(CAST($al.embedding[i] AS DOUBLE) * (${arr}::DOUBLE[])[i])
+         |           FROM UNNEST(range(1, len($al.embedding)+1)) t(i)) > 0
+         |      THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH bucketed AS (
+      |  SELECT vec_id, embedding, ${bucketFor("e")} AS bucket
+      |  FROM embeddings e),
+      |cand AS (
+      |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id
+      |  FROM bucketed qa JOIN bucketed ca ON qa.bucket = ca.bucket
+      |  WHERE qa.vec_id < 10 AND qa.vec_id <> ca.vec_id),
+      |cos AS (
+      |  SELECT query_id, neighbor_id,
+      |    $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS cosine
+      |  FROM cand JOIN embeddings a ON query_id = a.vec_id
+      |            JOIN embeddings b ON neighbor_id = b.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cos)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs cosine >=
+    * 0.42 (the oracle-able base form; the LSH/IVF bucketed variants
+    * q23/q36 are the scale path — at corpus scale candidate pairs come
+    * from bucket joins, never a full cross product). */
+  def q37EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select($"vec_id", $"embedding")
+    val a = e.toDF("vec_id_a", "ea")
+    val b = e.toDF("vec_id_b", "eb")
+    a.join(broadcast(b), $"vec_id_a" < $"vec_id_b")
+      .withColumn("cosine", Similarity.dotExpr("ea", "eb") /
+        (sqrt(Similarity.dotExpr("ea", "ea")) * sqrt(Similarity.dotExpr("eb", "eb"))))
+      .filter($"cosine" >= 0.42)
+      .select($"vec_id_a", $"vec_id_b", $"cosine")
+      .orderBy($"vec_id_a", $"vec_id_b")
+  }
+
+  val q37Sql: String =
+    s"""SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |  $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE $dotAB / (${selfDot("a")} * ${selfDot("b")}) >= 0.42
+      |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_embed_stats" -> q24EmbedStats _,
     "q36_ann_ivf" -> q36AnnIvf _,
+    "q37_embed_neardup" -> q37EmbedNearDup _,
   )
 
   def oracles: Map[String, String] = Map(
     "q22_ann_brute" -> q22Sql,
+    "q23_ann_lsh" -> q23Sql,
     "q24_embed_stats" -> q24Sql,
-    // q23_ann_lsh: rows-only (hash-derived hyperplanes not expressible in the oracle)
+    "q36_ann_ivf" -> q36Sql,
+    "q37_embed_neardup" -> q37Sql,
   )
 }
