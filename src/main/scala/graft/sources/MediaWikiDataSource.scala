@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -112,7 +113,7 @@ class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
   override def name(): String = s"mediawiki(${MediaWikiTable.resolvePaths(props).mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MediaWikiScanBuilder(tableSchema, props ++ options.asScala)
 }
@@ -193,26 +194,8 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
       val files = if (fs.getFileStatus(path).isDirectory)
         fs.listStatus(path).filter(_.isFile).map(_.getPath).toSeq
       else Seq(path)
-      files.flatMap { f =>
-        val len = fs.getFileStatus(f).getLen
-        val codec = codecs.getCodec(f)
-        val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
-        // For block-compressed files never split below ~4 compression
-        // blocks (bz2 max block = 900KB): sub-block splits own no data
-        // but still decompress a whole block each to find that out.
-        val minSplit = props.get("minSplitBytes").map(_.toLong)
-          .getOrElse(if (codec == null) 1L else 4L * 900 * 1024)
-        val effMax = math.max(maxBytes, if (codec == null) 0L else minSplit)
-        if (!splittable || len <= effMax) {
-          Seq(MediaWikiInputPartition(f.toString, 0, len, len, codec != null))
-        } else {
-          val n = math.ceil(len.toDouble / effMax).toInt
-          val sz = math.ceil(len.toDouble / n).toLong
-          (0 until n).map { i =>
-            MediaWikiInputPartition(f.toString, i * sz, math.min((i + 1) * sz, len), len, codec != null)
-          }
-        }
-      }
+      files.flatMap(f =>
+        MediaWikiScan.partitionsForFile(fs, codecs, f, maxBytes, props))
     }.toArray
   }
 
@@ -221,8 +204,146 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
     new MediaWikiReaderFactory(requiredSchema, props, confMap)
   }
 
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MediaWikiMicroBatchStream(requiredSchema, props)
+
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new PagesReadMetric, new RevisionsReadMetric, new PagesSkippedMetric)
+}
+
+object MediaWikiScan {
+  /** Size-based split planning for one dump file — shared by the batch
+    * scan and the streaming source so both read identically. */
+  def partitionsForFile(fs: FileSystem, codecs: CompressionCodecFactory,
+      f: Path, maxBytes: Long, props: Map[String, String]): Seq[MediaWikiInputPartition] = {
+    val len = fs.getFileStatus(f).getLen
+    val codec = codecs.getCodec(f)
+    val splittable = codec == null || codec.isInstanceOf[SplittableCompressionCodec]
+    // For block-compressed files never split below ~4 compression
+    // blocks (bz2 max block = 900KB): sub-block splits own no data
+    // but still decompress a whole block each to find that out.
+    val minSplit = props.get("minSplitBytes").map(_.toLong)
+      .getOrElse(if (codec == null) 1L else 4L * 900 * 1024)
+    val effMax = math.max(maxBytes, if (codec == null) 0L else minSplit)
+    if (!splittable || len <= effMax) {
+      Seq(MediaWikiInputPartition(f.toString, 0, len, len, codec != null))
+    } else {
+      val n = math.ceil(len.toDouble / effMax).toInt
+      val sz = math.ceil(len.toDouble / n).toLong
+      (0 until n).map { i =>
+        MediaWikiInputPartition(f.toString, i * sz, math.min((i + 1) * sz, len), len, codec != null)
+      }
+    }
+  }
+}
+
+/** Streaming (micro-batch) form of the dump source: each batch
+  * processes dump files newly appeared under the watched path(s), in
+  * deterministic (modificationTime, path) order — the natural model
+  * for an incrementally-delivered dump directory (new
+  * `pages-meta-historyN.xml.bz2` parts landing over hours). Offsets
+  * are indices into that ordering, so a restart from checkpoint
+  * re-lists and resumes at the same position (dump directories are
+  * append-only: parts are never rewritten).
+  *
+  * Options: `maxFilesPerTrigger` (default unbounded) caps each batch.
+  * Per-page prev/curr pairing is in-reader (zero state); downstream
+  * stateful logic (watermarks, windows) composes via normal Structured
+  * Streaming operators.
+  */
+class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, String])
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  private case class MediaWikiOffset(fileIndex: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = s"""{"fileIndex":$fileIndex}"""
+  }
+
+  private val conf = SparkSession.active.sessionState.newHadoopConf()
+  private val maxBytes = SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+  private val confMap: Map[String, String] = {
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+  private val maxFilesPerTrigger: Int =
+    props.get("maxFilesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue)
+  // set by prepareForTriggerAvailableNow: the fixed end target so
+  // Trigger.AvailableNow drains files present at start, batch by batch
+  private var availableNowTarget: Option[Long] = None
+
+  /** All files under the watched paths in stable (modTime, path) order. */
+  private def discover(): IndexedSeq[Path] =
+    MediaWikiTable.resolvePaths(props).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) Seq.empty
+      else if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).filter(_.isFile)
+          .map(s => (s.getModificationTime, s.getPath))
+      else Seq((fs.getFileStatus(path).getModificationTime, path))
+    }.sortBy { case (t, p) => (t, p.toString) }.map(_._2).toIndexedSeq
+
+  override def initialOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset = MediaWikiOffset(0L)
+
+  override def deserializeOffset(json: String):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    MediaWikiOffset(node.get("fileIndex").asLong())
+  }
+
+  override def latestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(discover().size.toLong)
+
+  override def reportLatestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    MediaWikiOffset(availableNowTarget.getOrElse(discover().size.toLong))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = start.asInstanceOf[MediaWikiOffset].fileIndex
+    val avail = availableNowTarget.getOrElse(discover().size.toLong)
+    val capped = limit match {
+      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+      case _ => avail
+    }
+    MediaWikiOffset(math.max(from, capped))
+  }
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MediaWikiOffset].fileIndex.toInt
+    val e = end.asInstanceOf[MediaWikiOffset].fileIndex.toInt
+    val files = discover()
+    val codecs = new CompressionCodecFactory(conf)
+    files.slice(s, e).flatMap { f =>
+      val fs = f.getFileSystem(conf)
+      MediaWikiScan.partitionsForFile(fs, codecs, f, maxBytes, props)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MediaWikiReaderFactory(requiredSchema, props, confMap)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Task-level counters surfaced in the Spark UI / listeners — the DSv2

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** readStream.format("mediawiki"): micro-batch streaming over a dump
+  * directory — new dump parts are picked up per batch in deterministic
+  * order, rows match the batch source, and the (stateless) diffdb
+  * transform composes on the stream. */
+class MediaWikiStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def writeDump(dir: String, name: String, pages: Range): String = {
+    val sb = new StringBuilder("<mediawiki>\n")
+    for (p <- pages) {
+      sb.append(s"<page><title>Page $p</title><ns>0</ns><id>$p</id>\n")
+      for (r <- 1 to 2) {
+        sb.append(s"<revision><id>${p * 10 + r}</id>")
+        sb.append("<timestamp>2021-01-01T00:00:00Z</timestamp>")
+        sb.append(s"<contributor><username>u</username><id>1</id></contributor>")
+        sb.append(s"<text xml:space=\"preserve\">t $p $r words here</text></revision>\n")
+      }
+      sb.append("</page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    val f = Paths.get(dir, name)
+    Files.write(f, sb.toString.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("streaming reads a dump dir batch-wise and matches the batch source") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-stream").toString
+    writeDump(dir, "part1.xml", 1 to 5)
+    val checkpoint = Files.createTempDirectory("mw-ckpt").toString
+
+    def runOnce(): Long = {
+      // foreachBatch, not the memory sink: memory sinks cannot resume
+      // from a checkpoint, and run 2 must continue run 1's offsets
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("mediawiki").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      seen.get()
+    }
+
+    val n1 = runOnce()
+    val batch1 = spark.read.format("mediawiki").load(dir).count()
+    assert(n1 == batch1, s"stream $n1 != batch $batch1")
+    assert(n1 == 10) // 5 pages × 2 revisions
+
+    // second part appears; a new run picks up ONLY the new file
+    // (memory sink does not persist across restarts, so the table
+    // contains exactly the new batch's rows)
+    Thread.sleep(5) // distinct modTime for deterministic ordering
+    writeDump(dir, "part2.xml", 6 to 8)
+    val n2 = runOnce()
+    assert(n2 == 6, s"expected only part2's 6 revisions, got $n2")
+  }
+
+  test("diffdb composes on the stream (stateless per-row transform)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-stream2").toString
+    writeDump(dir, "d.xml", 1 to 3)
+    val checkpoint = Files.createTempDirectory("mw-ckpt2").toString
+    val stream = graft.functions.GraftFunctions.diffdb(
+      spark.readStream.format("mediawiki").load(dir))
+    val q = stream.writeStream.format("memory").queryName("mw_diff_stream")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("mw_diff_stream")
+    assert(rows.count() == 6)
+    // second revision of each page must carry a non-empty diff
+    assert(rows.filter($"rev_id" % 10 === 2)
+      .filter(org.apache.spark.sql.functions.size($"diffs") > 0).count() == 3)
+  }
+
+  test("maxFilesPerTrigger caps each micro-batch") {
+    val dir = Files.createTempDirectory("mw-stream3").toString
+    writeDump(dir, "a.xml", 1 to 2)
+    Thread.sleep(5)
+    writeDump(dir, "b.xml", 3 to 4)
+    val checkpoint = Files.createTempDirectory("mw-ckpt3").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("mediawiki")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count()): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val counts = batches.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(counts.count(_ > 0) == 2, s"expected 2 non-empty batches, got $counts")
+    assert(counts.filter(_ > 0) == Seq(4L, 4L)) // 2 pages × 2 revs per file
+  }
+}
