@@ -80,8 +80,15 @@ object Scratch {
     time("q20 join+agg again")(joined.count())
     time("q20 full (with sort)")(joined.orderBy($"doc_a", $"doc_b").count())
 
-    time("q19 full")(
-      graft.operators.JaccardPairs.pairs(sh, 0.5).orderBy($"doc_a", $"doc_b").count())
+    (1 to 4).foreach { i =>
+      time(s"q19 full run$i")(
+        graft.operators.JaccardPairs.pairs(sh, 0.5).orderBy($"doc_a", $"doc_b").count())
+    }
+    (1 to 3).foreach { i =>
+      time(s"q20 via op run$i") {
+        graft.queries.TextQueries.queries("q20_minhash_lsh")(spark, sfDir).count()
+      }
+    }
     time("q19 bitmap only")(
       graft.operators.JaccardPairs.bitmapPairs(sh, 0.5).count())
     time("q19 probe agg")(

@@ -44,26 +44,23 @@ object JaccardPairs {
   /** Max documents for the bitmap path (broadcast-size guard). */
   val DefaultMaxBitmapDocs = 1000000L
 
+  /** Max rows the dispatcher will pull to the driver before deciding
+    * (~40 B/row → ≤ ~400 MB transient). */
+  val MaxCollectRows = 10000000L
+
   def pairs(sh: DataFrame, threshold: Double,
             maxBitmapVocab: Int = DefaultMaxBitmapVocab,
             maxBitmapDocs: Long = DefaultMaxBitmapDocs): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
     // persist across probe + collect so the upstream (scan, shingling)
-    // computes once; the cached set table is small by definition
-    // whenever the bitmap path is even a candidate
+    // computes once; the probe is a plain count — vocabulary/doc-count
+    // guards are checked AFTER the collect, on exact numbers, falling
+    // back to the distributed path if they fail (the collect is
+    // bounded by MaxCollectRows either way)
     val cached = sh.persist()
     try {
-      // approx distinct counts: the thresholds are soft capacity
-      // guards, and exact countDistinct plans an Expand over every
-      // row (3× the probe cost) for precision the decision can't use
-      val (nRows, nDocs, nVocab) = cached
-        .agg(count(lit(1)),
-          approx_count_distinct($"doc_id", 0.02),
-          approx_count_distinct($"shingle", 0.02))
-        .as[(Long, Long, Long)].first()
-      if (nVocab <= maxBitmapVocab * 0.95 && nDocs <= maxBitmapDocs && nRows <= 20000000L)
-        bitmapPairs(cached, threshold) // collects eagerly — cache consumed here
+      if (cached.count() <= MaxCollectRows)
+        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs)
+          .getOrElse(invertedIndexPairs(sh, threshold))
       else invertedIndexPairs(sh, threshold)
     } finally cached.unpersist(false)
   }
@@ -88,15 +85,23 @@ object JaccardPairs {
     * (small) set table builds vocabulary + signatures driver-side,
     * then a single shuffle-free quadratic sweep over a broadcast. The
     * collect is the same data volume the broadcast needs anyway. */
-  def bitmapPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def bitmapPairs(sh: DataFrame, threshold: Double): DataFrame =
+    bitmapPairsGuarded(sh, threshold, Int.MaxValue, Long.MaxValue).get
+
+  /** As [[bitmapPairs]], but gives up (None) when the collected data
+    * reveals the vocabulary or corpus is too large for broadcast. */
+  def bitmapPairsGuarded(sh: DataFrame, threshold: Double,
+      maxVocab: Int, maxDocs: Long): Option[DataFrame] = {
     val spark = sh.sparkSession
     import spark.implicits._
     val raw = sh.select($"doc_id".cast("long"), $"shingle")
       .as[(Long, String)].collect()
     val vocab = raw.map(_._2).distinct.sorted
+    if (vocab.length > maxVocab) return None
     val idx = vocab.zipWithIndex.toMap
     val nWords = (vocab.length + 63) >>> 6
     val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
+    if (byDoc.length > maxDocs) return None
     val ids = byDoc.map(_._1)
     val bits = byDoc.map { case (_, rows) =>
       val b = new Array[Long](nWords)
@@ -106,6 +111,13 @@ object JaccardPairs {
       b
     }
     val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
+    Some(buildSweep(spark, ids, bits, counts, threshold))
+  }
+
+  private def buildSweep(spark: org.apache.spark.sql.SparkSession,
+      ids: Array[Long], bits: Array[Array[Long]], counts: Array[Int],
+      threshold: Double): DataFrame = {
+    import spark.implicits._
     val bIds = spark.sparkContext.broadcast(ids)
     val bBits = spark.sparkContext.broadcast(bits)
     val bCounts = spark.sparkContext.broadcast(counts)

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   * - `bruteForceTopK`: exact cosine top-k. The dot product is a strict
-  *   left-to-right fold (`aggregate` over `zip_with`) in doubles, which
-  *   is deterministic and engine-reproducible.
+  *   left-to-right fold in doubles (deterministic and
+  *   engine-reproducible), evaluated by the native codegen kernel
+  *   [[graft.functions.FloatDot]]; norms are recomputed inline per
+  *   pair rather than joined from a precomputed table (two fewer
+  *   shuffles, same bits).
   * - `lshTopK`: random-hyperplane LSH bucketing (sign bits from a
   *   deterministic hash-derived projection), candidates only within the
   *   same bucket — the scale path: the cross product never materializes,
