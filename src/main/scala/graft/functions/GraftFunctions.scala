@@ -115,4 +115,22 @@ object GraftFunctions {
       .withColumn("diff_error", col("__d._2"))
       .drop("__d")
   }
+
+  /** Scale-designed diffdb sink: parquet partitioned by namespace
+    * (query-pruned: per-namespace analyses touch one directory) with
+    * rows clustered by `(page_id, rev_id)` inside each file — the
+    * sorted layout the reference produced with an external
+    * `sort -n -k2 -k1 -u` over >400 GB of TSV (`fileformat.rst:39-41`),
+    * obtained here for free from the shuffle+sort that writes the
+    * files. `repartition(ns)` keeps one writer task per namespace
+    * directory (no small-file explosion: files-per-namespace =
+    * writer tasks that own it, not tasks × namespaces). */
+  def writeDiffdb(db: DataFrame, path: String,
+      mode: String = "overwrite"): Unit = {
+    db.repartition(col("namespace"))
+      .sortWithinPartitions(col("namespace"), col("page_id"), col("rev_id"))
+      .write.mode(mode)
+      .partitionBy("namespace")
+      .parquet(path)
+  }
 }

@@ -76,4 +76,27 @@ class DiffdbSpec extends AnyFunSuite {
     val toks = spark.sql("SELECT wiki_tokenize('[[link]] text')").as[Seq[String]].head()
     assert(toks == Seq("[[", "link", "]]", " ", "text"))
   }
+
+  test("writeDiffdb: namespace-partitioned, (page_id, rev_id)-sorted sink") {
+    val out = java.nio.file.Files.createTempDirectory("diffdb-sink").toString
+    val db = SparkEntry.entry(spark)
+    GraftFunctions.writeDiffdb(db, out)
+    // partition directories per namespace
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("namespace=")))
+    assert(dirs.length >= 2) // ns 0 and 1 in the sample dump
+    // reading back with a namespace filter prunes to one directory and
+    // preserves full content
+    val back = spark.read.parquet(out)
+    assert(back.count() == db.count())
+    val ns0 = back.filter($"namespace" === 0)
+    assert(ns0.count() == db.filter($"namespace" === 0).count())
+    // rows inside each file are clustered by (page_id, rev_id): reading
+    // a single file yields a sorted sequence
+    val oneFile = new java.io.File(out).listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val rows = spark.read.parquet(oneFile.getAbsolutePath)
+      .select($"page_id", $"rev_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.sortBy(identity).toSeq == rows.toSeq)
+  }
 }
