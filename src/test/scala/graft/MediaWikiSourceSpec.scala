@@ -44,6 +44,20 @@ class MediaWikiSourceSpec extends AnyFunSuite {
 
   def expectedRevCount(nPages: Int): Long = (1 to nPages).map(p => 1 + (p % 5)).sum
 
+  test("SQL DDL route: CREATE TABLE ... USING mediawiki") {
+    spark.sql("DROP TABLE IF EXISTS wiki_revs")
+    val abs = new File(fixture).getAbsolutePath
+    spark.sql(
+      s"CREATE TABLE wiki_revs USING mediawiki OPTIONS (path '$abs')")
+    try {
+      val n = spark.sql("SELECT count(*) FROM wiki_revs").as[Long].head()
+      assert(n == spark.read.format("mediawiki").load(fixture).count())
+      val titles = spark.sql(
+        "SELECT DISTINCT title FROM wiki_revs ORDER BY title").as[String].collect()
+      assert(titles.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS wiki_revs")
+  }
+
   test("reads fixture end-to-end with prev pairing") {
     val df = spark.read.format("mediawiki").load(fixture)
     val rows = df.orderBy($"curr.rev_id").collect()
