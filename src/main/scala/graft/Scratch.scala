@@ -99,6 +99,25 @@ object Scratch {
     time("docs spread count")(spreadDocs.count())
     time("docs spread count2")(spreadDocs.count())
 
+    if (sys.env.contains("SCRATCH_DIFF")) {
+      // microbench the raw kernel on bench-ingest-shaped text pairs
+      val rnd = new scala.util.Random(5)
+      def mk() = Array.fill(300)("w" + rnd.nextInt(5000)).mkString(" ")
+      val pairs = (1 to 2000).map { _ =>
+        val a = mk()
+        val words = a.split(" ")
+        val at = rnd.nextInt(words.length)
+        val b = (words.take(at) ++ Array.fill(20)("w" + rnd.nextInt(5000)) ++ words.drop(at + 10)).mkString(" ")
+        (a, b)
+      }
+      (1 to 3).foreach { i =>
+        time(s"kernel 2000 diffs run$i")(
+          pairs.foreach { case (a, b) => graft.functions.DiffKernel.diffOps(a, b) })
+      }
+      val mb = pairs.map { case (a, b) => a.length + b.length }.sum / 1e6
+      println(f"[scratch] pair text volume: $mb%.1f MB per 2000 pairs")
+    }
+
     // isolate ingest throughput (same synthesis as Bench.ingestMbps)
     if (sys.env.contains("SCRATCH_INGEST")) {
       (1 to 3).foreach { i =>

@@ -110,9 +110,12 @@ object GraftFunctions {
         col("curr.minor").as("minor"),
         col("curr.contributor.id").as("user_id"),
         coalesce(col("curr.contributor.username"), col("curr.contributor.ip")).as("user_text"),
-        diffSafeUdf(coalesce(col("prev.text"), lit("")), coalesce(col("curr.text"), lit(""))).as("__d"))
-      .withColumn("diffs", col("__d._1"))
-      .withColumn("diff_error", col("__d._2"))
+        // native expression, not the UDF: no Catalyst↔Scala encoder
+        // round trip per row on the ingest hot path (requires the
+        // session to carry GraftExtensions, as all entry points do)
+        expr("wiki_diff_safe(coalesce(prev.text, ''), coalesce(curr.text, ''))").as("__d"))
+      .withColumn("diffs", col("__d.diffs"))
+      .withColumn("diff_error", col("__d.error"))
       .drop("__d")
   }
 

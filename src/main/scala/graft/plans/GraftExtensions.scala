@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, TokenShingles}
+import graft.functions.{FloatDot, TokenShingles, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -29,6 +29,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "shingles expects exactly 2 arguments")
         TokenShingles(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("wiki_diff_safe"),
+      new ExpressionInfo(classOf[WikiDiffSafe].getName, "wiki_diff_safe"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "wiki_diff_safe expects exactly 2 arguments")
+        WikiDiffSafe(children(0), children(1))
       }))
   }
 }
