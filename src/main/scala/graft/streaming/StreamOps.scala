@@ -29,6 +29,17 @@ object StreamOps {
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)
 
+  /** Streaming exact dedup for the training-data pipeline: drops rows
+    * whose dedup key was already seen, with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark` purges keys once they
+    * age past it — the only way streaming dedup state stays finite at
+    * 100 TB/day). Key defaults to a content fingerprint column; pass
+    * e.g. `Seq("event_id")` for id-dedup. */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** The reference's previous-revision pairing (SURVEY W1) as a
     * stateful streaming operator: state per page carries the last seen
     * revision; each batch's new revisions are processed in rev_seq

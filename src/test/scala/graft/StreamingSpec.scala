@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0, "no windows emitted")
   }
 
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    // two files = two potential micro-batches with overlapping event_ids
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .limit(100).cache()
+    base.write.parquet(s"$dir/b1")
+    base.limit(40).write.parquet(s"$dir/b2") // 40 duplicates of b1 rows
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamOps.dedupStream(stream, Seq("event_id"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        total.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("dedup-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(total.get() == 100, s"expected 100 unique events, got ${total.get()}")
+  }
+
   test("stateful prev-revision pairing across micro-batches") {
     import StreamOps.{RevEvent, RevPair}
     val dir = Files.createTempDirectory("stream-revs").toString
