@@ -561,6 +561,39 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY bucket_us, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Interval join via [[graft.operators.RangeJoin]]: every `error`
+    * event opens a 30-minute incident window; count same-user events
+    * landing inside any window, per event type (bucketed equi-join on
+    * 10-minute buckets — never a BroadcastNestedLoopJoin). */
+  def q39RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id", $"user_id", $"event_type", $"ts_us")
+    val incidents = ev.filter($"event_type" === "error")
+      .select($"event_id".as("incident_id"), $"user_id".as("iuser"),
+        $"ts_us".as("start_us"), ($"ts_us" + 1800000000L).as("end_us"))
+    graft.operators.RangeJoin.bucketed(
+        ev, incidents, pointCol = "ts_us", startCol = "start_us", endCol = "end_us",
+        bucketWidth = 600000000L, equiKeys = Seq("user_id" -> "iuser"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_matches"),
+           countDistinct($"incident_id").as("n_incidents"),
+           countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val q39Sql: String =
+    """SELECT e.event_type, COUNT(*) AS n_matches,
+      |  COUNT(DISTINCT i.event_id) AS n_incidents,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN events i
+      |  ON i.event_type = 'error'
+      | AND e.user_id = i.user_id
+      | AND epoch_us(e.ts) >= epoch_us(i.ts)
+      | AND epoch_us(e.ts) < epoch_us(i.ts) + 1800000000
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -584,9 +617,11 @@ object Relational {
     "q33_approx_sketches" -> q33ApproxSketches _,
     "q34_pivot" -> q34Pivot _,
     "q35_json" -> q35Json _,
+    "q39_range_join" -> q39RangeJoin _,
   )
 
   def oracles: Map[String, String] = Map(
+    "q39_range_join" -> q39Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,
