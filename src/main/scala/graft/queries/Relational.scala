@@ -594,6 +594,34 @@ object Relational {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Forward as-of join: each event picks up the user's NEXT purchase
+    * at-or-after the event time (mirror of q13's backward direction;
+    * right side pre-deduped per (user, ts) for deterministic ties). */
+  def q40AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id", $"user_id", $"event_type", $"ts_us")
+    val purch = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("pu"), $"ts_us".as("pts"))
+      .agg(min($"event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.forward(
+        ev.drop("event_type"), purch,
+        leftKey = "user_id", rightKey = "pu",
+        leftTs = "ts_us", rightTs = "pts",
+        payload = Seq("purchase_id"))
+      .select($"event_id", $"user_id", $"purchase_id".as("next_purchase"))
+      .orderBy($"event_id")
+  }
+
+  val q40Sql: String =
+    """SELECT e.event_id, e.user_id, p.purchase_id AS next_purchase
+      |FROM events e
+      |ASOF LEFT JOIN (
+      |  SELECT user_id AS pu, ts AS pts, MIN(event_id) AS purchase_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+      |ON e.user_id = p.pu AND e.ts <= p.pts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -618,10 +646,12 @@ object Relational {
     "q34_pivot" -> q34Pivot _,
     "q35_json" -> q35Json _,
     "q39_range_join" -> q39RangeJoin _,
+    "q40_asof_forward" -> q40AsofForward _,
   )
 
   def oracles: Map[String, String] = Map(
     "q39_range_join" -> q39Sql,
+    "q40_asof_forward" -> q40Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

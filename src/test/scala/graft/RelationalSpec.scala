@@ -65,6 +65,33 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("d") == None)         // no right rows for key 3
   }
 
+  test("forward as-of join picks earliest right row at-or-after left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 16L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 4L, 102L))
+      .toDF("rk", "rt", "payload")
+    val out = graft.operators.AsOfJoin.forward(
+      left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .select("tag", "payload").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(100L))   // equal ts is inclusive
+    assert(out("b") == None)         // no right at-or-after 16
+    assert(out("c") == None)         // right row is before left ts
+    assert(out("d") == None)         // no right rows for key 3
+  }
+
+  test("tolerance bounds the as-of match distance (row kept, payload nulled)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "near"), (1L, 200L, "far")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 7L)).toDF("rk", "rt", "payload")
+    val out = graft.operators.AsOfJoin.backward(
+      left, right, "k", "rk", "t", "rt", Seq("payload"),
+      tolerance = Some(org.apache.spark.sql.functions.lit(10L)))
+      .select("tag", "payload").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("near") == Some(7L))  // 5 ticks back, within 10
+    assert(out("far") == None)       // 105 ticks back, beyond 10
+  }
+
   test("as-of join returns the as-of row's genuine null payload, not a stale value") {
     import spark.implicits._
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
