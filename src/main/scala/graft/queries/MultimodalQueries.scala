@@ -45,14 +45,28 @@ object MultimodalQueries {
   }
 
   // ---------------------------------------------------------------- q27
-  /** Rolling-hash (winnowing-style) 64-bit fingerprints: rows-only
-    * check (char-loop hash not expressible in SQL). */
+  /** Rolling-hash (winnowing-style) 64-bit fingerprints — min FNV-1a
+    * over char 8-grams. Fully oracle-checked: the 8-step FNV fold is
+    * unrolled as HUGEINT arithmetic mod 2^64 in generated SQL (ASCII
+    * corpus ⇒ `ord` = UTF-16 charAt). */
   def q27RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id",
         graft.functions.GraftFunctions.fingerprint64Udf($"text").as("fingerprint64"))
       .orderBy($"doc_id")
+  }
+
+  val q27Sql: String = {
+    // unrolled FNV-1a over the 8 chars at window offset i (1-based)
+    var h = "14695981039346656037::HUGEINT"
+    for (j <- 0 until 8)
+      h = s"((xor($h, ord(substr(text, i + $j, 1))::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+    s"""SELECT doc_id,
+      |  CAST((SELECT MIN($h % 9223372036854775808::HUGEINT)
+      |        FROM UNNEST(range(1, len(text) - 6)) t(i)) AS BIGINT) AS fingerprint64
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,6 +77,7 @@ object MultimodalQueries {
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal_meta" -> q25Sql,
-    // q26, q27: rows-only (stub decoder / char-loop hash not in SQL)
+    "q27_rolling_fingerprint" -> q27Sql,
+    // q26: rows-only (CRC32 stub decoder — no crc32 in the oracle engine)
   )
 }
