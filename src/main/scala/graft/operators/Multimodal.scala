@@ -19,13 +19,21 @@ object Multimodal {
       width: Int, height: Int, channels: Int, checksum: Long, error: String)
 
   /** STUB decoder: deterministic fake metadata from byte content.
-    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings). */
+    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings).
+    * The fake derives from a masked FNV-1a so the whole pipeline is
+    * oracle-expressible (a list_reduce fold in SQL), unlike CRC32. */
   object FakeDecoder {
+    /** FNV-1a over bytes, sign bit dropped (non-negative). */
+    def contentHash(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xff); h *= 0x100000001b3L; i += 1 }
+      h & Long.MaxValue
+    }
+
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
       // ??? real decode unavailable in this environment — deterministic fake:
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes)
-      val h = crc.getValue
+      val h = contentHash(bytes)
       kind match {
         case "image" => (((h % 1920) + 1).toInt, ((h % 1080) + 1).toInt, 3)
         case "audio" => (((h % 48000) + 1).toInt, 1, ((h % 2) + 1).toInt)
@@ -46,9 +54,8 @@ object Multimodal {
         try {
           val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
           val (w, h, c) = FakeDecoder.decode(b.kind, bytes)
-          val crc = new java.util.zip.CRC32
-          crc.update(bytes)
-          MediaFeatures(b.media_id, b.kind, bytes.length.toLong, w, h, c, crc.getValue, null)
+          MediaFeatures(b.media_id, b.kind, bytes.length.toLong, w, h, c,
+            FakeDecoder.contentHash(bytes), null)
         } catch {
           case e: Exception =>
             MediaFeatures(b.media_id, b.kind, 0L, 0, 0, 0, 0L, e.getMessage)

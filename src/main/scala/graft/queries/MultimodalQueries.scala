@@ -35,14 +35,38 @@ object MultimodalQueries {
 
   // ---------------------------------------------------------------- q26
   /** Full feature-extraction plumbing (mapPartitions over typed blobs,
-    * stub decoder): rows-only check — CRC/fake-decode not expressible in
-    * the oracle. */
+    * stub decoder). Fully oracle-checked: the FNV-based fake decode is
+    * a list_reduce fold + modular arithmetic in SQL. */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs(s, dir)))
       .toDF()
       .orderBy($"media_id")
   }
+
+  val q26Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |        [ord(c)::HUGEINT FOR c IN string_split_regex(text, '')]),
+      |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT)
+      |      % 9223372036854775808::HUGEINT AS hm
+      |  FROM documents)
+      |SELECT media_id, kind, n_bytes,
+      |  CAST(CASE kind WHEN 'image' THEN hm % 1920 + 1
+      |                 WHEN 'audio' THEN hm % 48000 + 1
+      |                 ELSE hm % 65536 + 1 END AS INTEGER) AS width,
+      |  CAST(CASE kind WHEN 'image' THEN hm % 1080 + 1
+      |                 WHEN 'audio' THEN 1 ELSE 0 END AS INTEGER) AS height,
+      |  CAST(CASE kind WHEN 'image' THEN 3
+      |                 WHEN 'audio' THEN hm % 2 + 1 ELSE 0 END AS INTEGER) AS channels,
+      |  CAST(hm AS BIGINT) AS checksum,
+      |  NULL::VARCHAR AS error
+      |FROM m ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q27
   /** Rolling-hash (winnowing-style) 64-bit fingerprints — min FNV-1a
@@ -77,7 +101,7 @@ object MultimodalQueries {
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal_meta" -> q25Sql,
+    "q26_multimodal_features" -> q26Sql,
     "q27_rolling_fingerprint" -> q27Sql,
-    // q26: rows-only (CRC32 stub decoder — no crc32 in the oracle engine)
   )
 }
