@@ -28,6 +28,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 sketches stay within their accuracy contracts vs exact") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val approx = graft.queries.Relational.q33ApproxSketches(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"),
+           expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      val nExact = e.getLong(1)
+      val nApprox = a.getLong(a.fieldIndex("approx_users"))
+      assert(math.abs(nApprox - nExact).toDouble / nExact <= 0.05,
+        s"$k: approx distinct $nApprox vs exact $nExact")
+      val p50e = e.getDouble(2)
+      val p50a = a.getDouble(a.fieldIndex("p50_value"))
+      // percentile_approx guarantees rank accuracy; on this data value
+      // accuracy within 10% of the exact median is a safe contract
+      assert(math.abs(p50a - p50e) <= math.abs(p50e) * 0.1 + 1.0,
+        s"$k: approx p50 $p50a vs exact $p50e")
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
