@@ -56,8 +56,19 @@ object Bench {
     * BASELINE.md.) */
   private def ingestMbps(spark: SparkSession): Double = {
     // size splits so the 192MB dump fans out across all cores
-    // (192MB / 4MB = 48 tasks on 32 threads; a 16MB split gave only 12)
+    // (192MB / 4MB = 48 tasks on 32 threads; a 16MB split gave only 12);
+    // restored afterwards — ingest runs before the query sweep, which
+    // must see the session default
+    val prevMaxBytes = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(4 * 1024 * 1024))
+    try ingestMbps0(spark)
+    finally prevMaxBytes match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  private def ingestMbps0(spark: SparkSession): Double = {
     val f = synthDump(192L * 1024 * 1024)
     val sizeMb = f.length() / 1e6
     def pass(): Double = {

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -46,12 +47,23 @@ case class FloatDot(left: Expression, right: Expression)
     if (elemType(side).contains(FloatType)) arr.getFloat(i).toDouble
     else arr.getDouble(i)
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths → null, matching the declarative
+    // aggregate(zip_with(...)) fold this kernel replaces (zip_with
+    // null-pads the shorter side and the null poisons the sum) — a
+    // silently truncated dot would hide malformed vectors
+    if (x.numElements() != y.numElements()) return null
     var acc = 0.0
     var i = 0
+    val n = x.numElements()
     while (i < n) {
       acc += get(left, x, i) * get(right, y, i)
       i += 1
@@ -69,12 +81,16 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

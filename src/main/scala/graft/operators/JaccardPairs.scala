@@ -52,13 +52,16 @@ object JaccardPairs {
             maxBitmapVocab: Int = DefaultMaxBitmapVocab,
             maxBitmapDocs: Long = DefaultMaxBitmapDocs): DataFrame = {
     // persist across probe + collect so the upstream (scan, shingling)
-    // computes once; the probe is a plain count — vocabulary/doc-count
-    // guards are checked AFTER the collect, on exact numbers, falling
-    // back to the distributed path if they fail (the collect is
-    // bounded by MaxCollectRows either way)
+    // computes once on the dense path; the probe is a LIMIT-bounded
+    // count, so on a huge corpus it short-circuits after
+    // MaxCollectRows+1 rows instead of scanning everything just to
+    // dispatch. Vocabulary/doc-count guards are checked AFTER the
+    // collect, on exact numbers, falling back to the distributed path
+    // if they fail. Callers that KNOW the corpus is large should call
+    // invertedIndexPairs directly and skip the probe entirely.
     val cached = sh.persist()
     try {
-      if (cached.count() <= MaxCollectRows)
+      if (cached.limit((MaxCollectRows + 1).toInt).count() <= MaxCollectRows)
         bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs)
           .getOrElse(invertedIndexPairs(sh, threshold))
       else invertedIndexPairs(sh, threshold)

@@ -67,7 +67,9 @@ object MinHashLsh {
       (0 until k).map(i => col(s"h$i"))
     val raw = sigWide.select(cols: _*).collect()
       .map(r => (r.getLong(0), Array.tabulate(k)(i =>
-        java.lang.Long.parseLong(r.getString(i + 1), 16))))
+        // unsigned: a 16-hex-digit slice with the top bit set must not
+        // throw — equality semantics are identical either way
+        java.lang.Long.parseUnsignedLong(r.getString(i + 1), 16))))
       .sortBy(_._1)
     val ids = raw.map(_._1)
     val sigs = raw.map(_._2)

@@ -45,16 +45,15 @@ object MultimodalQueries {
   }
 
   val q26Sql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
-      |        [ord(c)::HUGEINT FOR c IN string_split_regex(text, '')]),
-      |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
-      |                  % 18446744073709551616::HUGEINT)
-      |      % 9223372036854775808::HUGEINT AS hm
+      |    CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+      |    CASE WHEN len(text) = 0 OR text IS NULL
+      |         THEN 14695981039346656037::HUGEINT % 9223372036854775808::HUGEINT
+      |         ELSE (${fnvFoldSql("text")}) % 9223372036854775808::HUGEINT
+      |    END AS hm
       |  FROM documents)
       |SELECT media_id, kind, n_bytes,
       |  CAST(CASE kind WHEN 'image' THEN hm % 1920 + 1
@@ -81,14 +80,29 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  /** Variable-length FNV-1a fold over all chars of `textExpr` as a
+    * DuckDB list_reduce (raw, before the sign-bit mask). */
+  private def fnvFoldSql(textExpr: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |    [ord(c)::HUGEINT FOR c IN string_split_regex($textExpr, '')]),
+       |  (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT)""".stripMargin
+
   val q27Sql: String = {
     // unrolled FNV-1a over the 8 chars at window offset i (1-based)
     var h = "14695981039346656037::HUGEINT"
     for (j <- 0 until 8)
       h = s"((xor($h, ord(substr(text, i + $j, 1))::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+    // kernel edge cases (GraftFunctions.rollingFingerprint): empty
+    // text → 0; len <= 8 → one fold over the whole text
     s"""SELECT doc_id,
-      |  CAST((SELECT MIN($h % 9223372036854775808::HUGEINT)
-      |        FROM UNNEST(range(1, len(text) - 6)) t(i)) AS BIGINT) AS fingerprint64
+      |  CASE WHEN len(text) = 0 OR text IS NULL THEN 0
+      |       WHEN len(text) <= 8 THEN
+      |         CAST((${fnvFoldSql("text")}) % 9223372036854775808::HUGEINT AS BIGINT)
+      |       ELSE
+      |         CAST((SELECT MIN($h % 9223372036854775808::HUGEINT)
+      |               FROM UNNEST(range(1, len(text) - 6)) t(i)) AS BIGINT)
+      |  END AS fingerprint64
       |FROM documents
       |ORDER BY doc_id""".stripMargin
   }

@@ -44,8 +44,9 @@ object VectorQueries {
 
   // ---------------------------------------------------------------- q23
   /** LSH-bucketed approximate neighbors (scale path): candidates only
-    * within the query's random-hyperplane bucket. Not SQL-expressible in
-    * the oracle (hash-derived planes) → rows-only check. */
+    * within the query's random-hyperplane bucket. Fully oracle-checked
+    * — the deterministic plane constants are embedded in the generated
+    * SQL (see [[q23Sql]]). */
   def q23AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)

@@ -205,7 +205,7 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MediaWikiMicroBatchStream(requiredSchema, props)
+    new MediaWikiMicroBatchStream(requiredSchema, props, checkpointLocation)
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new PagesReadMetric, new RevisionsReadMetric, new PagesSkippedMetric)
@@ -238,25 +238,33 @@ object MediaWikiScan {
 }
 
 /** Streaming (micro-batch) form of the dump source: each batch
-  * processes dump files newly appeared under the watched path(s), in
-  * deterministic (modificationTime, path) order — the natural model
-  * for an incrementally-delivered dump directory (new
-  * `pages-meta-historyN.xml.bz2` parts landing over hours). Offsets
-  * are indices into that ordering, so a restart from checkpoint
-  * re-lists and resumes at the same position (dump directories are
-  * append-only: parts are never rewritten).
+  * processes dump files newly appeared under the watched path(s) — the
+  * natural model for an incrementally-delivered dump directory (new
+  * `pages-meta-historyN.xml.bz2` parts landing over hours).
+  *
+  * Offsets are indices into a **checkpoint-persisted file log**
+  * (`mediawiki-files.log` under the stream checkpoint): newly
+  * discovered files are APPENDED (in (modTime, path) order among
+  * themselves) and existing entries never move — so a file landing
+  * with an equal-or-earlier modification time than already-processed
+  * files cannot shift indices and corrupt the stream position, and a
+  * restart reloads exactly the order it committed against. (This is
+  * the same reason Spark's FileStreamSource keeps a seen-files log
+  * instead of re-deriving order from the directory listing.)
   *
   * Options: `maxFilesPerTrigger` (default unbounded) caps each batch.
   * Per-page prev/curr pairing is in-reader (zero state); downstream
   * stateful logic (watermarks, windows) composes via normal Structured
   * Streaming operators.
   */
-class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, String])
+class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, String],
+    checkpointLocation: String)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import java.nio.charset.StandardCharsets
 
   private case class MediaWikiOffset(fileIndex: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -277,9 +285,37 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   // Trigger.AvailableNow drains files present at start, batch by batch
   private var availableNowTarget: Option[Long] = None
 
-  /** All files under the watched paths in stable (modTime, path) order. */
-  private def discover(): IndexedSeq[Path] =
-    MediaWikiTable.resolvePaths(props).flatMap { p =>
+  private val logPath = new Path(checkpointLocation, "mediawiki-files.log")
+  private val logFs = logPath.getFileSystem(conf)
+  private val fileLog = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val knownFiles = scala.collection.mutable.HashSet.empty[String]
+  loadLog()
+
+  private def loadLog(): Unit = synchronized {
+    if (logFs.exists(logPath)) {
+      val in = logFs.open(logPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).foreach { l =>
+        if (knownFiles.add(l)) fileLog += l
+      }
+    }
+  }
+
+  private def persistLog(): Unit = {
+    val tmp = new Path(logPath.getParent, logPath.getName + ".tmp")
+    val out = logFs.create(tmp, true)
+    try out.write(fileLog.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (logFs.exists(logPath)) logFs.delete(logPath, false)
+    logFs.rename(tmp, logPath)
+  }
+
+  /** List the watched paths and append any new files to the log (new
+    * files ordered among themselves by (modTime, path)). Returns the
+    * log size. */
+  private def refresh(): Long = synchronized {
+    val listed = MediaWikiTable.resolvePaths(props).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) Seq.empty
@@ -287,7 +323,15 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
         fs.listStatus(path).filter(_.isFile)
           .map(s => (s.getModificationTime, s.getPath))
       else Seq((fs.getFileStatus(path).getModificationTime, path))
-    }.sortBy { case (t, p) => (t, p.toString) }.map(_._2).toIndexedSeq
+    }
+    val fresh = listed.filter { case (_, p) => !knownFiles.contains(p.toString) }
+      .sortBy { case (t, p) => (t, p.toString) }
+    if (fresh.nonEmpty) {
+      fresh.foreach { case (_, p) => knownFiles += p.toString; fileLog += p.toString }
+      persistLog()
+    }
+    fileLog.size.toLong
+  }
 
   override def initialOffset():
       org.apache.spark.sql.connector.read.streaming.Offset = MediaWikiOffset(0L)
@@ -308,17 +352,17 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
     else ReadLimit.maxFiles(maxFilesPerTrigger)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(discover().size.toLong)
+    availableNowTarget = Some(refresh())
 
   override def reportLatestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset =
-    MediaWikiOffset(availableNowTarget.getOrElse(discover().size.toLong))
+    MediaWikiOffset(availableNowTarget.getOrElse(refresh()))
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = start.asInstanceOf[MediaWikiOffset].fileIndex
-    val avail = availableNowTarget.getOrElse(discover().size.toLong)
+    val avail = availableNowTarget.getOrElse(refresh())
     val capped = limit match {
       case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
       case _ => avail
@@ -331,11 +375,20 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[MediaWikiOffset].fileIndex.toInt
     val e = end.asInstanceOf[MediaWikiOffset].fileIndex.toInt
-    val files = discover()
+    val files = synchronized {
+      // a restarted stream may plan a batch recorded before this
+      // instance existed; the log (loaded + refreshed) covers it
+      if (fileLog.size < e) refresh()
+      fileLog.slice(s, e).toIndexedSeq
+    }
+    require(files.size == e - s,
+      s"file log has ${fileLog.size} entries but batch [$s,$e) was committed — " +
+        "checkpoint and watched directory disagree (were files deleted?)")
     val codecs = new CompressionCodecFactory(conf)
-    files.slice(s, e).flatMap { f =>
-      val fs = f.getFileSystem(conf)
-      MediaWikiScan.partitionsForFile(fs, codecs, f, maxBytes, props)
+    files.flatMap { f =>
+      val path = new Path(f)
+      val fs = path.getFileSystem(conf)
+      MediaWikiScan.partitionsForFile(fs, codecs, path, maxBytes, props)
     }.toArray
   }
 

@@ -45,4 +45,11 @@ class FloatDotSpec extends AnyFunSuite {
     assert(out.getDouble(2) == 0.0)
     assert(out.isNullAt(3))
   }
+
+  test("float_dot yields null for mismatched lengths, like the zip_with fold") {
+    val out = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT))) AS d""".stripMargin).collect()(0)
+    assert(out.isNullAt(0))
+  }
 }

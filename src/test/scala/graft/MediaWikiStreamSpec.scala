@@ -65,6 +65,34 @@ class MediaWikiStreamSpec extends AnyFunSuite {
     assert(n2 == 6, s"expected only part2's 6 revisions, got $n2")
   }
 
+  test("late file with an EARLIER modTime is still picked up exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-stream-late").toString
+    writeDump(dir, "first.xml", 1 to 2)
+    val checkpoint = Files.createTempDirectory("mw-ckpt-late").toString
+    def runOnce(): Long = {
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("mediawiki").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      seen.get()
+    }
+    assert(runOnce() == 4)
+    // a file lands with a modTime BEFORE the already-processed file
+    // (rsync-style preserved mtime); index-based offsets over a
+    // re-sorted listing would re-read first.xml and skip this one
+    val late = writeDump(dir, "a-late.xml", 3 to 5)
+    Files.setLastModifiedTime(Paths.get(late),
+      java.nio.file.attribute.FileTime.fromMillis(1000))
+    assert(runOnce() == 6, "late file must be read exactly once")
+    assert(runOnce() == 0, "nothing new on a third run")
+  }
+
   test("diffdb composes on the stream (stateless per-row transform)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mw-stream2").toString
