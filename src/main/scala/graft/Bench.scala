@@ -78,12 +78,14 @@ object Bench {
         .selectExpr("sum(size(diffs))").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // first pass pays lazy JIT of the parser/diff hot loops and
-    // measures compilation, not throughput (measured ~2× slower); the
-    // steady-state second pass is what a long-running ingest sustains
+    // early passes pay lazy JIT of the parser/diff hot loops and
+    // measure compilation, not throughput (measured: pass 2 is still
+    // ~2× slower than pass 4 — C2 wants >192MB of profile); the
+    // steady state is what a long-running ingest sustains
     val p1 = pass()
+    val p2 = pass()
     val sec = pass()
-    System.err.println(s"[bench] ingest pass1=${p1}s pass2=${sec}s")
+    System.err.println(s"[bench] ingest pass1=${p1}s pass2=${p2}s pass3=${sec}s")
     f.delete()
     math.round(sizeMb / sec * 10.0) / 10.0
   }

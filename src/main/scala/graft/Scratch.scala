@@ -38,6 +38,20 @@ object Scratch {
         }
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    if (sys.env.contains("SCRATCH_INGEST_ONLY")) {
+      (1 to sys.env.getOrElse("SCRATCH_INGEST_RUNS", "3").toInt).foreach { i =>
+        val mbps = {
+          val meth = Bench.getClass.getDeclaredMethod("ingestMbps", classOf[SparkSession])
+          meth.setAccessible(true)
+          meth.invoke(Bench, spark)
+        }
+        println(s"[scratch] ingest run $i: $mbps MB/s")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = graft.queries.Tables.spread(spark, sfDir, "documents")
     docs.count()
 
@@ -120,7 +134,7 @@ object Scratch {
 
     // isolate ingest throughput (same synthesis as Bench.ingestMbps)
     if (sys.env.contains("SCRATCH_INGEST")) {
-      (1 to 3).foreach { i =>
+      (1 to sys.env.getOrElse("SCRATCH_INGEST_RUNS", "3").toInt).foreach { i =>
         val mbps = {
           val meth = Bench.getClass.getDeclaredMethod("ingestMbps", classOf[SparkSession])
           meth.setAccessible(true)
