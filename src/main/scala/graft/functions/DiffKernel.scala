@@ -57,82 +57,132 @@ object DiffKernel {
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
-  /** Hand-rolled scanner with exactly the alternation-order semantics of
-    * the regex (verified by a differential property test); ~10× faster
-    * than java.util.regex on wikitext. */
-  def tokenize(content: String): Array[String] = {
-    if (content == null) return Array.empty
+  /** Token boundary scanner — the single source of truth for token
+    * semantics (exactly the alternation-order behavior of the regex,
+    * verified by a differential property test; ~10× faster than
+    * java.util.regex on wikitext). Every token is a contiguous region
+    * of `content`; returns flat (start, end) pairs. */
+  private def tokenBounds(content: String): Array[Int] = {
     val n = content.length
-    val out = new mutable.ArrayBuffer[String](n / 4 + 4)
+    val out = new mutable.ArrayBuilder.ofInt
+    out.sizeHint(n / 2 + 8)
     var i = 0
     while (i < n) {
       val c = content.charAt(i)
+      var j = i + 1 // token end (exclusive), adjusted per case
       if (isWordChar(c)) {
-        var j = i + 1
         while (j < n && isWordChar(content.charAt(j))) j += 1
-        out += content.substring(i, j); i = j
       } else c match {
         case '[' =>
-          if (i + 1 < n && content.charAt(i + 1) == '[') { out += "[["; i += 2 }
-          else { out += "["; i += 1 }
+          if (j < n && content.charAt(j) == '[') j += 1
         case ']' =>
-          if (i + 1 < n && content.charAt(i + 1) == ']') { out += "]]"; i += 2 }
-          else { out += "]"; i += 1 }
+          if (j < n && content.charAt(j) == ']') j += 1
         case '{' =>
-          if (i + 1 < n && content.charAt(i + 1) == '{') { out += "{{"; i += 2 }
-          else if (i + 1 < n && content.charAt(i + 1) == '|') { out += "{|"; i += 2 }
-          else { out += "{"; i += 1 }
+          if (j < n && (content.charAt(j) == '{' || content.charAt(j) == '|')) j += 1
         case '}' =>
-          if (i + 1 < n && content.charAt(i + 1) == '}') { out += "}}"; i += 2 }
-          else { out += "}"; i += 1 }
+          if (j < n && content.charAt(j) == '}') j += 1
         case '\n' =>
-          var j = i + 1
           while (j < n && content.charAt(j) == '\n') j += 1
-          out += content.substring(i, j); i = j
         case ' ' =>
-          var j = i + 1
           while (j < n && content.charAt(j) == ' ') j += 1
-          out += content.substring(i, j); i = j
         case '&' =>
-          var j = i + 1
-          while (j < n && isWordChar(content.charAt(j))) j += 1
-          if (j > i + 1 && j < n && content.charAt(j) == ';') { out += content.substring(i, j + 1); i = j + 1 }
-          else { out += "&"; i += 1 }
+          var k = j
+          while (k < n && isWordChar(content.charAt(k))) k += 1
+          if (k > j && k < n && content.charAt(k) == ';') j = k + 1
         case '\'' =>
-          if (i + 2 < n && content.charAt(i + 1) == '\'' && content.charAt(i + 2) == '\'') { out += "'''"; i += 3 }
-          else if (i + 1 < n && content.charAt(i + 1) == '\'') { out += "''"; i += 2 }
-          else { out += "'"; i += 1 }
+          if (j + 1 < n && content.charAt(j) == '\'' && content.charAt(j + 1) == '\'') j += 2
+          else if (j < n && content.charAt(j) == '\'') j += 1
         case '=' =>
-          var j = i + 1
           while (j < n && content.charAt(j) == '=') j += 1
-          out += content.substring(i, j); i = j
         case '|' =>
-          if (i + 1 < n && content.charAt(i + 1) == '}') { out += "|}"; i += 2 }
-          else if (i + 1 < n && content.charAt(i + 1) == '-') { out += "|-"; i += 2 }
-          else { out += "|"; i += 1 }
-        case other =>
-          out += String.valueOf(other); i += 1
+          if (j < n && (content.charAt(j) == '}' || content.charAt(j) == '-')) j += 1
+        case _ => ()
       }
+      out += i; out += j
+      i = j
     }
-    out.toArray
+    out.result()
+  }
+
+  def tokenize(content: String): Array[String] = {
+    if (content == null) return Array.empty
+    val b = tokenBounds(content)
+    Array.tabulate(b.length / 2)(k => content.substring(b(2 * k), b(2 * k + 1)))
+  }
+
+  /** Tokenize + intern in one pass: a token already in the dictionary
+    * never allocates a substring (region-keyed probe). On revision
+    * pairs — where the second text repeats most of the first — this
+    * removes the majority of per-token allocations. */
+  private def internTokenize(content: String, interner: Interner): Array[Int] = {
+    if (content == null) return Array.empty
+    val b = tokenBounds(content)
+    val out = new Array[Int](b.length / 2)
+    var k = 0
+    while (k < out.length) {
+      out(k) = interner.internRegion(content, b(2 * k), b(2 * k + 1))
+      k += 1
+    }
+    out
   }
 
   /** Intern tokens to ids using a shared dictionary across both texts
-    * (the reference shares its dict the same way, `revision_differ.py:68-70`). */
+    * (the reference shares its dict the same way,
+    * `revision_differ.py:68-70`). Open-addressing table keyed by a
+    * char-region hash so lookups compare in place — a substring is
+    * allocated only the first time a token is seen. */
   private final class Interner {
-    private val map = new java.util.HashMap[String, Integer]()
     val tokens = mutable.ArrayBuffer.empty[String]
-    def intern(ts: Array[String]): Array[Int] = {
-      val out = new Array[Int](ts.length)
+    private var mask = (1 << 12) - 1
+    private var ids = Array.fill(mask + 1)(-1)
+
+    private def regionHash(s: String, from: Int, until: Int): Int = {
+      var h = 0
+      var i = from
+      while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+      h
+    }
+
+    private def eqRegion(tok: String, s: String, from: Int, until: Int): Boolean = {
+      if (tok.length != until - from) return false
       var i = 0
-      while (i < ts.length) {
-        val t = ts(i)
-        var id = map.get(t)
-        if (id == null) { id = tokens.length; map.put(t, id); tokens += t }
-        out(i) = id
+      while (i < tok.length) {
+        if (tok.charAt(i) != s.charAt(from + i)) return false
         i += 1
       }
-      out
+      true
+    }
+
+    private def grow(): Unit = {
+      val old = ids
+      mask = mask * 2 + 1
+      ids = Array.fill(mask + 1)(-1)
+      old.foreach { id =>
+        if (id >= 0) {
+          val t = tokens(id)
+          var idx = (regionHash(t, 0, t.length) & 0x7fffffff) & mask
+          while (ids(idx) >= 0) idx = (idx + 1) & mask
+          ids(idx) = id
+        }
+      }
+    }
+
+    def internRegion(s: String, from: Int, until: Int): Int = {
+      var idx = (regionHash(s, from, until) & 0x7fffffff) & mask
+      while (true) {
+        val id = ids(idx)
+        if (id < 0) {
+          val t = s.substring(from, until)
+          val newId = tokens.length
+          tokens += t
+          ids(idx) = newId
+          if (tokens.length * 10 >= (mask + 1) * 7) grow()
+          return newId
+        }
+        if (eqRegion(tokens(id), s, from, until)) return id
+        idx = (idx + 1) & mask
+      }
+      -1 // unreachable
     }
   }
 
@@ -265,8 +315,8 @@ object DiffKernel {
               reportRemove: Boolean = true, reportAdd: Boolean = true,
               reportEqual: Boolean = false): Array[DiffOp] = {
     val interner = new Interner
-    val aIds = interner.intern(tokenize(if (oldText == null) "" else oldText))
-    val bIds = interner.intern(tokenize(if (newText == null) "" else newText))
+    val aIds = internTokenize(if (oldText == null) "" else oldText, interner)
+    val bIds = internTokenize(if (newText == null) "" else newText, interner)
     val runs = diffInts(aIds, bIds)
     val out = mutable.ArrayBuffer.empty[DiffOp]
     var position = 0
