@@ -13,10 +13,21 @@ object SparkEntry {
     * through the custom source, pair prev/curr revisions, tokenize +
     * diff, emit the diffdb table (`fileformat.rst:4-27`). Driver
     * smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val revs = spark.read.format("mediawiki").load(Main.sampleDumpPath())
-    graft.functions.GraftFunctions.diffdb(revs,
-      nsByName = Map("talk" -> 1, "user" -> 2, "category" -> 14))
+  def entry(spark: SparkSession): DataFrame =
+    entryFor(spark, Main.sampleDumpPath())
+
+  /** The flagship dataflow against any dump path. Namespaces come from
+    * the dump's own `<siteinfo>` prefix — the reference consumer's
+    * behavior (revision_differ.py:94-117); the static English defaults
+    * are only the no-siteinfo fallback. */
+  def entryFor(spark: SparkSession, path: String): DataFrame = {
+    val fromDump =
+      try MediaWiki.namespacesByName(MediaWiki.siteinfoNamespaces(spark, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val ns = if (fromDump.nonEmpty) fromDump
+             else Map("talk" -> 1, "user" -> 2, "category" -> 14)
+    graft.functions.GraftFunctions.diffdb(
+      spark.read.format("mediawiki").load(path), nsByName = ns)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

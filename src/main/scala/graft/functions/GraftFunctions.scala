@@ -88,7 +88,11 @@ object GraftFunctions {
     spark.udf.register("wiki_tokenize", tokenizeUdf)
     spark.udf.register("wiki_diff", diffUdf)
     spark.udf.register("wiki_edit_distance", editDistanceUdf)
-    spark.udf.register("doc_fingerprint64", fingerprint64Udf)
+    // only a fallback for sessions built WITHOUT GraftExtensions —
+    // registering unconditionally would shadow the injected native
+    // codegen expression with the slower UDF
+    if (!spark.catalog.functionExists("doc_fingerprint64"))
+      spark.udf.register("doc_fingerprint64", fingerprint64Udf)
   }
 
   /** The reference's end product: the diffdb dataset

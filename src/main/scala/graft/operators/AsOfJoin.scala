@@ -20,8 +20,16 @@ import org.apache.spark.sql.expressions.Window
   * Scale rationale: this costs exactly ONE shuffle (by key) over
   * left+right and a per-partition sort — it never materializes the
   * (left × candidate-rights) blow-up of the naive join + filter + window
-  * plan, and skewed keys are handled by AQE like any other shuffle. This
-  * is the standard scalable formulation of as-of/point-in-time joins.
+  * plan. This is the standard scalable formulation of as-of/point-in-time
+  * joins.
+  *
+  * Skew caveat: AQE splits skewed JOIN partitions, not window/sort
+  * partitions — one pathological key (say 10⁷ rows) still sorts on a
+  * single task here. That sort is O(n log n) with no pair blow-up, so
+  * correctness and memory hold far past normal skew (pinned by the
+  * hot-key spec); for keys too large for one task, pre-bucket the key
+  * by a coarse time range (each bucket seeded with the latest prior
+  * right row) or reach for [[Salting]] on an equi-join reformulation.
   */
 object AsOfJoin {
 

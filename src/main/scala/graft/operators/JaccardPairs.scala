@@ -44,13 +44,22 @@ object JaccardPairs {
   /** Max documents for the bitmap path (broadcast-size guard). */
   val DefaultMaxBitmapDocs = 1000000L
 
+  /** Pair-comparison budget for the sweep: the triangular sweep does
+    * ~n²/2 · ceil(|V|/64) word-ANDs pinned on one stage; the doc-count
+    * guard alone is quadratic-blind (1M docs at 64 words would be
+    * 3×10¹³ ops). 4e10 ops ≈ ~1-2s across 32 cores → ~35k docs at the
+    * full 4096-bit vocabulary, ~140k at a 256-bit one. Checked on
+    * exact numbers after the collect. */
+  val DefaultMaxSweepPairOps = 40000000000L
+
   /** Max rows the dispatcher will pull to the driver before deciding
     * (~40 B/row → ≤ ~400 MB transient). */
   val MaxCollectRows = 10000000L
 
   def pairs(sh: DataFrame, threshold: Double,
             maxBitmapVocab: Int = DefaultMaxBitmapVocab,
-            maxBitmapDocs: Long = DefaultMaxBitmapDocs): DataFrame = {
+            maxBitmapDocs: Long = DefaultMaxBitmapDocs,
+            maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame = {
     // persist across probe + collect so the upstream (scan, shingling)
     // computes once on the dense path; the probe is a LIMIT-bounded
     // count, so on a huge corpus it short-circuits after
@@ -62,7 +71,8 @@ object JaccardPairs {
     val cached = sh.persist()
     try {
       if (cached.limit((MaxCollectRows + 1).toInt).count() <= MaxCollectRows)
-        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs)
+        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs,
+            maxSweepPairOps)
           .getOrElse(invertedIndexPairs(sh, threshold))
       else invertedIndexPairs(sh, threshold)
     } finally cached.unpersist(false)
@@ -89,12 +99,16 @@ object JaccardPairs {
     * then a single shuffle-free quadratic sweep over a broadcast. The
     * collect is the same data volume the broadcast needs anyway. */
   def bitmapPairs(sh: DataFrame, threshold: Double): DataFrame =
-    bitmapPairsGuarded(sh, threshold, Int.MaxValue, Long.MaxValue).get
+    bitmapPairsGuarded(sh, threshold, Int.MaxValue, Long.MaxValue,
+      Long.MaxValue).get
 
   /** As [[bitmapPairs]], but gives up (None) when the collected data
-    * reveals the vocabulary or corpus is too large for broadcast. */
+    * reveals the vocabulary or corpus is too large for broadcast, or
+    * the triangular sweep (n²/2 · words) would blow the pair-ops
+    * budget. */
   def bitmapPairsGuarded(sh: DataFrame, threshold: Double,
-      maxVocab: Int, maxDocs: Long): Option[DataFrame] = {
+      maxVocab: Int, maxDocs: Long,
+      maxPairOps: Long = DefaultMaxSweepPairOps): Option[DataFrame] = {
     val spark = sh.sparkSession
     import spark.implicits._
     val raw = sh.select($"doc_id".cast("long"), $"shingle")
@@ -105,6 +119,8 @@ object JaccardPairs {
     val nWords = (vocab.length + 63) >>> 6
     val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
     if (byDoc.length > maxDocs) return None
+    val n = byDoc.length.toDouble
+    if (n * n / 2 * math.max(nWords, 1) > maxPairOps.toDouble) return None
     val ids = byDoc.map(_._1)
     val bits = byDoc.map { case (_, rows) =>
       val b = new Array[Long](nWords)

@@ -25,20 +25,34 @@ import org.apache.spark.sql.functions._
   *   join+agg shuffles; the sweep does 8 long-compares per pair with
   *   zero exchanges.
   *
-  * `pairs` dispatches on corpus size (one count job): the sweep's
-  * broadcast is k·8 bytes per doc — safe up to ~1M docs.
+  * `pairs` dispatches on a LIMIT-bounded probe against a
+  * pair-comparison budget: the sweep is quadratic (~n²/2 · k long
+  * compares pinned on one stage), so the guard caps that work product,
+  * not a bare doc count — and the probe stops counting at budget+1
+  * rows instead of scanning a huge corpus just to dispatch.
   */
 object MinHashLsh {
 
-  val DefaultMaxSweepDocs = 1000000L
+  /** Pair-comparison budget for the sweep path. 4e10 compares is ~1-2s
+    * across 32 cores → ~100k docs at k=8. (The implied broadcast is
+    * k·8 B/doc ≈ 6.4 MB at that size — far under broadcast limits, so
+    * the ops budget is the binding constraint.) */
+  val DefaultMaxSweepPairOps = 40000000000L
+
+  /** Max docs the sweep admits under a pair-ops budget: n²/2 · k <=
+    * budget. */
+  def sweepDocBudget(k: Int, maxPairOps: Long): Long =
+    math.sqrt(2.0 * maxPairOps / math.max(k, 1)).toLong
 
   def pairs(sigWide: DataFrame, k: Int, minEst: Double,
-            maxSweepDocs: Long = DefaultMaxSweepDocs): DataFrame = {
+            maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame = {
+    val maxDocs = sweepDocBudget(k, maxSweepPairOps)
+    val probeLimit = math.min(maxDocs + 1, Int.MaxValue.toLong).toInt
     // persist across probe + collect so the signature build (shingle,
     // hash, min-agg) computes once
     val cached = sigWide.persist()
     try {
-      if (cached.count() <= maxSweepDocs) sweepPairs(cached, k, minEst)
+      if (cached.limit(probeLimit).count() <= maxDocs) sweepPairs(cached, k, minEst)
       else bandJoinPairs(sigWide, k, minEst)
     } finally cached.unpersist(false)
   }

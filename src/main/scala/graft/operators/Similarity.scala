@@ -119,6 +119,108 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Pair-comparison budget for the exact near-dup sweep: the all-pairs
+    * path does ~n²/2 dot products (each `dims` FMAs) in one stage; cap
+    * that work product, not a bare doc count. 4e10 multiply-adds is
+    * ~1-2s across 32 cores → ~35k vectors at 64 dims. */
+  val DefaultMaxSweepPairOps = 40000000000L
+
+  /** Max vectors the exact sweep admits under a pair-ops budget. */
+  def sweepVecBudget(dims: Int, maxPairOps: Long): Long =
+    math.sqrt(2.0 * maxPairOps / math.max(dims, 1)).toLong
+
+  /** Embedding-cosine near-duplicate pairs (`id_a < id_b`, cosine >=
+    * threshold), with the physical plan picked by corpus size:
+    *
+    *  - small corpus: [[exactNearDupPairs]] — broadcast all-pairs with
+    *    per-row norms precomputed once per side. Exhaustive (recall 1),
+    *    quadratic — correct only under the pair-ops budget.
+    *  - large corpus: [[lshNearDupPairs]] — multi-probe random-hyperplane
+    *    LSH candidate generation (bucket-key shuffle, nothing quadratic
+    *    materializes) + exact `float_dot` re-verification of candidates.
+    *    Precision 1 by construction (every emitted pair passes the exact
+    *    cosine test); recall is the standard LSH trade, tuned by
+    *    `nPlanes` (bucket granularity) and `probeHamming` (buckets within
+    *    that Hamming radius of the vector's own signature are probed).
+    *
+    * The probe is LIMIT-bounded: on a huge corpus it stops counting at
+    * budget+1 rows instead of scanning everything just to dispatch. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   dims: Int, nPlanes: Int = 12, probeHamming: Int = 1,
+                   maxSweepPairOps: Long = DefaultMaxSweepPairOps,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val maxVecs = sweepVecBudget(dims, maxSweepPairOps)
+    val probeLimit = math.min(maxVecs + 1, Int.MaxValue.toLong).toInt
+    val cached = corpus.persist()
+    try {
+      if (cached.limit(probeLimit).count() <= maxVecs)
+        exactNearDupPairs(cached, threshold, idCol, embCol)
+      else lshNearDupPairs(corpus, threshold, dims, nPlanes, probeHamming, idCol, embCol)
+    } finally cached.unpersist(false)
+  }
+
+  /** Exhaustive broadcast all-pairs cosine-threshold pairs (small-corpus
+    * path). Norms are computed ONCE per row before the join (same strict
+    * fold, same bits as a per-pair recompute — a third of the FMA work). */
+  def exactNearDupPairs(corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), col(embCol))
+      .withColumn("__nrm", sqrt(dotExpr(embCol, embCol)))
+    val a = e.select(col(idCol).as("vec_id_a"), col(embCol).as("__ea"), col("__nrm").as("__na"))
+    val b = e.select(col(idCol).as("vec_id_b"), col(embCol).as("__eb"), col("__nrm").as("__nb"))
+    a.join(broadcast(b), col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", dotExpr("__ea", "__eb") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
+  }
+
+  /** Multi-probe LSH candidates + exact verification (scale path).
+    *
+    * Each vector lands in its home bucket and probes every bucket within
+    * `probeHamming` sign-bit flips (sum over r<=probeHamming of
+    * C(nPlanes, r) keys per vector); a pair whose signatures differ in
+    * at most `probeHamming` bits is guaranteed to meet in some bucket.
+    * Candidates dedupe on the pair key, then one exact `float_dot`
+    * cosine pass filters to the true threshold — the emitted set is
+    * always a subset of [[exactNearDupPairs]]'s. The shuffles are by
+    * bucket key and by pair key; the corpus is never broadcast and no
+    * cross product ever materializes. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+                      dims: Int, nPlanes: Int = 12, probeHamming: Int = 1,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nPlanes <= 62, "bucket key is a long of sign bits")
+    val e = corpus.select(col(idCol), col(embCol))
+      .withColumn("__bucket", lshBucket(embCol, dims, nPlanes))
+    // all sign-flip masks with popcount <= probeHamming (incl. 0 = home),
+    // enumerated combinatorially — sum of C(nPlanes, r) keys, never 2^n
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until nPlanes).flatMap(i =>
+        combos(i + 1, left - 1).map(m => m | (1L << i)))
+    val masks = (0 to probeHamming).flatMap(combos(0, _))
+    val probes = e.select(col(idCol).as("__pid"), col("__bucket").as("__home"),
+        explode(array(masks.map(lit): _*)).as("__m"))
+      .select(col("__pid"), expr("__home ^ __m").as("__bucket"))
+    // joining exploded probes against homes finds every pair within the
+    // Hamming radius exactly once per differing-mask direction; the
+    // least/greatest normalization + distinct collapses the two
+    val homes = e.select(col(idCol).as("__hid"), col("__bucket"))
+    val candIds = probes.select(col("__pid"), col("__bucket"))
+      .join(homes, Seq("__bucket"))
+      .filter(col("__pid") =!= col("__hid"))
+      .select(least(col("__pid"), col("__hid")).as("vec_id_a"),
+              greatest(col("__pid"), col("__hid")).as("vec_id_b"))
+      .distinct()
+    val ea = e.select(col(idCol).as("vec_id_a"), col(embCol).as("__ea"),
+      sqrt(dotExpr(embCol, embCol)).as("__na"))
+    val eb = e.select(col(idCol).as("vec_id_b"), col(embCol).as("__eb"),
+      sqrt(dotExpr(embCol, embCol)).as("__nb"))
+    candIds.join(ea, Seq("vec_id_a")).join(eb, Seq("vec_id_b"))
+      .withColumn("cosine", dotExpr("__ea", "__eb") / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket;
     * falls back to fewer than k results when the bucket is small. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, nPlanes: Int = 8,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, TokenShingles, WikiDiffSafe}
+import graft.functions.{DocFingerprint64, FloatDot, TokenShingles, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -29,6 +29,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "shingles expects exactly 2 arguments")
         TokenShingles(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("doc_fingerprint64"),
+      new ExpressionInfo(classOf[DocFingerprint64].getName, "doc_fingerprint64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "doc_fingerprint64 expects exactly 1 argument")
+        DocFingerprint64(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("wiki_diff_safe"),

@@ -69,14 +69,15 @@ object MultimodalQueries {
 
   // ---------------------------------------------------------------- q27
   /** Rolling-hash (winnowing-style) 64-bit fingerprints — min FNV-1a
-    * over char 8-grams. Fully oracle-checked: the 8-step FNV fold is
+    * over char 8-grams, via the native codegen expression
+    * [[graft.functions.DocFingerprint64]] (no ScalaUDF encoder round
+    * trip in the plan). Fully oracle-checked: the 8-step FNV fold is
     * unrolled as HUGEINT arithmetic mod 2^64 in generated SQL (ASCII
     * corpus ⇒ `ord` = UTF-16 charAt). */
   def q27RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .select($"doc_id",
-        graft.functions.GraftFunctions.fingerprint64Udf($"text").as("fingerprint64"))
+      .select($"doc_id", expr("doc_fingerprint64(text)").as("fingerprint64"))
       .orderBy($"doc_id")
   }
 

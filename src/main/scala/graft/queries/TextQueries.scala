@@ -157,12 +157,16 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** Exact dedup: keep the lowest doc_id per identical content hash. */
+  /** Exact dedup: keep the lowest doc_id per identical content hash.
+    * One scan + one shuffle (by hash): the keep-lowest rule is a
+    * row_number window over the hash partition, not a groupBy-min
+    * joined back (which would scan and md5 the corpus twice). */
   def q18DedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = docs(s, dir).withColumn("h", md5($"text"))
-    val keep = d.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-    d.join(keep, Seq("h", "doc_id"), "inner")
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
+    docs(s, dir).withColumn("h", md5($"text"))
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
       .select($"doc_id", $"lang", $"n_chars")
       .orderBy($"doc_id")
   }

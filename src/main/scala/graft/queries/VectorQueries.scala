@@ -166,20 +166,16 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------- q37
-  /** Embedding-cosine near-duplicate pairs: exact all-pairs cosine >=
-    * 0.42 (the oracle-able base form; the LSH/IVF bucketed variants
-    * q23/q36 are the scale path — at corpus scale candidate pairs come
-    * from bucket joins, never a full cross product). */
+  /** Embedding-cosine near-duplicate pairs: cosine >= 0.42 via
+    * [[Similarity.nearDupPairs]], which picks the physical plan by
+    * corpus size — exhaustive broadcast sweep under the pair-ops budget
+    * (this corpus: recall 1, the oracle-able form), multi-probe LSH
+    * candidates + exact verify above it (nothing quadratic, no corpus
+    * broadcast). Both paths are pinned equal on a dual-regime corpus by
+    * DedupOpsSpec. */
   def q37EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select($"vec_id", $"embedding")
-    val a = e.toDF("vec_id_a", "ea")
-    val b = e.toDF("vec_id_b", "eb")
-    a.join(broadcast(b), $"vec_id_a" < $"vec_id_b")
-      .withColumn("cosine", Similarity.dotExpr("ea", "eb") /
-        (sqrt(Similarity.dotExpr("ea", "ea")) * sqrt(Similarity.dotExpr("eb", "eb"))))
-      .filter($"cosine" >= 0.42)
-      .select($"vec_id_a", $"vec_id_b", $"cosine")
+    Similarity.nearDupPairs(emb(s, dir), threshold = 0.42, dims = 64)
       .orderBy($"vec_id_a", $"vec_id_b")
   }
 

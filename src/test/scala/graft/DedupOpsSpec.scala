@@ -61,6 +61,99 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(slow.exceptAll(fast).count() == 0)
   }
 
+  /** Deterministic corpus with exact-duplicate vectors: every true
+    * near-dup pair (cosine ~1 at a 0.95 threshold) shares an identical
+    * LSH signature (Hamming 0), so the multi-probe candidate set is
+    * guaranteed to contain it — the cross-check is deterministic, not
+    * recall-probabilistic. */
+  private def copyCorpus(nBase: Int, nCopies: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (0 until nBase).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val copies = (0 until nCopies).map(j =>
+      ((nBase + j).toLong, base(j % nBase)._2.clone()))
+    (base ++ copies).toDF("vec_id", "embedding")
+  }
+
+  private def triples(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("vec_id_a", "vec_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("Similarity: LSH near-dup path equals exact sweep on a copy corpus") {
+    val corpus = copyCorpus(40, 40)
+    val exact = triples(graft.operators.Similarity
+      .exactNearDupPairs(corpus, 0.95))
+    val lsh = triples(graft.operators.Similarity
+      .lshNearDupPairs(corpus, 0.95, dims = 64, nPlanes = 12, probeHamming = 1))
+    assert(exact.nonEmpty)
+    assert(exact == lsh)
+  }
+
+  test("Similarity: LSH near-dup output is always a subset of exact (precision 1)") {
+    // low threshold admits plenty of non-copy pairs the LSH path may
+    // legitimately miss — but everything it emits must pass the exact
+    // cosine test
+    val corpus = copyCorpus(60, 20)
+    val exact = triples(graft.operators.Similarity
+      .exactNearDupPairs(corpus, 0.2)).toSet
+    val lsh = triples(graft.operators.Similarity
+      .lshNearDupPairs(corpus, 0.2, dims = 64, nPlanes = 8, probeHamming = 1))
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(exact.contains))
+  }
+
+  test("Similarity: nearDupPairs dispatches by pair-ops budget") {
+    val corpus = copyCorpus(40, 40)
+    val viaSweep = triples(graft.operators.Similarity
+      .nearDupPairs(corpus, 0.95, dims = 64)) // default budget → sweep
+    val viaLsh = triples(graft.operators.Similarity
+      .nearDupPairs(corpus, 0.95, dims = 64, maxSweepPairOps = 1)) // 0-doc budget → LSH
+    val exact = triples(graft.operators.Similarity.exactNearDupPairs(corpus, 0.95))
+    assert(viaSweep == exact)
+    assert(viaLsh == exact)
+  }
+
+  test("sweep guards are cost-modeled on pair-comparisons, not doc count") {
+    // n²/2·k <= budget → n = sqrt(2·budget/k)
+    assert(graft.operators.MinHashLsh.sweepDocBudget(8, 40000000000L) == 100000L)
+    assert(graft.operators.MinHashLsh.sweepDocBudget(8, 1L) == 0L)
+    assert(graft.operators.Similarity.sweepVecBudget(64, 40000000000L) == 35355L)
+  }
+
+  test("MinHashLsh: zero pair-ops budget routes to the distributed band join") {
+    import spark.implicits._
+    val sh = shingles
+    val hs = sh.withColumn("m1", md5($"shingle"))
+      .withColumn("m2", md5(concat(lit("x"), $"shingle")))
+    val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
+      (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
+    val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+    val dispatched = graft.operators.MinHashLsh
+      .pairs(sigWide, 8, 0.25, maxSweepPairOps = 1)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val band = graft.operators.MinHashLsh.bandJoinPairs(sigWide, 8, 0.25)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(dispatched.nonEmpty)
+    assert(dispatched.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           band.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("JaccardPairs: pair-ops budget rejects the bitmap sweep") {
+    import spark.implicits._
+    val sh = shingles
+    assert(graft.operators.JaccardPairs
+      .bitmapPairsGuarded(sh, 0.5, Int.MaxValue, Long.MaxValue, maxPairOps = 1)
+      .isEmpty)
+    val dispatched = graft.operators.JaccardPairs
+      .pairs(sh, 0.5, maxSweepPairOps = 1)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val inv = graft.operators.JaccardPairs.invertedIndexPairs(sh, 0.5)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(dispatched.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("shingles() edge cases: short text, empty tokens, n=3") {
     import spark.implicits._
     val df = Seq("one", "", "a b", "a  b", "x y z").toDF("text")

@@ -57,6 +57,34 @@ class DiffdbSpec extends AnyFunSuite {
     assert(talk.getAs[Int]("namespace") == 1)
   }
 
+  test("entry resolves namespaces from the dump's own siteinfo, not the fallback") {
+    // a namespace the static fallback map does NOT know: entry must
+    // learn it from <siteinfo> to strip the title prefix
+    val xml =
+      """<mediawiki xml:lang="en">
+        |<siteinfo><namespaces>
+        |  <namespace key="0" />
+        |  <namespace key="99">Custom</namespace>
+        |</namespaces></siteinfo>
+        |<page>
+        |  <title>Custom:Thing</title>
+        |  <id>1</id>
+        |  <revision>
+        |    <id>10</id>
+        |    <timestamp>2020-01-01T00:00:00Z</timestamp>
+        |    <contributor><username>U</username></contributor>
+        |    <text>hello world</text>
+        |  </revision>
+        |</page>
+        |</mediawiki>""".stripMargin
+    val f = java.io.File.createTempFile("custom_ns", ".xml")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, xml.getBytes("UTF-8"))
+    val row = SparkEntry.entryFor(spark, f.getAbsolutePath).head()
+    assert(row.getAs[Int]("namespace") == 99)
+    assert(row.getAs[String]("title") == "Thing")
+  }
+
   test("typed Dataset facade") {
     val revs = MediaWiki.revisions(spark, Main.sampleDumpPath())
     val collected = revs.collect().sortBy(_.rev_id)

@@ -61,6 +61,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q27 fingerprints natively — no ScalaUDF encoder round trip in the plan") {
+    val plan = SparkEntry.queries("q27_rolling_fingerprint")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    val viaSql = spark.sql(
+      "SELECT doc_fingerprint64('the quick brown fox jumps') AS f").head().getLong(0)
+    assert(viaSql == graft.functions.GraftFunctions
+      .rollingFingerprint("the quick brown fox jumps"))
+  }
+
   test("q1 aggregates are consistent") {
     val rows = graft.queries.Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -114,6 +124,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("tag", "payload").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(out("near") == Some(7L))  // 5 ticks back, within 10
     assert(out("far") == None)       // 105 ticks back, beyond 10
+  }
+
+  test("hot key: one key holding the whole input stays correct (single-task sort)") {
+    // AQE splits skewed JOIN partitions but not window/sort partitions —
+    // a pathological key sorts on one task here. No pair blow-up, just
+    // an O(n log n) sort: 50k rows on one key must come back exact.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val left = spark.range(50000).select(lit(1L).as("k"),
+      $"id".as("t"), $"id".as("row_id"))
+    val right = spark.range(5000).select(lit(1L).as("rk"),
+      ($"id" * 10).as("rt"), ($"id" * 10).as("payload"))
+    val out = graft.operators.AsOfJoin.backward(
+      left, right, "k", "rk", "t", "rt", Seq("payload")).collect()
+    assert(out.length == 50000)
+    out.foreach { r =>
+      val t = r.getLong(r.fieldIndex("t"))
+      val expected = t - t % 10 // latest multiple of 10 at-or-before t
+      assert(r.getLong(r.fieldIndex("payload")) == expected,
+        s"t=$t got ${r.get(r.fieldIndex("payload"))}")
+    }
   }
 
   test("as-of join returns the as-of row's genuine null payload, not a stale value") {
