@@ -158,6 +158,43 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("bz2 randomized small-block split property: block sizes 1/5/9, random splits") {
+    // the reference's testSplitCompressed fuzz (block sizes 1/5/9 ×
+    // randomized splits over ~90k revisions, asserting only >= counts);
+    // here: tens of thousands of revisions, strict equality — every
+    // (page, rev, prev) triple identical across split sizes, no dup, no
+    // loss. Block size 1 = 100 KB compression blocks, so random splits
+    // land INSIDE blocks and exercise sub-block BYBLOCK ownership.
+    val nPages = 6000
+    val dump = genDump(nPages, fillerLen = 60).getBytes("UTF-8")
+    val expected = expectedRevCount(nPages)
+    val dir = Files.createTempDirectory("mwbz2fuzz").toFile
+    val rnd = new scala.util.Random(7)
+    for (blockSize <- Seq(1, 5, 9)) {
+      val f = new File(dir, s"dump_b$blockSize.xml.bz2")
+      val fos = new java.io.FileOutputStream(f)
+      fos.write('B'); fos.write('Z')
+      val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, blockSize)
+      out.write(dump)
+      out.close()
+      def fingerprint(minSplit: Long): List[(Long, Long, Any)] =
+        spark.read.format("mediawiki").option("minSplitBytes", minSplit.toString)
+          .load(f.getAbsolutePath)
+          .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+          .toList.sortBy(t => (t._1, t._2))
+      val whole = fingerprint(1L << 30) // single split = ground truth
+      assert(whole.length.toLong == expected,
+        s"block=$blockSize whole-file count ${whole.length} != $expected")
+      for (_ <- 1 to 3) {
+        val minSplit = 30000L + rnd.nextInt(250000)
+        val split = fingerprint(minSplit)
+        assert(split == whole,
+          s"block=$blockSize minSplit=$minSplit: split output differs from whole-file read")
+      }
+    }
+  }
+
   test("title filter pushdown reaches the scan (no post-filter duplicates)") {
     val df = spark.read.format("mediawiki").load(fixture)
       .filter($"title".startsWith("Talk:"))
