@@ -39,6 +39,110 @@ object Scratch {
     })
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    if (sys.env.contains("SCRATCH_PARSE")) {
+      // single-threaded component profile of the ingest path (no Spark):
+      // scanner+parse, then +UTF8String encode, then +diff
+      val synth = Bench.getClass.getDeclaredMethod("synthDump", classOf[Long])
+      synth.setAccessible(true)
+      val f = synth.invoke(Bench, java.lang.Long.valueOf(256L * 1024 * 1024))
+        .asInstanceOf[java.io.File]
+      val mb = f.length() / 1e6
+      def iter() = new graft.sources.PageRecordIterator(
+        new graft.sources.CountingByteSource(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 1 << 20), 0),
+        0, Long.MaxValue, false)
+      for (run <- 1 to 3) {
+        var n = 0L
+        val t0 = System.nanoTime()
+        val it = iter()
+        while (it.hasNext) { it.next(); n += 1 }
+        val t1 = System.nanoTime()
+        val it2 = iter()
+        while (it2.hasNext) {
+          val rp = it2.next()
+          org.apache.spark.unsafe.types.UTF8String.fromString(rp.curr.text.getOrElse(""))
+          rp.prev.foreach(p => org.apache.spark.unsafe.types.UTF8String.fromString(p.text.getOrElse("")))
+          org.apache.spark.unsafe.types.UTF8String.fromString(rp.page.title)
+        }
+        val t2 = System.nanoTime()
+        val it3 = iter()
+        while (it3.hasNext) {
+          val rp = it3.next()
+          graft.functions.DiffKernel.diffOps(
+            rp.prev.flatMap(_.text).getOrElse(""), rp.curr.text.getOrElse(""))
+        }
+        val t3 = System.nanoTime()
+        val it4 = iter()
+        while (it4.hasNext) {
+          val rp = it4.next()
+          val interner = new graft.functions.DiffKernel.Interner
+          graft.functions.DiffKernel.internTokenize(
+            rp.prev.flatMap(_.text).getOrElse(""), interner)
+          graft.functions.DiffKernel.internTokenize(
+            rp.curr.text.getOrElse(""), interner)
+        }
+        val t4 = System.nanoTime()
+        println(f"[scratch] run$run parse-only ${mb / ((t1 - t0) / 1e9)}%.0f MB/s | " +
+          f"+utf8 ${mb / ((t2 - t1) / 1e9)}%.0f MB/s | " +
+          f"+diff ${mb / ((t3 - t2) / 1e9)}%.0f MB/s | " +
+          f"+tok ${mb / ((t4 - t3) / 1e9)}%.0f MB/s  ($n rows)")
+      }
+      f.delete()
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SCRATCH_STACKS")) {
+      // sampling profile of the single-threaded diff loop: run the
+      // parse+diff pipeline in a worker thread, sample its stack every
+      // ~4ms, histogram the deepest graft frame
+      val synth = Bench.getClass.getDeclaredMethod("synthDump", classOf[Long])
+      synth.setAccessible(true)
+      val f = synth.invoke(Bench, java.lang.Long.valueOf(256L * 1024 * 1024))
+        .asInstanceOf[java.io.File]
+      @volatile var done = false
+      val worker = new Thread(() => {
+        for (_ <- 1 to 2) {
+          val it = new graft.sources.PageRecordIterator(
+            new graft.sources.CountingByteSource(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(f), 1 << 20), 0),
+            0, Long.MaxValue, false)
+          while (it.hasNext) {
+            val rp = it.next()
+            graft.functions.DiffKernel.diffOps(
+              rp.prev.flatMap(_.text).getOrElse(""), rp.curr.text.getOrElse(""))
+          }
+        }
+        done = true
+      }, "scratch-diff-worker")
+      worker.setDaemon(true)
+      worker.start()
+      val hist = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      var samples = 0
+      while (!done) {
+        Thread.sleep(4)
+        val st = worker.getStackTrace
+        if (st.nonEmpty) {
+          samples += 1
+          // deepest frame in graft code (or the top frame if none)
+          val frame = st.find(e => e.getClassName.startsWith("graft"))
+            .map(e => s"${e.getClassName.stripPrefix("graft.")}.${e.getMethodName}")
+            .getOrElse(st.head.getClassName + "." + st.head.getMethodName)
+          hist(frame) += 1
+          // also histogram the raw top frame for leaf-level attribution
+          val leaf = "LEAF " + st.head.getClassName.stripPrefix("graft.") + "." + st.head.getMethodName
+          hist(leaf) += 1
+        }
+      }
+      hist.toSeq.sortBy(-_._2).take(24).foreach { case (k, v) =>
+        println(f"[scratch] ${v * 100.0 / samples}%5.1f%% $k")
+      }
+      println(s"[scratch] $samples samples")
+      f.delete()
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SCRATCH_INGEST_ONLY")) {
       (1 to sys.env.getOrElse("SCRATCH_INGEST_RUNS", "3").toInt).foreach { i =>
         val mbps = {

@@ -114,7 +114,7 @@ object DiffKernel {
     * never allocates a substring (region-keyed probe). On revision
     * pairs — where the second text repeats most of the first — this
     * removes the majority of per-token allocations. */
-  private def internTokenize(content: String, interner: Interner): Array[Int] = {
+  private[graft] def internTokenize(content: String, interner: Interner): Array[Int] = {
     if (content == null) return Array.empty
     val b = tokenBounds(content)
     val out = new Array[Int](b.length / 2)
@@ -130,11 +130,14 @@ object DiffKernel {
     * (the reference shares its dict the same way,
     * `revision_differ.py:68-70`). Open-addressing table keyed by a
     * char-region hash so lookups compare in place — a substring is
-    * allocated only the first time a token is seen. */
-  private final class Interner {
+    * allocated only the first time a token is seen. Full hashes are
+    * stored beside the slot ids so a probe chain skips mismatched
+    * entries without a char-by-char compare. */
+  private[graft] final class Interner {
     val tokens = mutable.ArrayBuffer.empty[String]
     private var mask = (1 << 12) - 1
     private var ids = Array.fill(mask + 1)(-1)
+    private var hashes = new Array[Int](mask + 1)
 
     private def regionHash(s: String, from: Int, until: Int): Int = {
       var h = 0
@@ -155,20 +158,27 @@ object DiffKernel {
 
     private def grow(): Unit = {
       val old = ids
+      val oldHashes = hashes
       mask = mask * 2 + 1
       ids = Array.fill(mask + 1)(-1)
-      old.foreach { id =>
+      hashes = new Array[Int](mask + 1)
+      var slot = 0
+      while (slot < old.length) {
+        val id = old(slot)
         if (id >= 0) {
-          val t = tokens(id)
-          var idx = (regionHash(t, 0, t.length) & 0x7fffffff) & mask
+          val h = oldHashes(slot)
+          var idx = (h & 0x7fffffff) & mask
           while (ids(idx) >= 0) idx = (idx + 1) & mask
           ids(idx) = id
+          hashes(idx) = h
         }
+        slot += 1
       }
     }
 
     def internRegion(s: String, from: Int, until: Int): Int = {
-      var idx = (regionHash(s, from, until) & 0x7fffffff) & mask
+      val h = regionHash(s, from, until)
+      var idx = (h & 0x7fffffff) & mask
       while (true) {
         val id = ids(idx)
         if (id < 0) {
@@ -176,10 +186,11 @@ object DiffKernel {
           val newId = tokens.length
           tokens += t
           ids(idx) = newId
+          hashes(idx) = h
           if (tokens.length * 10 >= (mask + 1) * 7) grow()
           return newId
         }
-        if (eqRegion(tokens(id), s, from, until)) return id
+        if (hashes(idx) == h && eqRegion(tokens(id), s, from, until)) return id
         idx = (idx + 1) & mask
       }
       -1 // unreachable
@@ -309,25 +320,67 @@ object DiffKernel {
     out.toList
   }
 
+  /** Per-thread diff context: a persistent interner plus a one-entry
+    * memo of the last tokenized text. In the ingest pipeline every
+    * revision text is diffed twice — as `curr` of one pair, then as
+    * `prev` of the next — and rows arrive page-ordered within a task,
+    * so the memo halves tokenization work (the dominant ingest cost:
+    * 23 of ~36 ms/MB single-threaded, Scratch SCRATCH_PARSE profile).
+    * Sharing the interner across calls is behavior-neutral — diff
+    * output depends only on id-equality ⇔ token-string equality, which
+    * any interner preserves — and the context resets once the
+    * dictionary tops ~1M tokens, bounding memory on long-lived
+    * executor threads. */
+  private final class DiffContext {
+    var interner = new Interner
+    private var lastText: String = null
+    private var lastIds: Array[Int] = null
+    def reset(): Unit = { interner = new Interner; lastText = null; lastIds = null }
+    def ids(text: String): Array[Int] =
+      if (lastText != null && ((text eq lastText) || text == lastText)) lastIds
+      else internTokenize(text, interner)
+    def remember(text: String, idsArr: Array[Int]): Unit = { lastText = text; lastIds = idsArr }
+  }
+
+  private val MaxDictTokens = 1 << 20
+
+  private val contexts = new ThreadLocal[DiffContext] {
+    override def initialValue(): DiffContext = new DiffContext
+  }
+
   /** Full pipeline: tokenize, intern, diff, un-intern, emit ops with the
     * reference's position accounting (`revision_differ.py:78-84`). */
   def diffOps(oldText: String, newText: String,
               reportRemove: Boolean = true, reportAdd: Boolean = true,
               reportEqual: Boolean = false): Array[DiffOp] = {
-    val interner = new Interner
-    val aIds = internTokenize(if (oldText == null) "" else oldText, interner)
-    val bIds = internTokenize(if (newText == null) "" else newText, interner)
+    val ctx = contexts.get()
+    if (ctx.interner.tokens.length > MaxDictTokens) ctx.reset()
+    val interner = ctx.interner
+    val aIds = ctx.ids(if (oldText == null) "" else oldText)
+    val newT = if (newText == null) "" else newText
+    val bIds = ctx.ids(newT)
+    ctx.remember(newT, bIds)
     val runs = diffInts(aIds, bIds)
     val out = mutable.ArrayBuffer.empty[DiffOp]
     var position = 0
     for ((act, toks) <- runs) {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < toks.length) { sb.append(interner.tokens(toks(i))); i += 1 }
-      val content = sb.toString
       val report = (act == -1 && reportRemove) || (act == 1 && reportAdd) || (act == 0 && reportEqual)
-      if (report) out += DiffOp(position, act, content)
-      if (act != -1) position += content.length
+      if (report) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < toks.length) { sb.append(interner.tokens(toks(i))); i += 1 }
+        val content = sb.toString
+        out += DiffOp(position, act, content)
+        if (act != -1) position += content.length
+      } else if (act != -1) {
+        // unreported equal/add runs advance the position by their
+        // length — summed from the dictionary without materializing
+        // the content string (equal runs span most of the text)
+        var len = 0
+        var i = 0
+        while (i < toks.length) { len += interner.tokens(toks(i)).length; i += 1 }
+        position += len
+      }
     }
     out.toArray
   }
