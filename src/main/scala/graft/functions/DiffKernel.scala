@@ -197,48 +197,92 @@ object DiffKernel {
     }
   }
 
+  /** Diff runs as parallel (act, lo, hi) region arrays — equal and
+    * delete runs index into `a`, insert runs into `b`. The bisection
+    * recursion appends regions in output order; nothing is sliced or
+    * boxed on the hot path. */
+  private final class Runs {
+    var acts = new Array[Int](16)
+    var los = new Array[Int](16)
+    var his = new Array[Int](16)
+    var size = 0
+    def add(act: Int, lo: Int, hi: Int): Unit = {
+      if (hi <= lo) return
+      if (size == acts.length) {
+        acts = java.util.Arrays.copyOf(acts, size * 2)
+        los = java.util.Arrays.copyOf(los, size * 2)
+        his = java.util.Arrays.copyOf(his, size * 2)
+      }
+      acts(size) = act; los(size) = lo; his(size) = hi
+      size += 1
+    }
+  }
+
   /** Myers diff over int arrays: list of (action, tokenIds) runs with
     * action ∈ {-1, 0, +1}, deletes emitted before inserts at the same
-    * point. Linear-space via middle-snake bisection. */
-  def diffInts(a: Array[Int], b: Array[Int]): List[(Int, Array[Int])] =
-    merge(compute(a, b))
+    * point. Linear-space via middle-snake bisection. (Spec-level API;
+    * the ingest hot path consumes the region runs directly without
+    * materializing the arrays.) */
+  def diffInts(a: Array[Int], b: Array[Int]): List[(Int, Array[Int])] = {
+    val runs = computeRuns(a, b)
+    val mat = (0 until runs.size).iterator.map { i =>
+      val src = if (runs.acts(i) == 1) b else a
+      (runs.acts(i), java.util.Arrays.copyOfRange(src, runs.los(i), runs.his(i)))
+    }.toList
+    merge(mat)
+  }
+
+  private def computeRuns(a: Array[Int], b: Array[Int]): Runs = {
+    val out = new Runs
+    compute(a, 0, a.length, b, 0, b.length, out)
+    out
+  }
 
   /** Trim common prefix/suffix, then bisect on the middle of an optimal
-    * edit path and recurse on the halves. */
-  private def compute(a: Array[Int], b: Array[Int]): List[(Int, Array[Int])] = {
+    * edit path and recurse on the halves — all on index ranges of the
+    * two original arrays (no sub-array copies). */
+  private def compute(a: Array[Int], aLo: Int, aHi: Int,
+                      b: Array[Int], bLo: Int, bHi: Int, out: Runs): Unit = {
     // trim common prefix/suffix
     var p = 0
-    val maxP = math.min(a.length, b.length)
-    while (p < maxP && a(p) == b(p)) p += 1
+    val maxP = math.min(aHi - aLo, bHi - bLo)
+    while (p < maxP && a(aLo + p) == b(bLo + p)) p += 1
     var s = 0
     val maxS = maxP - p
-    while (s < maxS && a(a.length - 1 - s) == b(b.length - 1 - s)) s += 1
-    val at = a.slice(p, a.length - s)
-    val bt = b.slice(p, b.length - s)
-    val core: List[(Int, Array[Int])] =
-      if (at.isEmpty && bt.isEmpty) Nil
-      else if (at.isEmpty) List((1, bt))
-      else if (bt.isEmpty) List((-1, at))
+    while (s < maxS && a(aHi - 1 - s) == b(bHi - 1 - s)) s += 1
+    if (p > 0) out.add(0, aLo, aLo + p)
+    val amLo = aLo + p; val amHi = aHi - s
+    val bmLo = bLo + p; val bmHi = bHi - s
+    if (amLo >= amHi && bmLo >= bmHi) ()
+    else if (amLo >= amHi) out.add(1, bmLo, bmHi)
+    else if (bmLo >= bmHi) out.add(-1, amLo, amHi)
+    else {
+      val xy = middleSnake(a, amLo, amHi, b, bmLo, bmHi)
+      val x = (xy >> 32).toInt
+      val y = xy.toInt
+      val n = amHi - amLo
+      val m = bmHi - bmLo
+      val degenerate = (x <= 0 && y <= 0) || (x >= n && y >= m)
+      if (x < 0 || degenerate) { out.add(-1, amLo, amHi); out.add(1, bmLo, bmHi) }
       else {
-        val (x, y) = middleSnake(at, bt)
-        val degenerate = (x <= 0 && y <= 0) || (x >= at.length && y >= bt.length)
-        if (x < 0 || degenerate) List((-1, at), (1, bt))
-        else compute(at.slice(0, x), bt.slice(0, y)) ++
-          compute(at.slice(x, at.length), bt.slice(y, bt.length))
+        compute(a, amLo, amLo + x, b, bmLo, bmLo + y, out)
+        compute(a, amLo + x, amHi, b, bmLo + y, bmHi, out)
       }
-    val pre = if (p > 0) List((0, a.slice(0, p))) else Nil
-    val post = if (s > 0) List((0, a.slice(a.length - s, a.length))) else Nil
-    pre ++ core ++ post
+    }
+    if (s > 0) out.add(0, aHi - s, aHi)
   }
 
   /** Find a split point (x, y) on an optimal edit path: forward and
     * reverse D-paths are advanced in lockstep until they overlap
     * (Myers 1986, "An O(ND) Difference Algorithm", linear-space
     * refinement — the same published algorithm behind the reference's
-    * bundled diff library). Returns (-1,-1) only for degenerate input. */
-  private def middleSnake(a: Array[Int], b: Array[Int]): (Int, Int) = {
-    val n = a.length
-    val m = b.length
+    * bundled diff library). Coordinates are relative to (aLo, bLo),
+    * packed as (x << 32 | y); returns (-1, -1) only for degenerate
+    * input. */
+  private def middleSnake(a: Array[Int], aLo: Int, aHi: Int,
+                          b: Array[Int], bLo: Int, bHi: Int): Long = {
+    val n = aHi - aLo
+    val m = bHi - bLo
     val maxD = (n + m + 1) / 2
     val vOff = maxD
     val vSize = 2 * maxD + 2
@@ -258,12 +302,12 @@ object DiffKernel {
           if (k == -d || (k != d && v1(ki - 1) < v1(ki + 1))) v1(ki + 1)
           else v1(ki - 1) + 1
         var y = x - k
-        while (x < n && y < m && a(x) == b(y)) { x += 1; y += 1 }
+        while (x < n && y < m && a(aLo + x) == b(bLo + y)) { x += 1; y += 1 }
         v1(ki) = x
         if (front) {
           val k2i = vOff + delta - k
           if (k2i >= 0 && k2i < vSize && v2(k2i) != -1) {
-            if (x >= n - v2(k2i)) return (x, y) // paths overlap
+            if (x >= n - v2(k2i)) return pack(x, y) // paths overlap
           }
         }
         k += 2
@@ -276,22 +320,25 @@ object DiffKernel {
           if (k == -d || (k != d && v2(ki - 1) < v2(ki + 1))) v2(ki + 1)
           else v2(ki - 1) + 1
         var y = x - k
-        while (x < n && y < m && a(n - x - 1) == b(m - y - 1)) { x += 1; y += 1 }
+        while (x < n && y < m && a(aLo + n - x - 1) == b(bLo + m - y - 1)) { x += 1; y += 1 }
         v2(ki) = x
         if (!front) {
           val k1i = vOff + delta - k
           if (k1i >= 0 && k1i < vSize && v1(k1i) != -1) {
             val x1 = v1(k1i)
             val y1 = x1 - (delta - k)
-            if (x1 >= n - x) return (x1, y1) // paths overlap
+            if (x1 >= n - x) return pack(x1, y1) // paths overlap
           }
         }
         k += 2
       }
       d += 1
     }
-    (-1, -1)
+    pack(-1, -1)
   }
+
+  @inline private def pack(x: Int, y: Int): Long =
+    (x.toLong << 32) | (y.toLong & 0xffffffffL)
 
   /** Canonicalize runs: within every maximal region of non-equal ops,
     * emit one merged delete followed by one merged insert (the order the
@@ -334,12 +381,74 @@ object DiffKernel {
   private final class DiffContext {
     var interner = new Interner
     private var lastText: String = null
+    private var lastBounds: Array[Int] = null
     private var lastIds: Array[Int] = null
-    def reset(): Unit = { interner = new Interner; lastText = null; lastIds = null }
-    def ids(text: String): Array[Int] =
-      if (lastText != null && ((text eq lastText) || text == lastText)) lastIds
-      else internTokenize(text, interner)
-    def remember(text: String, idsArr: Array[Int]): Unit = { lastText = text; lastIds = idsArr }
+    def reset(): Unit = {
+      interner = new Interner; lastText = null; lastBounds = null; lastIds = null
+    }
+    def ids(text: String): Array[Int] = {
+      if (lastText != null && ((text eq lastText) || text == lastText)) return lastIds
+      val bounds = tokenBounds(text)
+      val out =
+        if (lastText == null) internRange(text, bounds, 0, bounds.length / 2, null, 0)
+        else sharedIntern(text, bounds)
+      lastText = text; lastBounds = bounds; lastIds = out
+      out
+    }
+
+    /** Intern `text` reusing the previous text's ids for the common
+      * token prefix/suffix: revision pairs share most of their tokens
+      * in place, and an exact sequential char-compare against the
+      * memoized text is ~3× cheaper than hash+probe+verify per token.
+      * Only the middle (the edit region) goes through the dictionary. */
+    private def sharedIntern(text: String, bounds: Array[Int]): Array[Int] = {
+      val pText = lastText
+      val pBounds = lastBounds
+      val pIds = lastIds
+      val n = bounds.length / 2
+      val pn = pIds.length
+      val maxCommon = math.min(n, pn)
+      var k = 0
+      while (k < maxCommon && regionEq(pText, pBounds(2 * k), pBounds(2 * k + 1),
+          text, bounds(2 * k), bounds(2 * k + 1))) k += 1
+      var s = 0
+      val maxS = maxCommon - k
+      while (s < maxS && regionEq(
+          pText, pBounds(2 * (pn - 1 - s)), pBounds(2 * (pn - 1 - s) + 1),
+          text, bounds(2 * (n - 1 - s)), bounds(2 * (n - 1 - s) + 1))) s += 1
+      val out = new Array[Int](n)
+      System.arraycopy(pIds, 0, out, 0, k)
+      var j = 0
+      while (j < s) { out(n - 1 - j) = pIds(pn - 1 - j); j += 1 }
+      internRange(text, bounds, k, n - s, out, k)
+      out
+    }
+
+    private def regionEq(a: String, aFrom: Int, aUntil: Int,
+                         b: String, bFrom: Int, bUntil: Int): Boolean = {
+      val len = aUntil - aFrom
+      if (len != bUntil - bFrom) return false
+      var i = 0
+      while (i < len) {
+        if (a.charAt(aFrom + i) != b.charAt(bFrom + i)) return false
+        i += 1
+      }
+      true
+    }
+
+    /** Intern tokens [from, until) of `bounds` into `out` starting at
+      * `outAt`; allocates `out` when null (full-text case). */
+    private def internRange(text: String, bounds: Array[Int], from: Int, until: Int,
+                            out0: Array[Int], outAt: Int): Array[Int] = {
+      val out = if (out0 != null) out0 else new Array[Int](until - from)
+      var k = from
+      var o = outAt
+      while (k < until) {
+        out(o) = interner.internRegion(text, bounds(2 * k), bounds(2 * k + 1))
+        k += 1; o += 1
+      }
+      out
+    }
   }
 
   private val MaxDictTokens = 1 << 20
@@ -356,32 +465,78 @@ object DiffKernel {
     val ctx = contexts.get()
     if (ctx.interner.tokens.length > MaxDictTokens) ctx.reset()
     val interner = ctx.interner
+    // ids() memoizes each text as it goes: a memo hit on `old` skips
+    // its tokenization entirely (it was the previous call's `new`),
+    // and `new` reuses ids for the token prefix/suffix it shares with
+    // `old` — only the edit region touches the dictionary
     val aIds = ctx.ids(if (oldText == null) "" else oldText)
-    val newT = if (newText == null) "" else newText
-    val bIds = ctx.ids(newT)
-    ctx.remember(newT, bIds)
-    val runs = diffInts(aIds, bIds)
+    val bIds = ctx.ids(if (newText == null) "" else newText)
+    val runs = computeRuns(aIds, bIds)
+    val acts = runs.acts
+    val los = runs.los
+    val his = runs.his
     val out = mutable.ArrayBuffer.empty[DiffOp]
     var position = 0
-    for ((act, toks) <- runs) {
-      val report = (act == -1 && reportRemove) || (act == 1 && reportAdd) || (act == 0 && reportEqual)
-      if (report) {
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i < toks.length) { sb.append(interner.tokens(toks(i))); i += 1 }
-        val content = sb.toString
-        out += DiffOp(position, act, content)
-        if (act != -1) position += content.length
-      } else if (act != -1) {
-        // unreported equal/add runs advance the position by their
-        // length — summed from the dictionary without materializing
-        // the content string (equal runs span most of the text)
-        var len = 0
-        var i = 0
-        while (i < toks.length) { len += interner.tokens(toks(i)).length; i += 1 }
-        position += len
+
+    // canonicalization happens directly over the region runs (the same
+    // segment-wise delete-then-insert, merged-equals shape `merge`
+    // produces): pending run indices per kind, flushed at region
+    // boundaries. Unreported runs advance `position` by a dictionary
+    // length sum without materializing content strings — equal runs
+    // span most of the text.
+    def runStr(sb: java.lang.StringBuilder, src: Array[Int], r: Int): Unit = {
+      var k = los(r)
+      while (k < his(r)) { sb.append(interner.tokens(src(k))); k += 1 }
+    }
+    def runLen(src: Array[Int], r: Int): Int = {
+      var len = 0
+      var k = los(r)
+      while (k < his(r)) { len += interner.tokens(src(k)).length; k += 1 }
+      len
+    }
+    val del = mutable.ArrayBuffer.empty[Int]
+    val ins = mutable.ArrayBuffer.empty[Int]
+    val eqs = mutable.ArrayBuffer.empty[Int]
+    def flushDelIns(): Unit = {
+      if (del.nonEmpty) {
+        if (reportRemove) {
+          val sb = new java.lang.StringBuilder
+          del.foreach(runStr(sb, aIds, _))
+          out += DiffOp(position, -1, sb.toString)
+        }
+        del.clear()
+      }
+      if (ins.nonEmpty) {
+        if (reportAdd) {
+          val sb = new java.lang.StringBuilder
+          ins.foreach(runStr(sb, bIds, _))
+          val content = sb.toString
+          out += DiffOp(position, 1, content)
+          position += content.length
+        } else ins.foreach(r => position += runLen(bIds, r))
+        ins.clear()
       }
     }
+    def flushEq(): Unit = {
+      if (eqs.nonEmpty) {
+        if (reportEqual) {
+          val sb = new java.lang.StringBuilder
+          eqs.foreach(runStr(sb, aIds, _))
+          val content = sb.toString
+          out += DiffOp(position, 0, content)
+          position += content.length
+        } else eqs.foreach(r => position += runLen(aIds, r))
+        eqs.clear()
+      }
+    }
+    var i = 0
+    while (i < runs.size) {
+      if (acts(i) == 0) { flushDelIns(); eqs += i }
+      else { flushEq(); if (acts(i) == -1) del += i else ins += i }
+      i += 1
+    }
+    flushDelIns()
+    flushEq()
     out.toArray
   }
 
