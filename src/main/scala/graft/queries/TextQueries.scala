@@ -325,6 +325,83 @@ object TextQueries {
       |  CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS total_num
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Duplicate clusters: connected components over the q19 near-dup
+    * pair graph (Jaccard >= 0.5), labeling every document with the
+    * minimum doc_id of its duplicate cluster — the step that turns
+    * pairwise "a duplicates b" findings into keep-one-representative
+    * groups (a~b, b~c ⇒ one {a,b,c} cluster even when (a,c) itself
+    * scores below threshold). Singletons cluster to themselves. */
+  def q41DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.operators.JaccardPairs.pairs(bigramShingles(s, dir), threshold = 0.5)
+      .select($"doc_a", $"doc_b")
+    val verts = docs(s, dir).select($"doc_id")
+    val lab = graft.operators.ConnectedComponents.labels(verts, pairs)
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_rep"))
+      .orderBy($"doc_id")
+  }
+
+  /** q41's oracle: the q19 pair pipeline + a recursive transitive
+    * closure (min reachable id per document). */
+  val q41Sql: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |cpairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) common
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b
+      |       FROM cpairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+      |          UNION ALL SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS root FROM documents
+      |  UNION
+      |  SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
+      |lab AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+      |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, cs.cluster_size, l.doc_id = l.cluster_id AS is_rep
+      |FROM lab l JOIN cs USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Deterministic stratified sampling with per-stratum rates — the
+    * training-mix operator (downsample dominant languages, keep the
+    * tail). A document is kept iff `md5(doc_id || ':' || lang)` is
+    * lexicographically below its stratum's hex-prefix threshold:
+    * '8' keeps exactly the md5s starting 0-7 (rate 1/2), '4' rate
+    * 1/4, etc. — exact dyadic fractions of the hash space, stable
+    * under reruns and engine-portable (pure string compare, no RNG,
+    * no engine hash). `weight` = 1/rate makes downstream counts
+    * unbiased (Horvitz-Thompson). Map-only: no shuffle, the filter
+    * sits directly on the scan. */
+  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("h", md5(concat($"doc_id".cast("string"), lit(":"), $"lang")))
+      .withColumn("thr", expr(
+        "CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END"))
+      .filter($"h" < $"thr")
+      .select($"doc_id", $"lang",
+        expr("CASE lang WHEN 'en' THEN double(2.0) WHEN 'de' THEN double(4.0) " +
+          "WHEN 'fr' THEN double(8.0) ELSE double(16.0) END").as("weight"))
+      .orderBy($"doc_id")
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id, lang,
+      |  CASE lang WHEN 'en' THEN 2.0 WHEN 'de' THEN 4.0 WHEN 'fr' THEN 8.0 ELSE 16.0 END AS weight
+      |FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR)||':'||lang) <
+      |  CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -335,6 +412,8 @@ object TextQueries {
     "q20_minhash_lsh" -> q20MinHashLsh _,
     "q21_simhash" -> q21SimHash _,
     "q38_regex_tokens" -> q38RegexTokens _,
+    "q41_dup_clusters" -> q41DupClusters _,
+    "q42_stratified_sample" -> q42StratifiedSample _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -347,5 +426,7 @@ object TextQueries {
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,
     "q38_regex_tokens" -> q38Sql,
+    "q41_dup_clusters" -> q41Sql,
+    "q42_stratified_sample" -> q42Sql,
   )
 }

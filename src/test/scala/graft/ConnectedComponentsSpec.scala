@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the distributed min-label propagation against a brute-force
+  * union-find on random graphs, plus the shapes that stress it:
+  * long chains (worst-case round count) and edgeless vertex sets. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id in component = root under min-union
+    (0L until n.toLong).map(i => i -> find(i)).toMap
+  }
+
+  private def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val verts = (0L until n.toLong).toDF("doc_id")
+    val e = edges.toDF("doc_a", "doc_b")
+    graft.operators.ConnectedComponents.labels(verts, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random graphs equal brute-force union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val m = rnd.nextInt(n * 2)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(n, edges) == unionFind(n, edges), s"trial $trial n=$n m=$m")
+    }
+  }
+
+  test("long chain converges to one cluster (propagation worst case)") {
+    // 24 nodes = 23 propagation rounds; enough to exercise the
+    // localCheckpoint lineage truncation (every 8 rounds) twice
+    val n = 24
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = run(n, chain)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("no edges: every vertex is its own singleton cluster") {
+    val got = run(25, Nil)
+    assert(got == (0L until 25L).map(i => i -> i).toMap)
+  }
+
+  test("two cliques bridged by one edge merge") {
+    val c1 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c2 = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val got = run(15, c1 ++ c2 ++ Seq((4L, 10L)))
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((10L to 14L).forall(got(_) == 0L))
+    assert((5L to 9L).forall(i => got(i) == i))
+  }
+}
