@@ -38,8 +38,13 @@ object ConnectedComponents {
              idCol: String = "doc_id",
              srcCol: String = "doc_a", dstCol: String = "doc_b",
              maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // symmetrize with one explode, not a self-union: a union would
+    // execute the upstream pair pipeline twice before the persist
+    // materializes (measured 2x the near-dup generation cost on q41)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).persist()
     var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)

@@ -34,6 +34,33 @@ class DiffKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("diffOps is call-order independent (per-thread cache is invisible)") {
+    // the kernel memoizes the last tokenized text and shares a
+    // dictionary across calls on a thread — output must not depend on
+    // what was diffed before (ids are internal; only strings surface)
+    val rnd = new scala.util.Random(41)
+    val vocab = Array("alpha", "beta", "[[", "]]", "{{", "}}", "\n", " ", "''", "w1", "w2", "w3")
+    def mk() = Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val pairs = Seq.fill(30) {
+      val a = mk()
+      val b = if (rnd.nextBoolean()) a.replace("alpha", "beta") else mk()
+      (a, b)
+    }
+    // revision-stream order (prev = last curr: hits the memo), then the
+    // same pairs reversed and interleaved with unrelated diffs (misses)
+    val inOrder = pairs.map { case (a, b) => DiffKernel.diffOps(a, b).toList }
+    val reversed = pairs.reverse.map { case (a, b) =>
+      DiffKernel.diffOps(mk(), mk())  // pollute the memo + dictionary
+      DiffKernel.diffOps(a, b).toList
+    }.reverse
+    assert(inOrder == reversed)
+    // and on a fresh thread (fresh context)
+    var fresh: Seq[List[DiffOp]] = null
+    val t = new Thread(() => fresh = pairs.map { case (a, b) => DiffKernel.diffOps(a, b).toList })
+    t.start(); t.join()
+    assert(inOrder == fresh)
+  }
+
   test("simple diffs") {
     // identical → no reported ops
     assert(DiffKernel.diffOps("same text", "same text").isEmpty)
