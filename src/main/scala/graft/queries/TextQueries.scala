@@ -402,6 +402,116 @@ object TextQueries {
       |  CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Gopher-style repetition quality filters: per-document top-token
+    * fraction and duplicate-bigram fraction, with a keep/drop verdict —
+    * the repetition-removal gate of a training-data pipeline (docs
+    * dominated by one token or by repeated n-grams are low-quality).
+    *
+    * Shapes: the unigram profile is explode → groupBy(doc, tok) with
+    * map-side combine, then a per-doc argmax; the bigram dedup ratio
+    * needs NO explode at all — distinct-bigram counts come map-only
+    * from the native [[graft.functions.TokenShingles]] set size, and
+    * total bigrams are `n_tokens − 1`. All counts exact ints; the two
+    * fractions are single double divisions, so the oracle matches
+    * bit-exact. */
+  def q43RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"doc_id").orderBy($"cnt".desc, $"tok")
+    // the groupBy(doc_id) after a doc_id-partitioned window reuses the
+    // exchange — one shuffle for rank + profile together
+    val uni = tf.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+           max(when($"rn" === 1, $"tok")).as("top_tok"),
+           max(when($"rn" === 1, $"cnt")).as("top_cnt"))
+    val big = docs(s, dir)
+      .select($"doc_id", size(expr("shingles(text, 2)")).cast("long").as("ndbig"))
+    uni.join(big, Seq("doc_id"))
+      .withColumn("top_frac", $"top_cnt".cast("double") / $"n_tokens")
+      .withColumn("dup_bigram_frac", when($"n_tokens" > 1,
+        ($"n_tokens" - 1 - $"ndbig").cast("double") / ($"n_tokens" - 1))
+        .otherwise(expr("double(0.0)")))
+      .withColumn("keep",
+        expr("top_frac <= double(0.1) AND dup_bigram_frac <= double(0.05)"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_tok",
+        $"top_frac", $"dup_bigram_frac", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val q43Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      |ranked AS (SELECT doc_id, tok, cnt,
+      |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+      |           FROM tf),
+      |uni AS (SELECT doc_id,
+      |          CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |          COUNT(*) AS n_distinct,
+      |          MAX(CASE WHEN rn = 1 THEN tok END) AS top_tok,
+      |          CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt
+      |        FROM ranked GROUP BY doc_id),
+      |bigsh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |          FROM (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |               UNNEST(range(1, len(ts))) t(i) WHERE len(ts) >= 2),
+      |big AS (SELECT doc_id, COUNT(*) AS ndbig FROM bigsh GROUP BY doc_id),
+      |m AS (SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_tok,
+      |        CAST(u.top_cnt AS DOUBLE) / u.n_tokens AS top_frac,
+      |        CASE WHEN u.n_tokens > 1
+      |             THEN CAST(u.n_tokens - 1 - COALESCE(b.ndbig, 0) AS DOUBLE) / (u.n_tokens - 1)
+      |             ELSE 0.0 END AS dup_bigram_frac
+      |      FROM uni u LEFT JOIN big b USING (doc_id))
+      |SELECT doc_id, n_tokens, n_distinct, top_tok, top_frac, dup_bigram_frac,
+      |  (top_frac <= 0.1 AND dup_bigram_frac <= 0.05) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** TF-IDF top terms: the 3 most characteristic terms per document.
+    * IDF is the exact rational N/df (not ln(N/df) — libm logs aren't
+    * bit-portable across engines; the monotone surrogate ranks terms
+    * identically for fixed tf): tfidf = (cnt/n_tokens)·(N/df), computed
+    * as one double division of two exact integer products.
+    *
+    * Scale shape: term frequencies are one explode → groupBy(doc, term)
+    * with map-side combine; doc lengths reuse that aggregate; document
+    * frequencies shuffle by term (vocabulary-sized, the standard
+    * inverted-index shape); the corpus size N is a 1-row broadcast. */
+  def q44TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"cnt").as("n_tokens"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
+    val nd = docs(s, dir).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(dl, Seq("doc_id")).join(dfq, Seq("term")).crossJoin(broadcast(nd))
+      .withColumn("tfidf", ($"cnt" * $"nd").cast("double") / ($"n_tokens" * $"dfreq"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"tfidf", $"rnk".cast("long").as("rnk"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val q44Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id),
+      |dfq AS (SELECT tok, COUNT(*) AS dfreq FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok AS term,
+      |    CAST(tf.cnt * n.nd AS DOUBLE) / (dl.n_tokens * dfq.dfreq) AS tfidf
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tfidf,
+      |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      |           FROM scored)
+      |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -414,6 +524,8 @@ object TextQueries {
     "q38_regex_tokens" -> q38RegexTokens _,
     "q41_dup_clusters" -> q41DupClusters _,
     "q42_stratified_sample" -> q42StratifiedSample _,
+    "q43_repetition_filter" -> q43RepetitionFilter _,
+    "q44_tfidf_topterms" -> q44TfIdf _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -428,5 +540,7 @@ object TextQueries {
     "q38_regex_tokens" -> q38Sql,
     "q41_dup_clusters" -> q41Sql,
     "q42_stratified_sample" -> q42Sql,
+    "q43_repetition_filter" -> q43Sql,
+    "q44_tfidf_topterms" -> q44Sql,
   )
 }

@@ -186,12 +186,68 @@ object VectorQueries {
       |WHERE $dotAB / (${selfDot("a")} * ${selfDot("b")}) >= 0.42
       |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Deterministic spherical k-means (one full Lloyd step from the
+    * k-lowest-id seeds) via [[graft.operators.KMeans]] — the clustering
+    * stage of a semantic-curation pipeline. Output: each vector's seed
+    * assignment, its assignment after the centroid update, and whether
+    * it moved. Fully oracle-checked: the quantized-integer centroid
+    * mean and strict-fold dots are bit-reproducible in plain SQL. */
+  def q45KMeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val c0 = graft.operators.KMeans.seedCentroids(corpus, k = 8)
+    val (a1, c1) = graft.operators.KMeans.step(corpus, c0)
+    val a2 = graft.operators.KMeans.assign(corpus, c1)
+    a1.select($"vec_id", $"cluster".as("cluster1"))
+      .join(a2.select($"vec_id", $"cluster".as("cluster2")), Seq("vec_id"))
+      .withColumn("moved", $"cluster1" =!= $"cluster2")
+      .orderBy($"vec_id")
+  }
+
+  val q45Sql: String =
+    """WITH cents0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i)) AS sim
+      |  FROM embeddings e, cents0 c),
+      |a1 AS (
+      |  SELECT vec_id, cent_id AS cluster1 FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) rn
+      |    FROM d1) WHERE rn = 1),
+      |qv AS (
+      |  SELECT a1.cluster1 AS cid, i,
+      |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      |  FROM embeddings e JOIN a1 USING (vec_id), UNNEST(range(1, len(e.embedding)+1)) t(i)),
+      |newc AS (
+      |  SELECT cid, i, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS cval
+      |  FROM qv GROUP BY cid, i),
+      |carr AS (SELECT cid, list(cval ORDER BY i) AS cemb FROM newc GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i)) AS sim
+      |  FROM embeddings e, carr c),
+      |a2 AS (
+      |  SELECT vec_id, cid AS cluster2 FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+      |    FROM d2) WHERE rn = 1)
+      |SELECT a1.vec_id, a1.cluster1, a2.cluster2, a1.cluster1 <> a2.cluster2 AS moved
+      |FROM a1 JOIN a2 USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_embed_stats" -> q24EmbedStats _,
     "q36_ann_ivf" -> q36AnnIvf _,
     "q37_embed_neardup" -> q37EmbedNearDup _,
+    "q45_kmeans" -> q45KMeans _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -200,5 +256,6 @@ object VectorQueries {
     "q24_embed_stats" -> q24Sql,
     "q36_ann_ivf" -> q36Sql,
     "q37_embed_neardup" -> q37Sql,
+    "q45_kmeans" -> q45Sql,
   )
 }
