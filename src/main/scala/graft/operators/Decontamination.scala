@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share an
+  * n-gram with a held-out benchmark/eval set — the standard
+  * contamination check run before training (exact n-gram collision,
+  * the GPT-3/PaLM-style recipe; n is typically 8-13 for prose, lower
+  * for short synthetic docs).
+  *
+  * Scale shape: the benchmark's distinct n-grams are a SMALL set by
+  * nature (eval suites are tiny next to a training corpus), so the
+  * probe side is broadcast — the corpus is scanned once, map-side,
+  * with no corpus shuffle; per-doc hit counts aggregate with map-side
+  * combine. N-grams come from the native
+  * [[graft.functions.TokenShingles]] expression (per-doc-distinct
+  * map-side, one codegen'd eval per row — no interpreted HOF chain).
+  */
+object Decontamination {
+
+  /** Per-document verdict against the benchmark set: (docIdCol,
+    * n_hits, contaminated). `n_hits` counts DISTINCT shared n-grams
+    * (both sides are distinct-by-construction); `contaminated` is
+    * `n_hits >= 1`. Benchmark rows themselves are excluded from the
+    * output. `corpus` needs (docIdCol, textCol) plus a boolean
+    * `isBench` column marking benchmark membership. */
+  def verdicts(corpus: DataFrame, n: Int,
+               docIdCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = corpus.select(col(docIdCol), col("isBench"),
+      explode(expr(s"shingles($textCol, $n)")).as("__g"))
+    val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
+    val hits = sh.filter(!col("isBench"))
+      .join(broadcast(bench), Seq("__g"))
+      .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.filter(!col("isBench")).select(col(docIdCol))
+      .join(hits, Seq(docIdCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= 1)
+  }
+}

@@ -512,6 +512,33 @@ object TextQueries {
       |SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Benchmark decontamination via [[graft.operators.Decontamination]]:
+    * flag every training document sharing a word-4-gram with the
+    * held-out benchmark slice (source = 'src0'). 4-grams suit these
+    * short synthetic docs; prose pipelines use 8-13. */
+  def q47Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = docs(s, dir).withColumn("isBench", $"source" === "src0")
+    graft.operators.Decontamination.verdicts(corpus, n = 4)
+      .orderBy($"doc_id")
+  }
+
+  val q47Sql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+      |       FROM d, UNNEST(range(1, len(ts)-2)) t(i) WHERE len(ts) >= 4),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+      |         FROM sh s JOIN bench b USING (g)
+      |         WHERE s.source <> 'src0' GROUP BY s.doc_id)
+      |SELECT d2.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d2
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -526,6 +553,7 @@ object TextQueries {
     "q42_stratified_sample" -> q42StratifiedSample _,
     "q43_repetition_filter" -> q43RepetitionFilter _,
     "q44_tfidf_topterms" -> q44TfIdf _,
+    "q47_decontaminate" -> q47Decontaminate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -542,5 +570,6 @@ object TextQueries {
     "q42_stratified_sample" -> q42Sql,
     "q43_repetition_filter" -> q43Sql,
     "q44_tfidf_topterms" -> q44Sql,
+    "q47_decontaminate" -> q47Sql,
   )
 }

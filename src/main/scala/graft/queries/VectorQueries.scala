@@ -241,6 +241,48 @@ object VectorQueries {
       |FROM a1 JOIN a2 USING (vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** SemDeDup semantic pruning via [[graft.operators.SemDeDup]]:
+    * cluster (deterministic k-means assignment, k=8), then drop any
+    * vector with a lower-id same-cluster neighbor at cosine >= 0.35.
+    * Fully oracle-checked — the cluster assignment is q45's plain-SQL
+    * form and the within-cluster cosines are strict folds. */
+  def q46SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SemDeDup.dropVerdicts(emb(s, dir), k = 8, threshold = 0.35)
+      .orderBy($"vec_id")
+  }
+
+  val q46Sql: String =
+    """WITH cents0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cemb
+      |  FROM embeddings ORDER BY vec_id LIMIT 8),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i)) AS sim
+      |  FROM embeddings e, cents0 c),
+      |a1 AS (
+      |  SELECT vec_id, cent_id AS cluster FROM (
+      |    SELECT vec_id, cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) rn
+      |    FROM d1) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT y.vec_id AS vb,
+      |    (SELECT SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(ea.embedding)+1)) t(i)) /
+      |    (sqrt((SELECT SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))
+      |           FROM UNNEST(range(1, len(ea.embedding)+1)) t(i))) *
+      |     sqrt((SELECT SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))
+      |           FROM UNNEST(range(1, len(eb.embedding)+1)) t(i)))) AS cosine
+      |  FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      |  JOIN embeddings ea ON x.vec_id = ea.vec_id
+      |  JOIN embeddings eb ON y.vec_id = eb.vec_id),
+      |drops AS (SELECT DISTINCT vb FROM pairs WHERE cosine >= 0.35)
+      |SELECT a1.vec_id, a1.cluster, (d.vb IS NOT NULL) AS dropped
+      |FROM a1 LEFT JOIN drops d ON a1.vec_id = d.vb
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -248,6 +290,7 @@ object VectorQueries {
     "q36_ann_ivf" -> q36AnnIvf _,
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q45_kmeans" -> q45KMeans _,
+    "q46_semdedup" -> q46SemDedup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -257,5 +300,6 @@ object VectorQueries {
     "q36_ann_ivf" -> q36Sql,
     "q37_embed_neardup" -> q37Sql,
     "q45_kmeans" -> q45Sql,
+    "q46_semdedup" -> q46Sql,
   )
 }

@@ -83,4 +83,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     val hamming = java.lang.Long.bitCount(sh(a) ^ sh(b))
     assert(hamming <= 4, s"near-dup pair ($a,$b) hamming=$hamming")
   }
+
+  test("semdedup keeps exactly the lowest id of each duplicate bundle") {
+    // 3 exact-duplicate bundles (cosine 1 within, ~orthogonal across):
+    // only the lowest id of each bundle may survive
+    val rows = (0 until 30).map { i =>
+      val v = Array.fill(6)(0.01f); v(i % 3) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = graft.operators.SemDeDup.dropVerdicts(corpus, k = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got.size == 30, "every vector gets a verdict")
+    val kept = got.filter(!_._2).keys.toSet
+    assert(kept == Set(0L, 1L, 2L), s"expected one rep per bundle, got $kept")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the bench set") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon", true),   // benchmark
+      (1L, "zeta beta gamma delta epsilon", false),   // shares "beta gamma delta epsilon"
+      (2L, "one two three four five six", false),     // clean
+      (3L, "alpha beta gamma delta", false),          // shares the full 4-gram
+      (4L, "delta gamma beta alpha x", false))        // reversed: no shared 4-gram
+      .toDF("doc_id", "text", "isBench")
+    val got = graft.operators.Decontamination.verdicts(corpus, n = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "benchmark rows excluded")
+    assert(got(1L) == (1L, true), s"doc 1: ${got(1L)}") // shares only "beta gamma delta epsilon"
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (1L, true))
+    assert(got(4L) == (0L, false))
+  }
 }
