@@ -221,6 +221,32 @@ object Similarity {
       .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most cosine-similar corpus vectors with a DIFFERENT label (the
+    * confusable-but-wrong examples a contrastive objective needs).
+    * Same scale shape as [[bruteForceTopK]] — broadcast query batch ×
+    * partitioned corpus, codegen dot kernel, per-query top-k window;
+    * at corpus scale, compose with [[ivfTopK]]'s coarse buckets the
+    * same way. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
+      col(labelCol).as("__cl"))
+    val sims = broadcast(q).crossJoin(c)
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("cosine", dotExpr("__qe", "__ce") /
+        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket;
     * falls back to fewer than k results when the bucket is small. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int, nPlanes: Int = 8,

@@ -539,6 +539,39 @@ object TextQueries {
       |LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Sequence packing (concat-and-chunk): assign every document its
+    * global token offset and 2048-token training-chunk coordinates —
+    * the step that turns a shuffled corpus into fixed-length
+    * pretraining windows. The global running total comes from
+    * [[graft.operators.PrefixSum]]'s two-phase parallel scan, NOT a
+    * global-order window (which would funnel the corpus through one
+    * task at scale). */
+  def q48SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id",
+      (length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+        .cast("long").as("n_tokens"))
+    graft.operators.PrefixSum.withRunningTotal(t, "doc_id", "n_tokens", "end_offset")
+      .withColumn("chunk_id", expr("(end_offset - n_tokens) div 2048"))
+      .withColumn("offset_in_chunk", expr("(end_offset - n_tokens) % 2048"))
+      .select($"doc_id", $"n_tokens", $"end_offset", $"chunk_id", $"offset_in_chunk")
+      .orderBy($"doc_id")
+  }
+
+  val q48Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+      |      FROM t)
+      |SELECT doc_id, n_tokens, end_offset,
+      |  (end_offset - n_tokens) // 2048 AS chunk_id,
+      |  (end_offset - n_tokens) % 2048 AS offset_in_chunk
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -554,6 +587,7 @@ object TextQueries {
     "q43_repetition_filter" -> q43RepetitionFilter _,
     "q44_tfidf_topterms" -> q44TfIdf _,
     "q47_decontaminate" -> q47Decontaminate _,
+    "q48_sequence_packing" -> q48SequencePacking _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -571,5 +605,6 @@ object TextQueries {
     "q43_repetition_filter" -> q43Sql,
     "q44_tfidf_topterms" -> q44Sql,
     "q47_decontaminate" -> q47Sql,
+    "q48_sequence_packing" -> q48Sql,
   )
 }

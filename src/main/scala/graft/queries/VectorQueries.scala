@@ -283,6 +283,31 @@ object VectorQueries {
       |FROM a1 LEFT JOIN drops d ON a1.vec_id = d.vb
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Hard-negative mining via [[Similarity.hardNegatives]]: for each
+    * of the first 10 vectors, the 3 most-similar vectors carrying a
+    * different class label — the confusable-negative selection step of
+    * contrastive training-pair construction. */
+  def q49HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    Similarity.hardNegatives(corpus, corpus.filter($"vec_id" < 10), k = 3)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q49Sql: String =
+    s"""WITH cand AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS cosine
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < 10 AND a.label <> b.label),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cand)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -291,6 +316,7 @@ object VectorQueries {
     "q37_embed_neardup" -> q37EmbedNearDup _,
     "q45_kmeans" -> q45KMeans _,
     "q46_semdedup" -> q46SemDedup _,
+    "q49_hard_negatives" -> q49HardNegatives _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -301,5 +327,6 @@ object VectorQueries {
     "q37_embed_neardup" -> q37Sql,
     "q45_kmeans" -> q45Sql,
     "q46_semdedup" -> q46Sql,
+    "q49_hard_negatives" -> q49Sql,
   )
 }
