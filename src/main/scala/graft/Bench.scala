@@ -84,10 +84,20 @@ object Bench {
     // measure compilation, not throughput (measured on a fresh JVM:
     // 4.3s, 1.6s, 1.1s, then ~0.65s steady — C2 wants >1GB of
     // profile); the steady state is what a long-running ingest
-    // sustains, so warm until the curve flattens and measure once
-    val warm = (1 to 4).map(_ => pass())
-    val sec = pass()
-    System.err.println(s"[bench] ingest warm=${warm.map(t => f"$t%.2f").mkString(",")} measured=${sec}s")
+    // sustains. A FIXED warm count is run-to-run unstable (C2 lands
+    // on pass 3 in one run, pass 6 in another — observed 0.55s vs
+    // 1.7s "steady" from the same build), so warm ADAPTIVELY: keep
+    // going while the curve still improves >10%, then measure until
+    // two consecutive passes agree within 10% and report the best of
+    // those settled passes.
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    // settled = the last two passes sit within 10% of the best seen
+    // (a sustained level, not one lucky pass)
+    def settled = times.length >= 5 &&
+      times.takeRight(2).forall(_ <= times.min * 1.10)
+    while (times.length < 12 && !settled) times += pass()
+    val sec = times.takeRight(2).min
+    System.err.println(s"[bench] ingest warm=${times.map(t => f"$t%.2f").mkString(",")} measured=${sec}s")
     f.delete()
     math.round(sizeMb / sec * 10.0) / 10.0
   }

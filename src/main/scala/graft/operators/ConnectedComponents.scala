@@ -15,10 +15,8 @@ import org.apache.spark.sql.functions._
   * (join by src + groupBy id, both on the same key space); rounds =
   * component diameter. Near-dup graphs cluster as near-cliques
   * (diameter 2-3), so this settles in a handful of rounds; for
-  * adversarial long-chain graphs the O(log n)-round alternating
-  * star-contraction of Kiveris et al. ("Connected Components in
-  * MapReduce and Beyond", SoCC'14) is the drop-in upgrade — same
-  * interface, same labels.
+  * adversarial deep graphs use [[labelsStarContraction]] — same
+  * interface, same labels, O(log² n) rounds on any shape.
   *
   * Scale notes: the edge list is persisted once and re-joined per
   * round; labels are persisted per round and the previous round is
@@ -66,5 +64,84 @@ object ConnectedComponents {
     }
     sym.unpersist(false)
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-graph path. [[labels]]' min-label propagation needs
+    * `diameter` rounds, which is fine for near-dup graphs (near-clique
+    * clusters, diameter 2-3) but fatal on deep graphs (a 10⁶-long
+    * chain = 10⁶ shuffles); star contraction converges in O(log² n)
+    * rounds on ANY graph:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at that minimum.
+    *
+    * Each is one groupBy over the edge list; the edge set only ever
+    * shrinks toward a star forest whose centers are the component
+    * minima. Convergence is a fixpoint of a deterministic per-round
+    * checksum (count + sum of both endpoints), checked with one tiny
+    * aggregate — no edge-set comparison join. Same output contract as
+    * [[labels]] (pinned equal by ConnectedComponentsSpec). */
+  def labelsStarContraction(vertices: DataFrame, edges: DataFrame,
+                            idCol: String = "doc_id",
+                            srcCol: String = "doc_a", dstCol: String = "doc_b",
+                            maxRounds: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def canon(df: DataFrame): DataFrame = df
+      .select(least($"u", $"v").as("v"), greatest($"u", $"v").as("u"))
+      .filter($"u" =!= $"v").distinct()
+    // large-star: group the SYMMETRIC adjacency by u; attach every
+    // neighbor v > u to min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct($"u", $"v"), struct($"v".as("u"), $"u".as("v")))).as("p"))
+        .select($"p.u".as("u"), $"p.v".as("v"))
+      canon(sym.groupBy($"u")
+        .agg(min(least($"v", $"u")).as("m"), collect_list($"v").as("ns"))
+        .select($"u", $"m", explode($"ns").as("v"))
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v")))
+    }
+    // small-star: edges oriented large→small (u > v after canon's
+    // swap); group by the larger endpoint; attach all small neighbors
+    // and u itself to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      canon(e.groupBy($"u")
+        .agg(min($"v").as("m"), collect_list($"v").as("ns"))
+        .select($"u", $"m", explode(concat($"ns", array($"u"))).as("v"))
+        .select($"v".as("u"), $"m".as("v")))
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(($"u" + $"v").cast("decimal(38,0)"))).head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var cur = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))).persist()
+    var sig = checksum(cur)
+    var round = 0
+    var converged = cur.isEmpty
+    while (!converged && round < maxRounds) {
+      round += 1
+      var next = smallStar(largeStar(cur))
+      if (round % 6 == 0) next = next.localCheckpoint(false)
+      next = next.persist()
+      val nextSig = checksum(next)
+      cur.unpersist(false)
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    // fixpoint is a star forest oriented large→small: every non-root
+    // node has exactly one edge, to its component's minimum
+    val lab = cur.select($"u".as("id"), $"v".as("label"))
+    val out = vertices.select(col(idCol).as("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce($"label", $"id").as("cluster_id"))
+    cur.unpersist(false)
+    out
   }
 }

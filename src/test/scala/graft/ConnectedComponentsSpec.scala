@@ -66,4 +66,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert((10L to 14L).forall(got(_) == 0L))
     assert((5L to 9L).forall(i => got(i) == i))
   }
+
+  private def runStar(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val verts = (0L until n.toLong).toDF("doc_id")
+    val e = edges.toDF("doc_a", "doc_b")
+    graft.operators.ConnectedComponents.labelsStarContraction(verts, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction equals union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(60)
+      val m = rnd.nextInt(n * 2)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runStar(n, edges) == unionFind(n, edges), s"trial $trial n=$n m=$m")
+    }
+  }
+
+  test("star contraction handles the deep-chain case in logarithmic rounds") {
+    // a 200-node chain needs 199 propagation rounds but must finish
+    // well inside star contraction's 60-round cap (O(log^2 n))
+    val n = 200
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+    val got = runStar(n, chain)
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("star contraction: singletons and a shuffled two-component graph") {
+    val edges = Seq((7L, 3L), (3L, 9L), (9L, 7L), (15L, 12L))
+    val got = runStar(20, edges)
+    assert(got(3L) == 3L && got(7L) == 3L && got(9L) == 3L)
+    assert(got(12L) == 12L && got(15L) == 12L)
+    assert((0L until 20L).filterNot(Set(3L, 7L, 9L, 12L, 15L)).forall(i => got(i) == i))
+  }
 }
