@@ -63,6 +63,13 @@ object ConnectedComponents {
       prevSum = nextSum
     }
     sym.unpersist(false)
+    if (!converged) {
+      // diameter > maxRounds: propagation would return stale labels.
+      // Hand off to the round-bounded algorithm instead of silently
+      // emitting a partial fixpoint.
+      labels.unpersist(false)
+      return labelsStarContraction(vertices, edges, idCol, srcCol, dstCol)
+    }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

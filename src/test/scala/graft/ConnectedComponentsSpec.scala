@@ -96,6 +96,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("labels falls back to star contraction when the round cap hits") {
+    import spark.implicits._
+    // 30-node chain, cap of 3 propagation rounds: propagation alone
+    // would return stale labels; the fallback must still converge
+    val n = 30
+    val verts = (0L until n.toLong).toDF("doc_id")
+    val e = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.ConnectedComponents.labels(verts, e, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("star contraction: singletons and a shuffled two-component graph") {
     val edges = Seq((7L, 3L), (3L, 9L), (9L, 7L), (15L, 12L))
     val got = runStar(20, edges)
