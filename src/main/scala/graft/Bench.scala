@@ -97,7 +97,8 @@ object Bench {
       times.takeRight(2).forall(_ <= times.min * 1.10)
     while (times.length < 12 && !settled) times += pass()
     val sec = times.takeRight(2).min
-    System.err.println(s"[bench] ingest warm=${times.map(t => f"$t%.2f").mkString(",")} measured=${sec}s")
+    val tag = if (settled) "settled" else "UNSETTLED (pass cap hit — treat as noisy)"
+    System.err.println(s"[bench] ingest warm=${times.map(t => f"$t%.2f").mkString(",")} measured=${sec}s $tag")
     f.delete()
     math.round(sizeMb / sec * 10.0) / 10.0
   }

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Labels every vertex with the minimum vertex id of its component.
-    * Output columns: `idCol`, `cluster_id`. Vertices absent from
-    * `edges` keep their own id (singleton clusters). */
+    * Output columns: `idCol`, `cluster_id` — exactly one row per
+    * `vertices` row. Vertices absent from `edges` keep their own id
+    * (singleton clusters); edge endpoints absent from `vertices`
+    * participate in label propagation but are excluded from the
+    * output (same contract on both algorithm paths). */
   def labels(vertices: DataFrame, edges: DataFrame,
              idCol: String = "doc_id",
              srcCol: String = "doc_a", dstCol: String = "doc_b",
@@ -70,7 +73,12 @@ object ConnectedComponents {
       labels.unpersist(false)
       return labelsStarContraction(vertices, edges, idCol, srcCol, dstCol)
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // the propagation union introduces rows for edge endpoints that
+    // aren't in `vertices`; restrict to the vertex set so both
+    // algorithm paths return the same row set
+    labels
+      .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,
@@ -101,26 +109,28 @@ object ConnectedComponents {
     def canon(df: DataFrame): DataFrame = df
       .select(least($"u", $"v").as("v"), greatest($"u", $"v").as("u"))
       .filter($"u" =!= $"v").distinct()
-    // large-star: group the SYMMETRIC adjacency by u; attach every
-    // neighbor v > u to min(N(u) ∪ {u})
+    // Both stars are expressed as groupBy(min) + join — NEVER a
+    // collect_list of the neighborhood: near the fixpoint the
+    // component minimum is adjacent to its whole component, so a
+    // per-node neighbor list would materialize the entire component
+    // in one aggregation buffer (OOM on the very graphs this path
+    // exists for). The min-join form keeps every row narrow.
+    //
+    // large-star: attach every neighbor v > u to min(N(u) ∪ {u})
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(explode(array(
           struct($"u", $"v"), struct($"v".as("u"), $"u".as("v")))).as("p"))
         .select($"p.u".as("u"), $"p.v".as("v"))
-      canon(sym.groupBy($"u")
-        .agg(min(least($"v", $"u")).as("m"), collect_list($"v").as("ns"))
-        .select($"u", $"m", explode($"ns").as("v"))
-        .filter($"v" > $"u")
+      val mins = sym.groupBy($"u").agg(min(least($"v", $"u")).as("m"))
+      canon(sym.filter($"v" > $"u").join(mins, Seq("u"))
         .select($"v".as("u"), $"m".as("v")))
     }
     // small-star: edges oriented large→small (u > v after canon's
-    // swap); group by the larger endpoint; attach all small neighbors
-    // and u itself to the minimum
+    // swap); attach every small neighbor AND u itself to min(N(u))
     def smallStar(e: DataFrame): DataFrame = {
-      canon(e.groupBy($"u")
-        .agg(min($"v").as("m"), collect_list($"v").as("ns"))
-        .select($"u", $"m", explode(concat($"ns", array($"u"))).as("v"))
-        .select($"v".as("u"), $"m".as("v")))
+      val mins = e.groupBy($"u").agg(min($"v").as("m"))
+      canon(e.join(mins, Seq("u")).select($"v".as("u"), $"m".as("v"))
+        .unionByName(mins.select($"u", $"m".as("v"))))
     }
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
@@ -133,14 +143,32 @@ object ConnectedComponents {
     var converged = cur.isEmpty
     while (!converged && round < maxRounds) {
       round += 1
-      var next = smallStar(largeStar(cur))
-      if (round % 6 == 0) next = next.localCheckpoint(false)
-      next = next.persist()
+      // smallStar consumes its input twice (min agg + join); persist
+      // the large-star result for the round so it computes once
+      val ls = largeStar(cur).persist()
+      // each star references its input TWICE (min agg + join), so the
+      // logical plan quadruples per round — truncate lineage EVERY
+      // round (lazy local checkpoint, materialized by the checksum)
+      // or the plan tree grows 4^rounds and the plan-description
+      // string alone OOMs the driver
+      val next = smallStar(ls).localCheckpoint(false)
       val nextSig = checksum(next)
+      ls.unpersist(false)
       cur.unpersist(false)
       cur = next
       converged = nextSig == sig
       sig = nextSig
+    }
+    if (!converged) {
+      // an unconverged edge set is NOT a star forest — nodes may hold
+      // edges to several smaller vertices, and the label join below
+      // would fan out to conflicting rows. Fail loudly rather than
+      // emit duplicated, wrong labels (the same contract labels()
+      // enforces by falling back here).
+      cur.unpersist(false)
+      throw new IllegalStateException(
+        s"star contraction not converged after $maxRounds rounds; " +
+          "raise maxRounds (bound is O(log² n))")
     }
     // fixpoint is a star forest oriented large→small: every non-root
     // node has exactly one edge, to its component's minimum

@@ -97,11 +97,11 @@ object KMeans {
   def fit(corpus: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     var cents = seedCentroids(corpus, k, idCol, embCol)
-    var assigned: DataFrame = null
-    for (_ <- 0 until iters) {
-      val (a, c) = step(corpus, cents, idCol, embCol)
-      assigned = a; cents = c
+    // iters = 0 is the plain seed assignment (what SemDeDup uses)
+    for (_ <- 1 until math.max(iters, 1)) {
+      val (_, c) = step(corpus, cents, idCol, embCol)
+      cents = c
     }
-    assigned.select(col(idCol), col("cluster"))
+    assign(corpus, cents, idCol, embCol)
   }
 }

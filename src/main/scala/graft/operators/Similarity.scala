@@ -32,18 +32,22 @@ object Similarity {
     * codegen). */
   def dotExpr(a: String, b: String): Column = expr(s"float_dot($a, $b)")
 
-  /** Exact cosine top-k neighbors for the query rows (a small filtered
-    * subset, broadcast against the corpus). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"))
+  /** Shared broadcast-sweep top-k core: broadcast query batch ×
+    * partitioned corpus, pair predicate, strict-fold cosine, per-query
+    * top-k window. The cosine + tie-break logic lives ONLY here — it
+    * is bit-parity-critical against the SQL oracles, so every exact
+    * sweep variant must share it. */
+  private def sweepTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        qCols: Seq[(String, String)], cCols: Seq[(String, String)],
+                        pairFilter: Column): DataFrame = {
+    val q = queries.select(qCols.map { case (f, t) => col(f).as(t) }: _*)
+    val c = corpus.select(cCols.map { case (f, t) => col(f).as(t) }: _*)
     // norms recomputed inline per pair: with the codegen dot kernel a
     // 64-dim self-dot is ~100 ns, far cheaper than the two shuffle
     // joins a precomputed-norms table would need (and bit-identical —
     // same strict fold, same sqrt)
     val sims = broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(pairFilter)
       .withColumn("cosine", dotExpr("__qe", "__ce") /
         (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
     val w = org.apache.spark.sql.expressions.Window
@@ -52,6 +56,15 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Exact cosine top-k neighbors for the query rows (a small filtered
+    * subset, broadcast against the corpus). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    sweepTopK(corpus, queries, k,
+      qCols = Seq(idCol -> "query_id", embCol -> "__qe"),
+      cCols = Seq(idCol -> "neighbor_id", embCol -> "__ce"),
+      pairFilter = col("query_id") =!= col("neighbor_id"))
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
     * dim d): a hash-derived value in [-1, 1). Same formula is used to
@@ -230,22 +243,11 @@ object Similarity {
     * same way. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", embCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"),
-      col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce"),
-      col(labelCol).as("__cl"))
-    val sims = broadcast(q).crossJoin(c)
-      .filter(col("__ql") =!= col("__cl"))
-      .withColumn("cosine", dotExpr("__qe", "__ce") /
-        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"),
-        col("rnk").cast("long").as("rnk"))
-  }
+                    labelCol: String = "label"): DataFrame =
+    sweepTopK(corpus, queries, k,
+      qCols = Seq(idCol -> "query_id", embCol -> "__qe", labelCol -> "__ql"),
+      cCols = Seq(idCol -> "neighbor_id", embCol -> "__ce", labelCol -> "__cl"),
+      pairFilter = col("__ql") =!= col("__cl"))
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket;
     * falls back to fewer than k results when the bucket is small. */
