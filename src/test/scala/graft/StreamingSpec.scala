@@ -43,6 +43,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0, "no windows emitted")
   }
 
+  test("stateless curation projection: stream equals batch row-for-row") {
+    val dir = Files.createTempDirectory("stream-docs").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.curateDocs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curated").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curated").orderBy($"doc_id").collect().toSeq
+    val batch = StreamOps.curateDocs(spark.read.parquet(dir))
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // the sampling verdict must thin the stream, not pass everything
+    val kept = streamed.count(_.getAs[Boolean]("sampled"))
+    assert(kept > 0 && kept < streamed.size)
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     // two files = two potential micro-batches with overlapping event_ids
