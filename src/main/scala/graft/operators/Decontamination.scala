@@ -19,19 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** Default probe-side budget: ~10M distinct n-grams is a few hundred
+    * MB broadcast — the practical executor-memory ceiling. Real eval
+    * suites sit orders of magnitude below it. */
+  val DefaultMaxBroadcastGrams = 10000000L
+
   /** Per-document verdict against the benchmark set: (docIdCol,
     * n_hits, contaminated). `n_hits` counts DISTINCT shared n-grams
     * (both sides are distinct-by-construction); `contaminated` is
     * `n_hits >= 1`. Benchmark rows themselves are excluded from the
     * output. `corpus` needs (docIdCol, textCol) plus a boolean
-    * `isBench` column marking benchmark membership. */
+    * `isBench` column marking benchmark membership.
+    *
+    * The probe side is broadcast only while it fits the budget —
+    * checked with a LIMIT-bounded count (stops at budget+1, never
+    * scans an oversized gram set just to dispatch); past it, the join
+    * falls back to a shuffle by gram key, which scales to an
+    * arbitrarily large "benchmark" (e.g. decontaminating against a
+    * whole prior training corpus). */
   def verdicts(corpus: DataFrame, n: Int,
-               docIdCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               docIdCol: String = "doc_id", textCol: String = "text",
+               maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     val sh = corpus.select(col(docIdCol), col("isBench"),
       explode(expr(s"shingles($textCol, $n)")).as("__g"))
-    val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
+    val bench = sh.filter(col("isBench")).select(col("__g")).distinct().persist()
+    // persist covers the probe AND the join build; unpersist only
+    // drops the cache — the returned (lazy) frame recomputes if the
+    // caller executes it later
+    val small =
+      try bench.limit((maxBroadcastGrams + 1).min(Int.MaxValue.toLong).toInt).count() <= maxBroadcastGrams
+      finally bench.unpersist(false)
+    val probe = if (small) broadcast(bench) else bench
     val hits = sh.filter(!col("isBench"))
-      .join(broadcast(bench), Seq("__g"))
+      .join(probe, Seq("__g"))
       .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
     corpus.filter(!col("isBench")).select(col(docIdCol))
       .join(hits, Seq(docIdCol), "left")

@@ -116,4 +116,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(3L) == (1L, true))
     assert(got(4L) == (0L, false))
   }
+
+  test("decontamination: shuffle-join path (over-budget bench) equals broadcast path") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("isBench", col("source") === "src0")
+    def rows(maxGrams: Long) =
+      graft.operators.Decontamination.verdicts(corpus, n = 4, maxBroadcastGrams = maxGrams)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val broadcastPath = rows(graft.operators.Decontamination.DefaultMaxBroadcastGrams)
+    val shufflePath = rows(1) // budget of 1 gram forces the fallback
+    assert(broadcastPath.nonEmpty)
+    assert(broadcastPath == shufflePath)
+  }
 }
