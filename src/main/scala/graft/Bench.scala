@@ -92,8 +92,11 @@ object Bench {
     // those settled passes.
     val times = scala.collection.mutable.ArrayBuffer[Double]()
     // settled = the last two passes sit within 10% of the best seen
-    // (a sustained level, not one lucky pass)
-    def settled = times.length >= 5 &&
+    // (a sustained level, not one lucky pass). Minimum 7 passes: a
+    // flat C1 plateau can look "settled" at 5 while C2 compilation of
+    // the hot loops hasn't landed yet (observed on pass 6+ in some
+    // runs) — the extra passes give it room to kick in.
+    def settled = times.length >= 7 &&
       times.takeRight(2).forall(_ <= times.min * 1.10)
     while (times.length < 12 && !settled) times += pass()
     val sec = times.takeRight(2).min

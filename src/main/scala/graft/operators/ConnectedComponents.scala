@@ -47,8 +47,14 @@ object ConnectedComponents {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // sum over zero rows is NULL — normalize so an empty vertex set
+    // converges on the first comparison instead of NPE-ing
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label")).persist()
-    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -59,7 +65,7 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
       if (round % 8 == 0) next = next.localCheckpoint(false)
       next = next.persist()
-      val nextSum = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val nextSum = labelSum(next)
       labels.unpersist(false)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -147,11 +153,15 @@ object ConnectedComponents {
       // the large-star result for the round so it computes once
       val ls = largeStar(cur).persist()
       // each star references its input TWICE (min agg + join), so the
-      // logical plan quadruples per round — truncate lineage EVERY
-      // round (lazy local checkpoint, materialized by the checksum)
-      // or the plan tree grows 4^rounds and the plan-description
-      // string alone OOMs the driver
-      val next = smallStar(ls).localCheckpoint(false)
+      // logical plan quadruples per round — a checkpoint every OTHER
+      // round bounds the tree at 16× a base plan (every-8 grew
+      // 4^8 and the plan-description string alone OOM'd the driver).
+      // Alternate rounds persist instead: Dataset.unpersist frees
+      // cached rounds immediately, while checkpoint blocks are only
+      // reclaimed by the ContextCleaner once dereferenced — halving
+      // how much transient storage awaits GC on long runs
+      val next = if (round % 2 == 0) smallStar(ls).localCheckpoint(false)
+                 else smallStar(ls).persist()
       val nextSig = checksum(next)
       ls.unpersist(false)
       cur.unpersist(false)

@@ -43,9 +43,10 @@ object Decontamination {
     val sh = corpus.select(col(docIdCol), col("isBench"),
       explode(expr(s"shingles($textCol, $n)")).as("__g"))
     val bench = sh.filter(col("isBench")).select(col("__g")).distinct().persist()
-    // persist covers the probe AND the join build; unpersist only
-    // drops the cache — the returned (lazy) frame recomputes if the
-    // caller executes it later
+    // the persist backs only the probe count; it is dropped before the
+    // returned lazy frame runs, so the caller's execution recomputes
+    // the gram set once — the same probe-then-recompute trade the
+    // sibling dispatchers (JaccardPairs, Similarity.nearDupPairs) make
     val small =
       try bench.limit((maxBroadcastGrams + 1).min(Int.MaxValue.toLong).toInt).count() <= maxBroadcastGrams
       finally bench.unpersist(false)

@@ -90,15 +90,15 @@ object KMeans {
     (a, updateCentroids(a))
   }
 
-  /** `iters` Lloyd steps from the deterministic seeds; returns the
-    * final assignment (idCol, cluster). Each iteration is one
+  /** `iters` centroid-update (Lloyd) steps from the deterministic
+    * seeds, then a final assignment; `iters = 0` returns the plain
+    * seed assignment (what SemDeDup uses). Each iteration is one
     * broadcast-assign + one (cluster, dim) aggregation — the plan
     * grows linearly with `iters`, nothing iterative runs driver-side. */
   def fit(corpus: DataFrame, k: Int, iters: Int,
           idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     var cents = seedCentroids(corpus, k, idCol, embCol)
-    // iters = 0 is the plain seed assignment (what SemDeDup uses)
-    for (_ <- 1 until math.max(iters, 1)) {
+    for (_ <- 0 until iters) {
       val (_, c) = step(corpus, cents, idCol, embCol)
       cents = c
     }

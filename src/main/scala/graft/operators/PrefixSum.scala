@@ -38,12 +38,23 @@ object PrefixSum {
             else df.sparkSession.sparkContext.defaultParallelism
     // __pid is computed below the window exchange, in the
     // range-partitioned stage — it freezes the range bucket id even
-    // though the window then re-shuffles by hash(__pid)
+    // though the window then re-shuffles by hash(__pid).
+    //
+    // The persist is CORRECTNESS, not caching: the offsets branch
+    // below reads this frame a second time, and RangePartitioner
+    // samples with an execution-dependent seed — if the two branches
+    // executed the range exchange independently (column pruning can
+    // defeat ReuseExchange), their cut points could differ and the
+    // per-__pid offsets would not match the local sums they are added
+    // to. Materializing once pins a single set of boundaries for both
+    // consumers. (The cache entry lives until the session drops it —
+    // the price of returning a lazy frame.)
     val local = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
         sum(col(valueCol)).over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = local.groupBy(col("__pid"))
       .agg(sum(col(valueCol)).as("__t"))
       .withColumn("__off", coalesce(

@@ -30,7 +30,14 @@ object SemDeDup {
   def dropVerdicts(corpus: DataFrame, k: Int, threshold: Double,
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cents = KMeans.seedCentroids(corpus, k, idCol, embCol)
+    // persisted because three plan branches consume it (both pair
+    // sides and the verdict join): the assignment pass — crossJoin ×k
+    // dots + argmax shuffle over the whole corpus — is the expensive
+    // stage, and exchange reuse is not guaranteed across the
+    // differently-pruned branches. Materializes on first action; the
+    // cache entry is the price of returning a lazy frame.
     val assigned = KMeans.assignWithEmb(corpus, cents, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = assigned.withColumn("__n", sqrt(expr("float_dot(__e, __e)")))
     val a = e.select(col(idCol).as("__va"), col("cluster"),
       col("__e").as("__ea"), col("__n").as("__na"))

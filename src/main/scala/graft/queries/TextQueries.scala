@@ -17,9 +17,40 @@ import org.apache.spark.sql.expressions.Window
   * all-pairs comparison).
   */
 object TextQueries {
+  import org.apache.spark.sql.Column
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, dir, "documents")
+
+  // ---- shared curation expressions -------------------------------------
+  // Single source of truth for the quality-score composite (q14), the
+  // stratified-sampling threshold/weight tables (q42), and the
+  // streaming curateDocs projection (StreamOps) — extracted so batch
+  // and streaming verdicts cannot drift. The double() forms are
+  // load-bearing: the DuckDB oracles mirror them bit-for-bit.
+
+  /** ` the `-occurrence count; requires a `text` column in scope. */
+  private[graft] def theCountExpr: Column = expr(
+    "CAST((length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' the ', ' '))) / 4 AS BIGINT)")
+
+  /** q14's composite quality score from the three per-doc counts. */
+  private[graft] def qualityScore(nWords: Column, nThe: Column, nChars: Column): Column =
+    least(expr("double(1.0)"), nWords / expr("double(100.0)")) * expr("double(0.5)") +
+      when(nThe > 0, expr("double(0.25)")).otherwise(expr("double(0.0)")) +
+      least(expr("double(1.0)"), nChars / expr("double(500.0)")) * expr("double(0.25)")
+
+  /** q42's deterministic sampling hash over (doc id, stratum). */
+  private[graft] def samplingHash(docId: Column, lang: Column): Column =
+    md5(concat(docId.cast("string"), lit(":"), lang))
+
+  /** q42's per-stratum hex-prefix threshold; requires `lang` in scope. */
+  private[graft] def samplingThresholdExpr: Column = expr(
+    "CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END")
+
+  /** q42's Horvitz-Thompson weight (1/rate); requires `lang` in scope. */
+  private[graft] def samplingWeightExpr: Column = expr(
+    "CASE lang WHEN 'en' THEN double(2.0) WHEN 'de' THEN double(4.0) " +
+      "WHEN 'fr' THEN double(8.0) ELSE double(16.0) END")
 
   /** Distinct word-bigram shingles per document (shared by the Jaccard
     * and MinHash dedup pipelines — keep their shingling identical).
@@ -45,13 +76,12 @@ object TextQueries {
       .withColumn("n_chars_c", length($"text"))
       .withColumn("n_spaces", length($"text") - length(expr("replace(text, ' ', '')")))
       .withColumn("n_words", $"n_spaces" + 1)
-      .withColumn("n_the", expr(
-        "CAST((length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' the ', ' '))) / 4 AS BIGINT)"))
+      .withColumn("n_the", theCountExpr)
       .withColumn("avg_word_len", ($"n_chars_c" - $"n_spaces") / $"n_words")
-      // double() casts: Spark parses bare decimal literals as DECIMAL,
-      // which would diverge from the oracle's IEEE double arithmetic
-      .withColumn("quality_score", expr(
-        "least(double(1.0), n_words/double(100.0)) * double(0.5) + CASE WHEN n_the > 0 THEN double(0.25) ELSE double(0.0) END + least(double(1.0), n_chars_c/double(500.0)) * double(0.25)"))
+      // double() casts inside qualityScore: Spark parses bare decimal
+      // literals as DECIMAL, which would diverge from the oracle's
+      // IEEE double arithmetic
+      .withColumn("quality_score", qualityScore($"n_words", $"n_the", $"n_chars_c"))
       .select($"doc_id", $"n_chars_c".cast("long").as("n_chars"),
         $"n_words".cast("long").as("n_words"), $"n_the",
         $"avg_word_len", $"quality_score")
@@ -384,13 +414,10 @@ object TextQueries {
   def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("h", md5(concat($"doc_id".cast("string"), lit(":"), $"lang")))
-      .withColumn("thr", expr(
-        "CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END"))
+      .withColumn("h", samplingHash($"doc_id", $"lang"))
+      .withColumn("thr", samplingThresholdExpr)
       .filter($"h" < $"thr")
-      .select($"doc_id", $"lang",
-        expr("CASE lang WHEN 'en' THEN double(2.0) WHEN 'de' THEN double(4.0) " +
-          "WHEN 'fr' THEN double(8.0) ELSE double(16.0) END").as("weight"))
+      .select($"doc_id", $"lang", samplingWeightExpr.as("weight"))
       .orderBy($"doc_id")
   }
 

@@ -48,21 +48,22 @@ object StreamOps {
     * identical per-row results — the batch/stream unification that
     * lets a curation pipeline filter documents as they land instead
     * of in a nightly sweep (StreamingSpec pins stream ≡ batch). */
-  def curateDocs(docs: DataFrame): DataFrame = docs
-    .withColumn("n_words",
-      length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
-    .withColumn("quality_score", expr(
-      "least(double(1.0), n_words/double(100.0)) * double(0.5) " +
-        "+ CASE WHEN concat(' ', text, ' ') LIKE '% the %' THEN double(0.25) ELSE double(0.0) END " +
-        "+ least(double(1.0), length(text)/double(500.0)) * double(0.25)"))
-    .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":"), col("lang"))))
-    .withColumn("sampled", col("__h") < expr(
-      "CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END"))
-    .withColumn("weight", expr(
-      "CASE lang WHEN 'en' THEN double(2.0) WHEN 'de' THEN double(4.0) " +
-        "WHEN 'fr' THEN double(8.0) ELSE double(16.0) END"))
-    .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"),
-      col("quality_score"), col("sampled"), col("weight"))
+  def curateDocs(docs: DataFrame): DataFrame = {
+    import graft.queries.TextQueries._
+    docs
+      .withColumn("n_words",
+        length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+      .withColumn("__nthe", theCountExpr)
+      // the score and sampling expressions are TextQueries' own (the
+      // single source q14/q42 and their oracles pin), not copies
+      .withColumn("quality_score",
+        qualityScore(col("n_words"), col("__nthe"), length(col("text"))))
+      .withColumn("sampled",
+        samplingHash(col("doc_id"), col("lang")) < samplingThresholdExpr)
+      .withColumn("weight", samplingWeightExpr)
+      .select(col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"),
+        col("quality_score"), col("sampled"), col("weight"))
+  }
 
   /** The reference's previous-revision pairing (SURVEY W1) as a
     * stateful streaming operator: state per page carries the last seen

@@ -31,6 +31,22 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("wide frames (extra columns) keep totals exact — boundary pinning") {
+    import spark.implicits._
+    // extra payload columns invite column pruning to split the two
+    // range-exchange consumers; the materialized boundary set must
+    // keep them aligned
+    val wide = corpus.withColumn("pad1", concat(lit("x"), col("k")))
+      .withColumn("pad2", col("v") * 3)
+    val naive = corpus.withColumn("rt",
+        sum(col("v")).over(Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val got = PrefixSum.withRunningTotal(wide, "k", "v", "rt", 11)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rt"))).toMap
+    assert(got == naive)
+  }
+
   test("the corpus never passes through a single-partition exchange") {
     val plan = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8)
       .queryExecution.executedPlan.toString

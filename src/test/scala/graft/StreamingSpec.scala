@@ -61,6 +61,18 @@ class StreamingSpec extends AnyFunSuite {
     // the sampling verdict must thin the stream, not pass everything
     val kept = streamed.count(_.getAs[Boolean]("sampled"))
     assert(kept > 0 && kept < streamed.size)
+    // and the verdicts must be the batch queries' own: sampled ids
+    // match q42's row set, scores match q14's per doc
+    val q42Ids = graft.queries.TextQueries
+      .q42StratifiedSample(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.filter(_.getAs[Boolean]("sampled"))
+      .map(_.getLong(0)).toSet == q42Ids)
+    val q14Scores = graft.queries.TextQueries
+      .q14TextQuality(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(streamed.forall(r =>
+      r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
   }
 
   test("streaming dedup drops duplicate keys across micro-batches") {
