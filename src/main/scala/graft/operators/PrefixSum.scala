@@ -33,7 +33,15 @@ object PrefixSum {
     * `orderCol` (inclusive of the current row). `orderCol` values must
     * be distinct (a total order). */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                       outCol: String, numParts: Int = 0): DataFrame = {
+                       outCol: String, numParts: Int = 0): DataFrame =
+    withRunningTotalOrdered(df, Seq(orderCol), valueCol, outCol, numParts)
+
+  /** Multi-column order variant: the running total follows the
+    * lexicographic ascending order of `orderCols`, whose combinations
+    * must be distinct (later columns break ties in earlier ones). */
+  def withRunningTotalOrdered(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                              outCol: String, numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     val n = if (numParts > 0) numParts
             else df.sparkSession.sparkContext.defaultParallelism
     // __pid is computed below the window exchange, in the
@@ -49,10 +57,11 @@ object PrefixSum {
     // to. Materializing once pins a single set of boundaries for both
     // consumers. (The cache entry lives until the session drops it —
     // the price of returning a lazy frame.)
-    val local = df.repartitionByRange(n, col(orderCol))
+    val ord = orderCols.map(col)
+    val local = df.repartitionByRange(n, ord: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
-        sum(col(valueCol)).over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        sum(col(valueCol)).over(Window.partitionBy(col("__pid")).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = local.groupBy(col("__pid"))

@@ -599,6 +599,47 @@ object TextQueries {
       |  (end_offset - n_tokens) % 2048 AS offset_in_chunk
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Deterministic training-mix interleave: order the corpus so each
+    * language stratum appears at its target share (en 40%, de 30%,
+    * fr 20%, es 10%) evenly spread through the epoch — the dataset-
+    * mixing step of pretraining (weighted round-robin without RNG).
+    * Each document's stride key is (2·pos − 1) / (2·share) for its
+    * position within its stratum; sorting by it interleaves strata
+    * proportionally. The global position comes from
+    * [[graft.operators.PrefixSum]]'s multi-column parallel scan — no
+    * single-partition global window. All arithmetic is one double
+    * division of exact integers per row, so the oracle matches
+    * bit-exact. */
+  def q50MixInterleave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val keyed = docs(s, dir)
+      .select($"doc_id", $"lang")
+      .withColumn("pos_in_lang", row_number().over(w).cast("long"))
+      .withColumn("mix_key", ($"pos_in_lang" * 2 - 1).cast("double") / expr(
+        "CASE lang WHEN 'en' THEN double(0.8) WHEN 'de' THEN double(0.6) " +
+          "WHEN 'fr' THEN double(0.4) ELSE double(0.2) END"))
+      .withColumn("__one", lit(1L))
+    graft.operators.PrefixSum
+      .withRunningTotalOrdered(keyed, Seq("mix_key", "doc_id"), "__one", "train_idx")
+      .select($"doc_id", $"lang", $"pos_in_lang", $"mix_key", $"train_idx")
+      .orderBy($"train_idx")
+  }
+
+  val q50Sql: String =
+    """WITH p AS (SELECT doc_id, lang,
+      |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS pos
+      |           FROM documents),
+      |m AS (SELECT doc_id, lang, CAST(pos AS BIGINT) AS pos_in_lang,
+      |        CAST(2*pos - 1 AS DOUBLE) /
+      |          (CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.6
+      |                     WHEN 'fr' THEN 0.4 ELSE 0.2 END) AS mix_key
+      |      FROM p)
+      |SELECT doc_id, lang, pos_in_lang, mix_key,
+      |  ROW_NUMBER() OVER (ORDER BY mix_key, doc_id) AS train_idx
+      |FROM m ORDER BY train_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -615,6 +656,7 @@ object TextQueries {
     "q44_tfidf_topterms" -> q44TfIdf _,
     "q47_decontaminate" -> q47Decontaminate _,
     "q48_sequence_packing" -> q48SequencePacking _,
+    "q50_mix_interleave" -> q50MixInterleave _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -633,5 +675,6 @@ object TextQueries {
     "q44_tfidf_topterms" -> q44Sql,
     "q47_decontaminate" -> q47Sql,
     "q48_sequence_packing" -> q48Sql,
+    "q50_mix_interleave" -> q50Sql,
   )
 }
