@@ -117,6 +117,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(4L) == (0L, false))
   }
 
+  test("mix interleave spreads strata at their target shares in every prefix") {
+    val rows = graft.queries.TextQueries.q50MixInterleave(spark, sf)
+      .orderBy(col("train_idx")).collect()
+      .map(r => (r.getString(1), r.getLong(4)))
+    assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, "train_idx is a dense rank")
+    // in any sizable prefix each stratum sits near its share until it
+    // runs out of documents (en 0.4, de 0.3, fr 0.2, es 0.1)
+    val prefix = rows.take(100).map(_._1)
+    val share = prefix.groupBy(identity).view.mapValues(_.length / 100.0).toMap
+    assert(math.abs(share.getOrElse("en", 0.0) - 0.4) <= 0.1, share.toString)
+    assert(math.abs(share.getOrElse("de", 0.0) - 0.3) <= 0.1, share.toString)
+    assert(math.abs(share.getOrElse("fr", 0.0) - 0.2) <= 0.1, share.toString)
+    assert(math.abs(share.getOrElse("es", 0.0) - 0.1) <= 0.1, share.toString)
+  }
+
   test("decontamination: shuffle-join path (over-budget bench) equals broadcast path") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("isBench", col("source") === "src0")
