@@ -34,7 +34,9 @@ object ConnectedComponents {
     * `vertices` row. Vertices absent from `edges` keep their own id
     * (singleton clusters); edge endpoints absent from `vertices`
     * participate in label propagation but are excluded from the
-    * output (same contract on both algorithm paths). */
+    * output (same contract on both algorithm paths). Vertex ids must
+    * be non-negative: the deep-graph fallback's convergence checksum
+    * requires it (enforced there). */
   def labels(vertices: DataFrame, edges: DataFrame,
              idCol: String = "doc_id",
              srcCol: String = "doc_a", dstCol: String = "doc_b",
@@ -143,7 +145,18 @@ object ConnectedComponents {
         sum(($"u" + $"v").cast("decimal(38,0)"))).head
       (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var cur = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))).persist()
+    var cur: DataFrame = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v"))).persist()
+    // the (count, endpoint-sum) fixpoint test is sound only for
+    // NON-NEGATIVE ids: contraction only ever re-points endpoints at
+    // smaller vertices, so with ids >= 0 the sum is a strictly
+    // decreasing potential and equal signatures imply an unchanged
+    // edge set. With negative ids two different edge sets could
+    // collide and the loop could accept a non-star-forest — enforce
+    // the precondition instead (one tiny agg, checked once).
+    val minId = cur.agg(min(least($"u", $"v").cast("decimal(38,0)"))).head
+    require(minId.isNullAt(0) || minId.getDecimal(0).signum() >= 0,
+      s"labelsStarContraction requires non-negative vertex ids " +
+        s"(convergence checksum soundness); saw min id ${minId.get(0)}")
     var sig = checksum(cur)
     var round = 0
     var converged = cur.isEmpty

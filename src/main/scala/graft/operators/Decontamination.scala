@@ -32,25 +32,29 @@ object Decontamination {
     * `isBench` column marking benchmark membership.
     *
     * The probe side is broadcast only while it fits the budget —
-    * checked with a LIMIT-bounded count (stops at budget+1, never
-    * scans an oversized gram set just to dispatch); past it, the join
-    * falls back to a shuffle by gram key, which scales to an
-    * arbitrarily large "benchmark" (e.g. decontaminating against a
-    * whole prior training corpus). */
+    * dispatched with a LIMIT-bounded collect (stops at budget+1, never
+    * pulls an oversized gram set just to decide). When it fits, the
+    * collected grams THEMSELVES become the probe (a broadcast local
+    * table — the same rows a broadcast join would have collected to
+    * the driver anyway), so the benchmark side of the corpus is
+    * shingled exactly once and nothing stays persisted after the call.
+    * Past the budget, the join falls back to a shuffle by gram key,
+    * which scales to an arbitrarily large "benchmark" (e.g.
+    * decontaminating against a whole prior training corpus). */
   def verdicts(corpus: DataFrame, n: Int,
                docIdCol: String = "doc_id", textCol: String = "text",
                maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sh = corpus.select(col(docIdCol), col("isBench"),
       explode(expr(s"shingles($textCol, $n)")).as("__g"))
-    val bench = sh.filter(col("isBench")).select(col("__g")).distinct().persist()
-    // the persist backs only the probe count; it is dropped before the
-    // returned lazy frame runs, so the caller's execution recomputes
-    // the gram set once — the same probe-then-recompute trade the
-    // sibling dispatchers (JaccardPairs, Similarity.nearDupPairs) make
-    val small =
-      try bench.limit((maxBroadcastGrams + 1).min(Int.MaxValue.toLong).toInt).count() <= maxBroadcastGrams
-      finally bench.unpersist(false)
-    val probe = if (small) broadcast(bench) else bench
+    val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
+    val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
+    val probed = bench.limit(cap).as[String].collect()
+    val probe =
+      if (probed.length <= maxBroadcastGrams)
+        broadcast(probed.toSeq.toDF("__g"))
+      else bench // oversized: discard the capped probe, shuffle by gram
     val hits = sh.filter(!col("isBench"))
       .join(probe, Seq("__g"))
       .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,57 +14,68 @@ import org.apache.spark.sql.functions._
   * whole table through one task. This operator computes the same
   * result in two bounded phases (the classic parallel scan):
   *
-  *  1. range-partition by the order key and compute the running sum
-  *     WITHIN each partition (a partition-local window — no global
+  *  1. bucket rows into `numParts` key ranges and compute the running
+  *     sum WITHIN each bucket (a bucket-local window — no global
   *     funnel);
-  *  2. aggregate one total per partition (numParts rows), prefix-sum
+  *  2. aggregate one total per bucket (numParts rows), prefix-sum
   *     those in a single tiny window, and broadcast-join the resulting
-  *     per-partition offsets back.
+  *     per-bucket offsets back.
   *
   * Only `numParts` rows ever pass through a single-partition stage;
-  * the corpus itself is touched by two partition-parallel passes. The
-  * result is invariant to where the range boundaries fall (a prefix
-  * sum over a total order doesn't depend on the cuts), so
-  * repartitionByRange's sampled boundaries don't affect output.
+  * the corpus itself is touched by partition-parallel passes only.
+  *
+  * Range boundaries are DETERMINISTIC literals, not sampled state:
+  * phase 0 collects a hash-selected key sample (`xxhash64(key) % mod
+  * == 0` — a pure function of the data, independent of partitioning
+  * or execution order) and turns it into `numParts - 1` cut points;
+  * the bucket id is then a plain comparison expression against those
+  * literals. Because every plan branch recomputes the same expression,
+  * the two phases can never disagree on bucket membership — unlike
+  * `repartitionByRange`, whose RangePartitioner resamples boundaries
+  * per execution (seed = rdd.id). No persist is needed for
+  * correctness, nothing outlives the call, and the operator is
+  * restart-safe. (The output value is invariant to where the cuts
+  * fall — a prefix sum over a total order doesn't depend on the cuts —
+  * so sample skew only affects balance, never results.)
   */
 object PrefixSum {
 
+  /** Sample keys collected per requested bucket when deriving cut
+    * points: 32 gives boundaries within a few % of even splits while
+    * keeping the driver-side sample tiny (numParts × 32 keys). */
+  private val SamplePerPart = 32L
+
   /** Adds `outCol` = running total of `valueCol` over ascending
     * `orderCol` (inclusive of the current row). `orderCol` values must
-    * be distinct (a total order). */
+    * be distinct and non-null (a total order). */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
                        outCol: String, numParts: Int = 0): DataFrame =
     withRunningTotalOrdered(df, Seq(orderCol), valueCol, outCol, numParts)
 
   /** Multi-column order variant: the running total follows the
     * lexicographic ascending order of `orderCols`, whose combinations
-    * must be distinct (later columns break ties in earlier ones). */
+    * must be distinct and non-null (later columns break ties in
+    * earlier ones). */
   def withRunningTotalOrdered(df: DataFrame, orderCols: Seq[String], valueCol: String,
                               outCol: String, numParts: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     val n = if (numParts > 0) numParts
             else df.sparkSession.sparkContext.defaultParallelism
-    // __pid is computed below the window exchange, in the
-    // range-partitioned stage — it freezes the range bucket id even
-    // though the window then re-shuffles by hash(__pid).
-    //
-    // The persist is CORRECTNESS, not caching: the offsets branch
-    // below reads this frame a second time, and RangePartitioner
-    // samples with an execution-dependent seed — if the two branches
-    // executed the range exchange independently (column pruning can
-    // defeat ReuseExchange), their cut points could differ and the
-    // per-__pid offsets would not match the local sums they are added
-    // to. Materializing once pins a single set of boundaries for both
-    // consumers. (The cache entry lives until the session drops it —
-    // the price of returning a lazy frame.)
+    val cuts = deterministicCuts(df, orderCols, n)
+    val pid = bucketExpr(orderCols, cuts)
     val ord = orderCols.map(col)
-    val local = df.repartitionByRange(n, ord: _*)
-      .withColumn("__pid", spark_partition_id())
+    // bucket-local running sums: the window's hash(__pid) exchange is
+    // the only corpus-sized shuffle, and __pid is a deterministic
+    // expression — no range-sampling, no persist
+    val local = df.withColumn("__pid", pid)
       .withColumn("__local",
         sum(col(valueCol)).over(Window.partitionBy(col("__pid")).orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = local.groupBy(col("__pid"))
+    // per-bucket totals from an independent (column-pruned) pass over
+    // the source — safe precisely because __pid is recomputed
+    // identically on both branches
+    val offsets = df.withColumn("__pid", pid)
+      .groupBy(col("__pid"))
       .agg(sum(col(valueCol)).as("__t"))
       .withColumn("__off", coalesce(
         sum(col("__t")).over(Window.orderBy(col("__pid"))
@@ -74,4 +85,82 @@ object PrefixSum {
       .withColumn(outCol, col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
   }
+
+  /** Per-GROUP running totals without a per-group window: `outCol` =
+    * running total of `valueCol` over ascending `orderCols` WITHIN
+    * each `groupCols` combination. A `Window.partitionBy(group)` plans
+    * one task per group — with few strata (languages, sources) the
+    * whole corpus funnels through a handful of tasks regardless of
+    * cluster size. This instead uses the identity
+    *
+    *   runningTotal_within_group(row)
+    *     = runningTotal_global over (group, order)(row)
+    *       − total(all strictly-preceding groups)
+    *
+    * the global scan is the two-phase parallel prefix above (group
+    * columns lead the lexicographic order, so each group's rows are
+    * contiguous in it), and the per-group start offsets are a tiny
+    * aggregate (one row per group) prefix-summed in a tiny window and
+    * broadcast back. Every corpus-sized stage is partition-parallel.
+    *
+    * `(groupCols ++ orderCols)` must be distinct and non-null per row. */
+  def withRunningTotalGrouped(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                              valueCol: String, outCol: String, numParts: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = withRunningTotalOrdered(df, groupCols ++ orderCols, valueCol, "__gtot", numParts)
+    val grp = groupCols.map(col)
+    val starts = df.groupBy(grp: _*)
+      .agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__start", coalesce(
+        sum(col("__t")).over(Window.orderBy(grp: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(grp :+ col("__start"): _*)
+    g.join(broadcast(starts), groupCols)
+      .withColumn(outCol, col("__gtot") - col("__start"))
+      .drop("__gtot", "__start")
+  }
+
+  /** `numParts − 1` cut keys from a deterministic, order-independent
+    * sample: keep rows whose `xxhash64(key)` lands in a fixed residue
+    * class, sort the (tiny) sample, take evenly spaced elements. Two
+    * key-column-pruned passes (a count to size the residue class, the
+    * filtered sample collect); at most `numParts × SamplePerPart` keys
+    * ever reach the driver. */
+  private def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int): Seq[Seq[Any]] = {
+    if (numParts <= 1) return Nil
+    val ord = orderCols.map(col)
+    val keys = df.select(ord: _*)
+    val total = keys.count()
+    if (total == 0) return Nil
+    val mod = math.max(1L, total / (numParts.toLong * SamplePerPart))
+    val sample = keys
+      .filter(pmod(xxhash64(ord: _*), lit(mod)) === 0)
+      .orderBy(ord: _*)
+      .collect()
+    if (sample.isEmpty) return Nil
+    val step = sample.length.toDouble / numParts
+    (1 until numParts)
+      .map(i => sample(math.min(sample.length - 1, (i * step).toInt)).toSeq)
+      .distinct
+  }
+
+  /** Lexicographic `(k₁,…,kₘ) >= (c₁,…,cₘ)` as a Column expression. */
+  private def geCut(orderCols: Seq[String], cut: Seq[Any]): Column = {
+    def rec(i: Int): Column = {
+      val c = col(orderCols(i))
+      val v = lit(cut(i))
+      if (i == orderCols.length - 1) c >= v
+      else (c > v) || (c === v && rec(i + 1))
+    }
+    rec(0)
+  }
+
+  /** Bucket id = number of cut points ≤ the row's key — a pure
+    * codegen-able expression, identical on every plan branch. Linear
+    * in `numParts`; for thousands of buckets swap in a broadcast range
+    * join against the cut table (same contract). */
+  private def bucketExpr(orderCols: Seq[String], cuts: Seq[Seq[Any]]): Column =
+    cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(geCut(orderCols, cut), 1).otherwise(0)
+    }
 }

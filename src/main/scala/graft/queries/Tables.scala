@@ -32,6 +32,13 @@ object Tables {
   def spread(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(s, dir, name)
     val p = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.min(p, 8)) df.repartition(p) else df
+    // estimate the scan's split count from file bytes alone — no
+    // df.rdd (which would instantiate the whole RDD lineage on the
+    // driver per query call) and no physical planning
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes = path.getFileSystem(s.sessionState.newHadoopConf())
+      .getContentSummary(path).getLength
+    val estSplits = math.max(1L, bytes / s.sessionState.conf.filesMaxPartitionBytes)
+    if (estSplits < math.min(p, 8)) df.repartition(p) else df
   }
 }

@@ -606,21 +606,22 @@ object TextQueries {
     * mixing step of pretraining (weighted round-robin without RNG).
     * Each document's stride key is (2·pos − 1) / (2·share) for its
     * position within its stratum; sorting by it interleaves strata
-    * proportionally. The global position comes from
-    * [[graft.operators.PrefixSum]]'s multi-column parallel scan — no
-    * single-partition global window. All arithmetic is one double
-    * division of exact integers per row, so the oracle matches
-    * bit-exact. */
+    * proportionally. BOTH positions come from
+    * [[graft.operators.PrefixSum]] parallel scans: `pos_in_lang` from
+    * the grouped variant (a `Window.partitionBy(lang)` would put each
+    * stratum — billions of rows at scale — on ONE task; the grouped
+    * scan stays partition-parallel with only per-stratum start offsets
+    * crossing a tiny window) and `train_idx` from the multi-column
+    * global scan. All arithmetic is one double division of exact
+    * integers per row, so the oracle matches bit-exact. */
   def q50MixInterleave(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-    val keyed = docs(s, dir)
-      .select($"doc_id", $"lang")
-      .withColumn("pos_in_lang", row_number().over(w).cast("long"))
+    val d = docs(s, dir).select($"doc_id", $"lang").withColumn("__one", lit(1L))
+    val keyed = graft.operators.PrefixSum
+      .withRunningTotalGrouped(d, Seq("lang"), Seq("doc_id"), "__one", "pos_in_lang")
       .withColumn("mix_key", ($"pos_in_lang" * 2 - 1).cast("double") / expr(
         "CASE lang WHEN 'en' THEN double(0.8) WHEN 'de' THEN double(0.6) " +
           "WHEN 'fr' THEN double(0.4) ELSE double(0.2) END"))
-      .withColumn("__one", lit(1L))
     graft.operators.PrefixSum
       .withRunningTotalOrdered(keyed, Seq("mix_key", "doc_id"), "__one", "train_idx")
       .select($"doc_id", $"lang", $"pos_in_lang", $"mix_key", $"train_idx")

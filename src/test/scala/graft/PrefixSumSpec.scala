@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins [[graft.operators.PrefixSum]]'s two-phase parallel scan
-  * against the naive global-order window, and its boundary-cut
-  * invariance across partition counts. */
+  * against the naive global-order window, its boundary-cut invariance
+  * across partition counts, the grouped variant against the per-group
+  * window, and the no-leaked-persist contract. */
 class PrefixSumSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import graft.operators.PrefixSum
@@ -31,11 +32,11 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
-  test("wide frames (extra columns) keep totals exact — boundary pinning") {
+  test("wide frames (extra columns) keep totals exact — branch consistency") {
     import spark.implicits._
-    // extra payload columns invite column pruning to split the two
-    // range-exchange consumers; the materialized boundary set must
-    // keep them aligned
+    // extra payload columns invite column pruning to separate the two
+    // bucket-id consumers; the deterministic cut expression must keep
+    // them aligned with no shared exchange or persist
     val wide = corpus.withColumn("pad1", concat(lit("x"), col("k")))
       .withColumn("pad2", col("v") * 3)
     val naive = corpus.withColumn("rt",
@@ -47,12 +48,41 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
-  test("the corpus never passes through a single-partition exchange") {
+  test("grouped running total equals the per-group window exactly") {
+    import spark.implicits._
+    // few groups, many rows per group — the exact shape where a
+    // per-group window funnels the corpus through a handful of tasks
+    val df = (0 until 6000).map { i =>
+      (s"g${i % 4}", (i * 91) % 14407, (i % 57) + 1)
+    }.distinct.map { case (g, k, v) => (g, k.toLong, v.toLong) }
+      .toDF("g", "k", "v").repartition(11)
+    val naive = df.withColumn("rt",
+        sum(col("v")).over(Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    for (parts <- Seq(1, 8, 32)) {
+      val got = PrefixSum.withRunningTotalGrouped(df, Seq("g"), Seq("k"), "v", "rt", parts)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getAs[Long]("rt"))).toMap
+      assert(got == naive, s"mismatch at numParts=$parts")
+    }
+  }
+
+  test("the corpus never passes through a single-partition or per-group exchange") {
     val plan = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8)
       .queryExecution.executedPlan.toString
+    // the corpus-sized window shuffles by the deterministic bucket id;
     // the only SinglePartition stage is the 8-row offsets branch,
-    // which sits under a BroadcastExchange — the main branch must
-    // range-partition instead
-    assert(plan.contains("rangepartitioning"), plan.take(500))
+    // which sits under a BroadcastExchange
+    assert(plan.contains("hashpartitioning(__pid"), plan.take(800))
+    assert(!plan.contains("rangepartitioning"), plan.take(800))
+  }
+
+  test("nothing persisted outlives the call") {
+    spark.catalog.clearCache()
+    PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8).collect()
+    PrefixSum.withRunningTotalGrouped(
+      corpus.withColumn("g", col("k") % 3), Seq("g"), Seq("k"), "v", "rt", 8).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "PrefixSum leaked a cache entry")
   }
 }
