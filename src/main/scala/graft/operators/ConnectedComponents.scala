@@ -81,10 +81,17 @@ object ConnectedComponents {
       labels.unpersist(false)
       return labelsStarContraction(vertices, edges, idCol, srcCol, dstCol)
     }
+    // release the loop's cache entry before returning: the converged
+    // labels (two columns per vertex — far smaller than the corpus
+    // they describe) move to an eager local checkpoint, whose blocks
+    // the ContextCleaner frees once the frame is dereferenced, instead
+    // of a session-lifetime cacheManager entry
+    val done = labels.localCheckpoint(true)
+    labels.unpersist(false)
     // the propagation union introduces rows for edge endpoints that
     // aren't in `vertices`; restrict to the vertex set so both
     // algorithm paths return the same row set
-    labels
+    done
       .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id").as(idCol), col("label").as("cluster_id"))
   }

@@ -502,22 +502,29 @@ object TextQueries {
     * identically for fixed tf): tfidf = (cnt/n_tokens)·(N/df), computed
     * as one double division of two exact integer products.
     *
-    * Scale shape: term frequencies are one explode → groupBy(doc, term)
-    * with map-side combine; doc lengths reuse that aggregate; document
-    * frequencies shuffle by term (vocabulary-sized, the standard
-    * inverted-index shape); the corpus size N is a 1-row broadcast. */
+    * Scale shape: ONE explode → groupBy(doc, term) pass feeds the
+    * whole query — document frequency is a count over a term-
+    * partitioned window (vocabulary-keyed, the standard inverted-index
+    * shape), doc length a sum over a doc-partitioned window that
+    * SHARES its exchange with the rank window (consecutive windows on
+    * the same key plan one shuffle), and the corpus size N is a 1-row
+    * broadcast. The r3 form derived `dl`/`dfq` as separate aggregates
+    * of `tf` and silently relied on ReuseExchange, which column
+    * pruning defeated — the plan tokenized the corpus three times. */
   def q44TfIdf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = docs(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("cnt"))
-    val dl = tf.groupBy($"doc_id").agg(sum($"cnt").as("n_tokens"))
-    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("dfreq"))
     val nd = docs(s, dir).agg(count(lit(1)).as("nd"))
-    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-    tf.join(dl, Seq("doc_id")).join(dfq, Seq("term")).crossJoin(broadcast(nd))
+    val wTerm = Window.partitionBy($"term")
+    val wDoc = Window.partitionBy($"doc_id")
+    val wRank = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.withColumn("dfreq", count(lit(1)).over(wTerm))
+      .withColumn("n_tokens", sum($"cnt").over(wDoc))
+      .crossJoin(broadcast(nd))
       .withColumn("tfidf", ($"cnt" * $"nd").cast("double") / ($"n_tokens" * $"dfreq"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(wRank))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"term", $"tfidf", $"rnk".cast("long").as("rnk"))
       .orderBy($"doc_id", $"rnk")
@@ -622,6 +629,13 @@ object TextQueries {
       .withColumn("mix_key", ($"pos_in_lang" * 2 - 1).cast("double") / expr(
         "CASE lang WHEN 'en' THEN double(0.8) WHEN 'de' THEN double(0.6) " +
           "WHEN 'fr' THEN double(0.4) ELSE double(0.2) END"))
+      // the outer scan consumes its input four times (cut count, cut
+      // sample, local sums, bucket totals) — fine on a raw parquet
+      // scan, 4× a window+join pipeline here. One eager local
+      // materialization (≈ one shuffle write's worth of disk; blocks
+      // freed when the frame is dereferenced, never a session-lifetime
+      // cache entry) makes those four passes read 5 slim columns.
+      .localCheckpoint(true)
     graft.operators.PrefixSum
       .withRunningTotalOrdered(keyed, Seq("mix_key", "doc_id"), "__one", "train_idx")
       .select($"doc_id", $"lang", $"pos_in_lang", $"mix_key", $"train_idx")
