@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared whitespace tokenizer for the span/chunk expressions —
+  * identical to Spark's `split(text, ' ')` including empty tokens
+  * (Java's `String.split` drops trailing empties, so scan manually).
+  * Semantics mirror [[TokenShingles]]; kept in one place so the three
+  * expressions cannot drift. */
+private[functions] object SpaceTokens {
+  def apply(s: String): Array[String] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        toks += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    toks.toArray
+  }
+
+  def join(toks: Array[String], from: Int, until: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(64)
+    var t = from
+    while (t < until) {
+      if (t > from) sb.append(' ')
+      sb.append(toks(t))
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** ALL word n-gram spans of a whitespace-tokenized text, in document
+  * order and WITH multiplicity — unlike [[TokenShingles]], which
+  * dedupes (set semantics for Jaccard/MinHash). Position-preserving
+  * spans are what exact substring-level dedup needs (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): the
+  * array index IS the span's token start offset. Texts with fewer
+  * than n tokens yield an empty array.
+  *
+  * Same rationale as [[TokenShingles]] for being a native expression
+  * rather than `transform(sequence(...), ...)`: Catalyst HOFs are
+  * CodegenFallback with one interpreted lambda dispatch per element;
+  * this runs the whole loop in one JIT-compiled call per row. */
+case class TokenSpans(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_spans requires (string, foldable int), got $l and $r")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_spans"
+
+  @transient private lazy val n: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, _n: Any): Any = {
+    val toks = SpaceTokens(text.asInstanceOf[UTF8String].toString)
+    val k = n
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - k + 1)
+    var j = 0
+    while (j + k <= toks.length) {
+      out(j) = SpaceTokens.join(toks, j, j + k)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenSpans =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Non-overlapping n-token chunks of a whitespace-tokenized text, in
+  * document order; the final chunk keeps the partial tail. The array
+  * index is the chunk ordinal (token offset = index · n). This is the
+  * paragraph/window unit for chunk-level dedup (CCNet-style dedupes
+  * paragraph hashes; fixed token windows are the analog for text with
+  * no paragraph structure). Empty text yields one empty-string chunk,
+  * matching `split(text,' ')` producing `[""]`. */
+case class TokenChunks(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_chunks requires (string, foldable int), got $l and $r")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_chunks"
+
+  @transient private lazy val n: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, _n: Any): Any = {
+    val toks = SpaceTokens(text.asInstanceOf[UTF8String].toString)
+    val k = n
+    val nChunks = (toks.length + k - 1) / k
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      out(c) = SpaceTokens.join(toks, c * k, math.min((c + 1) * k, toks.length))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenChunks =
+    copy(left = newLeft, right = newRight)
+}

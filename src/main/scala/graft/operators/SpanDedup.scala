@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Substring-level deduplication: repeated n-token span detection and
+  * chunk-level (paragraph-unit) dedup — the two exact sub-document
+  * dedup shapes of LLM data pipelines (Lee et al. 2022 dedupes any
+  * repeated 50-token span; CCNet dedupes paragraph hashes).
+  *
+  * Scale shape (both ops): explode via a native one-eval-per-row
+  * expression ([[graft.functions.TokenSpans]]/[[graft.functions.TokenChunks]]
+  * — Catalyst HOFs would pay an interpreted lambda per element), then
+  * aggregate/window on the span hash — a HIGH-cardinality key, so
+  * every stage is partition-parallel at any corpus size. Nothing here
+  * is corpus-quadratic and nothing funnels through one task.
+  */
+object SpanDedup {
+
+  /** Per-document repeated-span statistics: of the document's n-token
+    * span starts, how many have span text occurring ≥2 times
+    * corpus-wide (including twice within one document — a self-repeat
+    * is still a repeat per Lee et al.'s definition of a duplicated
+    * substring). Documents shorter than n tokens report 0 spans.
+    *
+    * Plan: one explode pass → partial-agg per (span-hash, doc) —
+    * map-side combine shrinks the shuffle to distinct pairs — then the
+    * corpus-wide span count via a sum-window over the hash (high-card
+    * key; the exchange carries the REDUCED per-(hash,doc) stream, not
+    * raw span instances) → per-doc roll-up. Spans shuffle as md5
+    * hashes (fixed 32 bytes), never as text.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    val pairs = docs
+      .select(id, explode(expr(s"token_spans($textCol, $n)")).as("span"))
+      .select(id, md5(col("span")).as("h"))
+      .groupBy(col("h"), id)
+      .agg(count(lit(1)).as("m"))
+    val wSpan = Window.partitionBy(col("h"))
+    val perDoc = pairs
+      .withColumn("c", sum(col("m")).over(wSpan))
+      .groupBy(id)
+      .agg(sum(col("m")).as("n_spans"),
+           sum(when(col("c") >= 2, col("m")).otherwise(lit(0L))).as("n_dup_spans"))
+    docs.select(id)
+      .join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans"))
+          .otherwise(expr("double(0.0)")))
+  }
+
+  /** Chunk-level dedup: split each document into non-overlapping
+    * n-token chunks and keep only the FIRST occurrence of each chunk
+    * text, "first" = least (id, chunk ordinal) — deterministic, no
+    * RNG. Returns the surviving chunk instances
+    * `(idCol, chunk_idx: long, chunk)`.
+    *
+    * Plan: explode → `row_number` over the chunk text (high-card
+    * partition key). Spark 4 inserts WindowGroupLimit for the
+    * `rn == 1` filter, so each map task pre-prunes to one candidate
+    * per chunk before the exchange — the shuffle carries ~distinct
+    * chunks, not all instances.
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    val ch = docs.select(id,
+        posexplode(expr(s"token_chunks($textCol, $n)")).as(Seq("chunk_idx", "chunk")))
+      .select(id, col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(id, col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(id, col("chunk_idx"), col("chunk"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFingerprint64, FloatDot, TokenShingles, WikiDiffSafe}
+import graft.functions.{DocFingerprint64, FloatDot, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -29,6 +29,20 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "shingles expects exactly 2 arguments")
         TokenShingles(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_spans"),
+      new ExpressionInfo(classOf[TokenSpans].getName, "token_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "token_spans expects exactly 2 arguments")
+        TokenSpans(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_chunks"),
+      new ExpressionInfo(classOf[TokenChunks].getName, "token_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "token_chunks expects exactly 2 arguments")
+        TokenChunks(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("doc_fingerprint64"),

@@ -655,6 +655,118 @@ object TextQueries {
       |  ROW_NUMBER() OVER (ORDER BY mix_key, doc_id) AS train_idx
       |FROM m ORDER BY train_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Repeated-span detection via [[graft.operators.SpanDedup]]: for
+    * each document, how many of its 5-token span starts repeat
+    * anywhere in the corpus — the marking pass of substring-level
+    * dedup (Lee et al. 2022 use 50-token spans on BPE ids; 5 word
+    * tokens suit these short synthetic docs). */
+  def q51RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SpanDedup.spanStats(docs(s, dir), "doc_id", "text", n = 5)
+      .orderBy($"doc_id")
+  }
+
+  val q51Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |sp AS (SELECT doc_id, md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]) AS h
+      |       FROM d, UNNEST(range(1, len(ts)-3)) t(i) WHERE len(ts) >= 5),
+      |pairs AS (SELECT h, doc_id, COUNT(*) AS m FROM sp GROUP BY 1, 2),
+      |tot AS (SELECT h, doc_id, m, CAST(SUM(m) OVER (PARTITION BY h) AS BIGINT) AS c FROM pairs),
+      |per AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_spans,
+      |          CAST(SUM(CASE WHEN c >= 2 THEN m ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |        FROM tot GROUP BY doc_id)
+      |SELECT d2.doc_id, COALESCE(p.n_spans, 0) AS n_spans,
+      |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+      |  CASE WHEN COALESCE(p.n_spans, 0) > 0
+      |       THEN CAST(p.n_dup_spans AS DOUBLE) / p.n_spans ELSE 0.0 END AS dup_frac
+      |FROM (SELECT doc_id FROM documents) d2 LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** PII redaction via [[graft.operators.PiiRedact]]. The synthetic
+    * corpus contains no PII, so the query plants a deterministic
+    * amount per document (0-2 emails, 0-1 phones, 0-3 IPs keyed off
+    * doc_id) and the operator must find and redact exactly that —
+    * regex parity between Spark's Java regex and the oracle's RE2 is
+    * the point of the check. */
+  def q52PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = docs(s, dir).withColumn("ptext",
+      concat($"text",
+        repeat(concat(lit(" u"), $"doc_id".cast("string"), lit("@ex.org")),
+          ($"doc_id" % 3).cast("int")),
+        repeat(lit(" +1-555-0199"), ($"doc_id" % 2).cast("int")),
+        repeat(concat(lit(" 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")),
+          ($"doc_id" % 4).cast("int"))))
+    import graft.operators.PiiRedact
+    aug.select($"doc_id",
+        PiiRedact.countEmails($"ptext").as("n_emails"),
+        PiiRedact.countPhones($"ptext").as("n_phones"),
+        PiiRedact.countIps($"ptext").as("n_ips"),
+        PiiRedact.redact($"ptext").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val q52Sql: String =
+    """WITH aug AS (SELECT doc_id,
+      |    text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.org', CAST(doc_id % 3 AS INT))
+      |         || repeat(' +1-555-0199', CAST(doc_id % 2 AS INT))
+      |         || repeat(' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7', CAST(doc_id % 4 AS INT))
+      |      AS ptext FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(ptext, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(ptext,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Chunk-level dedup via [[graft.operators.SpanDedup.dedupChunks]]:
+    * split into 10-token chunks, keep each chunk text's first
+    * occurrence (least (doc_id, chunk_idx)) — CCNet's paragraph-hash
+    * dedup with fixed token windows standing in for paragraphs. */
+  def q53ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SpanDedup.dedupChunks(docs(s, dir), "doc_id", "text", n = 10)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q53Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |         array_to_string(ts[i*10+1 : least((i+1)*10, len(ts))], ' ') AS chunk
+      |       FROM d, UNNEST(range(0, (len(ts)+9)//10)) t(i)),
+      |r AS (SELECT doc_id, chunk_idx, chunk,
+      |        ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |      FROM ch)
+      |SELECT doc_id, chunk_idx, chunk FROM r WHERE rn = 1
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Unigram-LM quality scoring via [[graft.operators.UnigramLm]]:
+    * mean corpus probability of each document's tokens — the
+    * LM-filter stage with engine-exact integer statistics (libm-free;
+    * same rational-surrogate trick as q44's idf). */
+  def q54UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.UnigramLm.score(docs(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val q54Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM vocab),
+      |per AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+      |        FROM toks JOIN vocab USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_cnt,
+      |  CAST(sum_cnt AS DOUBLE) / (n_tokens * total_tokens) AS unigram_score
+      |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -672,6 +784,10 @@ object TextQueries {
     "q47_decontaminate" -> q47Decontaminate _,
     "q48_sequence_packing" -> q48SequencePacking _,
     "q50_mix_interleave" -> q50MixInterleave _,
+    "q51_repeated_spans" -> q51RepeatedSpans _,
+    "q52_pii_redact" -> q52PiiRedact _,
+    "q53_chunk_dedup" -> q53ChunkDedup _,
+    "q54_unigram_lm" -> q54UnigramLm _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -691,5 +807,9 @@ object TextQueries {
     "q47_decontaminate" -> q47Sql,
     "q48_sequence_packing" -> q48Sql,
     "q50_mix_interleave" -> q50Sql,
+    "q51_repeated_spans" -> q51Sql,
+    "q52_pii_redact" -> q52Sql,
+    "q53_chunk_dedup" -> q53Sql,
+    "q54_unigram_lm" -> q54Sql,
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PiiRedact, SpanDedup, UnigramLm}
+
+/** Pins the round-4 substring-dedup / redaction / LM-score operators:
+  * native span+chunk expressions against a brute-force Scala reference,
+  * operator semantics on hand-built corpora, and the sf0.001 queries
+  * against an independently computed answer. */
+class SpanPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  private def spansOf(text: String, n: Int): Seq[String] = {
+    val ts = text.split(" ", -1)
+    if (ts.length < n) Seq.empty else ts.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  test("token_spans: all spans in order with multiplicity; short text empty") {
+    val rows = Seq("a b c a b c", "a b", "x", "").toDF("text")
+      .select(expr("token_spans(text, 3)").as("sp"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c a", "c a b", "a b c"))
+    assert(rows(1).isEmpty && rows(2).isEmpty && rows(3).isEmpty)
+    // differential vs split().sliding on real docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select($"text").as[String].collect()
+    val fromExpr = docs.toSeq.toDF("text")
+      .select(expr("token_spans(text, 5)")).as[Seq[String]].collect()
+    docs.zip(fromExpr).foreach { case (t, got) =>
+      assert(got.toSeq == spansOf(t, 5), s"span mismatch for: ${t.take(40)}")
+    }
+  }
+
+  test("token_chunks: non-overlapping with partial tail; empty text one empty chunk") {
+    val rows = Seq("a b c d e", "a b c", "").toDF("text")
+      .select(expr("token_chunks(text, 2)").as("ch"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b", "c d", "e"))
+    assert(rows(1) == Seq("a b", "c"))
+    assert(rows(2) == Seq(""))
+  }
+
+  test("spanStats: cross-doc and within-doc repeats both count") {
+    val docs = Seq(
+      (1L, "p q r s t u"),       // spans: "p q r s t", "q r s t u"
+      (2L, "p q r s t x"),       // shares span "p q r s t" with doc 1
+      (3L, "a b c d e a b c d e") // self-repeat of "a b c d e" at starts 0 and 5
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", n = 5)
+      .orderBy($"doc_id").collect()
+    val m = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((2L, 1L)), s"doc1 got ${m(1L)}")
+    assert(m(2L) == ((2L, 1L)), s"doc2 got ${m(2L)}")
+    // doc3 "a b c d e a b c d e": 6 spans, "a b c d e" occurs at 0 and 5 → 2 dup starts
+    assert(m(3L) == ((6L, 2L)), s"doc3 got ${m(3L)}")
+  }
+
+  test("spanStats q51 equals a brute-force reference at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      spansOf(t, 5).foreach(sp => counts(sp) = counts.getOrElse(sp, 0L) + 1) }
+    val expected = docs.map { case (id, t) =>
+      val sps = spansOf(t, 5)
+      (id, sps.size.toLong, sps.count(counts(_) >= 2).toLong)
+    }.sortBy(_._1)
+    val got = graft.queries.TextQueries.q51RepeatedSpans(spark, sf)
+      .select($"doc_id", $"n_spans", $"n_dup_spans")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected.toSeq)
+    assert(expected.exists(_._3 > 0), "test corpus should contain repeated spans")
+  }
+
+  test("dedupChunks keeps exactly the first occurrence of each chunk text") {
+    val docs = Seq(
+      (10L, "a b c d"),  // chunks: "a b", "c d"
+      (11L, "c d a b"),  // both chunks already seen (as texts) → dropped
+      (12L, "e f a b")   // "e f" new, "a b" dup
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dedupChunks(docs, "doc_id", "text", n = 2)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((10L, 0L, "a b"), (10L, 1L, "c d"), (12L, 0L, "e f")))
+  }
+
+  test("pii redact: finds planted entities, leaves clean text alone") {
+    val df = Seq(
+      "contact a.user+x@sub.ex.org or 10.0.3.7 call +1-555-0100",
+      "no pii here at all",
+      "two mails a@b.co c@d.org and 1.2.3.4 9.9.9.9"
+    ).toDF("t").select(
+      PiiRedact.countEmails($"t").as("e"), PiiRedact.countPhones($"t").as("p"),
+      PiiRedact.countIps($"t").as("i"), PiiRedact.redact($"t").as("r"))
+    val rows = df.as[(Long, Long, Long, String)].collect()
+    assert(rows(0) == ((1L, 1L, 1L, "contact <EMAIL> or <IP> call <PHONE>")))
+    assert(rows(1) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(rows(2) == ((2L, 0L, 2L, "two mails <EMAIL> <EMAIL> and <IP> <IP>")))
+  }
+
+  test("unigram lm score: hand-computed tiny corpus") {
+    // corpus tokens: a a a b → cnt(a)=3, cnt(b)=1, total=4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = UnigramLm.score(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 9L, 9.0 / (3 * 4)), (2L, 1L, 1L, 1.0 / (1 * 4))))
+  }
+}
