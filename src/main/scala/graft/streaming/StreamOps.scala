@@ -65,6 +65,22 @@ object StreamOps {
         col("quality_score"), col("sampled"), col("weight"))
   }
 
+  /** Stateless PII-redaction projection over a `documents`-shaped
+    * frame: [[graft.operators.PiiRedact]]'s detection counts + the
+    * redacted text, map-only, so the SAME code serves batch sweeps and
+    * `readStream` micro-batches with identical per-row output (the
+    * compliance pass runs as documents land, not after they have sat
+    * in an unredacted landing zone). The expressions are the operator's
+    * own — q52's oracle pins them engine-exact. */
+  def redactDocs(docs: DataFrame): DataFrame = {
+    import graft.operators.PiiRedact
+    docs.select(col("doc_id"), col("lang"),
+      PiiRedact.countEmails(col("text")).as("n_emails"),
+      PiiRedact.countPhones(col("text")).as("n_phones"),
+      PiiRedact.countIps(col("text")).as("n_ips"),
+      PiiRedact.redact(col("text")).as("text"))
+  }
+
   /** The reference's previous-revision pairing (SURVEY W1) as a
     * stateful streaming operator: state per page carries the last seen
     * revision; each batch's new revisions are processed in rev_seq

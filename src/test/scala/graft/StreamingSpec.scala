@@ -75,6 +75,32 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
   }
 
+  test("stateless redaction projection: stream equals batch, entities gone") {
+    val dir = Files.createTempDirectory("stream-redact").toString
+    // plant deterministic PII the same way q52 does
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text", concat($"text",
+        expr("repeat(concat(' u', cast(doc_id as string), '@ex.org'), cast(doc_id % 3 as int))"),
+        expr("repeat(' +1-555-0199', cast(doc_id % 2 as int))")))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.redactDocs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("redacted").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("redacted").orderBy($"doc_id").collect().toSeq
+    val batch = StreamOps.redactDocs(spark.read.parquet(dir))
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.exists(_.getAs[Long]("n_emails") > 0))
+    // nothing matching the detectors may survive in the output text
+    streamed.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(!t.contains("@ex.org") && !t.contains("+1-555-"), s"unredacted: ${t.takeRight(60)}")
+    }
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     // two files = two potential micro-batches with overlapping event_ids
