@@ -767,6 +767,29 @@ object TextQueries {
       |  CAST(sum_cnt AS DOUBLE) / (n_tokens * total_tokens) AS unigram_score
       |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Heavy-hitter vocabulary via [[graft.operators.HeavyHitters]]:
+    * every token with frequency > n/(k+1), exact counts, WITHOUT
+    * shuffling the full key space — per-partition Misra-Gries
+    * summaries union into a guaranteed candidate superset, then one
+    * exact count of candidates only. Deterministic output (the sketch
+    * only prunes, the exact pass decides), so fully oracle-checkable
+    * against a plain GROUP BY ... HAVING. */
+  def q55HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select(explode(split($"text", " ")).as("tok"))
+    graft.operators.HeavyHitters.exact(toks, "tok", k = 30)
+      .orderBy($"cnt".desc, $"tok")
+  }
+
+  val q55Sql: String =
+    """WITH toks AS (SELECT t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |n AS (SELECT COUNT(*) AS total FROM toks),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT tok, CAST(cnt AS BIGINT) AS cnt
+      |FROM c CROSS JOIN n WHERE cnt * 31 > total
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -788,6 +811,7 @@ object TextQueries {
     "q52_pii_redact" -> q52PiiRedact _,
     "q53_chunk_dedup" -> q53ChunkDedup _,
     "q54_unigram_lm" -> q54UnigramLm _,
+    "q55_heavy_hitters" -> q55HeavyHitters _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -811,5 +835,6 @@ object TextQueries {
     "q52_pii_redact" -> q52Sql,
     "q53_chunk_dedup" -> q53Sql,
     "q54_unigram_lm" -> q54Sql,
+    "q55_heavy_hitters" -> q55Sql,
   )
 }
