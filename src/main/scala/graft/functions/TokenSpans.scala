@@ -87,6 +87,65 @@ case class TokenSpans(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rebuild a whitespace-tokenized text with the n-token spans at the
+  * given start offsets removed: every token index covered by some
+  * `[start, start+n)` window is dropped, survivors re-join with single
+  * spaces — the cutting half of substring-level dedup (the marking
+  * half produces the starts; see
+  * [[graft.operators.SpanDedup.removeSpans]]). Overlapping windows
+  * union (coverage is a boolean mark per token, order-insensitive, so
+  * the starts array needs no particular order). Out-of-range starts
+  * are ignored. Everything-cut yields the empty string. */
+case class CutSpans(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, ArrayType(org.apache.spark.sql.types.LongType, _), IntegerType)
+          if third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"cut_spans requires (string, array<bigint>, foldable int), got $a, $b, $c")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "cut_spans"
+
+  @transient private lazy val n: Int =
+    third.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, starts: Any, _n: Any): Any = {
+    val toks = SpaceTokens(text.asInstanceOf[UTF8String].toString)
+    val arr = starts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < arr.numElements()) {
+      val p = arr.getLong(i)
+      var j = math.max(p, 0L).toInt
+      val end = math.min(p + n, toks.length.toLong).toInt
+      while (j < end) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var t = 0
+    var firstTok = true
+    while (t < toks.length) {
+      if (!covered(t)) {
+        if (!firstTok) sb.append(' ')
+        sb.append(toks(t))
+        firstTok = false
+      }
+      t += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CutSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Non-overlapping n-token chunks of a whitespace-tokenized text, in
   * document order; the final chunk keeps the partial tail. The array
   * index is the chunk ordinal (token offset = index · n). This is the

@@ -55,6 +55,37 @@ object SpanDedup {
           .otherwise(expr("double(0.0)")))
   }
 
+  /** Substring-level dedup, cutting half: REMOVE every non-canonical
+    * repeated n-token span occurrence (canonical = least (id, start)
+    * for that span text — it alone survives) and rebuild each
+    * document from the uncovered tokens. This is the Lee et al. 2022
+    * dedup step itself, not just its marking pass. Returns
+    * `(idCol, textCol, clean_text)`.
+    *
+    * Plan: explode positions → `row_number` over the span hash picks
+    * canonicals (one shuffle, high-card key) → per-doc cut lists
+    * (collect_list; order-insensitive since coverage marking unions)
+    * → join back to the corpus → one native `cut_spans` eval per doc
+    * rebuilds the text. The cut-list join is doc-keyed and the list
+    * carries span STARTS (longs), not span text.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val id = col(idCol)
+    val spans = docs
+      .select(id, posexplode(expr(s"token_spans($textCol, $n)")).as(Seq("pos", "span")))
+      .select(id, col("pos").cast("long").as("pos"), md5(col("span")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(id, col("pos"))
+    val cuts = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(id)
+      .agg(collect_list(col("pos")).as("__cuts"))
+    docs.join(cuts, Seq(idCol), "left")
+      .select(id, col(textCol),
+        expr(s"cut_spans($textCol, coalesce(__cuts, cast(array() as array<bigint>)), $n)")
+          .as("clean_text"))
+  }
+
   /** Chunk-level dedup: split each document into non-overlapping
     * n-token chunks and keep only the FIRST occurrence of each chunk
     * text, "first" = least (id, chunk ordinal) — deterministic, no

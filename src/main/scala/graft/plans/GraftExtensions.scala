@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DocFingerprint64, FloatDot, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{CutSpans, DocFingerprint64, FloatDot, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -43,6 +43,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "token_chunks expects exactly 2 arguments")
         TokenChunks(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cut_spans"),
+      new ExpressionInfo(classOf[CutSpans].getName, "cut_spans"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "cut_spans expects exactly 3 arguments")
+        CutSpans(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("doc_fingerprint64"),

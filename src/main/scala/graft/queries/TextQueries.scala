@@ -790,6 +790,46 @@ object TextQueries {
       |FROM c CROSS JOIN n WHERE cnt * 31 > total
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Repeated-span REMOVAL via [[graft.operators.SpanDedup.removeSpans]]:
+    * cut every non-canonical repeated 5-token span occurrence and
+    * rebuild the text — the dedup step itself (q51 is its marking
+    * pass). Token counts use the shared space arithmetic on both
+    * engines, so the values agree even for the all-cut empty edge. */
+  def q56SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SpanDedup.removeSpans(docs(s, dir), "doc_id", "text", n = 5)
+      .select($"doc_id",
+        (length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_before"),
+        (length($"clean_text") - length(expr("replace(clean_text, ' ', '')")) + 1)
+          .cast("long").as("n_after"),
+        $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  val q56Sql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ts FROM documents),
+      |sp AS (SELECT doc_id, i-1 AS pos,
+      |         md5(ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]) AS h
+      |       FROM d, UNNEST(range(1, len(ts)-3)) t(i) WHERE len(ts) >= 5),
+      |mk AS (SELECT doc_id, pos FROM (
+      |         SELECT doc_id, pos,
+      |           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |         FROM sp) WHERE rn > 1),
+      |toks AS (SELECT doc_id, i-1 AS ti, ts[i] AS tok
+      |         FROM d, UNNEST(range(1, len(ts)+1)) t(i)),
+      |kept AS (SELECT t.doc_id, t.ti, t.tok FROM toks t
+      |         WHERE NOT EXISTS (SELECT 1 FROM mk m
+      |           WHERE m.doc_id = t.doc_id AND t.ti BETWEEN m.pos AND m.pos + 4)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS ct
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(length(d.text) - length(replace(d.text,' ','')) + 1 AS BIGINT) AS n_before,
+      |  CAST(length(COALESCE(r.ct,'')) - length(replace(COALESCE(r.ct,''),' ','')) + 1 AS BIGINT) AS n_after,
+      |  COALESCE(r.ct,'') AS clean_text
+      |FROM d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -812,6 +852,7 @@ object TextQueries {
     "q53_chunk_dedup" -> q53ChunkDedup _,
     "q54_unigram_lm" -> q54UnigramLm _,
     "q55_heavy_hitters" -> q55HeavyHitters _,
+    "q56_span_removal" -> q56SpanRemoval _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -836,5 +877,6 @@ object TextQueries {
     "q53_chunk_dedup" -> q53Sql,
     "q54_unigram_lm" -> q54Sql,
     "q55_heavy_hitters" -> q55Sql,
+    "q56_span_removal" -> q56Sql,
   )
 }

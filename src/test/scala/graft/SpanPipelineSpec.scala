@@ -76,6 +76,56 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(expected.exists(_._3 > 0), "test corpus should contain repeated spans")
   }
 
+  test("cut_spans: coverage union, out-of-range ignored, all-cut empty") {
+    val rows = Seq(
+      ("a b c d e f", Seq(1L)),          // cut tokens 1-3 -> "a e f"
+      ("a b c d e f", Seq(0L, 2L)),      // overlap union 0-4 -> "f"
+      ("a b c", Seq.empty[Long]),        // no cuts
+      ("a b c", Seq(0L)),                // covers all -> ""
+      ("a b c", Seq(-5L, 99L))           // out of range ignored
+    ).toDF("text", "cuts")
+      .select(expr("cut_spans(text, cuts, 3)")).as[String].collect()
+    assert(rows.toSeq == Seq("a e f", "f", "a b c", "", "a b c"))
+  }
+
+  test("removeSpans: exact duplicate doc is cut to empty, canonical survives") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u"),       // every span non-canonical -> fully covered
+      (3L, "z z p q r s t y")    // contains doc1's span "p q r s t" at pos 2 -> cut 2-6
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup.removeSpans(docs, "doc_id", "text", n = 5)
+      .orderBy($"doc_id").select($"doc_id", $"clean_text")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "p q r s t u"), (2L, ""), (3L, "z z y")))
+  }
+
+  test("removeSpans q56 equals a brute-force reference at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().sortBy(_._1)
+    // canonical occurrence = least (doc_id, pos) per span text
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    docs.foreach { case (id, t) =>
+      spansOf(t, 5).zipWithIndex.foreach { case (sp, p) =>
+        if (!first.contains(sp)) first(sp) = (id, p)
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val covered = Array.fill(toks.length)(false)
+      spansOf(t, 5).zipWithIndex.foreach { case (sp, p) =>
+        if (first(sp) != ((id, p))) (p until math.min(p + 5, toks.length)).foreach(covered(_) = true)
+      }
+      id -> toks.indices.filterNot(covered).map(toks).mkString(" ")
+    }.toSeq
+    val got = graft.queries.TextQueries.q56SpanRemoval(spark, sf)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toSeq
+    assert(got == expected)
+    assert(expected.exists { case (_, ct) => ct.length > 0 } &&
+      expected.zip(docs).exists { case ((_, ct), (_, t)) => ct != t },
+      "corpus should have both cut and uncut docs")
+  }
+
   test("dedupChunks keeps exactly the first occurrence of each chunk text") {
     val docs = Seq(
       (10L, "a b c d"),  // chunks: "a b", "c d"
