@@ -830,6 +830,38 @@ object TextQueries {
       |  COALESCE(r.ct,'') AS clean_text
       |FROM d LEFT JOIN reb r USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Exact per-language word-count quantiles via
+    * [[graft.operators.ExactQuantiles]]: the p25/p50/p75/p95 length
+    * cut points curation filters use — computed from a histogram
+    * aggregation (shuffle size = distinct lengths, not corpus rows),
+    * never a corpus sort, and in integer rank arithmetic so the
+    * oracle matches cell-exact. */
+  def q57LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir).select($"lang",
+      (length($"text") - length(expr("replace(text, ' ', '')")) + 1).as("n_words"))
+    graft.operators.ExactQuantiles.byGroup(t, Seq("lang"), "n_words",
+        Seq(25, 50, 75, 95))
+      .orderBy($"lang")
+  }
+
+  val q57Sql: String =
+    """WITH t AS (SELECT lang,
+      |             CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS nw
+      |           FROM documents),
+      |h AS (SELECT lang, nw, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |w AS (SELECT lang, nw,
+      |        SUM(c) OVER (PARTITION BY lang ORDER BY nw) AS cum,
+      |        SUM(c) OVER (PARTITION BY lang) AS total
+      |      FROM h)
+      |SELECT lang, CAST(MAX(total) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (total*25+99)//100 THEN nw END) AS p25,
+      |  MIN(CASE WHEN cum >= (total*50+99)//100 THEN nw END) AS p50,
+      |  MIN(CASE WHEN cum >= (total*75+99)//100 THEN nw END) AS p75,
+      |  MIN(CASE WHEN cum >= (total*95+99)//100 THEN nw END) AS p95
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -853,6 +885,7 @@ object TextQueries {
     "q54_unigram_lm" -> q54UnigramLm _,
     "q55_heavy_hitters" -> q55HeavyHitters _,
     "q56_span_removal" -> q56SpanRemoval _,
+    "q57_length_quantiles" -> q57LengthQuantiles _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -878,5 +911,6 @@ object TextQueries {
     "q54_unigram_lm" -> q54Sql,
     "q55_heavy_hitters" -> q55Sql,
     "q56_span_removal" -> q56Sql,
+    "q57_length_quantiles" -> q57Sql,
   )
 }
