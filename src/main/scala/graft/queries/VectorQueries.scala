@@ -308,6 +308,32 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Exact embedding covariance (upper triangle) via
+    * [[graft.operators.Covariance]]: quantized-integer sufficient
+    * statistics (order-free, engine-exact — raw float sums would vary
+    * with partitioning), one generator pass + one d²-sized groupBy —
+    * shuffle is the statistics, not the corpus. */
+  def q58EmbedCovariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Covariance.upperTriangle(emb(s, dir), "embedding")
+      .orderBy($"i", $"j")
+  }
+
+  val q58Sql: String =
+    """WITH el AS (SELECT vec_id, CAST(i-1 AS BIGINT) AS i,
+      |              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS qi
+      |            FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |pairs AS (SELECT a.i, b.i AS j, a.qi, b.qi AS qj
+      |          FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |agg AS (SELECT i, j, COUNT(*) AS n,
+      |          CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qj) AS BIGINT) AS sy,
+      |          CAST(SUM(qi*qj) AS BIGINT) AS sxy
+      |        FROM pairs GROUP BY 1, 2)
+      |SELECT i, j, n,
+      |  CAST(sxy*n - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) / 1099511627776.0 AS cov
+      |FROM agg ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -317,6 +343,7 @@ object VectorQueries {
     "q45_kmeans" -> q45KMeans _,
     "q46_semdedup" -> q46SemDedup _,
     "q49_hard_negatives" -> q49HardNegatives _,
+    "q58_embed_covariance" -> q58EmbedCovariance _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -328,5 +355,6 @@ object VectorQueries {
     "q45_kmeans" -> q45Sql,
     "q46_semdedup" -> q46Sql,
     "q49_hard_negatives" -> q49Sql,
+    "q58_embed_covariance" -> q58Sql,
   )
 }
