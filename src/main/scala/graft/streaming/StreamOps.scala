@@ -81,6 +81,60 @@ object StreamOps {
       PiiRedact.redact(col("text")).as("text"))
   }
 
+  case class MgState(counters: Map[String, Long], streamed: Long)
+  case class MgCandidate(shard: Int, item: String, lower_bound: Long, shard_total: Long)
+
+  /** Streaming heavy-hitter candidates with state bounded FOREVER:
+    * [[graft.operators.HeavyHitters]]' per-partition Misra-Gries
+    * summary as keyed streaming state. Items hash into a fixed number
+    * of shards; each shard folds its micro-batches into one k-counter
+    * summary (`flatMapGroupsWithState`), so total state is
+    * `shards · k` counters no matter how many distinct keys the
+    * unbounded stream carries — the property exact streaming counts
+    * cannot have. Every token lives in exactly ONE shard, so an item
+    * with global frequency > n_shard/(k+1) is guaranteed present
+    * among that shard's candidates (same pigeonhole as the batch
+    * operator, per shard); emitted `lower_bound` is the MG count
+    * (true count ≥ lower_bound, undercount ≤ shard_total/(k+1)).
+    * Each trigger re-emits the shard's current candidates (Update
+    * semantics downstream). */
+  def heavyHittersStream(items: DataFrame, itemCol: String, k: Int,
+                         shards: Int = 32): Dataset[MgCandidate] = {
+    import items.sparkSession.implicits._
+    items
+      .select(col(itemCol).cast("string").as("item"),
+        pmod(hash(col(itemCol)), lit(shards)).as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MgState, MgCandidate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(String, Int)], state: GroupState[MgState]) =>
+          val counters = new java.util.HashMap[String, java.lang.Long](2 * k)
+          var streamed = 0L
+          state.getOption.foreach { s =>
+            s.counters.foreach { case (key, c) => counters.put(key, c) }
+            streamed = s.streamed
+          }
+          batch.foreach { case (x, _) =>
+            streamed += 1
+            val c = counters.get(x)
+            if (c != null) counters.put(x, c + 1L)
+            else if (counters.size < k) counters.put(x, 1L)
+            else {
+              val e = counters.entrySet().iterator()
+              while (e.hasNext) {
+                val kv = e.next()
+                if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+              }
+            }
+          }
+          val snapshot = scala.jdk.CollectionConverters
+            .MapHasAsScala(counters).asScala.map { case (key, c) => key -> c.longValue }.toMap
+          state.update(MgState(snapshot, streamed))
+          snapshot.iterator.map { case (item, c) => MgCandidate(shard, item, c, streamed) }
+      }
+  }
+
   /** The reference's previous-revision pairing (SURVEY W1) as a
     * stateful streaming operator: state per page carries the last seen
     * revision; each batch's new revisions are processed in rev_seq

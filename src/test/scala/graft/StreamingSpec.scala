@@ -124,6 +124,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(total.get() == 100, s"expected 100 unique events, got ${total.get()}")
   }
 
+  test("streaming heavy hitters: bounded state, true hitters always present") {
+    val dir = Files.createTempDirectory("stream-hh").toString
+    val rnd = new scala.util.Random(11)
+    val all = rnd.shuffle(Seq.fill(2000)("hot") ++ Seq.fill(800)("warm") ++
+      (0 until 1200).map(i => s"tail${i % 400}"))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    b1.toDF("item").write.parquet(s"$dir/f1")
+    b2.toDF("item").write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val k = 10
+    val emissions = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, Long)] // (batchId, shard, item, lb)
+    val q = StreamOps.heavyHittersStream(stream, "item", k = k, shards = 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.MgCandidate], id: Long) =>
+        emissions.synchronized {
+          b.collect().foreach(c => emissions += ((id, c.shard, c.item, c.lower_bound)))
+        }: Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("hh-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final summary per shard = its rows in the last batch it emitted
+    val lastBatch = emissions.groupBy(_._2).map { case (_, rows) =>
+      val mx = rows.map(_._1).max
+      rows.filter(_._1 == mx)
+    }
+    // bounded state: no shard ever exceeds k counters
+    emissions.groupBy(e => (e._1, e._2)).values.foreach(rows => assert(rows.size <= k))
+    val finalItems = lastBatch.flatten.map(_._3).toSet
+    // items above every per-shard threshold must be present
+    assert(finalItems.contains("hot") && finalItems.contains("warm"))
+    // lower bounds never exceed true counts
+    val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    lastBatch.flatten.foreach { case (_, _, item, lb) =>
+      assert(lb <= trueCounts(item), s"$item lb=$lb > true=${trueCounts(item)}")
+    }
+  }
+
   test("stateful prev-revision pairing across micro-batches") {
     import StreamOps.{RevEvent, RevPair}
     val dir = Files.createTempDirectory("stream-revs").toString
