@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the scale property the engine is built around: no query may
+  * funnel corpus-sized data through one task. Every occurrence of
+  * `Exchange SinglePartition` in an executed plan must be one of the
+  * audited tiny-by-design stages below — a new single-partition
+  * exchange anywhere else fails this spec and must be justified here
+  * before it can land.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Audited budgets. Every entry is a stage whose single-partition
+    * input is bounded by construction (map-side partials or
+    * numParts-row side tables), independent of corpus size:
+    *  - q6, q30: corpus-wide 1-row aggregate (partial agg upstream)
+    *  - q44: the 1-row corpus-count `nd` broadcast side
+    *  - q48, q50: PrefixSum's per-bucket offset window (numParts rows)
+    *  - q54: the 1-row `total_tokens` aggregate broadcast side
+    */
+  private val budget: Map[String, Int] = Map(
+    "q6_forecast" -> 1,
+    "q30_small_qty_revenue" -> 1,
+    "q44_tfidf_topterms" -> 1,
+    "q48_sequence_packing" -> 1,
+    "q50_mix_interleave" -> 1,
+    "q54_unigram_lm" -> 1,
+  )
+
+  test("no unaudited single-partition exchange in any query plan") {
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val n = "Exchange SinglePartition".r.findAllMatchIn(plan).size
+      if (n > budget.getOrElse(name, 0)) Some(s"$name: $n (budget ${budget.getOrElse(name, 0)})")
+      else None
+    }
+    assert(over.isEmpty, s"unaudited single-partition exchanges:\n${over.mkString("\n")}")
+  }
+}
