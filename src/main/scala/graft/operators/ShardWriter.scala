@@ -45,7 +45,9 @@ object ShardWriter {
       .parquet(path)
   }
 
-  /** Read shards back in training order. */
+  /** Read shards back in training order. Partition-directory type
+    * inference narrows `shard_id=K` to int; restore the written long. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .withColumn("shard_id", col("shard_id").cast("long"))
 }
