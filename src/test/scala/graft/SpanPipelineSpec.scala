@@ -35,6 +35,33 @@ class SpanPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("span/chunk/cut expressions: differential on adversarial whitespace") {
+    // double spaces make empty tokens, leading/trailing spaces too —
+    // the expressions must agree with split(text, ' ') semantics
+    // exactly or the DuckDB oracles drift
+    val rnd = new scala.util.Random(42)
+    val texts = Seq("", " ", "  ", "a  b", " a b ", "a b  c   d", "  ") ++
+      Seq.fill(200)(Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextBoolean()) "" else ("ab" (rnd.nextInt(2))).toString * (1 + rnd.nextInt(2))
+      ).mkString(" "))
+    val df = texts.toDF("text").select($"text",
+      expr("token_spans(text, 3)").as("sp"),
+      expr("token_chunks(text, 3)").as("ch"),
+      expr("cut_spans(text, array(1L), 3)").as("cut"))
+    df.as[(String, Seq[String], Seq[String], String)].collect().foreach {
+      case (t, sp, ch, cut) =>
+        val toks = t.split(" ", -1)
+        val expSp = if (toks.length < 3) Seq.empty
+                    else toks.sliding(3).map(_.mkString(" ")).toSeq
+        val expCh = toks.grouped(3).map(_.mkString(" ")).toSeq
+        val covered = (1 until math.min(4, toks.length)).toSet
+        val expCut = toks.indices.filterNot(covered).map(toks).mkString(" ")
+        assert(sp == expSp, s"spans for '$t'")
+        assert(ch == expCh, s"chunks for '$t'")
+        assert(cut == expCut, s"cut for '$t'")
+    }
+  }
+
   test("token_chunks: non-overlapping with partial tail; empty text one empty chunk") {
     val rows = Seq("a b c d e", "a b c", "").toDF("text")
       .select(expr("token_chunks(text, 2)").as("ch"))

@@ -165,6 +165,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming chunk dedup composes: token_chunks explode + bounded-state dedup") {
+    val dir = Files.createTempDirectory("stream-chunks").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    docs.write.parquet(s"$dir/b1")
+    docs.write.parquet(s"$dir/b2") // second batch = all duplicates
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+    val chunks = stream.select(
+      expr("explode(token_chunks(text, 10))").as("chunk"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamOps.dedupStream(chunks, Seq("chunk"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        emitted.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("chunk-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val distinctChunks = docs
+      .select(expr("explode(token_chunks(text, 10))").as("chunk"))
+      .distinct().count()
+    assert(emitted.get() == distinctChunks,
+      s"emitted ${emitted.get()} vs distinct $distinctChunks")
+  }
+
   test("stateful prev-revision pairing across micro-batches") {
     import StreamOps.{RevEvent, RevPair}
     val dir = Files.createTempDirectory("stream-revs").toString
