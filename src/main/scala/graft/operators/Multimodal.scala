@@ -64,6 +64,65 @@ object Multimodal {
     }
   }
 
+  case class FrameSample(media_id: Long, frame_idx: Long, n_frames: Long,
+      frame_sig: Long, error: String)
+
+  /** Frame sampling for video blobs: decode the container's frame
+    * count, emit every `everyK`-th frame's signature — the
+    * frame-subsampling step of a video training pipeline, one row per
+    * SAMPLED frame (never one per frame: a 2-hour video is 200k
+    * frames; the explode happens after the stride). Same stub
+    * contract as [[extractFeatures]]: the fake frame count
+    * (`hash % 241 + 1`) and signature stay in non-negative bounded
+    * BIGINT arithmetic so the whole operator is oracle-expressible;
+    * swap the body for a real demuxer in production. Per-partition
+    * decoder init + per-row error capture, like every batch decode
+    * here. */
+  def sampleFrames(blobs: Dataset[MediaBlob], everyK: Int): Dataset[FrameSample] = {
+    require(everyK >= 1, s"everyK must be >= 1: $everyK")
+    import blobs.sparkSession.implicits._
+    blobs.filter(_.kind == "video").mapPartitions { it =>
+      // per-partition init of the (stub) demuxer goes here
+      it.flatMap { b =>
+        try {
+          val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
+          val h = FakeDecoder.contentHash(bytes)
+          val nFrames = h % 241 + 1
+          (0L until nFrames by everyK.toLong).iterator.map { i =>
+            FrameSample(b.media_id, i, nFrames, (h % 1000000007L) * 31 + i, null)
+          }
+        } catch {
+          case e: Exception =>
+            Iterator.single(FrameSample(b.media_id, -1L, 0L, 0L, e.getMessage))
+        }
+      }
+    }
+  }
+
+  case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
+      resized_sig: Long, error: String)
+
+  /** Resize stub: target dimensions + a deterministic signature of
+    * (content, target) standing in for resampled pixels. The
+    * plumbing — batch shape, per-partition init, error capture — is
+    * the real contract; the arithmetic is the stub. */
+  def resize(blobs: Dataset[MediaBlob], width: Int, height: Int): Dataset[ResizedMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        try {
+          val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
+          val h = FakeDecoder.contentHash(bytes)
+          ResizedMedia(b.media_id, b.kind, width, height,
+            (h % 1000000007L) * 8191 + width.toLong * height, null)
+        } catch {
+          case e: Exception =>
+            ResizedMedia(b.media_id, b.kind, 0, 0, 0L, e.getMessage)
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents table (text bytes standing
     * in for media payloads — the plumbing under test, not the codec). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaBlob] = {

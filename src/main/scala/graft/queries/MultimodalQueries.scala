@@ -108,15 +108,46 @@ object MultimodalQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q59
+  /** Video frame sampling via [[Multimodal.sampleFrames]]: every 30th
+    * frame's signature from each video blob — one output row per
+    * SAMPLED frame (the stride applies before the explode; a 200k-
+    * frame video emits ~6k rows, not 200k). Fully oracle-checked: the
+    * stub frame count and signature are non-negative bounded BIGINT
+    * arithmetic over the same FNV content hash as q26. */
+  def q59FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(docs(s, dir)), everyK = 30)
+      .toDF()
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q59Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN len(text) = 0 OR text IS NULL
+      |         THEN 14695981039346656037::HUGEINT % 9223372036854775808::HUGEINT
+      |         ELSE (${fnvFoldSql("text")}) % 9223372036854775808::HUGEINT
+      |    END AS hm
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, hm, CAST(hm % 241 + 1 AS BIGINT) AS n_frames FROM m)
+      |SELECT media_id, CAST(i AS BIGINT) AS frame_idx, n_frames,
+      |  CAST((hm % 1000000007) * 31 + i AS BIGINT) AS frame_sig,
+      |  NULL::VARCHAR AS error
+      |FROM f, UNNEST(range(0, n_frames, 30)) t(i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_meta" -> q25MultimodalMeta _,
     "q26_multimodal_features" -> q26MultimodalFeatures _,
     "q27_rolling_fingerprint" -> q27RollingFingerprint _,
+    "q59_frame_sample" -> q59FrameSample _,
   )
 
   def oracles: Map[String, String] = Map(
     "q25_multimodal_meta" -> q25Sql,
     "q26_multimodal_features" -> q26Sql,
     "q27_rolling_fingerprint" -> q27Sql,
+    "q59_frame_sample" -> q59Sql,
   )
 }

@@ -48,6 +48,40 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivf1.map(_.toString).toList == ivf2.map(_.toString).toList)
   }
 
+  test("frame sampling + resize stubs: stride-correct, deterministic") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val frames = Multimodal.sampleFrames(media, everyK = 30).collect()
+    assert(frames.nonEmpty && frames.forall(_.error == null))
+    frames.foreach { f =>
+      assert(f.frame_idx % 30 == 0 && f.frame_idx < f.n_frames)
+      assert(f.n_frames >= 1 && f.n_frames <= 241)
+    }
+    // per-video row count = ceil(n_frames / 30); signature matches the
+    // content-hash formula recomputed independently
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.values.foreach { fs =>
+      val nf = fs.head.n_frames
+      assert(fs.length == ((nf + 29) / 30).toInt, s"media ${fs.head.media_id}")
+    }
+    val hashes = media.filter(_.kind == "video").collect()
+      .map(b => b.media_id -> Multimodal.FakeDecoder.contentHash(b.blob)).toMap
+    assert(byMedia.keySet == hashes.keySet)
+    frames.foreach { f =>
+      val h = hashes(f.media_id)
+      assert(f.n_frames == h % 241 + 1)
+      assert(f.frame_sig == (h % 1000000007L) * 31 + f.frame_idx)
+    }
+    val allHashes = media.collect()
+      .map(b => b.media_id -> Multimodal.FakeDecoder.contentHash(b.blob)).toMap
+    val resized = Multimodal.resize(media, 224, 224).collect()
+    assert(resized.length == allHashes.size)
+    resized.foreach { r =>
+      assert(r.width == 224 && r.height == 224 && r.error == null)
+      assert(r.resized_sig == (allHashes(r.media_id) % 1000000007L) * 8191 + 224L * 224)
+    }
+  }
+
   test("multimodal feature extraction: deterministic, error-free, size-correct") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)).collect()
