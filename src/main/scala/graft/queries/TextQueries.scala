@@ -862,6 +862,32 @@ object TextQueries {
       |  MIN(CASE WHEN cum >= (total*95+99)//100 THEN nw END) AS p95
       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Deterministic epoch shuffle: a reproducible pseudo-random
+    * permutation of the corpus for training epoch N — order by
+    * `md5(seed:doc_id)` (engine-portable, no RNG state; a different
+    * seed per epoch gives independent permutations, and any worker
+    * can recompute any position). The global position comes from
+    * [[graft.operators.PrefixSum]]'s two-phase scan over the hash
+    * order — a `row_number() OVER (ORDER BY ...)` would funnel the
+    * corpus through one task. */
+  def q60EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seed = 7
+    val keyed = docs(s, dir).select($"doc_id")
+      .withColumn("shuffle_key", md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))))
+      .withColumn("__one", lit(1L))
+    graft.operators.PrefixSum
+      .withRunningTotalOrdered(keyed, Seq("shuffle_key", "doc_id"), "__one", "epoch_pos")
+      .select($"doc_id", $"shuffle_key", $"epoch_pos")
+      .orderBy($"epoch_pos")
+  }
+
+  val q60Sql: String =
+    """SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  ROW_NUMBER() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS epoch_pos
+      |FROM documents ORDER BY epoch_pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -886,6 +912,7 @@ object TextQueries {
     "q55_heavy_hitters" -> q55HeavyHitters _,
     "q56_span_removal" -> q56SpanRemoval _,
     "q57_length_quantiles" -> q57LengthQuantiles _,
+    "q60_epoch_shuffle" -> q60EpochShuffle _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -912,5 +939,6 @@ object TextQueries {
     "q55_heavy_hitters" -> q55Sql,
     "q56_span_removal" -> q56Sql,
     "q57_length_quantiles" -> q57Sql,
+    "q60_epoch_shuffle" -> q60Sql,
   )
 }

@@ -28,6 +28,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q48_sequence_packing" -> 1,
     "q50_mix_interleave" -> 1,
     "q54_unigram_lm" -> 1,
+    "q60_epoch_shuffle" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
