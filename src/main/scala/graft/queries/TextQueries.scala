@@ -888,6 +888,45 @@ object TextQueries {
       |  ROW_NUMBER() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS epoch_pos
       |FROM documents ORDER BY epoch_pos""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Materialized sequence packing via
+    * [[graft.operators.SequencePack]]: the actual 512-token training
+    * rows — corpus concatenated in doc order, documents split across
+    * chunk boundaries — not just the coordinates (q48). Every chunk
+    * except the last holds exactly 512 tokens. */
+  def q61PackedChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SequencePack.packedChunks(docs(s, dir), "doc_id", "text", chunkTokens = 512)
+      .withColumn("n_tokens",
+        (length($"chunk_text") - length(expr("replace(chunk_text, ' ', '')")) + 1)
+          .cast("long"))
+      .select($"chunk_id", $"n_docs", $"n_tokens", $"chunk_text")
+      .orderBy($"chunk_id")
+  }
+
+  val q61Sql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |             CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS nt
+      |           FROM documents),
+      |c AS (SELECT doc_id, text, nt,
+      |        CAST(SUM(nt) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+      |      FROM t),
+      |s AS (SELECT doc_id, text, e, e - nt AS st,
+      |        (e - nt)//512 AS fc, (e - 1)//512 AS lc FROM c),
+      |p AS (SELECT doc_id, st, k AS chunk_id,
+      |        array_to_string(list_slice(string_split(text,' '),
+      |          CAST(greatest(k*512, st) - st + 1 AS BIGINT),
+      |          CAST(least((k+1)*512, e) - st AS BIGINT)), ' ') AS piece
+      |      FROM s, UNNEST(range(fc, lc+1)) u(k)),
+      |g AS (SELECT chunk_id, COUNT(*) AS n_docs,
+      |        string_agg(piece, ' ' ORDER BY st) AS chunk_text
+      |      FROM p GROUP BY chunk_id)
+      |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, n_docs,
+      |  CAST(length(chunk_text) - length(replace(chunk_text,' ','')) + 1 AS BIGINT) AS n_tokens,
+      |  chunk_text
+      |FROM g ORDER BY chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -913,6 +952,7 @@ object TextQueries {
     "q56_span_removal" -> q56SpanRemoval _,
     "q57_length_quantiles" -> q57LengthQuantiles _,
     "q60_epoch_shuffle" -> q60EpochShuffle _,
+    "q61_packed_chunks" -> q61PackedChunks _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -940,5 +980,6 @@ object TextQueries {
     "q56_span_removal" -> q56Sql,
     "q57_length_quantiles" -> q57Sql,
     "q60_epoch_shuffle" -> q60Sql,
+    "q61_packed_chunks" -> q61Sql,
   )
 }

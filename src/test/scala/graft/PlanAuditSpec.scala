@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q50_mix_interleave" -> 1,
     "q54_unigram_lm" -> 1,
     "q60_epoch_shuffle" -> 1,
+    "q61_packed_chunks" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

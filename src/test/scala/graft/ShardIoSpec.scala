@@ -52,6 +52,25 @@ class ShardIoSpec extends AnyFunSuite {
     assert(back.select($"shard_id").distinct().count() > 1)
   }
 
+  test("packedChunks: exact reconstruction, every chunk full except the last") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = graft.operators.SequencePack
+      .packedChunks(docs, "doc_id", "text", chunkTokens = 512)
+      .orderBy($"chunk_id").collect()
+    // chunk ids dense from 0
+    assert(chunks.map(_.getLong(0)).toSeq == (0L until chunks.length).toSeq)
+    // reassembling the chunks reproduces the corpus token stream exactly
+    val reassembled = chunks.map(_.getString(2)).mkString(" ")
+    val corpus = docs.orderBy($"doc_id").select($"text").as[String]
+      .collect().mkString(" ")
+    assert(reassembled == corpus)
+    // every chunk except the last holds exactly 512 tokens
+    chunks.init.foreach { c =>
+      assert(c.getString(2).split(" ", -1).length == 512, s"chunk ${c.getLong(0)}")
+    }
+    assert(chunks.last.getString(2).split(" ", -1).length <= 512)
+  }
+
   test("jsonl roundtrip: documents survive bit-for-bit, corrupt rows captured") {
     val dir = Files.createTempDirectory("jsonl").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
