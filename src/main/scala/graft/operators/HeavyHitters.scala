@@ -28,13 +28,21 @@ object HeavyHitters {
   /** Items with frequency strictly greater than n/(k+1), with exact
     * counts: `(itemCol, cnt)`. `maxCandidates` guards the driver-side
     * candidate collect (bounded at k·numPartitions by construction —
-    * the guard catches only a mis-sized k·P product). */
+    * the guard catches only a mis-sized k·P product).
+    *
+    * NULL items are EXCLUDED: they are dropped before the scan and do
+    * not count toward n. (The summary uses a null key as the sentinel
+    * carrying each partition's row count, so a null item could neither
+    * be reported nor distinguished from the sentinel — filtering up
+    * front keeps n and the threshold consistent with the candidates.) */
   def exact(items: DataFrame, itemCol: String, k: Int,
             maxCandidates: Int = 1 << 21): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = items.sparkSession
     import spark.implicits._
-    val strings = items.select(col(itemCol).cast("string")).as[String](Encoders.STRING)
+    val nonNull = items.select(col(itemCol).cast("string").as(itemCol))
+      .filter(col(itemCol).isNotNull)
+    val strings = nonNull.select(col(itemCol)).as[String](Encoders.STRING)
     // Pass 1: per-partition Misra-Gries summaries. Each partition
     // emits its surviving keys plus ONE sentinel row carrying the
     // partition's row count, so n comes out of the same single scan —
@@ -70,7 +78,7 @@ object HeavyHitters {
     val n = summary.collect { case (null, c) => c }.sum
     val candidates = summary.collect { case (key, _) if key != null => key }.distinct.toSeq
     val candDf = candidates.toSeq.toDF(itemCol)
-    items.select(col(itemCol).cast("string").as(itemCol))
+    nonNull
       .join(broadcast(candDf), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))

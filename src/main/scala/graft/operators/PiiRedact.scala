@@ -34,13 +34,19 @@ object PiiRedact {
         IpRe, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Match counts on the ORIGINAL text, same order-of-scan semantics
-    * as [[redact]] (counts are per pattern on untouched input; `\b`
-    * keeps the IPv4 count from matching inside longer dotted runs). */
+  /** Match counts with the SAME order-of-scan semantics as [[redact]]:
+    * each pattern counts on the text as the redaction pass would see
+    * it — IPs count after the email replacement, phones after email
+    * AND IP replacement — so `n_<kind>` always equals the number of
+    * `<KIND>` markers in the redacted output. (Counting phones on raw
+    * text would disagree: `+1-555-0100@ex.org` is a legal email local
+    * part that the redactor consumes as `<EMAIL>`, never `<PHONE>`.) */
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
   def countPhones(text: Column): Column =
-    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long")
+    size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), IpRe, "<IP>"),
+      lit(PhoneRe), lit(0))).cast("long")
   def countIps(text: Column): Column =
     size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"), lit(IpRe), lit(0))).cast("long")
 }

@@ -24,25 +24,42 @@ object SequencePack {
   /** One row per training chunk: `(chunk_id, n_docs, chunk_text)` —
     * `chunk_text` is the corpus's tokens `[chunk_id·chunkTokens,
     * (chunk_id+1)·chunkTokens)` in `orderCol` order, space-joined.
-    * Token count per chunk = chunkTokens except the final partial. */
+    * Token count per chunk = chunkTokens except the final partial.
+    *
+    * The document text is tokenized ONCE per document: `split` runs in
+    * the Generate's input projection (before the chunk explode) and
+    * each piece row slices the carried array — a T-token document
+    * spanning T/chunkTokens pieces costs O(T) total, not the
+    * O(T²/chunkTokens) a per-piece re-split would (book-length docs
+    * would pay ~1000 re-tokenizations of their full text otherwise).
+    * The token count for the prefix sum uses length arithmetic so the
+    * array never rides the prefix-sum exchange — only the piece slice
+    * (bounded by chunkTokens) is shuffled by the final groupBy. */
   def packedChunks(docs: DataFrame, orderCol: String, textCol: String,
                    chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
-    val t = docs.select(col(orderCol), col(textCol).as("__text"),
-      (length(col(textCol)) - length(expr(s"replace($textCol, ' ', '')")) + 1)
+    val text = col(textCol)
+    val t = docs.select(col(orderCol), text.as("__text"),
+      (length(text) - length(regexp_replace(text, " ", "")) + 1)
         .cast("long").as("__nt"))
     val offs = PrefixSum.withRunningTotal(t, orderCol, "__nt", "__end")
       .withColumn("__start", col("__end") - col("__nt"))
       .withColumn("__fc", expr(s"__start div $chunkTokens"))
       .withColumn("__lc", expr(s"(__end - 1) div $chunkTokens"))
+    // NOTE the split is a SEPARATE projection below the explode-select:
+    // aliases sitting in the same select as a generator are hoisted
+    // ABOVE the Generate by the analyzer's ExtractGenerator (evaluated
+    // once per generated row — the exact per-piece re-split this form
+    // exists to avoid); a plain attribute reference is not.
     val pieces = offs
-      .select(col(orderCol), col("__text"), col("__start"), col("__end"),
+      .withColumn("__ta", split(col("__text"), " "))
+      .select(col(orderCol), col("__ta"), col("__start"), col("__end"),
         explode(expr("sequence(__fc, __lc)")).as("chunk_id"))
       .withColumn("__from", greatest(col("chunk_id") * chunkTokens, col("__start")) - col("__start"))
       .withColumn("__until", least((col("chunk_id") + 1) * chunkTokens, col("__end")) - col("__start"))
       .select(col("chunk_id"), col("__start"),
         array_join(
-          slice(split(col("__text"), " "),
+          slice(col("__ta"),
             (col("__from") + 1).cast("int"), (col("__until") - col("__from")).cast("int")),
           " ").as("piece"))
     pieces.groupBy(col("chunk_id"))

@@ -27,8 +27,14 @@ object ShardWriter {
   def assignShards(docs: DataFrame, orderCol: String, tokenCol: String,
                    tokensPerShard: Long): DataFrame = {
     require(tokensPerShard > 0, s"tokensPerShard must be positive: $tokensPerShard")
+    // Column ops for anything touching user column names (names
+    // needing backticks must not break — or inject into — the plan);
+    // the integer `div` keeps only internal names and a numeric
+    // literal in its expr string.
     PrefixSum.withRunningTotal(docs, orderCol, tokenCol, "end_offset")
-      .withColumn("shard_id", expr(s"(end_offset - $tokenCol) div $tokensPerShard"))
+      .withColumn("__start_offset", col("end_offset") - col(tokenCol))
+      .withColumn("shard_id", expr(s"__start_offset div $tokensPerShard"))
+      .drop("__start_offset")
   }
 
   /** Write `docs` as parquet training shards under `path`

@@ -92,18 +92,21 @@ object SpanDedup {
     * RNG. Returns the surviving chunk instances
     * `(idCol, chunk_idx: long, chunk)`.
     *
-    * Plan: explode → `row_number` over the chunk text (high-card
-    * partition key). Spark 4 inserts WindowGroupLimit for the
-    * `rn == 1` filter, so each map task pre-prunes to one candidate
-    * per chunk before the exchange — the shuffle carries ~distinct
-    * chunks, not all instances.
+    * Plan: explode → `row_number` over md5(chunk) — the window
+    * partitions (and the exchange routes + sorts) on the fixed
+    * 32-byte hash, with the n-token chunk text riding as payload
+    * only, matching [[spanStats]]' hash-keyed design. Spark 4 inserts
+    * WindowGroupLimit for the `rn == 1` filter, so each map task
+    * pre-prunes to one candidate per hash before the exchange — the
+    * shuffle carries ~distinct chunks, not all instances.
     */
   def dedupChunks(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val id = col(idCol)
     val ch = docs.select(id,
         posexplode(expr(s"token_chunks($textCol, $n)")).as(Seq("chunk_idx", "chunk")))
-      .select(id, col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
-    val w = Window.partitionBy(col("chunk")).orderBy(id, col("chunk_idx"))
+      .select(id, col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(id, col("chunk_idx"))
     ch.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(id, col("chunk_idx"), col("chunk"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Unigram language-model document scoring — the "LM quality filter"
   * stage of a pretraining pipeline (CCNet/Gopher filter on LM score;
@@ -21,13 +22,16 @@ import org.apache.spark.sql.functions._
   * 10^13-token (100 TB) corpus is 10^18, inside the bound; past that,
   * promote the two sums to DECIMAL(38,0) before the division.
   *
-  * Scale shape: one explode pass builds both the vocabulary (groupBy
-  * token, map-side combined) and the per-doc stream; the token→count
-  * join is on the token key and AQE converts it to broadcast at
-  * runtime whenever the aggregated vocabulary lands under the
-  * threshold (the common case — vocabularies are ~10^6-10^8 rows even
-  * for 10^13-token corpora); otherwise it stays a parallel shuffle
-  * join. The corpus total is a 1-row broadcast.
+  * Scale shape: the corpus is tokenized ONCE — a single explode pass
+  * feeds `tf = count per (doc, token)` (map-side combined, shuffle =
+  * distinct pairs), the corpus-wide token count rides a sum-window
+  * over the token hash (high-cardinality key) on that SAME reduced
+  * stream, and the per-doc roll-up regroups by document. A
+  * tf ⋈ vocab join would reference the exploded subtree from two
+  * plan branches — either tokenizing twice or forcing a persist that
+  * outlives the call; the window form has one branch, so neither.
+  * The corpus total is length arithmetic on the raw docs scan (no
+  * tokenization) broadcast as one row.
   */
 object UnigramLm {
 
@@ -35,12 +39,18 @@ object UnigramLm {
     * `(idCol, n_tokens, sum_cnt, unigram_score)`. */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val toks = docs.select(id, explode(split(col(textCol), " ")).as("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).as("total_tokens"))
-    toks.join(vocab, "tok")
-      .groupBy(id)
-      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+    val tf = docs
+      .select(id, explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(id, col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("tok"))))
+    // total corpus tokens without a second tokenize pass: whitespace
+    // token count == space count + 1, exactly what split produces
+    val total = docs
+      .agg(sum(length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")) + 1)
+        .cast("long").as("total_tokens"))
+    tf.groupBy(id)
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("cnt")).as("sum_cnt"))
       .crossJoin(broadcast(total))
       .withColumn("unigram_score",
         col("sum_cnt").cast("double") / (col("n_tokens") * col("total_tokens")))

@@ -327,11 +327,11 @@ object VectorQueries {
       |pairs AS (SELECT a.i, b.i AS j, a.qi, b.qi AS qj
       |          FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i),
       |agg AS (SELECT i, j, COUNT(*) AS n,
-      |          CAST(SUM(qi) AS BIGINT) AS sx, CAST(SUM(qj) AS BIGINT) AS sy,
-      |          CAST(SUM(qi*qj) AS BIGINT) AS sxy
+      |          SUM(qi) AS sx, SUM(qj) AS sy, SUM(qi*qj) AS sxy
       |        FROM pairs GROUP BY 1, 2)
-      |SELECT i, j, n,
-      |  CAST(sxy*n - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) / 1099511627776.0 AS cov
+      |SELECT i, j, CAST(n AS BIGINT) AS n,
+      |  CAST(sxy*n - sx*sy AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1099511627776.0 AS cov
       |FROM agg ORDER BY i, j""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,6 +44,17 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("null items are excluded from both candidates and n") {
+    // 6 nulls + 4 "a" in 10 rows: with nulls counted, n=10 would make
+    // the k=1 threshold n/2=5 and "a" (4) would be wrongly dropped;
+    // nulls excluded → n=4, "a" qualifies, and no null row is emitted
+    val df = (Seq.fill(6)(null: String) ++ Seq.fill(4)("a"))
+      .toDF("item").repartition(3)
+    val got = HeavyHitters.exact(df, "item", k = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 4L))
+  }
+
   test("randomized property vs brute force") {
     val rnd = new scala.util.Random(13)
     for (trial <- 0 until 3) {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{PiiRedact, SpanDedup, UnigramLm}
+import graft.operators.{PiiRedact, SequencePack, SpanDedup, UnigramLm}
 
 /** Pins the round-4 substring-dedup / redaction / LM-score operators:
   * native span+chunk expressions against a brute-force Scala reference,
@@ -179,6 +179,27 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(rows(2) == ((2L, 0L, 2L, "two mails <EMAIL> <EMAIL> and <IP> <IP>")))
   }
 
+  test("pii counts agree with redaction on overlapping shapes") {
+    // '+1-555-0100@ex.org' is a legal email local part: the redactor
+    // consumes it as <EMAIL>, so the phone count must NOT report it —
+    // counts mirror the redaction chain (emails, then IPs, then phones)
+    val df = Seq(
+      "mail +1-555-0100@ex.org then real +1-555-0100",
+      "only mail-phone +9-123-4567@x.io"
+    ).toDF("t").select(
+      PiiRedact.countEmails($"t").as("e"), PiiRedact.countPhones($"t").as("p"),
+      PiiRedact.countIps($"t").as("i"), PiiRedact.redact($"t").as("r"))
+    val rows = df.as[(Long, Long, Long, String)].collect()
+    assert(rows(0) == ((1L, 1L, 0L, "mail <EMAIL> then real <PHONE>")))
+    assert(rows(1) == ((1L, 0L, 0L, "only mail-phone <EMAIL>")))
+    // invariant: n_<kind> equals the marker count in the redacted text
+    rows.foreach { case (e, p, i, r) =>
+      assert(e == "<EMAIL>".r.findAllIn(r).size)
+      assert(p == "<PHONE>".r.findAllIn(r).size)
+      assert(i == "<IP>".r.findAllIn(r).size)
+    }
+  }
+
   test("unigram lm score: hand-computed tiny corpus") {
     // corpus tokens: a a a b → cnt(a)=3, cnt(b)=1, total=4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
@@ -186,5 +207,62 @@ class SpanPipelineSpec extends AnyFunSuite {
       .orderBy($"doc_id")
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 3L, 9L, 9.0 / (3 * 4)), (2L, 1L, 1L, 1.0 / (1 * 4))))
+  }
+
+  private def splitCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    p.collect { case n =>
+      n.expressions.map(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+      }.size).sum
+    }.sum
+
+  test("unigram lm tokenizes the corpus exactly once (one Generate in the plan)") {
+    // the r4 form exploded the corpus twice (vocab build + join probe);
+    // the window form must show exactly one Generate and one split
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = UnigramLm.score(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.size == 1, s"expected 1 Generate, got ${gens.size}")
+    assert(splitCount(plan) == 1, "expected exactly one split of the corpus text")
+  }
+
+  test("packedChunks tokenizes each document once: split sits below the explode") {
+    // the r4 form re-split the full doc text per exploded piece —
+    // O(T²/chunk) for a T-token document; the fix computes split in
+    // the Generate's INPUT projection and slices the carried array
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = SequencePack.packedChunks(docs, "doc_id", "text", 512)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.size == 1, s"expected 1 Generate, got ${gens.size}")
+    assert(splitCount(plan) == 1, "text must be split exactly once")
+    assert(splitCount(gens.head.child) == 1,
+      "the one split must be BELOW the chunk explode (once per doc, not per piece)")
+  }
+
+  test("packedChunks on a book-length document: linear, exact") {
+    // a single 1M-token doc spans ~1954 chunks of 512 — the r4
+    // per-piece re-split form did ~1954 full tokenizations of a 7MB
+    // string here; the linear form slices one carried array
+    val big = (0 until 1000000).map(i => "t" + (i % 9973)).mkString(" ")
+    val docs = Seq((1L, "alpha beta"), (2L, big), (3L, "omega end mark")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = SequencePack.packedChunks(docs, "doc_id", "text", 512)
+      .orderBy($"chunk_id")
+      .as[(Long, Long, String)].collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val all = ("alpha beta " + big + " omega end mark").split(" ", -1)
+    val exp = all.grouped(512).map(_.mkString(" ")).toSeq
+    assert(out.length == exp.length)
+    out.zip(exp).zipWithIndex.foreach { case (((cid, _, text), e), k) =>
+      assert(cid == k, s"chunk id at $k")
+      assert(text == e, s"chunk text at $k")
+    }
+    // the doc split across chunk 0 and the final chunk carries n_docs > 1
+    assert(out.head._2 == 2L && out.last._2 == 2L)
+    assert(sec < 60.0, f"packedChunks took $sec%.1fs — quadratic re-split regression?")
   }
 }
