@@ -34,7 +34,9 @@ object Bench {
     // ingest measured on the freshly-warmed session, before the query
     // sweep: 36 prior queries measurably degrade the JVM (codegen
     // cache churn, profile pollution) and halve observed throughput
-    val ingest = ingestMbps(spark)
+    val loadStart = systemLoad()
+    val (ingest, warmCurve, warmTag) = ingestMbps(spark)
+    val loadEnd = systemLoad()
     // uniform per-query warmup at the smallest SF: compiles each
     // query's codegen units and JITs its kernels, so the measured runs
     // below reflect steady-state execution at the target SF rather
@@ -67,15 +69,41 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest}""")
+    // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
+    // byte-identical kernel and could not be adjudicated from the
+    // artifact — so the artifact now carries its own evidence: the
+    // actual JVM the driver's invocation produced (did the build.sbt
+    // fork opts apply?), the full per-pass warm curve, and the host
+    // load before/after the measurement window.
+    val curve = warmCurve.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","load_avg":[$loadStart,$loadEnd]}""")
     spark.stop()
+  }
+
+  private def systemLoad(): Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(l * 100.0) / 100.0
+  }
+
+  /** One-line fingerprint of the bench JVM: collector, heap, cores —
+    * enough to tell from the artifact alone whether the throughput
+    * fork opts (ParallelGC + 16g, build.sbt) actually applied to the
+    * invocation that produced the number. */
+  private def jvmProfile(): String = {
+    import scala.jdk.CollectionConverters._
+    val gcs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("+")
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    val cores = Runtime.getRuntime.availableProcessors
+    s"gc=$gcs heapGb=$heapGb cores=$cores"
   }
 
   /** End-to-end dump-ingest throughput: synthesize a ~192MB dump, run the
     * full mediawiki-source → diffdb pipeline over it, report MB/s.
     * (Reference cluster baseline: ~8.3 MB/s decompressed on 24 cores,
     * BASELINE.md.) */
-  private def ingestMbps(spark: SparkSession): Double = {
+  private def ingestMbps(spark: SparkSession): (Double, Seq[Double], String) = {
     // size splits so the dump fans out across all cores
     // (384MB / 4MB = 96 tasks on 32 threads; a 16MB split gave only 24);
     // restored afterwards — ingest runs before the query sweep, which
@@ -89,7 +117,7 @@ object Bench {
     }
   }
 
-  private def ingestMbps0(spark: SparkSession): Double = {
+  private def ingestMbps0(spark: SparkSession): (Double, Seq[Double], String) = {
     // 384MB: the kernel got fast enough that a 192MB pass finished in
     // ~0.5s, where scheduler jitter is ±10% of the measurement
     val f = synthDump(384L * 1024 * 1024)
@@ -129,7 +157,7 @@ object Bench {
     val tag = if (settled) "settled" else "flat-cap"
     System.err.println(s"[bench] ingest warm=${times.map(t => f"$t%.2f").mkString(",")} measured=${sec}s $tag")
     f.delete()
-    math.round(sizeMb / sec * 10.0) / 10.0
+    (math.round(sizeMb / sec * 10.0) / 10.0, times.toSeq, tag)
   }
 
   private def synthDump(targetBytes: Long): java.io.File = {

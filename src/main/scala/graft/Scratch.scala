@@ -92,6 +92,34 @@ object Scratch {
       return
     }
 
+    if (sys.env.contains("SCRATCH_META")) {
+      // effect of metadata-field gating on single-threaded parse
+      // throughput: all fields vs the diffdb mask vs text-only
+      val synth = Bench.getClass.getDeclaredMethod("synthDump", classOf[Long])
+      synth.setAccessible(true)
+      val f = synth.invoke(Bench, java.lang.Long.valueOf(256L * 1024 * 1024))
+        .asInstanceOf[java.io.File]
+      val mb = f.length() / 1e6
+      import graft.sources.RevMetaFields
+      val masks = Seq(
+        "all-fields" -> RevMetaFields.All,
+        "diffdb-mask" -> RevMetaFields.All.copy(model = false, format = false, sha1 = false, bytes = false),
+        "text-only" -> RevMetaFields(false, false, false, false, false, false, false))
+      for (run <- 1 to 3; (label, m) <- masks) {
+        val it = new graft.sources.PageRecordIterator(
+          new graft.sources.CountingByteSource(new java.io.BufferedInputStream(
+            new java.io.FileInputStream(f), 1 << 20), 0),
+          0, Long.MaxValue, false, meta = m)
+        var n = 0L
+        val t0 = System.nanoTime()
+        while (it.hasNext) { it.next(); n += 1 }
+        println(f"[scratch] run$run $label%-12s ${mb / ((System.nanoTime() - t0) / 1e9)}%.0f MB/s ($n rows)")
+      }
+      f.delete()
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SCRATCH_STACKS")) {
       // sampling profile of the single-threaded diff loop: run the
       // parse+diff pipeline in a worker thread, sample its stack every

@@ -32,13 +32,26 @@ object Tables {
   def spread(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(s, dir, name)
     val p = s.sparkContext.defaultParallelism
-    // estimate the scan's split count from file bytes alone — no
+    // estimate the scan's split count from the file listing alone — no
     // df.rdd (which would instantiate the whole RDD lineage on the
-    // driver per query call) and no physical planning
+    // driver per query call) and no physical planning. PER FILE, not
+    // total bytes: a table of many small files scans one partition per
+    // file (each carries the 4MB open cost, so Spark's bin packing
+    // keeps them separate), and a total-bytes estimate would call that
+    // "one split" and insert a useless full-table exchange.
+    // TablesSpreadSpec pins this decision against the planned scan for
+    // 1-file and many-file layouts.
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val bytes = path.getFileSystem(s.sessionState.newHadoopConf())
-      .getContentSummary(path).getLength
-    val estSplits = math.max(1L, bytes / s.sessionState.conf.filesMaxPartitionBytes)
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    val maxPB = s.sessionState.conf.filesMaxPartitionBytes
+    val st = fs.getFileStatus(path)
+    val dataFiles =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(path).toSeq.filter(f => f.isFile && {
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    val estSplits = dataFiles.map(f => math.max(1L, (f.getLen + maxPB - 1) / maxPB)).sum
     if (estSplits < math.min(p, 8)) df.repartition(p) else df
   }
 }

@@ -479,9 +479,22 @@ class MediaWikiPartitionReader(
     })
   }
 
+  /** Metadata extractions the requested (possibly nested-pruned)
+    * `prev`/`curr` structs actually need; `raw_xml` keeps everything
+    * (compat consumers read the raw fragment AND parsed columns). */
+  private val metaFields: graft.sources.RevMetaFields =
+    if (wantRaw) graft.sources.RevMetaFields.All
+    else graft.sources.RevMetaFields.fromStructs(
+      schema.fields.collect {
+        case f if f.name == "curr" || f.name == "prev" => f.dataType match {
+          case st: StructType => st.fieldNames.toSet
+          case _ => Set("contributor", "minor", "comment", "model", "format", "sha1", "bytes")
+        }
+      }.toSeq)
+
   private val iter = new PageRecordIterator(
     source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw,
-    titleFilter = titleFilter, needText = needText)
+    titleFilter = titleFilter, needText = needText, meta = metaFields)
 
   private var current: RevisionPair = _
 

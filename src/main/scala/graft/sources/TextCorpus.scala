@@ -35,4 +35,21 @@ object TextCorpus {
   /** Write a documents frame as JSONL (one object per line). */
   def writeJsonlDocuments(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /** Streaming read of a JSONL corpus — same enforced schema and
+    * corrupt-record capture as [[readJsonlDocuments]], so the batch
+    * curation pipeline (curateDocs / redactDocs / dedup) composes
+    * unchanged onto a live document feed the way the `mediawiki`
+    * source already streams dumps. Spark's file stream source tracks
+    * processed files in the checkpoint log; `maxFilesPerTrigger`
+    * bounds micro-batch size. */
+  def readStreamJsonlDocuments(spark: SparkSession, path: String,
+                               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .schema(documentsSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(path)
+  }
 }

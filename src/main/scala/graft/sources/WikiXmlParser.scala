@@ -309,12 +309,32 @@ object XmlFields {
     PageInfo(pageId, title, ns, redirect, header)
   }
 
-  /** Parse one `<revision ...>...</revision>` fragment. */
-  def parseRevision(rev: String, keepRaw: Boolean): Revision = {
-    val revId = tagText(rev, "id").flatMap(_.trim.toLongOption).getOrElse(-1L)
-    val parentId = tagText(rev, "parentid").flatMap(_.trim.toLongOption)
-    val ts = tagText(rev, "timestamp").flatMap(parseTimestampUs)
-    val contributor = element(rev, "contributor", 0).map { case (attrs, content, _) =>
+  /** Parse one `<revision ...>...</revision>` fragment. `meta` gates
+    * the optional metadata extractions: every disabled field skips its
+    * substring search and per-field allocation — the nested-pruning
+    * analog of the reference's F3 header/body projection
+    * (`StreamWikiDumpInputFormat.java:412-420`), but at single-field
+    * granularity.
+    *
+    * Metadata fields are searched in the fragment HEAD only (bytes
+    * before `<text`): the export format is an XSD `sequence` placing
+    * id/parentid/timestamp/contributor/minor/comment/model/format
+    * before the text element (evidenced throughout the reference's
+    * fixtures, e.g. `fileformat.rst` examples), and the body is
+    * entity-escaped so a literal `<text` cannot occur inside it.
+    * Without the bound, every ABSENT field (comment/model/format on
+    * most revisions, `<minor/>` three ways) costs a full scan of the
+    * text body — ~10KB of dead scanning per 2KB revision. Only `sha1`
+    * (which follows the text element) is searched after it. */
+  def parseRevision(rev: String, keepRaw: Boolean,
+                    meta: RevMetaFields = RevMetaFields.All): Revision = {
+    val textStart = rev.indexOf("<text")
+    val head = if (textStart < 0) rev else rev.substring(0, textStart)
+    val revId = tagText(head, "id").flatMap(_.trim.toLongOption).getOrElse(-1L)
+    val parentId = tagText(head, "parentid").flatMap(_.trim.toLongOption)
+    val ts = tagText(head, "timestamp").flatMap(parseTimestampUs)
+    val contributor = if (!meta.contributor) None
+    else element(head, "contributor", 0).map { case (attrs, content, _) =>
       if (attr(attrs, "deleted").contains("deleted"))
         Contributor(None, None, None, deleted = true)
       else Contributor(
@@ -323,21 +343,51 @@ object XmlFields {
         tagText(content, "ip"),
         deleted = false)
     }
-    val minor = rev.contains("<minor/>") || rev.contains("<minor />") || rev.contains("<minor></minor>")
-    val comment = element(rev, "comment", 0).flatMap { case (attrs, content, _) =>
+    val minor = meta.minor &&
+      (head.contains("<minor/>") || head.contains("<minor />") || head.contains("<minor></minor>"))
+    val comment = if (!meta.comment) None
+    else element(head, "comment", 0).flatMap { case (attrs, content, _) =>
       if (attr(attrs, "deleted").contains("deleted")) None else Some(unescape(content))
     }
-    val model = tagText(rev, "model")
-    val format = tagText(rev, "format")
-    val textEl = element(rev, "text", 0)
+    val model = if (meta.model) tagText(head, "model") else None
+    val format = if (meta.format) tagText(head, "format") else None
+    val textEl = if (textStart < 0) None else element(rev, "text", textStart)
     val text = textEl.flatMap { case (attrs, content, _) =>
       if (attr(attrs, "deleted").contains("deleted")) None else Some(unescape(content))
     }
-    val bytes = textEl.flatMap { case (attrs, _, _) => attr(attrs, "bytes").flatMap(_.toLongOption) }
-    val sha1 = textEl.flatMap { case (_, _, after) => tagText(rev, "sha1", after) }
-      .orElse(tagText(rev, "sha1"))
+    val bytes = if (!meta.bytes) None
+    else textEl.flatMap { case (attrs, _, _) => attr(attrs, "bytes").flatMap(_.toLongOption) }
+    val sha1 = if (!meta.sha1) None
+    else textEl match {
+      case Some((_, _, after)) => tagText(rev, "sha1", after)
+      case None => tagText(rev, "sha1", 0)
+    }
     Revision(revId, parentId, ts, contributor, minor, comment, model, format,
       text, sha1, bytes, if (keepRaw) Some(rev) else None)
+  }
+}
+
+/** Which optional revision-metadata fields a scan actually needs —
+  * derived from the nested-pruned `prev`/`curr` struct schemas, so a
+  * `curr.text`-only query pays zero metadata extraction. Identity,
+  * ordering, and text fields (`rev_id`, `parent_id`, `timestamp`,
+  * `text`) are not gated here: the first three are cheap scans of the
+  * fragment head and the text capture is governed by the reader's
+  * `needText` (which skips materializing the body entirely). */
+final case class RevMetaFields(contributor: Boolean, minor: Boolean,
+    comment: Boolean, model: Boolean, format: Boolean,
+    sha1: Boolean, bytes: Boolean)
+
+object RevMetaFields {
+  val All: RevMetaFields =
+    RevMetaFields(contributor = true, minor = true, comment = true,
+      model = true, format = true, sha1 = true, bytes = true)
+
+  /** The fields any of the requested revision structs mention. */
+  def fromStructs(structs: Seq[Set[String]]): RevMetaFields = {
+    val want = structs.foldLeft(Set.empty[String])(_ ++ _)
+    RevMetaFields(want("contributor"), want("minor"), want("comment"),
+      want("model"), want("format"), want("sha1"), want("bytes"))
   }
 }
 
@@ -375,7 +425,8 @@ final class PageRecordIterator(
     excludePagesWith: Option[Pattern] = None,
     keepRaw: Boolean = false,
     titleFilter: Option[String => Boolean] = None,
-    needText: Boolean = true)
+    needText: Boolean = true,
+    meta: RevMetaFields = RevMetaFields.All)
   extends Iterator[RevisionPair] with AutoCloseable {
 
   import PageRecordIterator._
@@ -387,6 +438,14 @@ final class PageRecordIterator(
   var pagesSkipped: Long = 0L
 
   private val scanner = new StreamScanner(src)
+  /** Reused capture buffer: one per iterator, `reset()` between
+    * records (keeps the grown backing array), instead of a fresh
+    * growing ByteArrayOutputStream per revision — the parse path is
+    * allocation-bound at 32 threads, and the per-revision
+    * 1KB→fragment-size growth copies were pure garbage. Safe to share
+    * between header and revision capture: calls are strictly
+    * sequential and only immutable Strings escape. */
+  private val capBuf = new java.io.ByteArrayOutputStream(1 << 16)
   private var page: PageInfo = _
   private var prev: Option[Revision] = None
   private var revSeqNo = 0
@@ -407,7 +466,8 @@ final class PageRecordIterator(
       if (!exclusiveStart && pStart >= ownEnd) return false
       if (owned(pStart)) {
         // capture header up to first <revision> or </page>
-        val cap = new java.io.ByteArrayOutputStream(256)
+        val cap = capBuf
+        cap.reset()
         val m = scanner.readUntil(Array(REV_BEGIN, PAGE_END), cap)
         if (m < 0) return false // truncated page: drop
         if (m == 1) {
@@ -449,18 +509,22 @@ final class PageRecordIterator(
     * captured or materialized: the head is closed with a synthetic
     * self-closing text tag so field extraction still sees the attrs. */
   private def readRevision(): Option[Revision] = {
-    val cap = new java.io.ByteArrayOutputStream(1024)
+    val cap = capBuf
+    cap.reset()
+    // seed the buffer with the already-consumed "<revision" so the
+    // fragment decodes in ONE toString — the old "<revision" + body
+    // concat recopied the entire fragment (text body included) a
+    // second time per revision
+    cap.write(REV_BEGIN)
     if (needText || keepRaw) {
       if (scanner.readUntil(Array(REV_END), cap) < 0) return None // truncated
-      val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
-      Some(XmlFields.parseRevision(raw, keepRaw))
+      Some(XmlFields.parseRevision(cap.toString(StandardCharsets.UTF_8), keepRaw, meta))
     } else {
       val m = scanner.readUntil(Array(REV_END, TEXT_BEGIN), cap)
       if (m < 0) return None
       if (m == 0) {
         // revision had no <text> element at all
-        val raw = "<revision" + cap.toString(StandardCharsets.UTF_8)
-        Some(XmlFields.parseRevision(raw, keepRaw = false))
+        Some(XmlFields.parseRevision(cap.toString(StandardCharsets.UTF_8), keepRaw = false, meta))
       } else {
         // capture the text attrs (small), then skip the body — and any
         // post-text fields like sha1 — uncaptured to </revision>
@@ -469,10 +533,9 @@ final class PageRecordIterator(
         if (scanner.readUntil(Array(REV_END), null) < 0) return None
         // close the text tag synthetically; parsed text value is unused
         // (pruned) but attrs (bytes=...) remain extractable
-        val raw = "<revision" +
-          (if (head.endsWith("/>")) head else head.dropRight(1) + "/>") +
+        val raw = (if (head.endsWith("/>")) head else head.dropRight(1) + "/>") +
           "</revision>"
-        Some(XmlFields.parseRevision(raw, keepRaw = false))
+        Some(XmlFields.parseRevision(raw, keepRaw = false, meta))
       }
     }
   }

@@ -231,6 +231,25 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(b.head.getAs[Long]("nb") == 54L)
   }
 
+  test("text-only nested prune returns the same text as a full-width read") {
+    // the reader derives a metadata mask from the pruned curr/prev
+    // structs (skipping contributor/comment/model/format/sha1 capture
+    // per revision); the surviving columns must be byte-identical to
+    // an unpruned read's
+    val full = spark.read.format("mediawiki").load(fixture)
+      .select($"curr.rev_id".as("rid"), $"curr.text".as("t"),
+        $"curr.comment".as("c"), $"curr.contributor.username".as("u"))
+      .orderBy($"rid").collect()
+    val textOnly = spark.read.format("mediawiki").load(fixture)
+      .select($"curr.rev_id".as("rid"), $"curr.text".as("t"))
+      .orderBy($"rid").collect()
+    assert(textOnly.map(r => (r.getLong(0), r.getAs[String]("t"))).toSeq ==
+      full.map(r => (r.getAs[Long]("rid"), r.getAs[String]("t"))).toSeq)
+    // sanity: the full read does surface the gated fields
+    assert(full.exists(r => r.getAs[String]("c") != null) &&
+      full.exists(r => r.getAs[String]("u") != null))
+  }
+
   test("column pruning reaches the reader") {
     val df = spark.read.format("mediawiki").load(fixture).select($"page_id", $"title")
     assert(df.distinct().count() == 3)

@@ -4,6 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
+import org.apache.spark.sql.streaming.Trigger
+
 import graft.operators.ShardWriter
 import graft.sources.TextCorpus
 
@@ -87,5 +89,41 @@ class ShardIoSpec extends AnyFunSuite {
       assert(good.orderBy($"doc_id").collect().toSeq == orig)
       assert(back.filter($"_corrupt_record".isNotNull).count() == 1)
     } finally back.unpersist()
+  }
+
+  test("streaming jsonl ≡ batch through the curation pipeline") {
+    // the full curate → redact projection over a JSONL feed must
+    // produce row-identical results whether the corpus arrives as one
+    // batch read or as micro-batches — same enforced schema, same
+    // shared expressions (q14/q42/q52's single source of truth)
+    val dir = Files.createTempDirectory("jsonl-stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // several files so maxFilesPerTrigger yields multiple micro-batches
+    TextCorpus.writeJsonlDocuments(docs.filter($"doc_id" % 3 === 0), s"$dir/corpus/p0")
+    TextCorpus.writeJsonlDocuments(docs.filter($"doc_id" % 3 === 1), s"$dir/corpus/p1")
+    TextCorpus.writeJsonlDocuments(docs.filter($"doc_id" % 3 === 2), s"$dir/corpus/p2")
+    val glob = s"$dir/corpus/p*"
+    // redact first (keeps text), then curate (projects text away)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.curateDocs(
+        graft.streaming.StreamOps.redactDocs(df.drop("_corrupt_record")))
+    val expected = pipeline(TextCorpus.readJsonlDocuments(spark, glob))
+      .collect().map(_.toSeq).toSet
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Seq[Any]]())
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger
+    val stream = TextCorpus.readStreamJsonlDocuments(spark, glob,
+      maxFilesPerTrigger = Some(1))
+    val q = pipeline(stream).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        b.collect().foreach(r => got.add(r.toSeq)): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("jsonl-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches.get() > 1, "maxFilesPerTrigger should split the feed into micro-batches")
+    assert(scala.jdk.CollectionConverters.ListHasAsScala(got).asScala.toSet == expected)
+    assert(expected.nonEmpty)
   }
 }

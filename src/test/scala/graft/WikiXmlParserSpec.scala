@@ -6,7 +6,7 @@ import java.util.regex.Pattern
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{CountingByteSource, PageRecordIterator, XmlFields}
+import graft.sources.{CountingByteSource, PageRecordIterator, RevMetaFields, XmlFields}
 
 class WikiXmlParserSpec extends AnyFunSuite {
 
@@ -54,6 +54,33 @@ class WikiXmlParserSpec extends AnyFunSuite {
     assert(r103.contributor == Some(Contributor(None, None, None, true)))
     assert(r103.comment == None)
     assert(r103.text == None)
+  }
+
+  test("meta field gating skips exactly the unrequested extractions") {
+    val frag = "<revision><id>9</id><parentid>8</parentid>" +
+      "<timestamp>2020-01-05T10:00:00Z</timestamp>" +
+      "<contributor><username>U</username><id>3</id></contributor><minor/>" +
+      "<comment>c</comment><model>wikitext</model><format>text/x-wiki</format>" +
+      "<text bytes=\"5\" xml:space=\"preserve\">hello</text><sha1>abc</sha1></revision>"
+    val full = XmlFields.parseRevision(frag, keepRaw = false)
+    assert(full.contributor.isDefined && full.minor && full.comment.isDefined &&
+      full.model.isDefined && full.format.isDefined && full.sha1.isDefined &&
+      full.bytes.isDefined)
+    val none = RevMetaFields(contributor = false, minor = false, comment = false,
+      model = false, format = false, sha1 = false, bytes = false)
+    val pruned = XmlFields.parseRevision(frag, keepRaw = false, none)
+    assert(pruned.contributor.isEmpty && !pruned.minor && pruned.comment.isEmpty &&
+      pruned.model.isEmpty && pruned.format.isEmpty && pruned.sha1.isEmpty &&
+      pruned.bytes.isEmpty)
+    // ungated fields are untouched by the mask
+    assert(pruned.revId == full.revId && pruned.parentId == full.parentId &&
+      pruned.timestampUs == full.timestampUs && pruned.text == full.text)
+    // single-field masks extract just that field
+    val onlyContrib = XmlFields.parseRevision(frag, keepRaw = false,
+      none.copy(contributor = true))
+    assert(onlyContrib.contributor == full.contributor && onlyContrib.model.isEmpty)
+    val onlySha = XmlFields.parseRevision(frag, keepRaw = false, none.copy(sha1 = true))
+    assert(onlySha.sha1 == full.sha1 && onlySha.contributor.isEmpty)
   }
 
   test("parses page header: title, ns, redirect") {
