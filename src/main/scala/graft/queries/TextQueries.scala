@@ -927,6 +927,53 @@ object TextQueries {
       |  chunk_text
       |FROM g ORDER BY chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** BPE merge census via [[graft.operators.BpePairs]]: the 100 most
+    * frequent adjacent token pairs — the statistic each BPE/WordPiece
+    * merge round maximizes. Native 2-token spans → one explode → one
+    * map-side-combined groupBy; top-k plans as TakeOrdered. */
+  def q62BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.BpePairs.topPairs(docs(s, dir), "text", k = 100)
+      .orderBy($"cnt".desc, $"pair")
+  }
+
+  val q62Sql: String =
+    """WITH d AS (SELECT string_split(text,' ') AS ts FROM documents),
+      |p AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
+      |      FROM d, UNNEST(range(1, len(ts))) t(i)),
+      |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+      |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM c
+      |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Shard assignment via [[graft.operators.ShardWriter.assignShards]]:
+    * every document's cumulative token offset and budget-bucket shard —
+    * the training-shard sink's placement logic, oracle-checked (the
+    * write itself is ShardIoSpec's roundtrip). The running total is
+    * PrefixSum's two-phase scan; the oracle states the same number as
+    * a window prefix sum. */
+  def q63ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id",
+      (length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+        .cast("long").as("n_tokens"))
+    graft.operators.ShardWriter.assignShards(t, "doc_id", "n_tokens", tokensPerShard = 4096)
+      .select($"doc_id", $"n_tokens", $"end_offset", $"shard_id")
+      .orderBy($"doc_id")
+  }
+
+  val q63Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_offset
+      |      FROM t)
+      |SELECT doc_id, n_tokens, end_offset, (end_offset - n_tokens)//4096 AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -953,6 +1000,8 @@ object TextQueries {
     "q57_length_quantiles" -> q57LengthQuantiles _,
     "q60_epoch_shuffle" -> q60EpochShuffle _,
     "q61_packed_chunks" -> q61PackedChunks _,
+    "q62_bpe_pairs" -> q62BpePairs _,
+    "q63_shard_assign" -> q63ShardAssign _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -981,5 +1030,7 @@ object TextQueries {
     "q57_length_quantiles" -> q57Sql,
     "q60_epoch_shuffle" -> q60Sql,
     "q61_packed_chunks" -> q61Sql,
+    "q62_bpe_pairs" -> q62Sql,
+    "q63_shard_assign" -> q63Sql,
   )
 }

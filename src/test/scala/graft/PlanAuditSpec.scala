@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite {
     * numParts-row side tables), independent of corpus size:
     *  - q6, q30: corpus-wide 1-row aggregate (partial agg upstream)
     *  - q44: the 1-row corpus-count `nd` broadcast side
-    *  - q48, q50: PrefixSum's per-bucket offset window (numParts rows)
+    *  - q48, q50, q63: PrefixSum's per-bucket offset window (numParts
+    *    rows)
     *  - q54: the 1-row `total_tokens` aggregate broadcast side
     */
   private val budget: Map[String, Int] = Map(
@@ -30,6 +31,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q54_unigram_lm" -> 1,
     "q60_epoch_shuffle" -> 1,
     "q61_packed_chunks" -> 1,
+    "q63_shard_assign" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

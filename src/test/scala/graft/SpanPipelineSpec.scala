@@ -209,6 +209,17 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 9L, 9.0 / (3 * 4)), (2L, 1L, 1L, 1.0 / (1 * 4))))
   }
 
+  test("bpe pair census: hand-computed counts, deterministic tie-break") {
+    // "a b a b c" → pairs: (a b), (b a), (a b), (b c); "x" → none
+    val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.operators.BpePairs.topPairs(docs, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 2L), ("b a", 1L), ("b c", 1L)))
+    val top1 = graft.operators.BpePairs.topPairs(docs, "text", k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a b", 2L)))
+  }
+
   private def splitCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
     p.collect { case n =>
       n.expressions.map(_.collect {
