@@ -125,6 +125,45 @@ object Multimodal {
 
   /** Build a media table from the documents table (text bytes standing
     * in for media payloads — the plumbing under test, not the codec). */
+  case class AudioSegment(media_id: Long, seg_idx: Long, seg_start: Long,
+      n_samples: Long, seg_sig: Long, error: String)
+
+  /** Audio segmentation for ASR/speech training: decode the track's
+    * sample count, emit one row per `windowSamples`-sample segment at
+    * `strideSamples` hops — the 1-D analog of [[sampleFrames]]'s
+    * stride-before-explode (an hour of 16kHz audio is 57.6M samples;
+    * rows are segments, never samples). Partial tail windows are NOT
+    * emitted (training consumes fixed-size segments). Same stub
+    * contract as every decode here: fake sample count
+    * (`hash % 16381 + 1`) and signature in non-negative bounded
+    * BIGINT arithmetic, oracle-expressible; swap in a real resampler
+    * in production. Per-partition decoder init + per-row error
+    * capture. */
+  def chunkAudio(blobs: Dataset[MediaBlob], windowSamples: Int,
+                 strideSamples: Int): Dataset[AudioSegment] = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1: $windowSamples")
+    require(strideSamples >= 1, s"strideSamples must be >= 1: $strideSamples")
+    import blobs.sparkSession.implicits._
+    blobs.filter(_.kind == "audio").mapPartitions { it =>
+      // per-partition init of the (stub) audio decoder goes here
+      it.flatMap { b =>
+        try {
+          val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
+          val h = FakeDecoder.contentHash(bytes)
+          val nSamples = h % 16381 + 1
+          val sig = h % 1000000007L
+          (0L to nSamples - windowSamples by strideSamples.toLong).map { st =>
+            AudioSegment(b.media_id, st / strideSamples, st, nSamples,
+              sig * 37 + st, null)
+          }
+        } catch {
+          case e: Exception =>
+            Seq(AudioSegment(b.media_id, -1L, -1L, 0L, 0L, e.getMessage))
+        }
+      }
+    }
+  }
+
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CutSpans, DocFingerprint64, FloatDot, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{CutSpans, DocFingerprint64, FloatDot, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -57,6 +57,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "doc_fingerprint64 expects exactly 1 argument")
         DocFingerprint64(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_quantize expects exactly 1 argument")
+        Int8Quantize(children(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("wiki_diff_safe"),

@@ -137,11 +137,43 @@ object MultimodalQueries {
       |FROM f, UNNEST(range(0, n_frames, 30)) t(i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Audio segmentation via [[Multimodal.chunkAudio]]: 2048-sample
+    * windows at 1024-sample hops over each audio blob — one row per
+    * SEGMENT (stride before the explode, like q59's frames; an hour of
+    * 16 kHz audio emits ~56k segment rows, not 57.6M sample rows).
+    * Stub decode in non-negative BIGINT arithmetic over the q26 FNV
+    * hash, so the whole operator is oracle-exact. */
+  def q65AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.chunkAudio(Multimodal.mediaFromDocuments(docs(s, dir)),
+        windowSamples = 2048, strideSamples = 1024)
+      .toDF()
+      .orderBy($"media_id", $"seg_idx")
+  }
+
+  val q65Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN len(text) = 0 OR text IS NULL
+      |         THEN 14695981039346656037::HUGEINT % 9223372036854775808::HUGEINT
+      |         ELSE (${fnvFoldSql("text")}) % 9223372036854775808::HUGEINT
+      |    END AS hm
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |a AS (SELECT media_id, hm, CAST(hm % 16381 + 1 AS BIGINT) AS n_samples FROM m)
+      |SELECT media_id, CAST(st // 1024 AS BIGINT) AS seg_idx,
+      |  CAST(st AS BIGINT) AS seg_start, n_samples,
+      |  CAST((hm % 1000000007) * 37 + st AS BIGINT) AS seg_sig,
+      |  NULL::VARCHAR AS error
+      |FROM a, UNNEST(range(0, n_samples - 2048 + 1, 1024)) t(st)
+      |ORDER BY media_id, seg_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_meta" -> q25MultimodalMeta _,
     "q26_multimodal_features" -> q26MultimodalFeatures _,
     "q27_rolling_fingerprint" -> q27RollingFingerprint _,
     "q59_frame_sample" -> q59FrameSample _,
+    "q65_audio_segments" -> q65AudioSegments _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -149,5 +181,6 @@ object MultimodalQueries {
     "q26_multimodal_features" -> q26Sql,
     "q27_rolling_fingerprint" -> q27Sql,
     "q59_frame_sample" -> q59Sql,
+    "q65_audio_segments" -> q65Sql,
   )
 }

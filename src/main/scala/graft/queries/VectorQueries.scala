@@ -334,6 +334,34 @@ object VectorQueries {
       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1099511627776.0 AS cov
       |FROM agg ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Int8 embedding quantization via [[graft.operators.Quantize]]: the
+    * 4× compression step of a vector-store build — per-vector max-abs
+    * scale + round-half-up int8 codes, all in engine-portable IEEE
+    * arithmetic (scale is an exact max; each code is one
+    * divide·multiply·add·floor chain, identical in DuckDB). Map-only;
+    * codes surface space-joined for the cell-exact compare. */
+  def q64Int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Quantize.int8(emb(s, dir), "embedding")
+      .select($"vec_id", $"scale",
+        array_join($"q".cast("array<string>"), " ").as("qvec"))
+      .orderBy($"vec_id")
+  }
+
+  val q64Sql: String =
+    """WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |            FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |s AS (SELECT vec_id, MAX(abs(v)) AS scale FROM el GROUP BY vec_id),
+      |q AS (SELECT e.vec_id, e.i,
+      |        CASE WHEN s.scale = 0 THEN 0
+      |             ELSE CAST(floor(e.v / s.scale * 127 + 0.5) AS BIGINT) END AS qi
+      |      FROM el e JOIN s USING (vec_id)),
+      |g AS (SELECT vec_id, string_agg(CAST(qi AS VARCHAR), ' ' ORDER BY i) AS qvec
+      |      FROM q GROUP BY vec_id)
+      |SELECT g.vec_id, s.scale, g.qvec
+      |FROM g JOIN s USING (vec_id) ORDER BY g.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -344,6 +372,7 @@ object VectorQueries {
     "q46_semdedup" -> q46SemDedup _,
     "q49_hard_negatives" -> q49HardNegatives _,
     "q58_embed_covariance" -> q58EmbedCovariance _,
+    "q64_int8_quantize" -> q64Int8Quantize _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -356,5 +385,6 @@ object VectorQueries {
     "q46_semdedup" -> q46Sql,
     "q49_hard_negatives" -> q49Sql,
     "q58_embed_covariance" -> q58Sql,
+    "q64_int8_quantize" -> q64Sql,
   )
 }

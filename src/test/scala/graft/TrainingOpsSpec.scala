@@ -48,6 +48,50 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivf1.map(_.toString).toList == ivf2.map(_.toString).toList)
   }
 
+  test("audio segmentation: full windows only, stride-correct, deterministic") {
+    val media = Multimodal.mediaFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val segs = Multimodal.chunkAudio(media, windowSamples = 2048, strideSamples = 1024).collect()
+    assert(segs.nonEmpty && segs.forall(_.error == null))
+    val hashes = media.filter(_.kind == "audio").collect()
+      .map(b => b.media_id -> Multimodal.FakeDecoder.contentHash(b.blob)).toMap
+    segs.foreach { g =>
+      val h = hashes(g.media_id)
+      assert(g.n_samples == h % 16381 + 1)
+      assert(g.seg_start % 1024 == 0 && g.seg_idx == g.seg_start / 1024)
+      assert(g.seg_start + 2048 <= g.n_samples, "partial tail window emitted")
+      assert(g.seg_sig == (h % 1000000007L) * 37 + g.seg_start)
+    }
+    // per-track segment count: floor((n - window)/stride) + 1, or 0 if short
+    val byMedia = segs.groupBy(_.media_id)
+    hashes.foreach { case (id, h) =>
+      val n = h % 16381 + 1
+      val expect = if (n < 2048) 0L else (n - 2048) / 1024 + 1
+      assert(byMedia.get(id).map(_.length.toLong).getOrElse(0L) == expect, s"media $id")
+    }
+  }
+
+  test("int8 quantization: exact reference, codes in range, dequant error bounded") {
+    val rnd = new scala.util.Random(23)
+    val vs = Seq.fill(300)(Array.fill(16)((rnd.nextFloat() * 2 - 1) * (1 + rnd.nextInt(5)))) :+
+      Array.fill(16)(0.0f) // all-zero vector → scale 0, zero codes
+    val df = vs.map(Tuple1(_)).toDF("embedding")
+    val got = graft.operators.Quantize.int8(df, "embedding")
+      .select($"scale", $"q").as[(Double, Seq[Int])].collect()
+    got.zip(vs).foreach { case ((scale, q), v) =>
+      val expScale = v.map(x => math.abs(x.toDouble)).max
+      assert(scale == expScale)
+      assert(q.length == v.length)
+      if (expScale == 0.0) assert(q.forall(_ == 0))
+      else v.zip(q).foreach { case (x, qi) =>
+        assert(qi == math.floor(x.toDouble / expScale * 127.0 + 0.5).toInt)
+        assert(qi >= -127 && qi <= 127)
+        // dequantization error bound: scale/254 per coordinate
+        assert(math.abs(qi * expScale / 127.0 - x.toDouble) <= expScale / 254.0 + 1e-12)
+      }
+    }
+  }
+
   test("frame sampling + resize stubs: stride-correct, deterministic") {
     val media = Multimodal.mediaFromDocuments(
       spark.read.parquet(s"$sf/documents.parquet"))
