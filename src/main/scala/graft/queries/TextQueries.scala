@@ -974,6 +974,56 @@ object TextQueries {
       |SELECT doc_id, n_tokens, end_offset, (end_offset - n_tokens)//4096 AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Text normalization + dedup-key derivation via
+    * [[graft.operators.IncrementalDedup.normalize]]: lowercase, strip
+    * non-alphanumerics, collapse whitespace, trim, md5 — the CCNet
+    * normalization that keeps trivial reformatting from defeating
+    * exact dedup. Map-only. */
+  def q66Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.IncrementalDedup
+    docs(s, dir).select($"doc_id",
+        IncrementalDedup.normalize($"text").as("norm_text"),
+        IncrementalDedup.contentKey($"text").as("content_key"))
+      .orderBy($"doc_id")
+  }
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  val q66Sql: String =
+    s"""SELECT doc_id, $normSql AS norm_text, md5($normSql) AS content_key
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Incremental cross-corpus dedup via
+    * [[graft.operators.IncrementalDedup.classify]]: the batch
+    * (doc_id ≥ 250) deduplicated against the accepted corpus
+    * (doc_id < 250) AND within itself — new / dup_vs_base /
+    * dup_within_batch per document, one union + one hash-keyed
+    * window, no text-keyed stage. */
+  def q67IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    graft.operators.IncrementalDedup.classify(
+        d.filter($"doc_id" < 250), d.filter($"doc_id" >= 250), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val q67Sql: String =
+    s"""WITH k AS (SELECT doc_id, md5($normSql) AS content_key FROM documents),
+      |base AS (SELECT DISTINCT content_key FROM k WHERE doc_id < 250),
+      |batch AS (SELECT doc_id, content_key,
+      |            ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+      |          FROM k WHERE doc_id >= 250)
+      |SELECT t.doc_id, t.content_key,
+      |  CASE WHEN b.content_key IS NOT NULL THEN 'dup_vs_base'
+      |       WHEN t.rn > 1 THEN 'dup_within_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch t LEFT JOIN base b USING (content_key)
+      |ORDER BY t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1002,6 +1052,8 @@ object TextQueries {
     "q61_packed_chunks" -> q61PackedChunks _,
     "q62_bpe_pairs" -> q62BpePairs _,
     "q63_shard_assign" -> q63ShardAssign _,
+    "q66_normalize" -> q66Normalize _,
+    "q67_incremental_dedup" -> q67IncrementalDedup _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1032,5 +1084,7 @@ object TextQueries {
     "q61_packed_chunks" -> q61Sql,
     "q62_bpe_pairs" -> q62Sql,
     "q63_shard_assign" -> q63Sql,
+    "q66_normalize" -> q66Sql,
+    "q67_incremental_dedup" -> q67Sql,
   )
 }

@@ -209,6 +209,26 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 9L, 9.0 / (3 * 4)), (2L, 1L, 1L, 1.0 / (1 * 4))))
   }
 
+  test("incremental dedup: base/batch/self duplicates classified correctly") {
+    import graft.operators.IncrementalDedup
+    val base = Seq((1L, "Hello, World!"), (2L, "unique base")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "hello   world"),   // normalizes to base doc 1 → dup_vs_base
+      (11L, "fresh content"),   // new
+      (12L, "FRESH content!!"), // normalizes to 11 → dup_within_batch
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val got = IncrementalDedup.classify(base, batch, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().map(t => t._1 -> t._3).toSeq
+    assert(got == Seq(10L -> "dup_vs_base", 11L -> "new",
+      12L -> "dup_within_batch", 13L -> "new"))
+    // normalization: case, punctuation, whitespace runs all collapse
+    val n = Seq("  A  b,C!  d  ").toDF("text")
+      .select(IncrementalDedup.normalize($"text")).as[String].head()
+    assert(n == "a bc d")
+  }
+
   test("bpe pair census: hand-computed counts, deterministic tie-break") {
     // "a b a b c" → pairs: (a b), (b a), (a b), (b c); "x" → none
     val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
