@@ -1024,6 +1024,84 @@ object TextQueries {
       |FROM batch t LEFT JOIN base b USING (content_key)
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Wikitext link extraction — the link-graph construction pass of
+    * the reference's domain (internal `[[Target]]` / `[[Target|label]]`
+    * links; cf. the wikitext the reference's differ tokenizes,
+    * `python/revision_differ.py:131-160`). The synthetic corpus has no
+    * links, so the query plants a deterministic set keyed off doc_id
+    * (q52's planting pattern) and the extractor must recover exactly
+    * that — regex-group parity between Java and RE2 is the check.
+    * One map-only extract → explode → groupBy(target): the adjacency
+    * build for ConnectedComponents/PageRank over pages. */
+  def q68LinkExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wiki = "\\[\\[([^\\]|]+)(\\|[^\\]]*)?\\]\\]"
+    val aug = docs(s, dir).withColumn("wtext", concat($"text",
+      repeat(concat(lit(" [[Page "), ($"doc_id" * 7 % 50).cast("string"), lit("]]")),
+        ($"doc_id" % 4).cast("int")),
+      repeat(concat(lit(" [[Page "), ($"doc_id" * 11 % 50).cast("string"), lit("|see also]]")),
+        ($"doc_id" % 3).cast("int"))))
+    aug.select($"doc_id",
+        explode(regexp_extract_all($"wtext", lit(wiki), lit(1))).as("target"))
+      .groupBy($"target")
+      .agg(count(lit(1)).as("n_links"),
+           countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n_links".desc, $"target")
+  }
+
+  val q68Sql: String =
+    """WITH aug AS (SELECT doc_id, text
+      |    || repeat(' [[Page ' || CAST(doc_id*7 % 50 AS VARCHAR) || ']]', CAST(doc_id % 4 AS INT))
+      |    || repeat(' [[Page ' || CAST(doc_id*11 % 50 AS VARCHAR) || '|see also]]', CAST(doc_id % 3 AS INT))
+      |  AS wtext FROM documents),
+      |l AS (SELECT doc_id, unnest(regexp_extract_all(wtext, '\[\[([^\]|]+)(\|[^\]]*)?\]\]', 1)) AS target
+      |      FROM aug)
+      |SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM l GROUP BY target ORDER BY n_links DESC, target""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Quantized-integer PageRank (3 rounds) via
+    * [[graft.operators.PageRank]] over the q68-style link graph
+    * (pages 0..49, edges keyed off doc_id) — link-graph authority
+    * scoring with floor-division arithmetic only, so the iterative
+    * result is oracle-exact (float PageRank would drift with
+    * summation order). */
+  def q69PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val e1 = d.filter($"doc_id" % 4 > 0)
+      .select(($"doc_id" % 50).as("src"), ($"doc_id" * 7 % 50).as("dst"))
+    val e2 = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 50).as("src"), ($"doc_id" * 11 % 50).as("dst"))
+    graft.operators.PageRank.ranksInt(e1.union(e2), iters = 3)
+      .orderBy($"rank".desc, $"node")
+  }
+
+  val q69Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id % 50 AS src, doc_id*7 % 50 AS dst FROM documents WHERE doc_id % 4 > 0
+      |    UNION ALL
+      |    SELECT doc_id % 50 AS src, doc_id*11 % 50 AS dst FROM documents WHERE doc_id % 3 > 0)),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |o AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      |c1 AS (SELECT e.dst AS node, SUM(r0.r // o.outd) AS m
+      |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+      |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.m, 0)) // 100 AS BIGINT) AS r
+      |       FROM n LEFT JOIN c1 USING (node)),
+      |c2 AS (SELECT e.dst AS node, SUM(r1.r // o.outd) AS m
+      |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+      |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.m, 0)) // 100 AS BIGINT) AS r
+      |       FROM n LEFT JOIN c2 USING (node)),
+      |c3 AS (SELECT e.dst AS node, SUM(r2.r // o.outd) AS m
+      |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+      |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.m, 0)) // 100 AS BIGINT) AS r
+      |       FROM n LEFT JOIN c3 USING (node))
+      |SELECT node, r AS rank FROM r3 ORDER BY rank DESC, node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1054,6 +1132,8 @@ object TextQueries {
     "q63_shard_assign" -> q63ShardAssign _,
     "q66_normalize" -> q66Normalize _,
     "q67_incremental_dedup" -> q67IncrementalDedup _,
+    "q68_link_extract" -> q68LinkExtract _,
+    "q69_pagerank" -> q69PageRank _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1086,5 +1166,7 @@ object TextQueries {
     "q63_shard_assign" -> q63Sql,
     "q66_normalize" -> q66Sql,
     "q67_incremental_dedup" -> q67Sql,
+    "q68_link_extract" -> q68Sql,
+    "q69_pagerank" -> q69Sql,
   )
 }

@@ -116,4 +116,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(12L) == 12L && got(15L) == 12L)
     assert((0L until 20L).filterNot(Set(3L, 7L, 9L, 12L, 15L)).forall(i => got(i) == i))
   }
+
+  test("integer pagerank: hand-computed two rounds, dangling node, partition-invariant") {
+    import spark.implicits._
+    // 1→2, 2→1, 1→3; out(1)=2, out(2)=1, node 3 dangles
+    // r1: (1e6, 575000, 575000) for (1,2,3); r2: (638750, 575000, 575000)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L))
+    for (p <- Seq(1, 7)) {
+      val e = edges.toDF("src", "dst").repartition(p)
+      val got = graft.operators.PageRank.ranksInt(e, iters = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 638750L, 2L -> 575000L, 3L -> 575000L), s"p=$p")
+    }
+    // ranks sum is bounded by n·scale (mass only leaks, never grows)
+    val big = (0L until 40L).map(i => (i, (i * 3 + 1) % 40))
+    val ranks = graft.operators.PageRank.ranksInt(big.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect()
+    assert(ranks.map(_._2).sum <= 40L * 1000000L)
+    assert(ranks.forall(_._2 >= 150000L))
+  }
 }
