@@ -47,7 +47,7 @@ object Decontamination {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sh = corpus.select(col(docIdCol), col("isBench"),
-      explode(expr(s"shingles($textCol, $n)")).as("__g"))
+      explode(expr(s"shingles(`$textCol`, $n)")).as("__g"))
     val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
     val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
     val probed = bench.limit(cap).as[String].collect()

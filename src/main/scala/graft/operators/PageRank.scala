@@ -18,37 +18,45 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each iteration is one join of ranks onto the edge list
   * by source (both sides keyed on node ids — high-cardinality) and one
-  * map-side-combined groupBy(dst); a fixed iteration count keeps the
-  * plan linear in `iters` (each rank frame is referenced exactly once
-  * by the next round). The edge list is referenced once per iteration
-  * — persist it at real scale (the operator doesn't, so nothing
-  * outlives the call; SoakSpec's no-leak property holds).
+  * map-side-combined groupBy(dst). The deduped edge list and node set
+  * are referenced by EVERY iteration, so they are persisted for the
+  * duration of the call and the final ranks are eagerly
+  * `localCheckpoint`ed before the inputs unpersist — the CC/SemDeDup
+  * scoped-persist pattern: without it the unrolled plan re-executes
+  * the edge subtree ~4× per round, and nothing may outlive the call
+  * (SoakSpec pins the cache manager empty).
   */
 object PageRank {
 
   /** `(node, rank)` after `iters` rounds from a uniform start of
     * `scale` per node; expects `src`/`dst` columns, multi-edges are
-    * collapsed. */
+    * collapsed. Materializes eagerly (the returned frame is
+    * lineage-cut). */
   def ranksInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
                basePct: Int = 15, dampPct: Int = 85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(basePct + dampPct == 100, s"basePct + dampPct must be 100")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-    val base = scale * basePct / 100
-    var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(outd, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div outd").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("m"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"cast($base as bigint) + ($dampPct * coalesce(m, cast(0 as bigint))) div 100")
-            .as("rank"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    try {
+      val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+      val base = scale * basePct / 100
+      var ranks = nodes.withColumn("rank", lit(scale))
+      for (_ <- 1 to iters) {
+        val contrib = e.join(outd, "src")
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), expr("rank div outd").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("m"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"cast($base as bigint) + ($dampPct * coalesce(m, cast(0 as bigint))) div 100")
+              .as("rank"))
+      }
+      ranks.localCheckpoint(true)
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
     }
-    ranks
   }
 }

@@ -34,7 +34,7 @@ object SpanDedup {
   def spanStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val id = col(idCol)
     val pairs = docs
-      .select(id, explode(expr(s"token_spans($textCol, $n)")).as("span"))
+      .select(id, explode(expr(s"token_spans(`$textCol`, $n)")).as("span"))
       .select(id, md5(col("span")).as("h"))
       .groupBy(col("h"), id)
       .agg(count(lit(1)).as("m"))
@@ -72,7 +72,7 @@ object SpanDedup {
   def removeSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val id = col(idCol)
     val spans = docs
-      .select(id, posexplode(expr(s"token_spans($textCol, $n)")).as(Seq("pos", "span")))
+      .select(id, posexplode(expr(s"token_spans(`$textCol`, $n)")).as(Seq("pos", "span")))
       .select(id, col("pos").cast("long").as("pos"), md5(col("span")).as("h"))
     val w = Window.partitionBy(col("h")).orderBy(id, col("pos"))
     val cuts = spans
@@ -82,7 +82,7 @@ object SpanDedup {
       .agg(collect_list(col("pos")).as("__cuts"))
     docs.join(cuts, Seq(idCol), "left")
       .select(id, col(textCol),
-        expr(s"cut_spans($textCol, coalesce(__cuts, cast(array() as array<bigint>)), $n)")
+        expr(s"cut_spans(`$textCol`, coalesce(__cuts, cast(array() as array<bigint>)), $n)")
           .as("clean_text"))
   }
 
@@ -103,7 +103,7 @@ object SpanDedup {
   def dedupChunks(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val id = col(idCol)
     val ch = docs.select(id,
-        posexplode(expr(s"token_chunks($textCol, $n)")).as(Seq("chunk_idx", "chunk")))
+        posexplode(expr(s"token_chunks(`$textCol`, $n)")).as(Seq("chunk_idx", "chunk")))
       .select(id, col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
         md5(col("chunk")).as("__h"))
     val w = Window.partitionBy(col("__h")).orderBy(id, col("chunk_idx"))
