@@ -135,6 +135,63 @@ object StreamOps {
       }
   }
 
+  case class PackState(chunkSeq: Long, carryTokens: Long, carry: String, carryDocs: Long)
+  case class PackedChunk(shard: String, chunk_seq: Long, n_docs: Long, chunk_text: String)
+
+  /** Streaming sequence packing: per-shard stateful packers emit
+    * fixed-size token chunks as documents arrive, carrying the
+    * partial chunk across micro-batches — the unbounded form of
+    * [[graft.operators.SequencePack]], shaped like a real training
+    * loader (one independent packer per shard/worker; a single global
+    * packer would funnel the whole stream through one state
+    * partition). State per shard is ONE partial chunk (< chunkTokens
+    * tokens) plus two counters — bounded forever. Within a batch,
+    * documents append in `orderCol` order (the state iterator's
+    * arrival order is not deterministic; the sort is); across
+    * batches, order is batch sequence. Stream ≡ batch is pinned in
+    * StreamingSpec against `SequencePack.packedChunks` on the same
+    * arrival order. */
+  def packStream(docs: DataFrame, shardCol: String, orderCol: String,
+                 textCol: String, chunkTokens: Int): Dataset[PackedChunk] = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(shardCol).cast("string").as("shard"),
+        col(orderCol).cast("long").as("ord"), col(textCol).cast("string").as("text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedChunk](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, batch: Iterator[(String, Long, String)], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L, "", 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackedChunk]
+          // one token array in flight at a time; carry stays a string
+          // (< chunkTokens tokens) between batches
+          var carry: Array[String] =
+            if (st.carry.isEmpty && st.carryTokens == 0) Array.empty
+            else st.carry.split(" ", -1)
+          var carryDocs = st.carryDocs
+          var seq = st.chunkSeq
+          batch.toSeq.sortBy(_._2).foreach { case (_, _, text) =>
+            val toks = if (text == null) Array("") else text.split(" ", -1)
+            var merged = if (carry.isEmpty) toks else carry ++ toks
+            carryDocs += 1
+            var off = 0
+            while (merged.length - off >= chunkTokens) {
+              out += PackedChunk(shard, seq, carryDocs,
+                merged.slice(off, off + chunkTokens).mkString(" "))
+              seq += 1
+              off += chunkTokens
+              carryDocs = 1 // only the current doc continues into the next chunk
+            }
+            carry = merged.drop(off)
+            if (carry.isEmpty) carryDocs = 0
+          }
+          state.update(PackState(seq, carry.length.toLong, carry.mkString(" "), carryDocs))
+          out.iterator
+      }
+  }
+
   /** The reference's previous-revision pairing (SURVEY W1) as a
     * stateful streaming operator: state per page carries the last seen
     * revision; each batch's new revisions are processed in rev_seq

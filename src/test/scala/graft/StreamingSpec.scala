@@ -225,4 +225,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs(102L) == Some(101L))
     assert(pairs(201L) == Some(200L))
   }
+
+  test("streaming sequence packing ≡ batch packer on the same arrival order") {
+    val dir = Files.createTempDirectory("stream-pack").toString
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 90)
+    // three ranged files; ascending mtimes fix the stream's file order
+    for ((lo, i) <- Seq(0L, 30L, 60L).zipWithIndex) {
+      docs0.filter($"doc_id" >= lo && $"doc_id" < lo + 30)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/f$i")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+      .withColumn("shard", lit("all"))
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamOps.PackedChunk]())
+    val q = StreamOps.packStream(stream, "shard", "doc_id", "text", chunkTokens = 512)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedChunk], _: Long) =>
+        b.collect().foreach(c => got.add(c)): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("pack-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch reference over the identical arrival order (doc_id asc);
+    // the stream holds the trailing partial chunk in state, so compare
+    // the FULL chunks only
+    val batch = graft.operators.SequencePack
+      .packedChunks(docs0, "doc_id", "text", chunkTokens = 512)
+      .orderBy($"chunk_id")
+      .as[(Long, Long, String)].collect()
+    def tokens(s: String) = s.split(" ", -1).length
+    val fullBatch = batch.filter { case (_, _, text) => tokens(text) == 512 }
+    val gotSorted = scala.jdk.CollectionConverters.ListHasAsScala(got).asScala
+      .sortBy(_.chunk_seq)
+    assert(gotSorted.nonEmpty && fullBatch.nonEmpty)
+    assert(gotSorted.size == fullBatch.length,
+      s"stream emitted ${gotSorted.size} full chunks, batch has ${fullBatch.length}")
+    gotSorted.zip(fullBatch).foreach { case (g, (cid, nDocs, text)) =>
+      assert(g.chunk_seq == cid, s"chunk ids diverge at ${g.chunk_seq} vs $cid")
+      assert(g.chunk_text == text, s"chunk $cid text diverges")
+      assert(g.n_docs == nDocs, s"chunk $cid n_docs diverges")
+    }
+  }
 }
