@@ -290,9 +290,49 @@ object XmlFields {
 
   private val isoFmt = java.time.format.DateTimeFormatter.ISO_INSTANT
 
-  def parseTimestampUs(iso: String): Option[Long] =
+  private val daysInMonth = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+  /** Epoch micros from an ISO-8601 UTC timestamp. Fast path for the
+    * dump format's fixed-width `YYYY-MM-DDTHH:MM:SSZ` (stack sampling
+    * put `DateTimeFormatter.ISO_INSTANT` at ~4% of the whole 32-thread
+    * ingest; this is a few digit reads + the standard days-from-civil
+    * arithmetic, same proleptic-Gregorian result as `Instant.parse`
+    * including full date validation). Anything else — fractional
+    * seconds, offsets, malformed — falls through to the formatter. */
+  def parseTimestampUs(iso: String): Option[Long] = {
+    if (iso.length == 20 && iso.charAt(4) == '-' && iso.charAt(7) == '-' &&
+        iso.charAt(10) == 'T' && iso.charAt(13) == ':' && iso.charAt(16) == ':' &&
+        iso.charAt(19) == 'Z') {
+      var ok = true
+      def d(i: Int): Int = {
+        val c = iso.charAt(i)
+        if (c < '0' || c > '9') { ok = false; 0 } else c - '0'
+      }
+      val y = d(0) * 1000 + d(1) * 100 + d(2) * 10 + d(3)
+      val mo = d(5) * 10 + d(6); val da = d(8) * 10 + d(9)
+      val h = d(11) * 10 + d(12); val mi = d(14) * 10 + d(15); val se = d(17) * 10 + d(18)
+      if (ok && mo >= 1 && mo <= 12 && h <= 23 && mi <= 59 && se <= 59) {
+        val leap = (y % 4 == 0 && y % 100 != 0) || y % 400 == 0
+        val dim = if (mo == 2 && leap) 29 else daysInMonth(mo - 1)
+        if (da >= 1 && da <= dim) {
+          // days-from-civil (proleptic Gregorian; the public-domain
+          // era/yoe/doy form) — exact match for Instant.parse
+          val yy = if (mo <= 2) y - 1 else y
+          val era = (if (yy >= 0) yy else yy - 399) / 400
+          val yoe = yy - era * 400
+          val doy = (153 * (if (mo > 2) mo - 3 else mo + 9) + 2) / 5 + da - 1
+          val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+          val days = era * 146097L + doe - 719468L
+          return Some((days * 86400L + h * 3600L + mi * 60L + se) * 1000000L)
+        }
+      }
+      // shape-matched but not fully validated here (e.g. ISO's 24:00
+      // end-of-day, which Instant.parse ACCEPTS): defer to the
+      // formatter rather than guess
+    }
     try Some(java.time.Instant.from(isoFmt.parse(iso))).map(t => t.getEpochSecond * 1000000L + t.getNano / 1000L)
     catch { case _: Exception => None }
+  }
 
   /** Parse a page header fragment: bytes from `<page>` up to (not
     * including) the first `<revision` (reference record layout,

@@ -56,6 +56,31 @@ class WikiXmlParserSpec extends AnyFunSuite {
     assert(r103.text == None)
   }
 
+  test("timestamp fast path ≡ DateTimeFormatter on valid, invalid, and edge inputs") {
+    def reference(iso: String): Option[Long] =
+      try Some(java.time.Instant.parse(iso))
+        .map(t => t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      catch { case _: Exception => None }
+    val rnd = new scala.util.Random(31)
+    val cases = Seq(
+      "2020-02-29T23:59:59Z", "2019-02-29T00:00:00Z", // leap / non-leap
+      "2100-02-29T00:00:00Z", "2000-02-29T00:00:00Z", // century rules
+      "1970-01-01T00:00:00Z", "1969-12-31T23:59:59Z", // epoch boundary
+      "2020-13-01T00:00:00Z", "2020-00-10T00:00:00Z", // bad month
+      "2020-04-31T00:00:00Z", "2020-01-00T00:00:00Z", // bad day
+      "2020-01-01T24:00:00Z", "2020-01-01T00:60:00Z", // bad time
+      "2020-01-01T00:00:0xZ", "garbage", "",          // malformed
+      "2002-06-30T02:03:23.5Z",                        // fractional → formatter path
+      "0999-01-01T00:00:00Z", "9999-12-31T23:59:59Z"
+    ) ++ (1 to 300).map { _ =>
+      f"${1800 + rnd.nextInt(400)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(31)}%02d" +
+        f"T${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d" + "Z"
+    }
+    cases.foreach { iso =>
+      assert(XmlFields.parseTimestampUs(iso) == reference(iso), s"diverges on '$iso'")
+    }
+  }
+
   test("meta field gating skips exactly the unrequested extractions") {
     val frag = "<revision><id>9</id><parentid>8</parentid>" +
       "<timestamp>2020-01-05T10:00:00Z</timestamp>" +
