@@ -1102,6 +1102,32 @@ object TextQueries {
       |       FROM n LEFT JOIN c3 USING (node))
       |SELECT node, r AS rank FROM r3 ORDER BY rank DESC, node""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Deterministic train/val/test split: assign by md5 hash range
+    * (~80/10/10) so membership is a pure function of (salt, doc_id) —
+    * reproducible on any engine, stable under corpus growth (adding
+    * documents never moves existing ones between splits, unlike
+    * row-number modulo), map-only. Lexicographic hex-prefix
+    * thresholds are q42's sampling-hash pattern: md5 is uniform over
+    * hex strings, and 'cc'/'e6' (= 204/230 of 256) give
+    * ≈ 79.7 / 10.2 / 10.2. */
+  def q70SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5(concat(lit("split:"), $"doc_id".cast("string")))
+    docs(s, dir).select($"doc_id",
+        substring(h, 1, 2).as("bucket"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q70Sql: String =
+    """WITH b AS (SELECT doc_id,
+      |    md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      |SELECT doc_id, substring(h, 1, 2) AS bucket,
+      |  CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1134,6 +1160,7 @@ object TextQueries {
     "q67_incremental_dedup" -> q67IncrementalDedup _,
     "q68_link_extract" -> q68LinkExtract _,
     "q69_pagerank" -> q69PageRank _,
+    "q70_split_assign" -> q70SplitAssign _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1168,5 +1195,6 @@ object TextQueries {
     "q67_incremental_dedup" -> q67Sql,
     "q68_link_extract" -> q68Sql,
     "q69_pagerank" -> q69Sql,
+    "q70_split_assign" -> q70Sql,
   )
 }
