@@ -135,6 +135,109 @@ object StreamOps {
       }
   }
 
+  /** q20's MinHash signature computed per document in one pass: 8
+    * slice-mins over the distinct bigram shingles' md5 / md5('x'||·)
+    * hex. Fixed-width lowercase hex compares lexicographically exactly
+    * as its unsigned numeric value, so these Long mins equal q20's
+    * string mins digit for digit (StreamingSpec pins the parity
+    * against the batch signature build). Returns null for docs with
+    * < 2 tokens — q20's shingle filter excludes them too. */
+  private[graft] def minhashSig(text: String): Array[Long] = {
+    if (text == null) return null
+    val ts = text.split(" ", -1)
+    if (ts.length < 2) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+      sb.toString
+    }
+    val mins = Array.fill(8)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < ts.length - 1) {
+      val sh = ts(i) + " " + ts(i + 1)
+      if (seen.add(sh)) {
+        val m1 = hex(md.digest(sh.getBytes("UTF-8")))
+        val m2 = hex(md.digest(("x" + sh).getBytes("UTF-8")))
+        var k = 0
+        while (k < 4) {
+          val v1 = java.lang.Long.parseLong(m1.substring(k * 8, k * 8 + 8), 16)
+          if (v1 < mins(k)) mins(k) = v1
+          val v2 = java.lang.Long.parseLong(m2.substring(k * 8, k * 8 + 8), 16)
+          if (v2 < mins(k + 4)) mins(k + 4) = v2
+          k += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class DupCandidate(band: Int, doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup candidates: each arriving document's
+    * signature probes an online LSH index (one state bucket per
+    * (band, slice-value)); collisions emit candidate pairs with the
+    * full-signature Jaccard estimate — the streaming form of
+    * [[graft.operators.MinHashLsh]], so ingestion can flag near-dups
+    * against everything already admitted WITHOUT a nightly re-join.
+    *
+    * The same pair surfaces from every band it collides in —
+    * `dropDuplicates("doc_a","doc_b")` downstream (the batch
+    * operator's groupBy does the same dedup); estimates are
+    * pair-deterministic so duplicates agree. State per bucket is
+    * capped at `maxBucketDocs` (id, signature) entries — an
+    * over-full bucket stops admitting (hot shingle values are exactly
+    * where all-pairs explosion lives; the batch operator's dense-path
+    * dispatch makes the same call); total state grows with distinct
+    * band values, the inherent cost of an online dedup index. Batch
+    * order is made deterministic by sorting on doc id. */
+  def minhashCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
+                              minEst: Double, maxBucketDocs: Int = 256): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    val k = 8
+    val sigs = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSig(text)
+        if (sig == null) Iterator.empty
+        else sig.iterator.zipWithIndex.map { case (mh, band) =>
+          (s"$band:$mh", band, id, sig.toSeq)
+        }
+      }
+    sigs.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Int, Long, Seq[Long])], state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val ids = scala.collection.mutable.ArrayBuffer[Long](st.ids: _*)
+          val sigsB = scala.collection.mutable.ArrayBuffer[Seq[Long]](st.sigs: _*)
+          val known = ids.toSet
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+          batch.toSeq.sortBy(_._3).foreach { case (_, b, id, sig) =>
+            if (!known.contains(id)) {
+              var j = 0
+              while (j < ids.length) {
+                if (ids(j) != id) {
+                  var m = 0; var t = 0
+                  val other = sigsB(j)
+                  while (t < k) { if (other(t) == sig(t)) m += 1; t += 1 }
+                  val est = m.toDouble / k
+                  if (est >= minEst)
+                    out += DupCandidate(b, math.min(id, ids(j)), math.max(id, ids(j)), est)
+                }
+                j += 1
+              }
+              if (ids.length < maxBucketDocs) { ids += id; sigsB += sig }
+            }
+          }
+          state.update(BucketState(ids.toSeq, sigsB.toSeq))
+          out.iterator
+      }
+  }
   case class PackState(chunkSeq: Long, carryTokens: Long, carry: String, carryDocs: Long)
   case class PackedChunk(shard: String, chunk_seq: Long, n_docs: Long, chunk_text: String)
 

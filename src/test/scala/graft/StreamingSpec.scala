@@ -226,6 +226,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs(201L) == Some(200L))
   }
 
+  test("streaming minhash: signature parity with q20's batch build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // q20's signature expressions, verbatim shape
+    val sh = docs.select($"doc_id", explode(expr("shingles(text, 2)")).as("shingle"))
+    val hs = sh.withColumn("m1", md5($"shingle"))
+      .withColumn("m2", md5(concat(lit("x"), $"shingle")))
+    val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
+      (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
+    val batchSig = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => java.lang.Long.parseUnsignedLong(r.getString(i), 16)).toSeq).toMap
+    val local = docs.as[(Long, String)].collect()
+    assert(local.nonEmpty)
+    local.foreach { case (id, text) =>
+      val sig = StreamOps.minhashSig(text)
+      batchSig.get(id) match {
+        case Some(exp) => assert(sig != null && sig.toSeq == exp, s"sig diverges for doc $id")
+        case None => assert(sig == null, s"doc $id has no batch sig but a stream sig")
+      }
+    }
+  }
+
+  test("streaming minhash candidates ≡ batch LSH pairs across micro-batches") {
+    val dir = Files.createTempDirectory("stream-mh").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    for ((p, i) <- Seq(0L, 1L).zipWithIndex) {
+      docs.filter($"doc_id" % 2 === p).coalesce(1).write.parquet(s"$dir/in/f$i")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/f$i")).forEach(q =>
+        java.nio.file.Files.setLastModifiedTime(q, t))
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamOps.DupCandidate]())
+    val q = StreamOps.minhashCandidatesStream(stream, "doc_id", "text",
+        minEst = 0.25, maxBucketDocs = 100000)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DupCandidate], _: Long) =>
+        b.collect().foreach(c => got.add(c)): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mh-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamPairs = scala.jdk.CollectionConverters.ListHasAsScala(got).asScala
+      .map(c => (c.doc_a, c.doc_b) -> c.est_jaccard).toMap // bands agree per pair
+    val q20 = graft.queries.TextQueries.q20MinHashLsh(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(q20.nonEmpty)
+    assert(streamPairs.keySet == q20.keySet,
+      s"stream found ${streamPairs.size} pairs, batch ${q20.size}; " +
+        s"missing=${(q20.keySet -- streamPairs.keySet).take(5)} extra=${(streamPairs.keySet -- q20.keySet).take(5)}")
+    streamPairs.foreach { case (pair, est) => assert(est == q20(pair), s"est diverges for $pair") }
+  }
+
   test("streaming sequence packing ≡ batch packer on the same arrival order") {
     val dir = Files.createTempDirectory("stream-pack").toString
     val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
