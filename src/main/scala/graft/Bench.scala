@@ -66,7 +66,11 @@ object Bench {
       }
       name -> math.min(onePass(), onePass())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: 9-fractional-digit doubles bloated the
+    // line ~40% and the driver's tail capture truncated mid-JSON,
+    // losing 15 of 70 per-query numbers in r5
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
@@ -76,8 +80,18 @@ object Bench {
     // fork opts apply?), the full per-pass warm curve, and the host
     // load before/after the measurement window.
     val curve = warmCurve.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","load_avg":[$loadStart,$loadEnd]}""")
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","load_avg":[$loadStart,$loadEnd]}"""
+    // a file copy makes the artifact recoverable even if the driver's
+    // stdout tail capture truncates (it did, twice: r4/r5 recorded
+    // "parsed": null); cwd is the repo when sbt runs
+    try {
+      val pw = new java.io.PrintWriter("bench_last.json")
+      try pw.println(json) finally pw.close()
+    } catch { case _: Throwable => }
     spark.stop()
+    // printed AFTER spark.stop() so it is the final stdout line —
+    // Spark's console logging otherwise interleaves after it
+    println(json)
   }
 
   private def systemLoad(): Double = {
