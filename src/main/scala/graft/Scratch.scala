@@ -58,11 +58,11 @@ object Scratch {
         while (it.hasNext) { it.next(); n += 1 }
         val t1 = System.nanoTime()
         val it2 = iter()
+        val e = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
         while (it2.hasNext) {
           val rp = it2.next()
-          org.apache.spark.unsafe.types.UTF8String.fromString(rp.curr.text.getOrElse(""))
-          rp.prev.foreach(p => org.apache.spark.unsafe.types.UTF8String.fromString(p.text.getOrElse("")))
-          org.apache.spark.unsafe.types.UTF8String.fromString(rp.page.title)
+          graft.functions.DiffKernelU8.diffOps(
+            rp.prev.map(_.textU8).getOrElse(e), Option(rp.curr.textU8).getOrElse(e))
         }
         val t2 = System.nanoTime()
         val it3 = iter()
@@ -83,8 +83,8 @@ object Scratch {
         }
         val t4 = System.nanoTime()
         println(f"[scratch] run$run parse-only ${mb / ((t1 - t0) / 1e9)}%.0f MB/s | " +
-          f"+utf8 ${mb / ((t2 - t1) / 1e9)}%.0f MB/s | " +
-          f"+diff ${mb / ((t3 - t2) / 1e9)}%.0f MB/s | " +
+          f"+diffU8 ${mb / ((t2 - t1) / 1e9)}%.0f MB/s | " +
+          f"+diffStr ${mb / ((t3 - t2) / 1e9)}%.0f MB/s | " +
           f"+tok ${mb / ((t4 - t3) / 1e9)}%.0f MB/s  ($n rows)")
       }
       f.delete()

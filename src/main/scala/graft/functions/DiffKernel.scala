@@ -201,7 +201,7 @@ object DiffKernel {
     * delete runs index into `a`, insert runs into `b`. The bisection
     * recursion appends regions in output order; nothing is sliced or
     * boxed on the hot path. */
-  private final class Runs {
+  private[functions] final class Runs {
     var acts = new Array[Int](16)
     var los = new Array[Int](16)
     var his = new Array[Int](16)
@@ -232,7 +232,7 @@ object DiffKernel {
     merge(mat)
   }
 
-  private def computeRuns(a: Array[Int], b: Array[Int]): Runs = {
+  private[functions] def computeRuns(a: Array[Int], b: Array[Int]): Runs = {
     val out = new Runs
     compute(a, 0, a.length, b, 0, b.length, out)
     out

@@ -39,15 +39,16 @@ case class WikiDiffSafe(left: Expression, right: Expression)
   override def prettyName: String = "wiki_diff_safe"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = a.asInstanceOf[UTF8String].toString
-    val sb = b.asInstanceOf[UTF8String].toString
+    // byte-native kernel: no UTF8String→String decode of either text
+    // and op content is emitted as UTF8String directly (DiffKernelU8,
+    // parity-pinned to the String kernel by DiffKernelU8Spec)
     try {
-      val ops = DiffKernel.diffOps(sa, sb)
+      val ops = DiffKernelU8.diffOps(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
       val arr = new Array[Any](ops.length)
       var i = 0
       while (i < ops.length) {
         val op = ops(i)
-        arr(i) = InternalRow(op.position, op.action, UTF8String.fromString(op.content))
+        arr(i) = InternalRow(op.position, op.action, op.content)
         i += 1
       }
       InternalRow(new GenericArrayData(arr), null)

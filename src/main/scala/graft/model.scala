@@ -23,10 +23,15 @@ case class Revision(
     comment: Option[String],
     model: Option[String],
     format: Option[String],
-    text: Option[String],        // None ⇔ <text deleted="deleted"/>
+    textU8: org.apache.spark.unsafe.types.UTF8String, // null ⇔ <text deleted="deleted"/>
     sha1: Option[String],
     bytes: Option[Long],         // <text bytes="..."> attribute
-    raw: Option[String])         // original XML, only in capture-raw mode
+    raw: Option[String]) {       // original XML, only in capture-raw mode
+  /** Text body as UTF-8 bytes, shared object between this revision's
+    * `curr` row and the next row's `prev` — the ingest hot path never
+    * materializes a `java.lang.String` of the body. */
+  def text: Option[String] = Option(textU8).map(_.toString)
+}
 
 case class PageInfo(
     pageId: Long,

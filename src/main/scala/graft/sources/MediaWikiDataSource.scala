@@ -528,7 +528,7 @@ class MediaWikiPartitionReader(
         case "comment" => str(r.comment)
         case "model" => str(r.model)
         case "format" => str(r.format)
-        case "text" => str(r.text)
+        case "text" => r.textU8 // shared object: curr row i and prev row i+1, zero copies
         case "sha1" => str(r.sha1)
         case "bytes" => lng(r.bytes)
         case other => throw new IllegalStateException(s"unknown revision field $other")

@@ -246,6 +246,92 @@ object XmlFields {
     out.toString
   }
 
+  /** Byte-level entity unescape of [from, until) straight to a
+    * `UTF8String` — the text-body twin of [[unescape]] with no char
+    * decode. Entity-free regions (the overwhelming majority of bytes)
+    * are a single `copyOfRange`. Semantics match the String form
+    * byte-for-byte, including its fallbacks: an unmatched or malformed
+    * entity keeps the literal `&` and continues; a numeric reference in
+    * the surrogate range encodes as `?` (exactly what
+    * `UTF8String.fromString` produces from the String path's
+    * lone-surrogate output). */
+  def unescapeToU8(b: Array[Byte], from: Int, until: Int): org.apache.spark.unsafe.types.UTF8String = {
+    var amp = -1
+    var i = from
+    while (i < until && amp < 0) { if (b(i) == '&') amp = i else i += 1 }
+    if (amp < 0)
+      return org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(b, from, until))
+    val out = new java.io.ByteArrayOutputStream(until - from + 8)
+    out.write(b, from, amp - from)
+    i = amp
+    while (i < until) {
+      val c = b(i)
+      if (c == '&') {
+        // find ';' within 12 bytes (entity alphabet is ASCII, so byte
+        // and char distances agree for every matchable entity)
+        var semi = -1
+        var k = i + 1
+        val lim = math.min(until, i + 13)
+        while (k < lim && semi < 0) { if (b(k) == ';') semi = k else k += 1 }
+        var consumed = false
+        if (semi > i) {
+          val entLen = semi - i - 1
+          @inline def is(s: String): Boolean = {
+            if (entLen != s.length) false
+            else {
+              var j = 0
+              var ok = true
+              while (ok && j < entLen) { ok = b(i + 1 + j) == s.charAt(j); j += 1 }
+              ok
+            }
+          }
+          if (is("amp")) { out.write('&'); consumed = true }
+          else if (is("lt")) { out.write('<'); consumed = true }
+          else if (is("gt")) { out.write('>'); consumed = true }
+          else if (is("quot")) { out.write('"'); consumed = true }
+          else if (is("apos")) { out.write('\''); consumed = true }
+          else if (entLen >= 1 && b(i + 1) == '#') {
+            val hex = entLen >= 2 && (b(i + 2) == 'x' || b(i + 2) == 'X')
+            val dFrom = i + (if (hex) 3 else 2)
+            var cp = 0L
+            var ok = dFrom < semi
+            var j = dFrom
+            while (ok && j < semi) {
+              val d = b(j)
+              val v =
+                if (d >= '0' && d <= '9') d - '0'
+                else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+                else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+                else -1
+              if (v < 0) ok = false
+              else { cp = cp * (if (hex) 16 else 10) + v; if (cp > 0x7fffffffL) ok = false }
+              j += 1
+            }
+            if (ok && cp <= 0x10ffffL) { writeCodePoint(out, cp.toInt); consumed = true }
+          }
+          if (consumed) i = semi + 1
+        }
+        if (!consumed) { out.write('&'); i += 1 }
+      } else { out.write(c); i += 1 }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+  }
+
+  private def writeCodePoint(out: java.io.ByteArrayOutputStream, cp: Int): Unit = {
+    if (cp < 0x80) out.write(cp)
+    else if (cp < 0x800) {
+      out.write(0xc0 | (cp >> 6)); out.write(0x80 | (cp & 0x3f))
+    } else if (cp >= 0xd800 && cp <= 0xdfff) {
+      out.write('?') // lone surrogate: what fromString yields from the String path
+    } else if (cp < 0x10000) {
+      out.write(0xe0 | (cp >> 12)); out.write(0x80 | ((cp >> 6) & 0x3f)); out.write(0x80 | (cp & 0x3f))
+    } else {
+      out.write(0xf0 | (cp >> 18)); out.write(0x80 | ((cp >> 12) & 0x3f))
+      out.write(0x80 | ((cp >> 6) & 0x3f)); out.write(0x80 | (cp & 0x3f))
+    }
+  }
+
   /** Find element `<tag ...>content</tag>` or `<tag ... />` at/after
     * `from`. Returns (attrs, content, indexAfterElement). */
   def element(s: String, tag: String, from: Int): Option[(String, String, Int)] = {
@@ -403,7 +489,8 @@ object XmlFields {
       case None => tagText(rev, "sha1", 0)
     }
     Revision(revId, parentId, ts, contributor, minor, comment, model, format,
-      text, sha1, bytes, if (keepRaw) Some(rev) else None)
+      text.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+      sha1, bytes, if (keepRaw) Some(rev) else None)
   }
 }
 
@@ -437,7 +524,15 @@ object PageRecordIterator {
   private val REV_BEGIN = "<revision".getBytes(StandardCharsets.UTF_8)
   private val REV_END = "</revision>".getBytes(StandardCharsets.UTF_8)
   private val TEXT_BEGIN = "<text".getBytes(StandardCharsets.UTF_8)
+  private val TEXT_END = "</text>".getBytes(StandardCharsets.UTF_8)
   private val GT = ">".getBytes(StandardCharsets.UTF_8)
+
+  /** Growable capture buffer with zero-copy access to its backing
+    * array — the byte path slices text bodies straight out of it. */
+  private[sources] final class ExposedBuf(cap: Int) extends java.io.ByteArrayOutputStream(cap) {
+    def buffer: Array[Byte] = buf
+    def length: Int = count
+  }
 
   /** The reference's dummy previous revision marking page starts
     * (`StreamWikiDumpInputFormat.java:301`) — compat-mode raw form. */
@@ -485,7 +580,7 @@ final class PageRecordIterator(
     * 1KB→fragment-size growth copies were pure garbage. Safe to share
     * between header and revision capture: calls are strictly
     * sequential and only immutable Strings escape. */
-  private val capBuf = new java.io.ByteArrayOutputStream(1 << 16)
+  private val capBuf = new PageRecordIterator.ExposedBuf(1 << 16)
   private var page: PageInfo = _
   private var prev: Option[Revision] = None
   private var revSeqNo = 0
@@ -556,9 +651,44 @@ final class PageRecordIterator(
     // concat recopied the entire fragment (text body included) a
     // second time per revision
     cap.write(REV_BEGIN)
-    if (needText || keepRaw) {
+    if (keepRaw) {
       if (scanner.readUntil(Array(REV_END), cap) < 0) return None // truncated
       Some(XmlFields.parseRevision(cap.toString(StandardCharsets.UTF_8), keepRaw, meta))
+    } else if (needText) {
+      // byte path: capture the fragment once, record the text-body
+      // byte span, and build the body UTF8String straight from the
+      // buffer (entity-free bodies are one copyOfRange). Only the
+      // small head+tail (~200B of metadata) decodes to String, via the
+      // same synthetic empty-text fragment the pruned path uses — so
+      // field semantics stay byte-identical with parseRevision.
+      val m0 = scanner.readUntil(Array(REV_END, TEXT_BEGIN), cap)
+      if (m0 < 0) return None // truncated
+      if (m0 == 0) {
+        // revision had no <text> element at all
+        return Some(XmlFields.parseRevision(cap.toString(StandardCharsets.UTF_8), keepRaw = false, meta))
+      }
+      if (scanner.readUntil(Array(GT), cap) < 0) return None
+      val gtEnd = cap.length
+      val selfClosing = cap.buffer(gtEnd - 2) == '/'
+      if (selfClosing) {
+        // no body (empty or deleted text): the whole fragment is small
+        if (scanner.readUntil(Array(REV_END), cap) < 0) return None
+        return Some(XmlFields.parseRevision(cap.toString(StandardCharsets.UTF_8), keepRaw = false, meta))
+      }
+      if (scanner.readUntil(Array(TEXT_END), cap) < 0) return None
+      val bodyEnd = cap.length - TEXT_END.length
+      if (scanner.readUntil(Array(REV_END), cap) < 0) return None
+      val buf = cap.buffer
+      val size = cap.length
+      // synthetic fragment = head (through "<text ...>") + tail (from
+      // "</text>") — a valid empty-text revision for field extraction
+      val synth = new String(buf, 0, gtEnd, StandardCharsets.UTF_8) +
+        new String(buf, bodyEnd, size - bodyEnd, StandardCharsets.UTF_8)
+      val parsed = XmlFields.parseRevision(synth, keepRaw = false, meta)
+      // attach the real body unless the attrs said deleted (textU8
+      // null): entity decode happens at byte level, one copy total
+      if (parsed.textU8 == null) Some(parsed)
+      else Some(parsed.copy(textU8 = XmlFields.unescapeToU8(buf, gtEnd, bodyEnd)))
     } else {
       val m = scanner.readUntil(Array(REV_END, TEXT_BEGIN), cap)
       if (m < 0) return None
