@@ -43,7 +43,7 @@ object PageRank {
       val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
       val base = scale * basePct / 100
       var ranks = nodes.withColumn("rank", lit(scale))
-      for (_ <- 1 to iters) {
+      for (round <- 1 to iters) {
         val contrib = e.join(outd, "src")
           .join(ranks.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), expr("rank div outd").as("c"))
@@ -52,6 +52,15 @@ object PageRank {
           .select(col("node"),
             expr(s"cast($base as bigint) + ($dampPct * coalesce(m, cast(0 as bigint))) div 100")
               .as("rank"))
+        // periodic lineage cut: each round references `ranks` exactly
+        // once, so nothing re-executes — but the unrolled plan deepens
+        // linearly and analysis/codegen cost grows with it. A LAZY
+        // localCheckpoint rebases the logical plan on a LogicalRDD leaf
+        // immediately (bounding plan depth at 8 rounds) while the RDD
+        // itself still materializes inside the single final job
+        // cascade; intermediate checkpoint blocks are reclaimed by the
+        // ContextCleaner as `ranks` reassignment dereferences them.
+        if (round % 8 == 0 && round < iters) ranks = ranks.localCheckpoint(false)
       }
       ranks.localCheckpoint(true)
     } finally {

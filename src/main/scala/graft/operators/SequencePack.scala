@@ -40,7 +40,9 @@ object SequencePack {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val text = col(textCol)
     val t = docs.select(col(orderCol), text.as("__text"),
-      (length(text) - length(regexp_replace(text, " ", "")) + 1)
+      // literal replace, not regexp_replace: same count, no regex
+      // engine pass over the full text
+      (length(text) - length(replace(text, lit(" "), lit(""))) + 1)
         .cast("long").as("__nt"))
     val offs = PrefixSum.withRunningTotal(t, orderCol, "__nt", "__end")
       .withColumn("__start", col("__end") - col("__nt"))

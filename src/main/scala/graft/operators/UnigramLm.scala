@@ -47,7 +47,7 @@ object UnigramLm {
     // total corpus tokens without a second tokenize pass: whitespace
     // token count == space count + 1, exactly what split produces
     val total = docs
-      .agg(sum(length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")) + 1)
+      .agg(sum(length(col(textCol)) - length(replace(col(textCol), lit(" "), lit(""))) + 1)
         .cast("long").as("total_tokens"))
     tf.groupBy(id)
       .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("cnt")).as("sum_cnt"))

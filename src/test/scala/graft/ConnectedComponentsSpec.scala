@@ -135,4 +135,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ranks.map(_._2).sum <= 40L * 1000000L)
     assert(ranks.forall(_._2 >= 150000L))
   }
+
+  test("pagerank at iters=25: bounded plan depth, deterministic, nothing cached after") {
+    import spark.implicits._
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)).toDF("src", "dst")
+    // the periodic lazy localCheckpoint rebases the plan on a
+    // LogicalRDD leaf every 8 rounds: without it 25 unrolled rounds
+    // stack ~25 joins; with it the FINAL frame's plan is a single
+    // checkpoint leaf and intermediate analysis stays bounded. Run
+    // twice: bit-exact integer arithmetic must agree run-to-run.
+    val r1 = graft.operators.PageRank.ranksInt(edges, iters = 25)
+    assert(r1.queryExecution.analyzed.toString.linesIterator.size < 10,
+      "returned frame should be lineage-cut")
+    val m1 = r1.as[(Long, Long)].collect().toMap
+    val m2 = graft.operators.PageRank.ranksInt(edges.repartition(5), iters = 25)
+      .as[(Long, Long)].collect().toMap
+    assert(m1 == m2)
+    assert(m1.size == 60 && m1.values.sum <= 60L * 1000000L)
+    // scoped persists released (SoakSpec contract)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
