@@ -34,23 +34,42 @@ object IncrementalDedup {
   /** Classify each batch document: `new` (first sight of this content
     * anywhere), `dup_vs_base` (content already in the accepted
     * corpus), or `dup_within_batch` (another batch doc with the same
-    * content and a smaller `idCol` wins). Returns
+    * content loses to the winner). Returns
     * `(idCol, content_key, status)`; `filter($"status" === "new")`
     * is the admission set.
+    *
+    * ID-ORDERING CONTRACT: the within-batch winner is the duplicate
+    * group's minimum under `(tiebreak…, idCol)` ordering, so the
+    * default (no `tiebreak`) requires batch `idCol` values to be
+    * DISTINCT, NON-NULL, and totally ordered by Spark's native
+    * ordering for their type — ingestion ids (monotonic longs,
+    * ULID/UUID strings) all qualify. Only batch ids participate in
+    * the ordering (base rows ride as id-less markers), so the base
+    * corpus's id type is irrelevant and may differ. For batches whose
+    * ids are not meaningfully comparable (opaque structs, nullable
+    * ids), pass explicit `tiebreak` columns (e.g. an ingest timestamp)
+    * — winners are then min-by `(tiebreak…, id)`, with `idCol` kept as
+    * the final tiebreak so the result stays total and deterministic.
     *
     * Base rows ride the union as id-less markers sorted first within
     * their hash partition; a batch row's verdict needs only "does a
     * marker exist" (`min(__src) == 0`) and its rank among batch rows —
     * both deterministic regardless of marker order. */
   def classify(base: DataFrame, batch: DataFrame,
-               idCol: String, textCol: String): DataFrame = {
+               idCol: String, textCol: String,
+               tiebreak: Seq[Column] = Nil): DataFrame = {
     val idType = batch.schema(idCol).dataType
-    val batchKeys = batch.select(col(idCol).as("__id"),
-      contentKey(col(textCol)).as("content_key"), lit(1).as("__src"))
-    val baseKeys = base.select(lit(null).cast(idType).as("__id"),
-      contentKey(col(textCol)).as("content_key"), lit(0).as("__src"))
+    val tbNames = tiebreak.indices.map(i => s"__tb$i")
+    val batchKeys = batch.select(col(idCol).as("__id") +:
+      contentKey(col(textCol)).as("content_key") +: lit(1).as("__src") +:
+      tiebreak.zip(tbNames).map { case (c, n) => c.as(n) }: _*)
+    // base markers carry null tiebreaks: they sort first by __src
+    // alone, so their tiebreak values are never consulted
+    val baseKeys = base.select(lit(null).cast(idType).as("__id") +:
+      contentKey(col(textCol)).as("content_key") +: lit(0).as("__src") +:
+      tbNames.map(n => lit(null).as(n)): _*)
     val w = Window.partitionBy(col("content_key"))
-    val wo = w.orderBy(col("__src"), col("__id"))
+    val wo = w.orderBy(col("__src") +: tbNames.map(col) :+ col("__id"): _*)
     baseKeys.unionByName(batchKeys)
       .withColumn("__minsrc", min(col("__src")).over(w))
       .withColumn("__rn", row_number().over(wo))

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, batch-shaped feature extraction via `mapPartitions`.
   *
-  * The decode step is a STUB — real image/audio codecs are not in this
-  * environment. `FakeDecoder` derives deterministic pseudo-metadata from
-  * the bytes so the Spark-side plumbing (schema, partitioning, batch
-  * iteration, null/error handling) is real and testable; swap
-  * `FakeDecoder.decode` for an actual codec in production.
+  * The decode step is INJECTABLE: every operator takes a
+  * [[MediaDecoder]] (defaulting to [[FakeDecoder]] — real image/audio
+  * codecs are not in this environment). The decoder speaks the
+  * operators' output domain (dimensions, counts, signatures), so a
+  * production codec drops in by implementing the trait; the Spark-side
+  * plumbing (schema, partitioning, batch iteration, per-partition
+  * init, null/error handling) is identical for both and is what the
+  * specs pin.
   */
 object Multimodal {
 
@@ -18,11 +21,36 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, channels: Int, checksum: Long, error: String)
 
-  /** STUB decoder: deterministic fake metadata from byte content.
-    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings).
-    * The fake derives from a masked FNV-1a so the whole pipeline is
-    * oracle-expressible (a list_reduce fold in SQL), unlike CRC32. */
-  object FakeDecoder {
+  /** Pluggable decode surface. Implementations MUST be serializable
+    * (instances ship inside `mapPartitions` closures); a codec holding
+    * native resources should allocate them in [[open]], which runs
+    * once per partition on the executor — the returned instance is the
+    * one the partition's rows use. */
+  trait MediaDecoder extends Serializable {
+    /** Once-per-partition initialization hook (native contexts, JNI
+      * handles…). Default: stateless decoder, returns itself. */
+    def open(): MediaDecoder = this
+    /** (width, height, channels) metadata for one blob. */
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Int)
+    /** Content checksum recorded beside the features. */
+    def contentHash(bytes: Array[Byte]): Long
+    /** Total frame count of a video container. */
+    def frameCount(bytes: Array[Byte]): Long
+    /** Signature of one sampled frame (stands for the frame payload). */
+    def frameSignature(bytes: Array[Byte], frameIdx: Long): Long
+    /** Total sample count of an audio track. */
+    def sampleCount(bytes: Array[Byte]): Long
+    /** Signature of one audio segment starting at `segStart`. */
+    def segmentSignature(bytes: Array[Byte], segStart: Long): Long
+    /** Signature of the blob resampled to width×height. */
+    def resizeSignature(bytes: Array[Byte], width: Int, height: Int): Long
+  }
+
+  /** STUB decoder (the default): deterministic fake metadata from byte
+    * content. The fake derives from a masked FNV-1a so the whole
+    * pipeline is oracle-expressible (a list_reduce fold in SQL, unlike
+    * CRC32) — q25/q26/q59/q65's oracles embed exactly this arithmetic. */
+  object FakeDecoder extends MediaDecoder {
     /** FNV-1a over bytes, sign bit dropped (non-negative). */
     def contentHash(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -31,8 +59,8 @@ object Multimodal {
       h & Long.MaxValue
     }
 
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      // ??? real decode unavailable in this environment — deterministic fake:
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      // real decode unavailable in this environment — deterministic fake:
       val h = contentHash(bytes)
       kind match {
         case "image" => (((h % 1920) + 1).toInt, ((h % 1080) + 1).toInt, 3)
@@ -40,22 +68,35 @@ object Multimodal {
         case _       => (((h % 65536) + 1).toInt, 0, 0)
       }
     }
+
+    def frameCount(bytes: Array[Byte]): Long = contentHash(bytes) % 241 + 1
+    def frameSignature(bytes: Array[Byte], frameIdx: Long): Long =
+      (contentHash(bytes) % 1000000007L) * 31 + frameIdx
+    def sampleCount(bytes: Array[Byte]): Long = contentHash(bytes) % 16381 + 1
+    def segmentSignature(bytes: Array[Byte], segStart: Long): Long =
+      (contentHash(bytes) % 1000000007L) * 37 + segStart
+    def resizeSignature(bytes: Array[Byte], width: Int, height: Int): Long =
+      (contentHash(bytes) % 1000000007L) * 8191 + width.toLong * height
+
+    /** Back-compat alias for the original stub surface. */
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = decodeDims(kind, bytes)
   }
 
   /** Batch feature extraction: one decoder instance per partition (the
     * expensive-initialization shape real codecs need), one pass over the
     * partition's rows, per-row error capture so one bad blob never kills
     * the job. */
-  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+  def extractFeatures(blobs: Dataset[MediaBlob],
+                      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // per-partition init of the (stub) decoder goes here
+      val d = decoder.open()
       it.map { b =>
         try {
           val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
-          val (w, h, c) = FakeDecoder.decode(b.kind, bytes)
+          val (w, h, c) = d.decodeDims(b.kind, bytes)
           MediaFeatures(b.media_id, b.kind, bytes.length.toLong, w, h, c,
-            FakeDecoder.contentHash(bytes), null)
+            d.contentHash(bytes), null)
         } catch {
           case e: Exception =>
             MediaFeatures(b.media_id, b.kind, 0L, 0, 0, 0, 0L, e.getMessage)
@@ -71,25 +112,21 @@ object Multimodal {
     * count, emit every `everyK`-th frame's signature — the
     * frame-subsampling step of a video training pipeline, one row per
     * SAMPLED frame (never one per frame: a 2-hour video is 200k
-    * frames; the explode happens after the stride). Same stub
-    * contract as [[extractFeatures]]: the fake frame count
-    * (`hash % 241 + 1`) and signature stay in non-negative bounded
-    * BIGINT arithmetic so the whole operator is oracle-expressible;
-    * swap the body for a real demuxer in production. Per-partition
+    * frames; the explode happens after the stride). Per-partition
     * decoder init + per-row error capture, like every batch decode
     * here. */
-  def sampleFrames(blobs: Dataset[MediaBlob], everyK: Int): Dataset[FrameSample] = {
+  def sampleFrames(blobs: Dataset[MediaBlob], everyK: Int,
+                   decoder: MediaDecoder = FakeDecoder): Dataset[FrameSample] = {
     require(everyK >= 1, s"everyK must be >= 1: $everyK")
     import blobs.sparkSession.implicits._
     blobs.filter(_.kind == "video").mapPartitions { it =>
-      // per-partition init of the (stub) demuxer goes here
+      val d = decoder.open()
       it.flatMap { b =>
         try {
           val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
-          val h = FakeDecoder.contentHash(bytes)
-          val nFrames = h % 241 + 1
+          val nFrames = d.frameCount(bytes)
           (0L until nFrames by everyK.toLong).iterator.map { i =>
-            FrameSample(b.media_id, i, nFrames, (h % 1000000007L) * 31 + i, null)
+            FrameSample(b.media_id, i, nFrames, d.frameSignature(bytes, i), null)
           }
         } catch {
           case e: Exception =>
@@ -102,19 +139,19 @@ object Multimodal {
   case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
       resized_sig: Long, error: String)
 
-  /** Resize stub: target dimensions + a deterministic signature of
-    * (content, target) standing in for resampled pixels. The
-    * plumbing — batch shape, per-partition init, error capture — is
-    * the real contract; the arithmetic is the stub. */
-  def resize(blobs: Dataset[MediaBlob], width: Int, height: Int): Dataset[ResizedMedia] = {
+  /** Resize: target dimensions + a signature of (content, target)
+    * standing in for resampled pixels. The plumbing — batch shape,
+    * per-partition init, error capture — is the real contract. */
+  def resize(blobs: Dataset[MediaBlob], width: Int, height: Int,
+             decoder: MediaDecoder = FakeDecoder): Dataset[ResizedMedia] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
+      val d = decoder.open()
       it.map { b =>
         try {
           val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
-          val h = FakeDecoder.contentHash(bytes)
           ResizedMedia(b.media_id, b.kind, width, height,
-            (h % 1000000007L) * 8191 + width.toLong * height, null)
+            d.resizeSignature(bytes, width, height), null)
         } catch {
           case e: Exception =>
             ResizedMedia(b.media_id, b.kind, 0, 0, 0L, e.getMessage)
@@ -123,8 +160,6 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents table (text bytes standing
-    * in for media payloads — the plumbing under test, not the codec). */
   case class AudioSegment(media_id: Long, seg_idx: Long, seg_start: Long,
       n_samples: Long, seg_sig: Long, error: String)
 
@@ -133,28 +168,23 @@ object Multimodal {
     * `strideSamples` hops — the 1-D analog of [[sampleFrames]]'s
     * stride-before-explode (an hour of 16kHz audio is 57.6M samples;
     * rows are segments, never samples). Partial tail windows are NOT
-    * emitted (training consumes fixed-size segments). Same stub
-    * contract as every decode here: fake sample count
-    * (`hash % 16381 + 1`) and signature in non-negative bounded
-    * BIGINT arithmetic, oracle-expressible; swap in a real resampler
-    * in production. Per-partition decoder init + per-row error
-    * capture. */
+    * emitted (training consumes fixed-size segments). Per-partition
+    * decoder init + per-row error capture. */
   def chunkAudio(blobs: Dataset[MediaBlob], windowSamples: Int,
-                 strideSamples: Int): Dataset[AudioSegment] = {
+                 strideSamples: Int,
+                 decoder: MediaDecoder = FakeDecoder): Dataset[AudioSegment] = {
     require(windowSamples >= 1, s"windowSamples must be >= 1: $windowSamples")
     require(strideSamples >= 1, s"strideSamples must be >= 1: $strideSamples")
     import blobs.sparkSession.implicits._
     blobs.filter(_.kind == "audio").mapPartitions { it =>
-      // per-partition init of the (stub) audio decoder goes here
+      val d = decoder.open()
       it.flatMap { b =>
         try {
           val bytes = if (b.blob == null) Array.empty[Byte] else b.blob
-          val h = FakeDecoder.contentHash(bytes)
-          val nSamples = h % 16381 + 1
-          val sig = h % 1000000007L
+          val nSamples = d.sampleCount(bytes)
           (0L to nSamples - windowSamples by strideSamples.toLong).map { st =>
             AudioSegment(b.media_id, st / strideSamples, st, nSamples,
-              sig * 37 + st, null)
+              d.segmentSignature(bytes, st), null)
           }
         } catch {
           case e: Exception =>
@@ -164,6 +194,8 @@ object Multimodal {
     }
   }
 
+  /** Build a media table from the documents table (text bytes standing
+    * in for media payloads — the plumbing under test, not the codec). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaBlob] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id"),

@@ -229,6 +229,28 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(n == "a bc d")
   }
 
+  test("incremental dedup: caller tiebreak overrides id order; base id type may differ") {
+    import graft.operators.IncrementalDedup
+    val base = Seq(("b1", "unique base")).toDF("doc_id", "text") // string ids in base
+    val batch = Seq(
+      (10L, "same stuff", 500L), // later ingest ts → loses despite smaller id
+      (11L, "same stuff", 100L), // earliest ts → wins the group
+      (12L, "other", 50L)
+    ).toDF("doc_id", "text", "ingest_ts")
+    // base ids are strings, batch ids longs: base ids are never read
+    // (markers are id-less), so the types may differ freely
+    val got = IncrementalDedup.classify(
+        base, batch, "doc_id", "text", tiebreak = Seq($"ingest_ts"))
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().map(t => t._1 -> t._3).toSeq
+    assert(got == Seq(10L -> "dup_within_batch", 11L -> "new", 12L -> "new"))
+    // default (no tiebreak): smaller id wins
+    val byId = IncrementalDedup.classify(
+        batch.limit(0), batch, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().map(t => t._1 -> t._3).toSeq
+    assert(byId == Seq(10L -> "new", 11L -> "dup_within_batch", 12L -> "new"))
+  }
+
   test("bpe pair census: hand-computed counts, deterministic tie-break") {
     // "a b a b c" → pairs: (a b), (b a), (a b), (b c); "x" → none
     val docs = Seq((1L, "a b a b c"), (2L, "x"), (3L, "")).toDF("doc_id", "text")

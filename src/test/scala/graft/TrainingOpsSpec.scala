@@ -141,6 +141,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(feats.map(_.checksum).toList == feats2.map(_.checksum).toList)
   }
 
+  test("a custom MediaDecoder is picked up, with per-partition open()") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val codec = new TrainingOpsSpec.StubCodec(false)
+    val feats = Multimodal.extractFeatures(media, codec).collect()
+    assert(feats.nonEmpty && feats.forall(f =>
+      f.width == 7 && f.height == 5 && f.channels == 1 && f.checksum == 42L && f.error == null))
+    val frames = Multimodal.sampleFrames(media, everyK = 2, decoder = codec).collect()
+    assert(frames.nonEmpty && frames.forall(f => f.n_frames == 4L &&
+      f.frame_sig == 100L + f.frame_idx))
+    assert(frames.groupBy(_.media_id).values.forall(_.map(_.frame_idx).sorted.toList == List(0L, 2L)))
+    val segs = Multimodal.chunkAudio(media, windowSamples = 4, strideSamples = 3,
+      decoder = codec).collect()
+    assert(segs.nonEmpty && segs.forall(s => s.n_samples == 10L && s.seg_sig == 200L + s.seg_start))
+    val resized = Multimodal.resize(media, 8, 8, codec).collect()
+    assert(resized.nonEmpty && resized.forall(_.resized_sig == 300L))
+  }
+
   test("rolling fingerprint: deterministic, content-sensitive") {
     val a = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")
     val b = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")
@@ -221,5 +239,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     val shufflePath = rows(1) // budget of 1 gram forces the fallback
     assert(broadcastPath.nonEmpty)
     assert(broadcastPath == shufflePath)
+  }
+}
+
+object TrainingOpsSpec {
+  /** Custom decoder whose open() returns a DIFFERENT instance (the
+    * native-resource shape): operators must decode through the opened
+    * instance. Top-level so the closure ships without the suite. */
+  class StubCodec(val opened: Boolean) extends Multimodal.MediaDecoder {
+    override def open(): Multimodal.MediaDecoder = new StubCodec(true)
+    private def requireOpened(): Unit = require(opened, "decode before open()")
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Int) = { requireOpened(); (7, 5, 1) }
+    def contentHash(bytes: Array[Byte]): Long = { requireOpened(); 42L }
+    def frameCount(bytes: Array[Byte]): Long = { requireOpened(); 4L }
+    def frameSignature(bytes: Array[Byte], i: Long): Long = { requireOpened(); 100L + i }
+    def sampleCount(bytes: Array[Byte]): Long = { requireOpened(); 10L }
+    def segmentSignature(bytes: Array[Byte], st: Long): Long = { requireOpened(); 200L + st }
+    def resizeSignature(bytes: Array[Byte], w: Int, h: Int): Long = { requireOpened(); 300L }
   }
 }
