@@ -70,4 +70,51 @@ object SequencePack {
           " ").as("chunk_text"))
       .select(col("chunk_id"), col("n_docs"), col("chunk_text"))
   }
+
+  /** Per-shard packing — the batch twin of
+    * [[graft.streaming.StreamOps.packStream]]: each shard's documents
+    * concatenate in `orderCol` order into that shard's own chunk
+    * sequence (chunk ids restart at 0 per shard), exactly one
+    * independent packer per shard. Output: `(shardCol, chunk_id,
+    * n_docs, chunk_text)`.
+    *
+    * Scale shape: the running totals use a window PARTITIONED BY the
+    * shard — no global funnel; parallelism equals the shard count,
+    * which IS the operator's semantic unit (a training-shard layout
+    * has at least as many shards as loader workers, so at scale the
+    * partition count is the cluster's, not 1). Everything after the
+    * offsets is identical to [[packedChunks]]: split once below the
+    * Generate, slices bounded by chunkTokens, one groupBy reassembly. */
+  def packedChunksBy(docs: DataFrame, shardCol: String, orderCol: String,
+                     textCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    import org.apache.spark.sql.expressions.Window
+    val text = col(textCol)
+    val t = docs.select(col(shardCol), col(orderCol), text.as("__text"),
+      (length(text) - length(replace(text, lit(" "), lit(""))) + 1)
+        .cast("long").as("__nt"))
+    val offs = t
+      .withColumn("__end", sum(col("__nt")).over(
+        Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__start", col("__end") - col("__nt"))
+      .withColumn("__fc", expr(s"__start div $chunkTokens"))
+      .withColumn("__lc", expr(s"(__end - 1) div $chunkTokens"))
+    val pieces = offs
+      .withColumn("__ta", split(col("__text"), " "))
+      .select(col(shardCol), col("__ta"), col("__start"), col("__end"),
+        explode(expr("sequence(__fc, __lc)")).as("chunk_id"))
+      .withColumn("__from", greatest(col("chunk_id") * chunkTokens, col("__start")) - col("__start"))
+      .withColumn("__until", least((col("chunk_id") + 1) * chunkTokens, col("__end")) - col("__start"))
+      .select(col(shardCol), col("chunk_id"), col("__start"),
+        array_join(
+          slice(col("__ta"),
+            (col("__from") + 1).cast("int"), (col("__until") - col("__from")).cast("int")),
+          " ").as("piece"))
+    pieces.groupBy(col(shardCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(expr("transform(sort_array(collect_list(struct(__start, piece))), x -> x.piece)"),
+          " ").as("chunk_text"))
+      .select(col(shardCol), col("chunk_id"), col("n_docs"), col("chunk_text"))
+  }
 }

@@ -1128,6 +1128,50 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Multi-shard materialized packing via
+    * [[graft.operators.SequencePack.packedChunksBy]]: documents land
+    * in 3 deterministic shards (`doc_id % 3`) and each shard packs its
+    * own 512-token chunk sequence — the batch twin of the streaming
+    * per-shard packer, closing the stream ≡ batch ≡ oracle chain
+    * (StreamingSpec pins stream ≡ packedChunksBy; this row pins
+    * packedChunksBy ≡ SQL). */
+  def q71PackedShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sharded = docs(s, dir)
+      .withColumn("shard", concat(lit("s"), ($"doc_id" % 3).cast("string")))
+    graft.operators.SequencePack
+      .packedChunksBy(sharded, "shard", "doc_id", "text", chunkTokens = 512)
+      .withColumn("n_tokens",
+        (length($"chunk_text") - length(expr("replace(chunk_text, ' ', '')")) + 1)
+          .cast("long"))
+      .select($"shard", $"chunk_id", $"n_docs", $"n_tokens", $"chunk_text")
+      .orderBy($"shard", $"chunk_id")
+  }
+
+  val q71Sql: String =
+    """WITH t AS (SELECT 's' || CAST(doc_id % 3 AS VARCHAR) AS shard, doc_id, text,
+      |             CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS nt
+      |           FROM documents),
+      |c AS (SELECT shard, doc_id, text, nt,
+      |        CAST(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+      |      FROM t),
+      |s AS (SELECT shard, doc_id, text, e, e - nt AS st,
+      |        (e - nt)//512 AS fc, (e - 1)//512 AS lc FROM c),
+      |p AS (SELECT shard, doc_id, st, k AS chunk_id,
+      |        array_to_string(list_slice(string_split(text,' '),
+      |          CAST(greatest(k*512, st) - st + 1 AS BIGINT),
+      |          CAST(least((k+1)*512, e) - st AS BIGINT)), ' ') AS piece
+      |      FROM s, UNNEST(range(fc, lc+1)) u(k)),
+      |g AS (SELECT shard, chunk_id, COUNT(*) AS n_docs,
+      |        string_agg(piece, ' ' ORDER BY st) AS chunk_text
+      |      FROM p GROUP BY shard, chunk_id)
+      |SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_id, n_docs,
+      |  CAST(length(chunk_text) - length(replace(chunk_text,' ','')) + 1 AS BIGINT) AS n_tokens,
+      |  chunk_text
+      |FROM g ORDER BY shard, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1161,6 +1205,7 @@ object TextQueries {
     "q68_link_extract" -> q68LinkExtract _,
     "q69_pagerank" -> q69PageRank _,
     "q70_split_assign" -> q70SplitAssign _,
+    "q71_packed_shards" -> q71PackedShards _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1196,5 +1241,6 @@ object TextQueries {
     "q68_link_extract" -> q68Sql,
     "q69_pagerank" -> q69Sql,
     "q70_split_assign" -> q70Sql,
+    "q71_packed_shards" -> q71Sql,
   )
 }

@@ -193,10 +193,21 @@ object StreamOps {
     * where all-pairs explosion lives; the batch operator's dense-path
     * dispatch makes the same call); total state grows with distinct
     * band values, the inherent cost of an online dedup index. Batch
-    * order is made deterministic by sorting on doc id. */
+    * order is made deterministic by sorting on doc id.
+    *
+    * `bucketTtl` bounds that growth for month-long streams: a bucket
+    * untouched (no arrival landed in it) for the TTL is dropped via
+    * `ProcessingTimeTimeout`, so state converges to the recently-seen
+    * working set. The RECALL TRADE is explicit: a future near-dup of a
+    * document whose buckets all aged out is NOT flagged (its index
+    * entries are gone) — pick a TTL at least as long as the window
+    * within which duplicates must be caught. Every arrival refreshes
+    * its buckets' clocks, so hot content never ages. */
   def minhashCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
-                              minEst: Double, maxBucketDocs: Int = 256): Dataset[DupCandidate] = {
+                              minEst: Double, maxBucketDocs: Int = 256,
+                              bucketTtl: Option[java.time.Duration] = None): Dataset[DupCandidate] = {
     import docs.sparkSession.implicits._
+    val ttlMs = bucketTtl.map(_.toMillis)
     val k = 8
     val sigs = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
@@ -208,10 +219,19 @@ object StreamOps {
           (s"$band:$mh", band, id, sig.toSeq)
         }
       }
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     sigs.groupByKey(_._1)
       .flatMapGroupsWithState[BucketState, DupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: String, batch: Iterator[(String, Int, Long, Seq[Long])], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL: drop its entries (recall trade
+            // documented above); nothing to emit for a timeout call
+            state.remove()
+            Iterator.empty
+          } else {
           val st = state.getOption.getOrElse(BucketState(Nil, Nil))
           val ids = scala.collection.mutable.ArrayBuffer[Long](st.ids: _*)
           val sigsB = scala.collection.mutable.ArrayBuffer[Seq[Long]](st.sigs: _*)
@@ -235,7 +255,10 @@ object StreamOps {
             }
           }
           state.update(BucketState(ids.toSeq, sigsB.toSeq))
+          // every arrival refreshes this bucket's idle clock
+          ttlMs.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
   case class PackState(chunkSeq: Long, carryTokens: Long, carry: String, carryDocs: Long)

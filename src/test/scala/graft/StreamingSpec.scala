@@ -284,6 +284,100 @@ class StreamingSpec extends AnyFunSuite {
     streamPairs.foreach { case (pair, est) => assert(est == q20(pair), s"est diverges for $pair") }
   }
 
+  test("LSH bucket TTL: aged-out buckets stop emitting pairs, fresh ones still match") {
+    val dir = Files.createTempDirectory("stream-mh-ttl").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val text = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    def writeDocs(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in/$name")
+    writeDocs("f0", Seq((1L, text), (2L, text)))
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamOps.DupCandidate]())
+    // short TTL + fast trigger: empty micro-batches keep running for
+    // timeout processing, so idle buckets age out between file drops
+    val q = StreamOps.minhashCandidatesStream(stream, "doc_id", "text",
+        minEst = 0.25, maxBucketDocs = 100000,
+        bucketTtl = Some(java.time.Duration.ofMillis(1000)))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.DupCandidate], _: Long) =>
+        b.collect().foreach(c => got.add(c)): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mh-ttl-ckpt").toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    def pairs() = scala.jdk.CollectionConverters.ListHasAsScala(got).asScala
+      .map(c => (c.doc_a, c.doc_b)).toSet
+    def awaitPair(p: (Long, Long), label: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!pairs().contains(p) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(pairs().contains(p), s"$label: expected pair $p, got ${pairs()}")
+    }
+    try {
+      // batch 1: identical docs 1,2 → pair; their buckets now hold both
+      awaitPair((1L, 2L), "same-batch pair")
+      // idle past the TTL: empty batches fire the timeouts
+      Thread.sleep(3500)
+      // docs 3,4 (same content): 3 must NOT pair with 1/2 (their
+      // buckets aged out) but 4 pairs with the freshly-admitted 3
+      writeDocs("f1", Seq((3L, text)))
+      Thread.sleep(200)
+      writeDocs("f2", Seq((4L, text)))
+      awaitPair((3L, 4L), "fresh-bucket pair")
+    } finally q.stop()
+    assert(pairs() == Set((1L, 2L), (3L, 4L)),
+      s"aged buckets must not emit: ${pairs()}")
+  }
+
+  test("multi-shard packStream ≡ packedChunksBy (the q71 batch twin) per shard") {
+    val dir = Files.createTempDirectory("stream-pack-multi").toString
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+      .withColumn("shard", concat(lit("s"), ($"doc_id" % 3).cast("string")))
+    for ((lo, i) <- Seq(0L, 40L, 80L).zipWithIndex) {
+      docs0.filter($"doc_id" >= lo && $"doc_id" < lo + 40)
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/f$i")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[StreamOps.PackedChunk]())
+    val q = StreamOps.packStream(stream, "shard", "doc_id", "text", chunkTokens = 256)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackedChunk], _: Long) =>
+        b.collect().foreach(c => got.add(c)): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("pack-multi-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // q71's operator on the identical arrival order; streams hold each
+    // shard's trailing partial chunk in state → compare FULL chunks
+    val batch = graft.operators.SequencePack
+      .packedChunksBy(docs0, "shard", "doc_id", "text", chunkTokens = 256)
+      .orderBy($"shard", $"chunk_id")
+      .as[(String, Long, Long, String)].collect()
+    def tokens(s: String) = s.split(" ", -1).length
+    val fullBatch = batch.filter { case (_, _, _, text) => tokens(text) == 256 }
+      .groupBy(_._1)
+    val gotByShard = scala.jdk.CollectionConverters.ListHasAsScala(got).asScala
+      .groupBy(_.shard)
+    assert(gotByShard.keySet == fullBatch.keySet && gotByShard.keySet == Set("s0", "s1", "s2"))
+    fullBatch.foreach { case (shard, chunks) =>
+      val g = gotByShard(shard).sortBy(_.chunk_seq)
+      assert(g.size == chunks.length, s"shard $shard: ${g.size} vs ${chunks.length} full chunks")
+      g.zip(chunks).foreach { case (s, (_, cid, nDocs, text)) =>
+        assert(s.chunk_seq == cid && s.chunk_text == text && s.n_docs == nDocs,
+          s"shard $shard chunk $cid diverges")
+      }
+    }
+  }
+
   test("streaming sequence packing ≡ batch packer on the same arrival order") {
     val dir = Files.createTempDirectory("stream-pack").toString
     val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
