@@ -20,6 +20,11 @@ import org.apache.spark.sql.types._
   * element and allocate an intermediate array); map-only — no shuffle
   * at any corpus size. Dequantization error is bounded by
   * `scale/254` per coordinate.
+  *
+  * NULL ELEMENTS are treated as 0.0 (they contribute nothing to the
+  * scale and quantize to code 0) — stated contract, not an accident
+  * of `ArrayData` accessor behavior; an oracle for nullable-element
+  * input must `COALESCE(v_i, 0)` the same way.
   */
 case class Int8Quantize(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -46,7 +51,8 @@ case class Int8Quantize(child: Expression)
     val n = arr.numElements()
     val isFloat = elemType.contains(FloatType)
     def get(i: Int): Double =
-      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (arr.isNullAt(i)) 0.0 // documented contract: null element ≡ 0
+      else if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var scale = 0.0
     var i = 0
     while (i < n) {

@@ -44,14 +44,38 @@ object Tables {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = path.getFileSystem(s.sessionState.newHadoopConf())
     val maxPB = s.sessionState.conf.filesMaxPartitionBytes
-    val st = fs.getFileStatus(path)
-    val dataFiles =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(path).toSeq.filter(f => f.isFile && {
-        val n = f.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-    val estSplits = dataFiles.map(f => math.max(1L, (f.getLen + maxPB - 1) / maxPB)).sum
+    val openCost = s.sessionState.conf.filesOpenCostInBytes
+    // recurse into subdirectories: a partitionBy layout lists only
+    // key=value dirs at the top level, and a non-recursive listing
+    // would estimate 0 files → unconditional repartition
+    def listRec(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq.flatMap(listRec)
+    }
+    val dataFiles = listRec(fs.getFileStatus(path))
+    // mirror Spark's split sizing + bin packing (FilePartition): the
+    // split size shrinks below maxPartitionBytes when the table is
+    // small relative to the cluster (a mid-size single file really
+    // does plan many splits — the old maxPB-only estimate called it
+    // "1" and inserted a redundant full-table exchange), and each
+    // chunk pays the open cost during packing (which is why many tiny
+    // files stay one-partition-per-file). Deterministic on the file
+    // listing alone — still no physical planning, no df.rdd.
+    val totalBytes = dataFiles.map(_.getLen + openCost).sum
+    val maxSplit = math.max(1L, math.min(maxPB, math.max(openCost, totalBytes / p)))
+    val chunks = dataFiles.iterator.flatMap { f =>
+      val len = f.getLen
+      (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+    }.toSeq.sortBy(-_)
+    var estSplits = 0
+    var cur = 0L
+    chunks.foreach { c =>
+      if (cur + c + openCost > maxSplit && cur > 0) { estSplits += 1; cur = 0L }
+      cur += c + openCost
+    }
+    if (cur > 0) estSplits += 1
     if (estSplits < math.min(p, 8)) df.repartition(p) else df
   }
 }

@@ -35,6 +35,20 @@ class TablesSpreadSpec extends AnyFunSuite {
     check(dir, "many")
   }
 
+  test("partitionBy directory layouts estimate their leaf files, not 0") {
+    // key=value subdirs: a non-recursive listing sees no data files and
+    // would always insert the exchange; the recursive estimate must
+    // agree with the planned scan in both regimes
+    val dir = Files.createTempDirectory("spread-part").toString
+    val df = (0 until 20000).map(i => (i.toLong, i % 12, ("w" + i) * 8))
+      .toDF("id", "k", "text")
+    df.repartition(12, $"k").write.partitionBy("k").parquet(s"$dir/parts.parquet")   // 12 leaf files → no-op
+    df.withColumn("k", $"k" % 3).coalesce(1)
+      .write.partitionBy("k").parquet(s"$dir/parts3.parquet")                        // 3 tiny leaves → spread
+    check(dir, "parts")
+    check(dir, "parts3")
+  }
+
   test("a single file spanning many splits is left alone") {
     // shrink maxPartitionBytes so a test-sized single file plans >= 8
     // byte-range splits — the 100 TB regime in miniature
