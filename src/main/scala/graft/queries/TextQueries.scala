@@ -1172,6 +1172,158 @@ object TextQueries {
       |  chunk_text
       |FROM g ORDER BY shard, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Length-bucketed batch assignment with padding-waste accounting —
+    * the batching step of a training loader: documents bucket by token
+    * count (so one batch never pads a 30-token doc to a 120-token
+    * neighbor), each bucket fills fixed-size batches in doc order, and
+    * every batch reports the padding it would cost (`n_docs·max −
+    * Σtokens`). Positions within a bucket come from the grouped
+    * two-phase prefix scan (q50's shape) — never a per-bucket global
+    * window funnel. */
+  def q72LengthBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id",
+        (length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(
+        "CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 48 THEN 48 " +
+          "WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 96 THEN 96 ELSE 128 END"))
+      .withColumn("__one", lit(1L))
+    graft.operators.PrefixSum
+      .withRunningTotalGrouped(t, Seq("bucket"), Seq("doc_id"), "__one", "__pos")
+      .withColumn("batch_id", expr("(__pos - 1) div 16"))
+      .groupBy($"bucket", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"n_tokens").as("max_tokens"),
+        sum($"n_tokens").as("sum_tokens"))
+      .select($"bucket".cast("long").as("bucket"), $"batch_id", $"n_docs",
+        $"max_tokens", $"sum_tokens",
+        ($"n_docs" * $"max_tokens" - $"sum_tokens").as("padding"))
+      .orderBy($"bucket", $"batch_id")
+  }
+
+  val q72Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 48 THEN 48
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 96 THEN 96
+      |         ELSE 128 END AS bucket FROM t),
+      |p AS (SELECT doc_id, n_tokens, bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS pos FROM b),
+      |g AS (SELECT bucket, (pos - 1)//16 AS batch_id, COUNT(*) AS n_docs,
+      |    MAX(n_tokens) AS max_tokens,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+      |  n_docs, max_tokens, sum_tokens,
+      |  n_docs * max_tokens - sum_tokens AS padding
+      |FROM g ORDER BY bucket, batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Per-document n-gram diversity (distinct-2-gram ratio) — the
+    * repetitiveness metric behind "diversity filtering" of generated /
+    * boilerplate text (a Self-BLEU stand-in that needs no reference
+    * set). Map-only: total bigrams from length arithmetic, distinct
+    * bigrams from the native per-doc-distinct `shingles` expression —
+    * zero shuffles at any corpus size. The ratio is one double
+    * division of two exact integers (bit-portable). */
+  def q73NgramDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id",
+        (length($"text") - length(expr("replace(text, ' ', '')")))
+          .cast("long").as("n2"),
+        size(expr("shingles(text, 2)")).cast("long").as("d2"))
+      .filter($"n2" >= 1)
+      .withColumn("diversity", $"d2".cast("double") / $"n2".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |p AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS pair
+      |      FROM toks, UNNEST(range(1, len(ts))) t(i)),
+      |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n2,
+      |        CAST(COUNT(DISTINCT pair) AS BIGINT) AS d2
+      |      FROM p GROUP BY doc_id)
+      |SELECT doc_id, n2, d2,
+      |  CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diversity
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Cross-corpus shingle overlap: split the corpus in two (doc_id
+    * parity standing in for "my crawl" vs "their dataset") and measure
+    * exact Jaccard + per-side containment of the distinct 3-gram sets
+    * — the corpus-level overlap audit run before merging data sources
+    * (doc-level dedup answers a different question). One groupBy on
+    * the shingle (high-cardinality key), then a single-row aggregate;
+    * ratios are single divisions of exact integers. */
+  def q74CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir).select(($"doc_id" % 2 === 0).as("in_a"),
+      explode(expr("shingles(text, 3)")).as("shingle"))
+    sh.groupBy($"shingle")
+      .agg(max(when($"in_a", 1L).otherwise(0L)).as("a"),
+        max(when(!$"in_a", 1L).otherwise(0L)).as("b"))
+      .agg(sum($"a").cast("long").as("n_a"),
+        sum($"b").cast("long").as("n_b"),
+        sum($"a" * $"b").cast("long").as("n_both"))
+      .select($"n_a", $"n_b", $"n_both",
+        ($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"),
+        ($"n_both".cast("double") / $"n_a".cast("double")).as("containment_a"),
+        ($"n_both".cast("double") / $"n_b".cast("double")).as("containment_b"))
+  }
+
+  val q74Sql: String =
+    """WITH toks AS (SELECT doc_id, doc_id % 2 = 0 AS in_a,
+      |               string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT in_a, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts) - 1)) t(i) WHERE len(ts) >= 3),
+      |f AS (SELECT shingle, MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+      |        MAX(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+      |      FROM sh GROUP BY shingle),
+      |g AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+      |        CAST(SUM(a * b) AS BIGINT) AS n_both FROM f)
+      |SELECT n_a, n_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE) AS jaccard,
+      |  CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+      |  CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Temperature-scaled source mixing weights (α = 0.5): sampling
+    * probability per source ∝ n^α — the standard up-weighting of small
+    * sources when composing a training mix (multilingual-LM style).
+    * The α-power is quantized to exact integers (floor(√n · 2²⁰) as
+    * BIGINT — IEEE sqrt is correctly rounded, so bit-portable) and the
+    * probability is ONE double division of exact integer sums. The
+    * whole query aggregates a handful of source rows; the only
+    * single-partition stage is a window over those few rows —
+    * tiny by design. */
+  def q75MixWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir).groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt($"n_docs".cast("double")) * 1048576).cast("long"))
+      .withColumn("tot_w", sum($"w").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"source", $"n_docs", $"w",
+        ($"w".cast("double") / $"tot_w".cast("double")).as("p_sample"))
+      .orderBy($"source")
+  }
+
+  val q75Sql: String =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT) AS w
+      |      FROM c)
+      |SELECT source, n_docs, w,
+      |  CAST(w AS DOUBLE) / CAST((SELECT CAST(SUM(w) AS BIGINT) FROM w) AS DOUBLE) AS p_sample
+      |FROM w ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1206,6 +1358,10 @@ object TextQueries {
     "q69_pagerank" -> q69PageRank _,
     "q70_split_assign" -> q70SplitAssign _,
     "q71_packed_shards" -> q71PackedShards _,
+    "q72_length_batches" -> q72LengthBatches _,
+    "q73_ngram_diversity" -> q73NgramDiversity _,
+    "q74_corpus_overlap" -> q74CorpusOverlap _,
+    "q75_mix_weights" -> q75MixWeights _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1242,5 +1398,9 @@ object TextQueries {
     "q69_pagerank" -> q69Sql,
     "q70_split_assign" -> q70Sql,
     "q71_packed_shards" -> q71Sql,
+    "q72_length_batches" -> q72Sql,
+    "q73_ngram_diversity" -> q73Sql,
+    "q74_corpus_overlap" -> q74Sql,
+    "q75_mix_weights" -> q75Sql,
   )
 }

@@ -21,6 +21,13 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - q48, q50, q63: PrefixSum's per-bucket offset window (numParts
     *    rows)
     *  - q54: the 1-row `total_tokens` aggregate broadcast side
+    *  - q72: PrefixSum grouped form — per-bucket offset window
+    *    (numParts rows) + per-group start window (one row per length
+    *    bucket, ≤ 5 by construction)
+    *  - q74: corpus-wide 1-row overlap aggregate (map-side partials
+    *    over the shingle-flag stream upstream)
+    *  - q75: total-weight window over one row per source (the
+    *    source cardinality, not the corpus)
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -32,6 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q60_epoch_shuffle" -> 1,
     "q61_packed_chunks" -> 1,
     "q63_shard_assign" -> 1,
+    "q72_length_batches" -> 2,
+    "q74_corpus_overlap" -> 1,
+    "q75_mix_weights" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
