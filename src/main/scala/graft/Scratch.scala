@@ -130,6 +130,7 @@ object Scratch {
         .asInstanceOf[java.io.File]
       @volatile var done = false
       val worker = new Thread(() => {
+        val e = org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
         for (_ <- 1 to 2) {
           val it = new graft.sources.PageRecordIterator(
             new graft.sources.CountingByteSource(new java.io.BufferedInputStream(
@@ -137,8 +138,8 @@ object Scratch {
             0, Long.MaxValue, false)
           while (it.hasNext) {
             val rp = it.next()
-            graft.functions.DiffKernel.diffOps(
-              rp.prev.flatMap(_.text).getOrElse(""), rp.curr.text.getOrElse(""))
+            graft.functions.DiffKernelU8.diffOps(
+              rp.prev.map(_.textU8).getOrElse(e), Option(rp.curr.textU8).getOrElse(e))
           }
         }
         done = true

@@ -35,10 +35,24 @@ object DiffKernelU8 {
 
   /** Token boundary scanner over UTF-8 bytes [from, until): flat
     * (start, end) pairs, same alternation-order behavior as
-    * `DiffKernel.tokenBounds`. */
+    * `DiffKernel.tokenBounds`. (Allocating wrapper over
+    * [[tokenBoundsInto]] — the hot path reuses per-thread buffers.) */
   private[graft] def tokenBounds(b: Array[Byte], from: Int, until: Int): Array[Int] = {
-    val out = new mutable.ArrayBuilder.ofInt
-    out.sizeHint((until - from) / 2 + 8)
+    val (buf, n) = tokenBoundsInto(b, from, until, new Array[Int](16))
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Fill (start, end) pairs into `buf0` (grown as needed); returns
+    * (buffer, filled length). No final copy — the stack-sampled
+    * `ArrayBuilder.mkArray` tax was ~7% of the diff loop. */
+  private def tokenBoundsInto(b: Array[Byte], from: Int, until: Int,
+                              buf0: Array[Int]): (Array[Int], Int) = {
+    var out = buf0
+    var n = 0
+    @inline def push(v: Int): Unit = {
+      if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(n) = v; n += 1
+    }
     var i = from
     while (i < until) {
       val c = b(i)
@@ -73,10 +87,10 @@ object DiffKernelU8 {
         // continuation bytes; see the astral-plane note in the Scaladoc)
         while (j < until && (b(j) & 0xc0) == 0x80) j += 1
       }
-      out += i; out += j
+      push(i); push(j)
       i = j
     }
-    out.result()
+    (out, n)
   }
 
   /** UTF-16 length of a UTF-8 byte region: one unit per non-continuation
@@ -177,32 +191,36 @@ object DiffKernelU8 {
     var interner = new InternerU8
     private var lastStr: UTF8String = null
     private var lastBytes: Array[Byte] = null
-    private var lastBounds: Array[Int] = null
+    private var lastBounds: Array[Int] = new Array[Int](256)
     private var lastIds: Array[Int] = null
+    // ping-pong spare: tokenBoundsInto fills the buffer NOT referenced
+    // by lastBounds, so the memo keeps the previous text's bounds alive
+    // with zero per-text bounds allocation
+    private var spare: Array[Int] = new Array[Int](256)
 
     def reset(): Unit = {
       interner = new InternerU8
-      lastStr = null; lastBytes = null; lastBounds = null; lastIds = null
+      lastStr = null; lastBytes = null; lastIds = null
     }
 
     def ids(u: UTF8String): Array[Int] = {
       if (lastStr != null && ((u eq lastStr) || u.equals(lastStr))) return lastIds
       val b = u.getBytes
-      val bounds = tokenBounds(b, 0, b.length)
+      val (buf, bn) = tokenBoundsInto(b, 0, b.length, spare)
       val out =
-        if (lastBytes == null) internRange(b, bounds, 0, bounds.length / 2, null, 0)
-        else sharedIntern(b, bounds)
-      lastStr = u; lastBytes = b; lastBounds = bounds; lastIds = out
+        if (lastBytes == null || lastIds == null) internRange(b, buf, 0, bn / 2, null, 0)
+        else sharedIntern(b, buf, bn / 2)
+      spare = if (buf eq lastBounds) new Array[Int](buf.length) else lastBounds
+      lastStr = u; lastBytes = b; lastBounds = buf; lastIds = out
       out
     }
 
     /** Reuse the previous text's ids for the common token
       * prefix/suffix; only the edit region touches the dictionary. */
-    private def sharedIntern(b: Array[Byte], bounds: Array[Int]): Array[Int] = {
+    private def sharedIntern(b: Array[Byte], bounds: Array[Int], n: Int): Array[Int] = {
       val pB = lastBytes
       val pBounds = lastBounds
       val pIds = lastIds
-      val n = bounds.length / 2
       val pn = pIds.length
       val maxCommon = math.min(n, pn)
       var k = 0
@@ -273,25 +291,31 @@ object DiffKernelU8 {
     val out = mutable.ArrayBuffer.empty[DiffOpU8]
     var position = 0
 
+    // pending run indices per kind as raw int vectors: a generic
+    // ArrayBuffer[Int] boxes every element and its foreach is a
+    // megamorphic closure dispatch — both showed in stack samples
+    var del = new Array[Int](8); var delN = 0
+    var ins = new Array[Int](8); var insN = 0
+    var eqs = new Array[Int](8); var eqsN = 0
+    @inline def pushRun(v: Array[Int], n: Int, r: Int): Array[Int] = {
+      val a = if (n == v.length) java.util.Arrays.copyOf(v, n * 2) else v
+      a(n) = r; a
+    }
     // byte length of the pending runs, then one exact-size array fill
-    def runBytes(src: Array[Int], r: Int): Int = {
-      var len = 0
-      var k = los(r)
-      while (k < his(r)) { len += interner.tokens(src(k)).length; k += 1 }
-      len
-    }
-    def runLen16(src: Array[Int], r: Int): Int = {
-      var len = 0
-      var k = los(r)
-      while (k < his(r)) { len += interner.len16(src(k)); k += 1 }
-      len
-    }
-    def build(rs: mutable.ArrayBuffer[Int], src: Array[Int]): UTF8String = {
+    def build(rs: Array[Int], rn: Int, src: Array[Int]): UTF8String = {
       var total = 0
-      rs.foreach(r => total += runBytes(src, r))
+      var q = 0
+      while (q < rn) {
+        val r = rs(q)
+        var k = los(r)
+        while (k < his(r)) { total += interner.tokens(src(k)).length; k += 1 }
+        q += 1
+      }
       val buf = new Array[Byte](total)
       var at = 0
-      rs.foreach { r =>
+      q = 0
+      while (q < rn) {
+        val r = rs(q)
         var k = los(r)
         while (k < his(r)) {
           val t = interner.tokens(src(k))
@@ -299,36 +323,49 @@ object DiffKernelU8 {
           at += t.length
           k += 1
         }
+        q += 1
       }
       UTF8String.fromBytes(buf)
     }
-    val del = mutable.ArrayBuffer.empty[Int]
-    val ins = mutable.ArrayBuffer.empty[Int]
-    val eqs = mutable.ArrayBuffer.empty[Int]
-    def flushDelIns(): Unit = {
-      if (del.nonEmpty) {
-        if (reportRemove) out += DiffOpU8(position, -1, build(del, aIds))
-        del.clear()
+    def len16Of(rs: Array[Int], rn: Int, src: Array[Int]): Int = {
+      var len = 0
+      var q = 0
+      while (q < rn) {
+        val r = rs(q)
+        var k = los(r)
+        while (k < his(r)) { len += interner.len16(src(k)); k += 1 }
+        q += 1
       }
-      if (ins.nonEmpty) {
+      len
+    }
+    def flushDelIns(): Unit = {
+      if (delN > 0) {
+        if (reportRemove) out += DiffOpU8(position, -1, build(del, delN, aIds))
+        delN = 0
+      }
+      if (insN > 0) {
         // UTF-16-unit accounting (NOT numChars, which counts code
         // points): parity with the String path's content.length
-        if (reportAdd) out += DiffOpU8(position, 1, build(ins, bIds))
-        ins.foreach(r => position += runLen16(bIds, r))
-        ins.clear()
+        if (reportAdd) out += DiffOpU8(position, 1, build(ins, insN, bIds))
+        position += len16Of(ins, insN, bIds)
+        insN = 0
       }
     }
     def flushEq(): Unit = {
-      if (eqs.nonEmpty) {
-        if (reportEqual) out += DiffOpU8(position, 0, build(eqs, aIds))
-        eqs.foreach(r => position += runLen16(aIds, r))
-        eqs.clear()
+      if (eqsN > 0) {
+        if (reportEqual) out += DiffOpU8(position, 0, build(eqs, eqsN, aIds))
+        position += len16Of(eqs, eqsN, aIds)
+        eqsN = 0
       }
     }
     var i = 0
     while (i < runs.size) {
-      if (acts(i) == 0) { flushDelIns(); eqs += i }
-      else { flushEq(); if (acts(i) == -1) del += i else ins += i }
+      if (acts(i) == 0) { flushDelIns(); eqs = pushRun(eqs, eqsN, i); eqsN += 1 }
+      else {
+        flushEq()
+        if (acts(i) == -1) { del = pushRun(del, delN, i); delN += 1 }
+        else { ins = pushRun(ins, insN, i); insN += 1 }
+      }
       i += 1
     }
     flushDelIns()
