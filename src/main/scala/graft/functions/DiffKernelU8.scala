@@ -33,6 +33,27 @@ object DiffKernelU8 {
   @inline private def isWordByte(c: Byte): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
 
+  // byte-class table for the scanner's hot loop: 1 = ASCII word byte,
+  // 2 = special with lookahead (handled by the branch chain), 0 = plain
+  // single-byte token, 3 = multibyte lead/continuation. One load+compare
+  // replaces the 4-comparison isWordByte in the word-run inner loop —
+  // word runs dominate wikitext.
+  private val CLS: Array[Byte] = {
+    val t = new Array[Byte](256)
+    var i = 0
+    while (i < 128) {
+      val c = i.toChar
+      t(i) =
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_') 1
+        else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '\n' || c == ' ' ||
+                 c == '&' || c == '\'' || c == '=' || c == '|') 2
+        else 0
+      i += 1
+    }
+    while (i < 256) { t(i) = 3; i += 1 }
+    t
+  }
+
   /** Token boundary scanner over UTF-8 bytes [from, until): flat
     * (start, end) pairs, same alternation-order behavior as
     * `DiffKernel.tokenBounds`. (Allocating wrapper over
@@ -53,12 +74,16 @@ object DiffKernelU8 {
       if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
       out(n) = v; n += 1
     }
+    val cls = CLS
     var i = from
     while (i < until) {
       val c = b(i)
       var j = i + 1
-      if (isWordByte(c)) {
-        while (j < until && isWordByte(b(j))) j += 1
+      val cl = cls(c & 0xff)
+      if (cl == 1) {
+        while (j < until && cls(b(j) & 0xff) == 1) j += 1
+      } else if (cl == 0) {
+        // plain single-byte token: no lookahead
       } else if (c == '[') {
         if (j < until && b(j) == '[') j += 1
       } else if (c == ']') {
