@@ -268,4 +268,30 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
   }
+
+  /** Recall@k of an approximate ANN result against the exact one —
+    * the accuracy audit every approximate index needs before it
+    * replaces brute force in a pipeline. Both inputs are
+    * `(query_id, neighbor_id, …)` frames (the [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]] shape). Output per query:
+    * `(query_id, n_approx, hits, recall)` where `hits` counts approx
+    * neighbors present in the exact top-k and `recall = hits/k`
+    * (exact small-integer division — bit-portable). Queries the
+    * approximate index returned nothing for still appear, with 0s.
+    *
+    * Scale shape: result frames are ~k rows per query — orders of
+    * magnitude smaller than the corpus — so the exact side broadcasts
+    * into both the query-id spine and the hit join; no shuffle of
+    * anything corpus-sized. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val hit = ex.withColumn("__hit", lit(1L))
+    val spine = ex.select(col("query_id")).distinct()
+    spine.join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id"), "left")
+      .join(broadcast(hit), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("neighbor_id")).as("n_approx"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / lit(k.toDouble))
+  }
 }

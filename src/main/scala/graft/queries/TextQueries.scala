@@ -1324,6 +1324,101 @@ object TextQueries {
       |  CAST(w AS DOUBLE) / CAST((SELECT CAST(SUM(w) AS BIGINT) FROM w) AS DOUBLE) AS p_sample
       |FROM w ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** BM25 retrieval scoring via [[graft.operators.Bm25]]: top-10 docs
+    * per query term, query = the 5 highest-df corpus terms. The
+    * rational libm-free surrogate (q44's idf trick extended to the
+    * full BM25 term) makes every score one double division of exact
+    * DECIMAL products — cell-exact against the oracle's HUGEINT
+    * arithmetic. */
+  def q76Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    graft.operators.Bm25.scoreTerms(d, "doc_id", "text",
+        graft.operators.Bm25.topDfTerms(d, "doc_id", "text", 5), topN = 10)
+      .orderBy($"term", $"rnk")
+  }
+
+  val q76Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |tfa AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |q AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tfa GROUP BY tok
+      |      ORDER BY dfreq DESC, tok LIMIT 5),
+      |t AS (SELECT doc_id,
+      |        CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS dl
+      |      FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM t),
+      |sc AS (SELECT q.tok AS term, f.doc_id, f.tf,
+      |    CAST((2*n.nd - 2*q.dfreq + 1)::HUGEINT * 44 * f.tf * n.tt AS DOUBLE) /
+      |    CAST((2*q.dfreq + 1)::HUGEINT
+      |         * (20::HUGEINT*f.tf*n.tt + 6::HUGEINT*n.tt + 18::HUGEINT*t.dl*n.nd)
+      |      AS DOUBLE) AS bm25
+      |  FROM tfa f JOIN q ON f.tok = q.tok JOIN t ON f.doc_id = t.doc_id CROSS JOIN n),
+      |r AS (SELECT term, doc_id, tf, bm25,
+      |        ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rnk
+      |      FROM sc)
+      |SELECT term, doc_id, tf, bm25, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY term, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Hashed linear-classifier inference via
+    * [[graft.operators.HashedClassifier]]: fastText-style quality
+    * filter with 256 md5-hashed buckets and a deterministic demo
+    * weight table (a trained model is the same `(bucket, weight)`
+    * frame). Integer margins — exact on both engines. */
+  def q77ClassifierInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    graft.operators.HashedClassifier.score(d, "doc_id", "text",
+        graft.operators.HashedClassifier.demoWeights(d, 256), nBuckets = 256)
+      .orderBy($"doc_id")
+  }
+
+  val q77Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |b AS (SELECT doc_id,
+      |        CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 256 AS bucket
+      |      FROM toks),
+      |c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+      |w AS (SELECT CAST(i AS INTEGER) AS bucket, (i*37 + 11) % 2001 - 1000 AS weight
+      |      FROM UNNEST(range(0, 256)) t(i)),
+      |m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(cnt * weight) AS BIGINT) AS margin
+      |      FROM c JOIN w USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, margin,
+      |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** DSIR importance weights via [[graft.operators.DsirWeights]]:
+    * target domain = the `en` slice; every document scored by mean
+    * target probability of its tokens over mean corpus probability —
+    * exact integer sums, one double division of DECIMAL/HUGEINT
+    * products. */
+  def q79DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.DsirWeights.weights(docs(s, dir), "doc_id", "text",
+        $"lang" === "en")
+      .orderBy($"doc_id")
+  }
+
+  val q79Sql: String =
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, t.tok
+      |              FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr,
+      |        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      |      FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+      |          CAST(COUNT(*) AS BIGINT) AS tr
+      |        FROM toks),
+      |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |          CAST(SUM(ct) AS BIGINT) AS a_sum, CAST(SUM(cr) AS BIGINT) AS b_sum
+      |        FROM toks JOIN v USING (tok) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, a_sum, b_sum,
+      |  CAST(a_sum::HUGEINT * tr AS DOUBLE) / CAST(b_sum::HUGEINT * tt AS DOUBLE)
+      |    AS dsir_weight
+      |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1362,6 +1457,9 @@ object TextQueries {
     "q73_ngram_diversity" -> q73NgramDiversity _,
     "q74_corpus_overlap" -> q74CorpusOverlap _,
     "q75_mix_weights" -> q75MixWeights _,
+    "q76_bm25_retrieval" -> q76Bm25 _,
+    "q77_classifier_inference" -> q77ClassifierInference _,
+    "q79_dsir_weights" -> q79DsirWeights _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1402,5 +1500,8 @@ object TextQueries {
     "q73_ngram_diversity" -> q73Sql,
     "q74_corpus_overlap" -> q74Sql,
     "q75_mix_weights" -> q75Sql,
+    "q76_bm25_retrieval" -> q76Sql,
+    "q77_classifier_inference" -> q77Sql,
+    "q79_dsir_weights" -> q79Sql,
   )
 }

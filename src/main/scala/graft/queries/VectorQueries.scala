@@ -362,6 +362,49 @@ object VectorQueries {
       |SELECT g.vec_id, s.scale, g.qvec
       |FROM g JOIN s USING (vec_id) ORDER BY g.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** ANN recall evaluation via [[Similarity.recallAtK]]: recall@5 of
+    * the LSH (q23) and IVF (q36) indexes against exact brute force
+    * (q22), per query — the accuracy audit that decides whether an
+    * approximate index may replace brute force. The exact result is
+    * localCheckpoint'ed (50 rows): it feeds three plan branches, and
+    * without the cut each would re-run the corpus sweep. Counts are
+    * integers; recall is one small-integer double division. */
+  def q78AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5).localCheckpoint()
+    val lsh = Similarity.lshTopK(corpus, queries, k = 5, dims = 64, nPlanes = 6)
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 16, nProbe = 2)
+    Similarity.recallAtK(brute, lsh, k = 5).withColumn("method", lit("lsh"))
+      .unionByName(Similarity.recallAtK(brute, ivf, k = 5).withColumn("method", lit("ivf")))
+      .select($"method", $"query_id", $"n_approx", $"hits", $"recall")
+      .orderBy($"method", $"query_id")
+  }
+
+  val q78Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |lsh AS (SELECT query_id, neighbor_id FROM ($q23Sql)),
+      |ivf AS (SELECT query_id, neighbor_id FROM ($q36Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |ls AS (SELECT q.query_id,
+      |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |         CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |       FROM qids q LEFT JOIN lsh a USING (query_id)
+      |         LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |       GROUP BY q.query_id),
+      |iv AS (SELECT q.query_id,
+      |         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |         CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |       FROM qids q LEFT JOIN ivf a USING (query_id)
+      |         LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |       GROUP BY q.query_id),
+      |u AS (SELECT 'lsh' AS method, * FROM ls UNION ALL SELECT 'ivf' AS method, * FROM iv)
+      |SELECT method, query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM u ORDER BY method, query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -373,6 +416,7 @@ object VectorQueries {
     "q49_hard_negatives" -> q49HardNegatives _,
     "q58_embed_covariance" -> q58EmbedCovariance _,
     "q64_int8_quantize" -> q64Int8Quantize _,
+    "q78_ann_recall" -> q78AnnRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -386,5 +430,6 @@ object VectorQueries {
     "q49_hard_negatives" -> q49Sql,
     "q58_embed_covariance" -> q58Sql,
     "q64_int8_quantize" -> q64Sql,
+    "q78_ann_recall" -> q78Sql,
   )
 }

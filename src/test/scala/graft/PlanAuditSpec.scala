@@ -28,6 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    over the shingle-flag stream upstream)
     *  - q75: total-weight window over one row per source (the
     *    source cardinality, not the corpus)
+    *  - q76, q79: the 1-row corpus-scalars aggregate broadcast side
+    *    (N + total tokens — q44/q54's pattern)
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -42,6 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q72_length_batches" -> 2,
     "q74_corpus_overlap" -> 1,
     "q75_mix_weights" -> 1,
+    "q76_bm25_retrieval" -> 1,
+    "q79_dsir_weights" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

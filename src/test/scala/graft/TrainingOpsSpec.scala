@@ -240,6 +240,84 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(broadcastPath.nonEmpty)
     assert(broadcastPath == shufflePath)
   }
+
+  test("bm25: hand-computed score on a tiny corpus; topDfTerms picks the df leader") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),   // dl=3, tf(a)=2
+      (2L, "a c"),     // dl=2
+      (3L, "b b b b")  // dl=4
+    ).toDF("doc_id", "text")
+    val top = graft.operators.Bm25.topDfTerms(docs, "doc_id", "text", 1).collect()
+    assert(top.length == 1 && top(0).getString(0) == "a" && top(0).getLong(1) == 2)
+    val scored = graft.operators.Bm25
+      .scoreTerms(docs, "doc_id", "text",
+        top.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("term", "dfreq"), topN = 10)
+      .orderBy($"rnk").collect()
+    // N=3, T=9, term a: df=2. doc 1: tf=2, dl=3 →
+    // num = (2·3−2·2+1)·44·2·9 = 3·44·18 = 2376
+    // den = (2·2+1)·(20·2·9 + 6·9 + 18·3·3) = 5·(360+54+162) = 2880
+    val expected1 = 2376.0 / 2880.0
+    assert(scored.length == 2)
+    assert(scored(0).getLong(1) == 1L && scored(0).getDouble(3) == expected1
+      && scored(0).getLong(4) == 1L)
+    // doc 2: tf=1 → num = 3·44·1·9 = 1188; den = 5·(180+54+108) = 1710
+    assert(scored(1).getLong(1) == 2L && scored(1).getDouble(3) == 1188.0 / 1710.0)
+  }
+
+  test("hashed classifier: margin equals the manual bucket-weight sum; weights are data") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x x x")).toDF("doc_id", "text")
+    // custom 2-bucket model: every token lands in bucket md5%2
+    val w = Seq((0, 5L), (1, -3L)).toDF("bucket", "weight")
+    val got = graft.operators.HashedClassifier.score(docs, "doc_id", "text", w, nBuckets = 2)
+      .orderBy($"doc_id").collect()
+    def bucket(t: String): Int =
+      (java.lang.Integer.parseInt(org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 4), 16)) % 2
+    def wt(t: String): Long = if (bucket(t) == 0) 5L else -3L
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == wt("x") + wt("y"))
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 3 * wt("x"))
+    assert(got(1).getLong(3) == (if (3 * wt("x") > 0) 1L else 0L))
+  }
+
+  test("dsir weights: pure-target doc scores above 1, disjoint-vocab doc scores 0-ish ratio") {
+    import spark.implicits._
+    // target tokens {t}, raw-only tokens {r}; doc 1 pure target vocab
+    val docs = Seq(
+      (1L, "t t t", "en"), (2L, "t r", "en"), (3L, "r r r r r", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.DsirWeights.weights(docs, "doc_id", "text", $"lang" === "en")
+      .orderBy($"doc_id").collect()
+    // corpus: t appears 4× (all in en), r 6× (1 en + 5 de); T_raw=10, T_tgt=5
+    // doc 1: A = 3·4 = 12, B = 3·4 = 12 → w = 12·10/(12·5) = 2.0
+    assert(got(0).getLong(2) == 12L && got(0).getLong(3) == 12L
+      && got(0).getDouble(4) == 2.0)
+    // doc 3: A = 5·1 = 5 (r occurs once in target), B = 5·6 = 30
+    assert(got(2).getLong(2) == 5L && got(2).getLong(3) == 30L
+      && got(2).getDouble(4) == (5.0 * 10) / (30.0 * 5))
+  }
+
+  test("recallAtK: self-recall is 1; empty approximate side yields zero rows with 0s") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("query_id", "neighbor_id")
+    val self = graft.operators.Similarity.recallAtK(exact, exact, k = 2)
+      .orderBy($"query_id").collect()
+    assert(self.map(_.getDouble(3)).toSeq == Seq(1.0, 0.5)) // q2 has 1 of k=2
+    val none = graft.operators.Similarity
+      .recallAtK(exact, exact.filter($"query_id" < 0), k = 2)
+      .orderBy($"query_id").collect()
+    assert(none.length == 2 && none.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L
+      && r.getDouble(3) == 0.0))
+  }
+
+  test("ann recall eval: q78 bounds — ivf/lsh recall in [0,1], hits <= n_approx") {
+    val rows = graft.queries.VectorQueries.q78AnnRecall(spark, sf).collect()
+    assert(rows.length == 20) // 2 methods × 10 queries
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // hits <= n_approx
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }
 
 object TrainingOpsSpec {
