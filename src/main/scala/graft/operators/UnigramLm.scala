@@ -56,4 +56,33 @@ object UnigramLm {
         col("sum_cnt").cast("double") / (col("n_tokens") * col("total_tokens")))
       .select(id, col("n_tokens"), col("sum_cnt"), col("unigram_score"))
   }
+
+  /** The same score over word n-grams (n ≥ 2): mean corpus n-gram
+    * probability of the document's n-grams — a sharper fluency signal
+    * than unigrams (boilerplate shares whole phrases with the corpus;
+    * token-salad only shares tokens). Same integer statistics, same
+    * one-tokenize window shape — the n-gram stream comes from the
+    * native one-eval-per-row `token_spans` expression, and the corpus
+    * n-gram total is length arithmetic (a doc with t tokens has
+    * max(t−n+1, 0) n-grams). Documents with fewer than n tokens have
+    * no n-grams and are absent from the output. Output:
+    * `(idCol, n_grams, sum_cnt, ngram_score)`. */
+  def scoreNgrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"use score() for unigrams, got n=$n")
+    val id = col(idCol)
+    val tf = docs
+      .select(id, explode(expr(s"token_spans(`$textCol`, $n)")).as("gram"))
+      .groupBy(id, col("gram"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("gram"))))
+    val nTok = length(col(textCol)) - length(replace(col(textCol), lit(" "), lit(""))) + 1
+    val total = docs
+      .agg(sum(greatest(nTok - (n - 1), lit(0))).cast("long").as("total_grams"))
+    tf.groupBy(id)
+      .agg(sum(col("tf")).as("n_grams"), sum(col("tf") * col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("ngram_score",
+        col("sum_cnt").cast("double") / (col("n_grams") * col("total_grams")))
+      .select(id, col("n_grams"), col("sum_cnt"), col("ngram_score"))
+  }
 }

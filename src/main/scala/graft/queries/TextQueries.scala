@@ -1419,6 +1419,32 @@ object TextQueries {
       |    AS dsir_weight
       |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Bigram-LM quality scoring via
+    * [[graft.operators.UnigramLm.scoreNgrams]]: mean corpus bigram
+    * probability of each document's bigrams — the phrase-level
+    * fluency filter (q54's unigram form scores token typicality; this
+    * catches token-salad that reuses common tokens in uncommon
+    * order). Integer statistics, one double division per doc. */
+  def q80BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.UnigramLm.scoreNgrams(docs(s, dir), "doc_id", "text", n = 2)
+      .orderBy($"doc_id")
+  }
+
+  val q80Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+      |       FROM d, UNNEST(range(1, len(ts))) t(i)),
+      |v AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY gram),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_grams FROM v),
+      |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |          CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+      |        FROM bg JOIN v USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, n_grams, sum_cnt,
+      |  CAST(sum_cnt AS DOUBLE) / (n_grams * total_grams) AS ngram_score
+      |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1460,6 +1486,7 @@ object TextQueries {
     "q76_bm25_retrieval" -> q76Bm25 _,
     "q77_classifier_inference" -> q77ClassifierInference _,
     "q79_dsir_weights" -> q79DsirWeights _,
+    "q80_bigram_lm" -> q80BigramLm _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1503,5 +1530,6 @@ object TextQueries {
     "q76_bm25_retrieval" -> q76Sql,
     "q77_classifier_inference" -> q77Sql,
     "q79_dsir_weights" -> q79Sql,
+    "q80_bigram_lm" -> q80Sql,
   )
 }

@@ -28,8 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    over the shingle-flag stream upstream)
     *  - q75: total-weight window over one row per source (the
     *    source cardinality, not the corpus)
-    *  - q76, q79: the 1-row corpus-scalars aggregate broadcast side
-    *    (N + total tokens — q44/q54's pattern)
+    *  - q76, q79, q80: the 1-row corpus-scalars aggregate broadcast
+    *    side (N + total tokens / n-grams — q44/q54's pattern)
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q75_mix_weights" -> 1,
     "q76_bm25_retrieval" -> 1,
     "q79_dsir_weights" -> 1,
+    "q80_bigram_lm" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

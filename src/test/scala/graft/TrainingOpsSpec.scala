@@ -310,6 +310,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       && r.getDouble(3) == 0.0))
   }
 
+  test("bigram LM: hand-computed scores; short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams: ab, ba, ab
+      (2L, "a b"),      // bigrams: ab
+      (3L, "x")         // none — absent from output
+    ).toDF("doc_id", "text")
+    val got = graft.operators.UnigramLm.scoreNgrams(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id").collect()
+    // corpus bigram counts: "a b"→3, "b a"→1, total=4
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 3 + 1 + 3)
+    assert(got(0).getDouble(3) == 7.0 / (3 * 4))
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 3L
+      && got(1).getDouble(3) == 3.0 / (1 * 4))
+  }
+
   test("ann recall eval: q78 bounds — ivf/lsh recall in [0,1], hits <= n_approx") {
     val rows = graft.queries.VectorQueries.q78AnnRecall(spark, sf).collect()
     assert(rows.length == 20) // 2 methods × 10 queries
