@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CutSpans, DocFingerprint64, FloatDot, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -64,6 +64,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "int8_quantize expects exactly 1 argument")
         Int8Quantize(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "bpe_merge expects exactly 3 arguments")
+        BpeMerge(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("wiki_diff_safe"),

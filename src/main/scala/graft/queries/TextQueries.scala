@@ -1445,6 +1445,136 @@ object TextQueries {
       |  CAST(sum_cnt AS DOUBLE) / (n_grams * total_grams) AS ngram_score
       |FROM per CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** BPE tokenizer training via [[graft.operators.BpeTrain]]: the
+    * first 3 learned merges (rank, lhs, rhs, count-at-selection) —
+    * distributed pair census + native greedy `bpe_merge` rewrite per
+    * round. Fully oracle-checked: the oracle unrolls the 3 rounds as
+    * generated SQL, reproducing the greedy left-to-right rewrite with
+    * gaps-and-islands alternation over occurrence positions
+    * (consecutive occurrences conflict on the shared middle symbol —
+    * only possible when lhs = rhs — and greedy keeps the odd ones of
+    * each chain). */
+  def q81BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.BpeTrain.learn(docs(s, dir), "text", nMerges = 3)
+      .select($"rank".as("merge_rank"), $"left".as("lhs"),
+        $"right".as("rhs"), $"cnt")
+      .orderBy($"merge_rank")
+  }
+
+  val q81Sql: String = {
+    // census of corpus c{k-1} -> 1-row argmax m{k}
+    def census(k: Int) =
+      s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r
+         |      FROM c${k - 1}, UNNEST(range(1, len(s))) u(i)),
+         |m$k AS (SELECT l, r, CAST(COUNT(*) AS BIGINT) AS cnt FROM p$k
+         |      GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    // greedy rewrite of c{k-1} with m{k} -> c{k}: occurrence positions
+    // chain by consecutiveness (gaps-and-islands); odd chain members
+    // merge, the position after a merged one is consumed. An under-
+    // minCount round selects no occurrences (learn() stops applying),
+    // making the rewrite the identity.
+    def rewrite(k: Int) =
+      s"""t$k AS (SELECT doc_id, CAST(i AS BIGINT) AS i, s[i] AS tok, s[i+1] AS nxt
+         |      FROM c${k - 1}, UNNEST(range(1, len(s)+1)) u(i)),
+         |oa$k AS (SELECT doc_id, i,
+         |        i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chain
+         |      FROM t$k WHERE tok = (SELECT l FROM m$k) AND nxt = (SELECT r FROM m$k)
+         |        AND (SELECT cnt FROM m$k) >= 2),
+         |o$k AS (SELECT doc_id, i FROM (
+         |        SELECT doc_id, i,
+         |          ROW_NUMBER() OVER (PARTITION BY doc_id, chain ORDER BY i) AS rn
+         |        FROM oa$k) WHERE rn % 2 = 1),
+         |c$k AS (SELECT t.doc_id,
+         |        list(CASE WHEN ch.i IS NOT NULL THEN t.tok || ' ' || t.nxt
+         |             ELSE t.tok END ORDER BY t.i) AS s
+         |      FROM t$k t
+         |        LEFT JOIN o$k ch ON ch.doc_id = t.doc_id AND ch.i = t.i
+         |        LEFT JOIN o$k cons ON cons.doc_id = t.doc_id AND cons.i = t.i - 1
+         |      WHERE cons.i IS NULL
+         |      GROUP BY t.doc_id)""".stripMargin
+    // merge k is emitted iff every round up to k cleared minCount=2
+    def stop(k: Int) =
+      (1 to k).map(j => s"(SELECT cnt FROM m$j) >= 2").mkString(" AND ")
+    s"""WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |${census(1)},
+       |${rewrite(1)},
+       |${census(2)},
+       |${rewrite(2)},
+       |${census(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt
+       |  FROM m1 WHERE ${stop(1)}
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2 WHERE ${stop(2)}
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3 WHERE ${stop(3)})
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** BPE encoding with the learned vocabulary: apply q81's 3 merges
+    * ([[graft.operators.BpeTrain.encode]]) and report per-document
+    * compression — the tokenizer-application half of the train→apply
+    * chain. The merge list is q81's 3-row result (a driver-side
+    * collect of 3 rows, like the census argmax). Oracle: q81's
+    * unrolled rewrite continued one more round to c3, then per-doc
+    * symbol counts; the ratio is one double division of exact
+    * integers. */
+  def q82BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val merges = graft.operators.BpeTrain.learn(d, "text", nMerges = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.BpeTrain.encode(d, "text", merges)
+      .select($"doc_id",
+        (length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_tokens"),
+        size($"syms").cast("long").as("n_symbols"))
+      .withColumn("compression",
+        $"n_tokens".cast("double") / $"n_symbols".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  val q82Sql: String = {
+    val prefix = q81Sql.substring(0, q81Sql.indexOf("\nSELECT * FROM ("))
+    // q81's CTE chain ends at the m3 census; continue with the round-3
+    // rewrite to c3 (the fully encoded corpus), guarding each round's
+    // application on its minCount the way learn() stops: if round k
+    // stopped, c{k} must equal c{k-1}. The guard rides the occurrence
+    // filter — an under-min round selects no occurrences, so the
+    // rewrite is the identity.
+    val r3 = """t3 AS (SELECT doc_id, CAST(i AS BIGINT) AS i, s[i] AS tok, s[i+1] AS nxt
+      |      FROM c2, UNNEST(range(1, len(s)+1)) u(i)),
+      |oa3 AS (SELECT doc_id, i,
+      |        i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS chain
+      |      FROM t3 WHERE tok = (SELECT l FROM m3) AND nxt = (SELECT r FROM m3)
+      |        AND (SELECT cnt FROM m3) >= 2),
+      |o3 AS (SELECT doc_id, i FROM (
+      |        SELECT doc_id, i,
+      |          ROW_NUMBER() OVER (PARTITION BY doc_id, chain ORDER BY i) AS rn
+      |        FROM oa3) WHERE rn % 2 = 1),
+      |c3 AS (SELECT t.doc_id,
+      |        list(CASE WHEN ch.i IS NOT NULL THEN t.tok || ' ' || t.nxt
+      |             ELSE t.tok END ORDER BY t.i) AS s
+      |      FROM t3 t
+      |        LEFT JOIN o3 ch ON ch.doc_id = t.doc_id AND ch.i = t.i
+      |        LEFT JOIN o3 cons ON cons.doc_id = t.doc_id AND cons.i = t.i - 1
+      |      WHERE cons.i IS NULL
+      |      GROUP BY t.doc_id)""".stripMargin
+    s"""$prefix,
+       |$r3
+       |SELECT d.doc_id,
+       |  CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       |  CAST(len(c3.s) AS BIGINT) AS n_symbols,
+       |  CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS DOUBLE)
+       |    / CAST(len(c3.s) AS DOUBLE) AS compression
+       |FROM documents d JOIN c3 ON d.doc_id = c3.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1487,6 +1617,8 @@ object TextQueries {
     "q77_classifier_inference" -> q77ClassifierInference _,
     "q79_dsir_weights" -> q79DsirWeights _,
     "q80_bigram_lm" -> q80BigramLm _,
+    "q81_bpe_train" -> q81BpeTrain _,
+    "q82_bpe_encode" -> q82BpeEncode _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1531,5 +1663,7 @@ object TextQueries {
     "q77_classifier_inference" -> q77Sql,
     "q79_dsir_weights" -> q79Sql,
     "q80_bigram_lm" -> q80Sql,
+    "q81_bpe_train" -> q81Sql,
+    "q82_bpe_encode" -> q82Sql,
   )
 }

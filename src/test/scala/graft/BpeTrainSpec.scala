@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrain
+
+class BpeTrainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def merge(toks: Seq[String], l: String, r: String): Seq[String] =
+    Seq(toks).toDF("t").select(expr(s"bpe_merge(t, '$l', '$r')")).head
+      .getSeq[String](0)
+
+  test("bpe_merge: greedy left-to-right, including same-symbol runs") {
+    assert(merge(Seq("a", "b", "c"), "a", "b") == Seq("a b", "c"))
+    assert(merge(Seq("a", "b", "a", "b"), "a", "b") == Seq("a b", "a b"))
+    // run of 3: positions 0-1 fuse, trailing v survives
+    assert(merge(Seq("v", "v", "v"), "v", "v") == Seq("v v", "v"))
+    assert(merge(Seq("v", "v", "v", "v"), "v", "v") == Seq("v v", "v v"))
+    // overlap chain a (a b) then (b c) never fires on the consumed b
+    assert(merge(Seq("a", "b", "c"), "b", "c") == Seq("a", "b c"))
+    assert(merge(Seq("x"), "x", "x") == Seq("x"))
+    assert(merge(Seq.empty[String], "x", "y") == Seq.empty[String])
+  }
+
+  test("learn: hand-computed merges, deterministic tie-break, minCount stop") {
+    val docs = Seq("the cat sat", "the cat ran", "the cat sat").toDF("text")
+    val got = BpeTrain.learn(docs, "text", nMerges = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "the", "cat", 3L),
+      (2L, "the cat", "sat", 2L))) // third round's best pair has cnt 1 -> stop
+    assert(spark.sharedState.cacheManager.isEmpty, "learn leaked cache entries")
+  }
+
+  test("learn: same-symbol run census counts overlaps but rewrite is greedy") {
+    val docs = Seq("v v v v").toDF("text")
+    val got = BpeTrain.learn(docs, "text", nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // census sees 3 (v,v) pairs; after the greedy rewrite the corpus is
+    // [v v, v v] whose single pair occurs once -> stop
+    assert(got.toSeq == Seq((1L, "v", "v", 3L)))
+  }
+
+  test("encode applies a merge list in rank order") {
+    val docs = Seq("the cat sat the cat").toDF("text")
+    val syms = BpeTrain.encode(docs, "text", Seq(("the", "cat"), ("the cat", "sat")))
+      .select($"syms").head.getSeq[String](0)
+    assert(syms == Seq("the cat sat", "the cat"))
+  }
+
+  test("learn survives many rounds with bounded lineage (checkpoint path)") {
+    // corpus engineered so every round has a unique >=2 count pair:
+    // w1 w2 ... w12 repeated twice as documents
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(text, text).toDF("text")
+    val got = BpeTrain.learn(docs, "text", nMerges = 11, checkpointEvery = 3).collect()
+    assert(got.length == 11) // merges left-to-right: (w1 w2), (w1 w2 w3), ...
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
