@@ -27,8 +27,24 @@ object HashedClassifier {
   /** Feature bucket of a token: first 4 hex digits of md5 mod
     * `nBuckets` — portable across engines (DuckDB:
     * `CAST('0x'||substr(md5(tok),1,4) AS INTEGER) % n`). */
+  def bucketExpr(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % nBuckets
+
   def bucketOf(tok: Column, nBuckets: Int): Column =
-    (conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % nBuckets).as("bucket")
+    bucketExpr(tok, nBuckets).as("bucket")
+
+  /** Per-ROW margin of one document: the same hashed-bucket dot
+    * product as [[score]], folded over the token array with the
+    * weights as a literal map — no explode, no shuffle, no state.
+    * This is the STREAMING form (a stateless projection runs on
+    * `readStream` micro-batches unchanged); the weights must fit in
+    * a literal (they are ≤ nBuckets entries — tiny). Missing buckets
+    * count 0. StreamingSpec pins this fold ≡ the batch join path. */
+  def marginExpr(text: Column, weights: Map[Int, Long], nBuckets: Int): Column = {
+    val w = typedLit(weights)
+    aggregate(split(text, " "), lit(0L),
+      (acc, t) => acc + coalesce(element_at(w, bucketExpr(t, nBuckets)), lit(0L)))
+  }
 
   /** Score every document: `(idCol, n_tokens, margin, keep)` where
     * `margin = Σ cnt·weight` over hashed token buckets and

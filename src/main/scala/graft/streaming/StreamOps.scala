@@ -65,6 +65,23 @@ object StreamOps {
         col("quality_score"), col("sampled"), col("weight"))
   }
 
+  /** Stateless model-inference projection over a `documents`-shaped
+    * frame: [[graft.operators.HashedClassifier]]'s margin as a
+    * per-row token-array fold with the trained weights inlined as a
+    * literal map — quality-filter documents AS THEY LAND with a
+    * model trained in batch. No explode, no aggregation, no state:
+    * the SAME code runs on batch frames and `readStream`
+    * micro-batches with identical rows (StreamingSpec pins stream ≡
+    * batch join path ≡ q77's oracle-checked result). */
+  def classifyDocs(docs: DataFrame, weights: Map[Int, Long], nBuckets: Int): DataFrame = {
+    import graft.operators.HashedClassifier
+    docs.select(col("doc_id"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+          .cast("long").as("n_tokens"),
+        HashedClassifier.marginExpr(col("text"), weights, nBuckets).as("margin"))
+      .withColumn("keep", when(col("margin") > 0, 1L).otherwise(0L))
+  }
+
   /** Stateless PII-redaction projection over a `documents`-shaped
     * frame: [[graft.operators.PiiRedact]]'s detection counts + the
     * redacted text, map-only, so the SAME code serves batch sweeps and

@@ -52,6 +52,35 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(syms == Seq("the cat sat", "the cat"))
   }
 
+  test("bpe_merge differential fuzz vs a straightforward reference") {
+    def ref(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += s"$l $r"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Seq("a", "b", "c", "aa", "a b")
+    val cases = (1 to 200).map { _ =>
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+      val l = vocab(rnd.nextInt(vocab.length))
+      val r = vocab(rnd.nextInt(vocab.length))
+      (toks, l, r)
+    }
+    // one job for all cases: fold each through the expression
+    val df = cases.zipWithIndex.map { case ((toks, l, r), i) => (i, toks, l, r) }
+      .toDF("i", "t", "l", "r")
+    val got = df.select($"i", expr("bpe_merge(t, l, r)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case ((toks, l, r), i) =>
+      assert(got(i) == ref(toks, l, r), s"case $i: $toks merge ($l,$r)")
+    }
+  }
+
   test("learn survives many rounds with bounded lineage (checkpoint path)") {
     // corpus engineered so every round has a unique >=2 count pair:
     // w1 w2 ... w12 repeated twice as documents

@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
   }
 
+  test("stateless classifier inference: stream fold equals batch join path") {
+    val dir = Files.createTempDirectory("stream-clf").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // the weights the batch q77 path uses, as the streaming literal map
+    val w = (0 until 256).map(i => i -> ((i * 37L + 11) % 2001 - 1000)).toMap
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.classifyDocs(stream, w, nBuckets = 256)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("classified").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("classified").orderBy($"doc_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    // the per-row fold must equal the oracle-checked explode+join path
+    val batchDocs = spark.read.parquet(dir)
+    val joined = graft.operators.HashedClassifier.score(
+        batchDocs, "doc_id", "text",
+        graft.operators.HashedClassifier.demoWeights(batchDocs, 256), nBuckets = 256)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"margin", $"keep").collect().toSeq
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      == joined.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    // the filter must cut, not pass or drop everything
+    val kept = streamed.count(_.getLong(3) == 1L)
+    assert(kept > 0 && kept < streamed.size)
+  }
+
   test("stateless redaction projection: stream equals batch, entities gone") {
     val dir = Files.createTempDirectory("stream-redact").toString
     // plant deterministic PII the same way q52 does
