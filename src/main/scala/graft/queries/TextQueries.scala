@@ -1575,6 +1575,83 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q83
+  /** Distributed perceptron training via
+    * [[graft.operators.Perceptron]]: 3 batch epochs learning
+    * lang='en' vs rest over 256 hashed token buckets — the
+    * model-TRAINING half of the quality-filter arc (q77 is the
+    * inference half and consumes exactly this `(bucket, weight)`
+    * frame). All-integer arithmetic; the oracle unrolls the epochs as
+    * generated SQL (zero-init weights, y·margin ≤ 0 update rule,
+    * full-join weight accumulation). */
+  def q83PerceptronTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Perceptron.learn(docs(s, dir), "doc_id", "text",
+        when($"lang" === "en", 1L).otherwise(-1L), nBuckets = 256, epochs = 3)
+      .select($"bucket".cast("long").as("bucket"), $"weight")
+      .orderBy($"bucket")
+  }
+
+  /** Shared featurize + label + epoch-unroll prefix of the q83/q84
+    * oracles: CTEs up to the epoch-`epochs` weight table `w{epochs}`. */
+  private def perceptronSqlPrefix(epochs: Int): String = {
+    def epoch(k: Int) =
+      s"""mg$k AS (SELECT f.doc_id, CAST(COALESCE(SUM(f.cnt * w.weight), 0) AS BIGINT) AS margin
+         |       FROM f LEFT JOIN w${k - 1} w USING (bucket) GROUP BY f.doc_id),
+         |mc$k AS (SELECT l.doc_id, l.y FROM lab l JOIN mg$k m ON l.doc_id = m.doc_id
+         |       WHERE l.y * m.margin <= 0),
+         |dw$k AS (SELECT f.bucket, CAST(SUM(m.y * f.cnt) AS BIGINT) AS dw
+         |       FROM f JOIN mc$k m ON f.doc_id = m.doc_id GROUP BY f.bucket),
+         |w$k AS (SELECT COALESCE(w.bucket, d.bucket) AS bucket,
+         |             CAST(COALESCE(w.weight, 0) + COALESCE(d.dw, 0) AS BIGINT) AS weight
+         |      FROM w${k - 1} w FULL JOIN dw$k d ON w.bucket = d.bucket)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+       |f AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 256 AS bucket,
+       |        CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM toks GROUP BY 1, 2),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+       |w0 AS (SELECT NULL::INTEGER AS bucket, NULL::BIGINT AS weight WHERE FALSE),
+       |${(1 to epochs).map(epoch).mkString(",\n")}""".stripMargin
+  }
+
+  val q83Sql: String =
+    s"""${perceptronSqlPrefix(3)}
+       |SELECT CAST(bucket AS BIGINT) AS bucket, weight FROM w3
+       |WHERE weight <> 0 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Trained-model accuracy audit via
+    * [[graft.operators.Perceptron.evaluate]]: per-language document
+    * counts, correct verdicts, and accuracy of q83's weights — the
+    * eval step between training a filter model and unleashing it on
+    * the corpus. Integer counts; accuracy is one double division. */
+  def q84PerceptronEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val label = when($"lang" === "en", 1L).otherwise(-1L)
+    val w = graft.operators.Perceptron.learn(d, "doc_id", "text", label,
+      nBuckets = 256, epochs = 3)
+    graft.operators.Perceptron.evaluate(d, "doc_id", "text", label, w, nBuckets = 256)
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"correct").as("n_correct"))
+      .withColumn("accuracy",
+        $"n_correct".cast("double") / $"n_docs".cast("double"))
+      .orderBy($"lang")
+  }
+
+  val q84Sql: String =
+    s"""${perceptronSqlPrefix(3)},
+       |mg4 AS (SELECT f.doc_id, CAST(COALESCE(SUM(f.cnt * w.weight), 0) AS BIGINT) AS margin
+       |      FROM f LEFT JOIN w3 w USING (bucket) GROUP BY f.doc_id),
+       |ev AS (SELECT d.lang, CASE WHEN l.y * m.margin > 0 THEN 1 ELSE 0 END AS correct
+       |      FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+       |        JOIN mg4 m ON d.doc_id = m.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(correct) AS BIGINT) AS n_correct,
+       |  CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+       |FROM ev GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1619,6 +1696,8 @@ object TextQueries {
     "q80_bigram_lm" -> q80BigramLm _,
     "q81_bpe_train" -> q81BpeTrain _,
     "q82_bpe_encode" -> q82BpeEncode _,
+    "q83_perceptron_train" -> q83PerceptronTrain _,
+    "q84_perceptron_eval" -> q84PerceptronEval _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1665,5 +1744,7 @@ object TextQueries {
     "q80_bigram_lm" -> q80Sql,
     "q81_bpe_train" -> q81Sql,
     "q82_bpe_encode" -> q82Sql,
+    "q83_perceptron_train" -> q83Sql,
+    "q84_perceptron_eval" -> q84Sql,
   )
 }

@@ -327,6 +327,36 @@ class TrainingOpsSpec extends AnyFunSuite {
       && got(1).getDouble(3) == 3.0 / (1 * 4))
   }
 
+  test("perceptron: hand-computed batch epochs on a 2-bucket separable corpus") {
+    import spark.implicits._
+    import graft.operators.{HashedClassifier, Perceptron}
+    // tokens x and y land in distinct buckets (nBuckets=2 split them
+    // unless md5 collides — assert they differ)
+    def bucket(t: String): Int =
+      java.lang.Integer.parseInt(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 4), 16) % 2
+    val (bx, by) = (bucket("x"), bucket("z"))
+    assert(bx != by)
+    val docs = Seq((1L, "x x", 1L), (2L, "z z z", -1L)).toDF("doc_id", "text", "y")
+    // epoch 1: w=0, margins 0, both misclassified:
+    //   dw[bx] = +1*2, dw[by] = -1*3 -> w = {bx:2, by:-3}
+    // epoch 2: margins: doc1 = 2*2 = 4 (correct), doc2 = 3*-3 = -9,
+    //   y*margin = (-1)(-9) = 9 > 0 correct -> no update
+    val w = Perceptron.learn(docs, "doc_id", "text", $"y", nBuckets = 2, epochs = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w == Map(bx -> 2L, by -> -3L))
+    val ev = Perceptron.evaluate(docs, "doc_id", "text", $"y",
+        Seq((bx, 2L), (by, -3L)).toDF("bucket", "weight"), nBuckets = 2)
+      .orderBy($"doc_id").collect()
+    assert(ev.map(_.getLong(3)).toSeq == Seq(1L, 1L))
+    assert(ev.map(_.getLong(2)).toSeq == Seq(4L, -9L))
+    // the learned frame drives the inference operator unchanged
+    val inf = HashedClassifier.score(docs, "doc_id", "text",
+        Seq((bx, 2L), (by, -3L)).toDF("bucket", "weight"), nBuckets = 2)
+      .orderBy($"doc_id").collect()
+    assert(inf.map(_.getLong(3)).toSeq == Seq(1L, 0L)) // keep=margin>0
+  }
+
   test("ann recall eval: q78 bounds — ivf/lsh recall in [0,1], hits <= n_approx") {
     val rows = graft.queries.VectorQueries.q78AnnRecall(spark, sf).collect()
     assert(rows.length == 20) // 2 methods × 10 queries
