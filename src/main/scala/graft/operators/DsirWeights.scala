@@ -37,7 +37,9 @@ object DsirWeights {
 
   /** Per-document importance weights: `(idCol, n_tokens, a_sum,
     * b_sum, dsir_weight)`. `isTarget` marks the target-domain slice
-    * (constant per document, e.g. `col("lang") === "en"`). */
+    * (constant per document, e.g. `col("lang") === "en"`). An EMPTY
+    * target slice makes every weight 0/0 = NaN (both engines follow
+    * IEEE here) — callers pick a non-empty target. */
   def weights(docs: DataFrame, idCol: String, textCol: String,
               isTarget: Column): DataFrame = {
     val id = col(idCol)

@@ -48,8 +48,10 @@ object HashedClassifier {
 
   /** Score every document: `(idCol, n_tokens, margin, keep)` where
     * `margin = Σ cnt·weight` over hashed token buckets and
-    * `keep = 1` iff margin > 0. `weights` must have integer columns
-    * `(bucket, weight)` covering [0, nBuckets). */
+    * `keep = 1` iff margin > 0. `weights` has integer columns
+    * `(bucket, weight)`; buckets absent from it weigh 0 (a sparse
+    * model must not drop tokens from `n_tokens` — left join, not
+    * inner), matching [[marginExpr]]'s missing-bucket rule. */
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: DataFrame, nBuckets: Int): DataFrame = {
     val id = col(idCol)
@@ -57,10 +59,10 @@ object HashedClassifier {
       .select(id, bucketOf(col("tok"), nBuckets))
       .groupBy(id, col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(weights), "bucket")
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(id)
       .agg(sum(col("cnt")).as("n_tokens"),
-        sum(col("cnt") * col("weight")).as("margin"))
+        sum(col("cnt") * coalesce(col("weight"), lit(0L))).as("margin"))
       .withColumn("keep", when(col("margin") > 0, 1L).otherwise(0L))
   }
 

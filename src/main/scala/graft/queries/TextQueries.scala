@@ -1652,6 +1652,39 @@ object TextQueries {
        |  CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
        |FROM ev GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Dedup-recall audit: MinHash-LSH candidates (q20) against the
+    * exact n-gram-Jaccard truth set (q19) — the accuracy check run
+    * before an approximate dedup index replaces the exact pass
+    * (q78's recall audit, for text dedup). ONE pass over each side:
+    * a full outer join on the pair key feeds a single-row flag
+    * aggregate (never count() per side — that would re-run both
+    * pipelines); ratios are single divisions of exact counts. */
+  def q85DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = q19NgramJaccard(s, dir).select($"doc_a", $"doc_b", lit(1L).as("t"))
+    val cand = q20MinHashLsh(s, dir).select($"doc_a", $"doc_b", lit(1L).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(sum($"t").as("n_true"), sum($"c").as("n_cand"),
+        sum($"t" * $"c").as("n_hit"))
+      .select($"n_true", $"n_cand", $"n_hit",
+        ($"n_hit".cast("double") / $"n_true".cast("double")).as("recall"),
+        ($"n_hit".cast("double") / $"n_cand".cast("double")).as("cand_hit_rate"))
+  }
+
+  val q85Sql: String =
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM ($q19Sql)),
+       |cand AS (SELECT doc_a, doc_b FROM ($q20Sql)),
+       |j AS (SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+       |             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS c
+       |      FROM truth t FULL JOIN cand c
+       |        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_true, CAST(SUM(c) AS BIGINT) AS n_cand,
+       |  CAST(SUM(t * c) AS BIGINT) AS n_hit,
+       |  CAST(SUM(t * c) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) AS recall,
+       |  CAST(SUM(t * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS cand_hit_rate
+       |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1698,6 +1731,7 @@ object TextQueries {
     "q82_bpe_encode" -> q82BpeEncode _,
     "q83_perceptron_train" -> q83PerceptronTrain _,
     "q84_perceptron_eval" -> q84PerceptronEval _,
+    "q85_dedup_recall" -> q85DedupRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1746,5 +1780,6 @@ object TextQueries {
     "q82_bpe_encode" -> q82Sql,
     "q83_perceptron_train" -> q83Sql,
     "q84_perceptron_eval" -> q84Sql,
+    "q85_dedup_recall" -> q85Sql,
   )
 }

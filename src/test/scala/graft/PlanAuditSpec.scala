@@ -30,6 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    source cardinality, not the corpus)
     *  - q76, q79, q80: the 1-row corpus-scalars aggregate broadcast
     *    side (N + total tokens / n-grams — q44/q54's pattern)
+    *  - q85: the final 1-row flag aggregate over the joined pair
+    *    sets (map-side partials upstream)
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -47,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q76_bm25_retrieval" -> 1,
     "q79_dsir_weights" -> 1,
     "q80_bigram_lm" -> 1,
+    "q85_dedup_recall" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

@@ -278,6 +278,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 2L && got(0).getLong(2) == wt("x") + wt("y"))
     assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 3 * wt("x"))
     assert(got(1).getLong(3) == (if (3 * wt("x") > 0) 1L else 0L))
+    // sparse model: buckets absent from the weight table weigh 0 but
+    // their tokens still count (x and y hash to bucket 0 here, which
+    // the 1-row model does not cover)
+    val other = 1 - bucket("x")
+    val sparse = Seq((other, 7L)).toDF("bucket", "weight")
+    val got2 = graft.operators.HashedClassifier.score(docs, "doc_id", "text", sparse, nBuckets = 2)
+      .orderBy($"doc_id").collect()
+    assert(got2(0).getLong(1) == 2L && got2(0).getLong(2) == 0L && got2(0).getLong(3) == 0L)
+    assert(got2(1).getLong(1) == 3L && got2(1).getLong(2) == 0L)
   }
 
   test("dsir weights: pure-target doc scores above 1, disjoint-vocab doc scores 0-ish ratio") {
