@@ -39,7 +39,10 @@ case class BpeMerge(first: Expression, second: Expression, third: Expression)
         s"bpe_merge requires (array<string>, string, string), got $a, $l, $r")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements cannot match a merge pair and pass through unchanged,
+  // so element nullability is exactly the input's
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = first.dataType.asInstanceOf[ArrayType].containsNull)
 
   override def prettyName: String = "bpe_merge"
 

@@ -59,8 +59,11 @@ object BpeTrain {
           if (round % checkpointEvery == 0) next = next.localCheckpoint(false)
           next = next.persist()
           // materialize before freeing the parent so later rounds read
-          // cached blocks instead of re-running the whole rewrite chain
-          next.count()
+          // cached blocks instead of re-running the whole rewrite chain;
+          // a failed materialization must free ITS entry too (the outer
+          // finally only knows the corpus handle)
+          try next.count()
+          catch { case t: Throwable => next.unpersist(false); throw t }
           corpus.unpersist(false)
           corpus = next
         }

@@ -46,9 +46,13 @@ object DsirWeights {
     val dec = DecimalType(38, 0)
     val wTok = Window.partitionBy(col("tok"))
 
+    // tgt aliased BELOW the Generate: an alias in the same select as
+    // explode is hoisted above it and re-evaluated once per TOKEN
+    // (the SpanPipeline lesson) — isTarget is caller-supplied and may
+    // be expensive
     val tf = docs
-      .select(id, isTarget.cast("boolean").as("tgt"),
-        explode(split(col(textCol), " ")).as("tok"))
+      .select(id, isTarget.cast("boolean").as("tgt"), col(textCol))
+      .select(id, col("tgt"), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(id, col("tgt"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("cr", sum(col("tf")).over(wTok))

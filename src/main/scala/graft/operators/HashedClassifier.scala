@@ -36,10 +36,12 @@ object HashedClassifier {
   /** Per-ROW margin of one document: the same hashed-bucket dot
     * product as [[score]], folded over the token array with the
     * weights as a literal map — no explode, no shuffle, no state.
-    * This is the STREAMING form (a stateless projection runs on
-    * `readStream` micro-batches unchanged); the weights must fit in
-    * a literal (they are ≤ nBuckets entries — tiny). Missing buckets
-    * count 0. StreamingSpec pins this fold ≡ the batch join path. */
+    * This is the DECLARATIVE reference form; the streaming hot path
+    * ([[graft.streaming.StreamOps.classifyDocs]]) uses the native
+    * one-eval-per-row [[graft.functions.HashedMargin]] kernel instead
+    * (`aggregate` is a CodegenFallback HOF — one interpreted dispatch
+    * per token). Missing buckets count 0. TrainingOpsSpec pins all
+    * three margin paths equal. */
   def marginExpr(text: Column, weights: Map[Int, Long], nBuckets: Int): Column = {
     val w = typedLit(weights)
     aggregate(split(text, " "), lit(0L),

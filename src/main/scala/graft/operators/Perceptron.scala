@@ -49,7 +49,9 @@ object Perceptron {
     import spark.implicits._
     val id = col(idCol)
     val feats = featurize(docs, idCol, textCol, nBuckets).persist()
-    val labels = docs.select(id, label.cast("long").as("y"))
+    // persisted too: referenced once per epoch — without this every
+    // epoch re-scans the corpus just to re-derive two columns
+    val labels = docs.select(id, label.cast("long").as("y")).persist()
     try {
       var w = Map.empty[Int, Long]
       var e = 0
@@ -72,7 +74,10 @@ object Perceptron {
         }.toMap
       }
       weightsDf(spark, w.filter(_._2 != 0L))
-    } finally feats.unpersist(false)
+    } finally {
+      feats.unpersist(false)
+      labels.unpersist(false)
+    }
   }
 
   /** Per-document margins + verdicts of a weight frame over a corpus:

@@ -282,9 +282,12 @@ object Similarity {
     * Scale shape: result frames are ~k rows per query — orders of
     * magnitude smaller than the corpus — so the exact side broadcasts
     * into both the query-id spine and the hit join; no shuffle of
-    * anything corpus-sized. */
+    * anything corpus-sized. The exact side is localCheckpoint'ed HERE
+    * (k·queries rows by contract): it feeds two plan branches, and
+    * without the cut each branch would re-run the exact top-k sweep —
+    * at corpus scale the dominant cost of the whole audit. */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ex = exact.select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val hit = ex.withColumn("__hit", lit(1L))
     val spine = ex.select(col("query_id")).distinct()
     spine.join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id"), "left")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, HashedMargin, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -64,6 +64,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "int8_quantize expects exactly 1 argument")
         Int8Quantize(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_margin"),
+      new ExpressionInfo(classOf[HashedMargin].getName, "hashed_margin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "hashed_margin expects exactly 3 arguments")
+        HashedMargin(children(0), children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("bpe_merge"),

@@ -1463,7 +1463,10 @@ object TextQueries {
       .orderBy($"merge_rank")
   }
 
-  val q81Sql: String = {
+  /** Shared CTE prefix of the q81/q82 oracles: corpus c0, the three
+    * census/argmax rounds, and the first two greedy rewrites —
+    * everything up to (and including) the m3 census. */
+  private val bpeSqlPrefix: String = {
     // census of corpus c{k-1} -> 1-row argmax m{k}
     def census(k: Int) =
       s"""p$k AS (SELECT s[i] AS l, s[i+1] AS r
@@ -1494,24 +1497,28 @@ object TextQueries {
          |        LEFT JOIN o$k cons ON cons.doc_id = t.doc_id AND cons.i = t.i - 1
          |      WHERE cons.i IS NULL
          |      GROUP BY t.doc_id)""".stripMargin
-    // merge k is emitted iff every round up to k cleared minCount=2
-    def stop(k: Int) =
-      (1 to k).map(j => s"(SELECT cnt FROM m$j) >= 2").mkString(" AND ")
     s"""WITH c0 AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
        |${census(1)},
        |${rewrite(1)},
        |${census(2)},
        |${rewrite(2)},
-       |${census(3)}
+       |${census(3)}""".stripMargin
+  }
+
+  /** Merge k is emitted iff every round up to k cleared minCount=2. */
+  private def bpeStop(k: Int): String =
+    (1 to k).map(j => s"(SELECT cnt FROM m$j) >= 2").mkString(" AND ")
+
+  val q81Sql: String =
+    s"""$bpeSqlPrefix
        |SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, cnt
-       |  FROM m1 WHERE ${stop(1)}
+       |  FROM m1 WHERE ${bpeStop(1)}
        |  UNION ALL
-       |  SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2 WHERE ${stop(2)}
+       |  SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2 WHERE ${bpeStop(2)}
        |  UNION ALL
-       |  SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3 WHERE ${stop(3)})
+       |  SELECT CAST(3 AS BIGINT), l, r, cnt FROM m3 WHERE ${bpeStop(3)})
        |ORDER BY merge_rank""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q82
   /** BPE encoding with the learned vocabulary: apply q81's 3 merges
@@ -1539,8 +1546,8 @@ object TextQueries {
   }
 
   val q82Sql: String = {
-    val prefix = q81Sql.substring(0, q81Sql.indexOf("\nSELECT * FROM ("))
-    // q81's CTE chain ends at the m3 census; continue with the round-3
+    val prefix = bpeSqlPrefix
+    // the shared CTE chain ends at the m3 census; continue with the round-3
     // rewrite to c3 (the fully encoded corpus), guarding each round's
     // application on its minCount the way learn() stops: if round k
     // stopped, c{k} must equal c{k-1}. The guard rides the occurrence

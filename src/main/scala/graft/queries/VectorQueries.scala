@@ -367,9 +367,11 @@ object VectorQueries {
     * the LSH (q23) and IVF (q36) indexes against exact brute force
     * (q22), per query — the accuracy audit that decides whether an
     * approximate index may replace brute force. The exact result is
-    * localCheckpoint'ed (50 rows): it feeds three plan branches, and
-    * without the cut each would re-run the corpus sweep. Counts are
-    * integers; recall is one small-integer double division. */
+    * localCheckpoint'ed here (50 rows): it feeds TWO recallAtK calls
+    * (each checkpoints its own copy internally for its two branches,
+    * but only a shared upstream cut keeps the corpus sweep at one
+    * execution). Counts are integers; recall is one small-integer
+    * double division. */
   def q78AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)

@@ -73,14 +73,17 @@ object StreamOps {
     * the SAME code runs on batch frames and `readStream`
     * micro-batches with identical rows (StreamingSpec pins stream ≡
     * batch join path ≡ q77's oracle-checked result). */
-  def classifyDocs(docs: DataFrame, weights: Map[Int, Long], nBuckets: Int): DataFrame = {
-    import graft.operators.HashedClassifier
+  def classifyDocs(docs: DataFrame, weights: Map[Int, Long], nBuckets: Int): DataFrame =
     docs.select(col("doc_id"),
         (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
           .cast("long").as("n_tokens"),
-        HashedClassifier.marginExpr(col("text"), weights, nBuckets).as("margin"))
+        // the native one-eval-per-row kernel, not the aggregate() HOF
+        // (CodegenFallback: one interpreted dispatch per token) — the
+        // HOF form stays as HashedClassifier.marginExpr, and the spec
+        // pins all three margin paths equal
+        call_function("hashed_margin", col("text"),
+          typedLit(weights), lit(nBuckets)).as("margin"))
       .withColumn("keep", when(col("margin") > 0, 1L).otherwise(0L))
-  }
 
   /** Stateless PII-redaction projection over a `documents`-shaped
     * frame: [[graft.operators.PiiRedact]]'s detection counts + the

@@ -336,6 +336,32 @@ class TrainingOpsSpec extends AnyFunSuite {
       && got(1).getDouble(3) == 3.0 / (1 * 4))
   }
 
+  test("hashed margin: native kernel ≡ aggregate-HOF fold ≡ batch join, corpus-wide") {
+    import graft.operators.HashedClassifier
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = (0 until 256).map(i => i -> ((i * 37L + 11) % 2001 - 1000)).toMap
+    val native = docs.select($"doc_id",
+        call_function("hashed_margin", $"text", typedLit(w), lit(256)).as("m"))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hof = docs.select($"doc_id",
+        HashedClassifier.marginExpr($"text", w, 256).as("m"))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val joined = HashedClassifier.score(docs, "doc_id", "text",
+        HashedClassifier.demoWeights(docs, 256), nBuckets = 256)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(native.toSeq == hof.toSeq)
+    assert(native.toSeq == joined.toSeq)
+    // sparse map: missing buckets weigh 0 in the native kernel too
+    val sparseW = Map(0 -> 3L)
+    val ns = docs.limit(20).select($"doc_id",
+        call_function("hashed_margin", $"text", typedLit(sparseW), lit(256)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hs = docs.limit(20).select($"doc_id",
+        HashedClassifier.marginExpr($"text", sparseW, 256).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ns == hs)
+  }
+
   test("perceptron: hand-computed batch epochs on a 2-bucket separable corpus") {
     import spark.implicits._
     import graft.operators.{HashedClassifier, Perceptron}
