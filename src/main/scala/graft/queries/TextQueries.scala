@@ -1692,6 +1692,49 @@ object TextQueries {
        |  CAST(SUM(t * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS cand_hit_rate
        |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Per-document contamination RATE: the fraction of each training
+    * document's distinct 4-grams that appear in the benchmark set —
+    * q47's boolean verdict refined to the graded measure used when a
+    * hard drop-all-hits rule is too blunt (near-duplicate eval splits
+    * legitimately share some n-grams). Reuses
+    * [[graft.operators.Decontamination.verdicts]] for the hit counts;
+    * the per-doc gram total is the map-only native `shingles` size on
+    * a second scan (no extra shuffle). Gram-less short docs rate 0. */
+  def q86ContaminationRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = docs(s, dir).withColumn("isBench", $"source" === "src0")
+    val v = graft.operators.Decontamination.verdicts(corpus, n = 4)
+    val grams = corpus.filter(!$"isBench").select($"doc_id",
+      size(expr("shingles(text, 4)")).cast("long").as("n_grams"))
+    grams.join(v, "doc_id")
+      .select($"doc_id", $"n_grams", $"n_hits",
+        when($"n_grams" === 0, lit(0.0))
+          .otherwise($"n_hits".cast("double") / $"n_grams".cast("double"))
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+      |       FROM d, UNNEST(range(1, len(ts)-2)) t(i) WHERE len(ts) >= 4),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+      |hits AS (SELECT s.doc_id, COUNT(*) AS n_hits
+      |         FROM sh s JOIN bench b USING (g)
+      |         WHERE s.source <> 'src0' GROUP BY s.doc_id),
+      |gc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |       FROM sh WHERE source <> 'src0' GROUP BY doc_id)
+      |SELECT d2.doc_id, CAST(COALESCE(gc.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CASE WHEN COALESCE(gc.n_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(gc.n_grams AS DOUBLE)
+      |  END AS contamination
+      |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d2
+      |LEFT JOIN gc USING (doc_id) LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1739,6 +1782,7 @@ object TextQueries {
     "q83_perceptron_train" -> q83PerceptronTrain _,
     "q84_perceptron_eval" -> q84PerceptronEval _,
     "q85_dedup_recall" -> q85DedupRecall _,
+    "q86_contamination_rate" -> q86ContaminationRate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1788,5 +1832,6 @@ object TextQueries {
     "q83_perceptron_train" -> q83Sql,
     "q84_perceptron_eval" -> q84Sql,
     "q85_dedup_recall" -> q85Sql,
+    "q86_contamination_rate" -> q86Sql,
   )
 }
