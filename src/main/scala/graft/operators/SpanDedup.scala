@@ -111,4 +111,49 @@ object SpanDedup {
       .filter(col("rn") === 1)
       .select(id, col("chunk_idx"), col("chunk"))
   }
+
+  /** Boilerplate removal by corpus frequency (the C4/CCNet line-filter
+    * shape): an n-token chunk whose text occurs in ≥ `minDocs`
+    * DISTINCT documents is boilerplate (headers, footers, license
+    * blurbs); EVERY occurrence is removed — unlike [[dedupChunks]],
+    * which keeps a canonical first copy. Returns
+    * `(idCol, n_chunks, n_boiler, clean_text)` for every input row.
+    *
+    * Plan: one explode pass → the distinct-doc count reduces to
+    * per-(hash, doc) rows FIRST (map-side combine shrinks the
+    * exchange to distinct pairs), then a count window over the hash —
+    * high-cardinality key, no second exchange — yields the document
+    * frequency; the boilerplate hash set anti-joins the instance
+    * stream (hash-keyed); reassembly is one groupBy(doc) of the
+    * surviving ≤n-token chunks. Per-doc chunk totals come from LENGTH
+    * ARITHMETIC on the raw scan (no second tokenize/explode — the
+    * UnigramLm rule). Chunks shuffle as md5 hashes for counting;
+    * chunk text rides only the doc-keyed reassembly.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Int): DataFrame = {
+    val id = col(idCol)
+    val ch = docs.select(id,
+        posexplode(expr(s"token_chunks(`$textCol`, $n)")).as(Seq("chunk_idx", "chunk")))
+      .select(id, col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("__h"))
+    val pairs = ch.groupBy(col("__h"), id).agg(count(lit(1)).as("__m"))
+    val boiler = pairs
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("__h")).distinct()
+    val kept = ch.join(boiler, Seq("__h"), "left_anti")
+    val reb = kept.groupBy(id)
+      .agg(count(lit(1)).as("__nk"),
+        expr("array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), " +
+          "x -> x.chunk), ' ')").as("__ct"))
+    val nWords = (length(col(textCol)) -
+      length(expr(s"replace(`$textCol`, ' ', '')")) + 1).cast("long")
+    docs.select(id, nWords.as("__nw"))
+      .select(id, expr(s"(__nw + ${n - 1}) div $n").as("n_chunks"))
+      .join(reb, Seq(idCol), "left")
+      .select(id, col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__nk"), lit(0L))).as("n_boiler"),
+        coalesce(col("__ct"), lit("")).as("clean_text"))
+  }
 }

@@ -1735,6 +1735,71 @@ object TextQueries {
       |LEFT JOIN gc USING (doc_id) LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Systematic importance resampling via
+    * [[graft.operators.ImportanceSample]]: q79's DSIR weights applied
+    * — each document's copy count on the deterministic
+    * cumulative-weight grid (the resampling phase of DSIR data
+    * selection). Cumulative weights ride [[graft.operators.PrefixSum]]'s
+    * two-phase scan (no global-order window funnel). Oracle composes
+    * q79's full SQL as a nested CTE source (the q78/q85 pattern). */
+  def q89ImportanceSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = graft.operators.DsirWeights.weights(docs(s, dir), "doc_id", "text",
+      $"lang" === "en")
+    graft.operators.ImportanceSample.systematic(w, "doc_id", "dsir_weight",
+        n = 100)
+      .orderBy($"doc_id")
+  }
+
+  val q89Sql: String =
+    s"""WITH w AS (SELECT doc_id, dsir_weight FROM ($q79Sql)),
+      |q AS (SELECT doc_id, CAST(floor(dsir_weight * 1048576) AS BIGINT) AS wq
+      |      FROM w),
+      |c AS (SELECT doc_id, wq, SUM(wq) OVER (ORDER BY doc_id) AS cum FROM q),
+      |tot AS (SELECT SUM(wq) AS t FROM q),
+      |st AS (SELECT GREATEST(1, t // 100) AS stride FROM tot)
+      |SELECT c.doc_id, c.wq, CAST(c.cum AS BIGINT) AS cum,
+      |  CAST(c.cum // s.stride - (c.cum - c.wq) // s.stride AS BIGINT)
+      |    AS n_copies
+      |FROM c CROSS JOIN st s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Corpus-frequency boilerplate removal via
+    * [[graft.operators.SpanDedup.removeBoilerplate]]: every 3-token
+    * chunk whose text occurs in ≥3 distinct documents is cut from ALL
+    * of them (C4's repeated-line filter shape — q53 keeps a canonical
+    * copy, this keeps none), and the text is rebuilt. Chunk totals
+    * come from length arithmetic, not a second tokenize. */
+  def q90Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.SpanDedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
+        n = 3, minDocs = 3)
+      .orderBy($"doc_id")
+  }
+
+  val q90Sql: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS ts FROM documents),
+      |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |         array_to_string(ts[i*3+1 : least((i+1)*3, len(ts))], ' ') AS chunk
+      |       FROM d, UNNEST(range(0, (len(ts)+2)//3)) t(i)),
+      |boiler AS (SELECT chunk FROM (
+      |    SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk)
+      |  WHERE ndocs >= 3),
+      |kept AS (SELECT c.* FROM ch c LEFT JOIN boiler b USING (chunk)
+      |         WHERE b.chunk IS NULL),
+      |reb AS (SELECT doc_id, COUNT(*) AS nk,
+      |          string_agg(chunk, ' ' ORDER BY chunk_idx) AS ct
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id,
+      |          CAST((length(text) - length(replace(text,' ','')) + 1 + 2) // 3
+      |            AS BIGINT) AS n_chunks
+      |        FROM d)
+      |SELECT t.doc_id, t.n_chunks,
+      |  CAST(t.n_chunks - COALESCE(r.nk, 0) AS BIGINT) AS n_boiler,
+      |  COALESCE(r.ct, '') AS clean_text
+      |FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1783,6 +1848,8 @@ object TextQueries {
     "q84_perceptron_eval" -> q84PerceptronEval _,
     "q85_dedup_recall" -> q85DedupRecall _,
     "q86_contamination_rate" -> q86ContaminationRate _,
+    "q89_importance_sample" -> q89ImportanceSample _,
+    "q90_boilerplate" -> q90Boilerplate _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1833,5 +1900,7 @@ object TextQueries {
     "q84_perceptron_eval" -> q84Sql,
     "q85_dedup_recall" -> q85Sql,
     "q86_contamination_rate" -> q86Sql,
+    "q89_importance_sample" -> q89Sql,
+    "q90_boilerplate" -> q90Sql,
   )
 }

@@ -407,6 +407,113 @@ object VectorQueries {
       |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
       |FROM u ORDER BY method, query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Top-principal-component projection via [[graft.operators.Pca]]:
+    * exact integer power iteration (8 rounds, max-abs renormalized)
+    * over the quantized covariance, then the map-only corpus
+    * projection — dimensionality reduction for curriculum ordering /
+    * common-direction removal. Fully oracle-checked: every round is
+    * BIGINT matvec + portable floor division, unrolled into the
+    * generated SQL (the q81-q84 iterative-oracle pattern). */
+  def q87PcaProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Pca
+      .topComponentProjection(emb(s, dir), "vec_id", "embedding", iters = 8)
+      .orderBy($"vec_id")
+  }
+
+  val q87Sql: String = {
+    val rounds = (1 to 8).map { t =>
+      val fd = graft.operators.Pca.floorDivSql("(w.w * 65536)", "m.mm", "//")
+      s"""w$t AS (SELECT f.i, CAST(SUM(f.qa * v.q) AS BIGINT) AS w
+         |  FROM fmat f JOIN v${t - 1} v ON f.j = v.i GROUP BY f.i),
+         |m$t AS (SELECT GREATEST(CAST(MAX(ABS(w)) AS BIGINT), 1) AS mm FROM w$t),
+         |v$t AS (SELECT i, $fd AS q FROM w$t w CROSS JOIN m$t m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH el AS (SELECT vec_id, CAST(i-1 AS BIGINT) AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS qi
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |covp AS (SELECT a.i, b.i AS j, a.qi, b.qi AS qj
+      |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |covq AS (SELECT i, j,
+      |    CAST(floor(CAST(SUM(qi*qj)*COUNT(*) - SUM(qi)*SUM(qj) AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+      |      / 1099511627776.0 * 1048576.0) AS BIGINT) AS qa
+      |  FROM covp GROUP BY i, j),
+      |fmat AS (SELECT i, j, qa FROM covq
+      |         UNION ALL
+      |         SELECT j AS i, i AS j, qa FROM covq WHERE i <> j),
+      |v0 AS (SELECT DISTINCT i, CAST(65536 AS BIGINT) AS q FROM fmat),
+      |$rounds,
+      |lamv AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) / 68719476736.0 AS lam FROM w8),
+      |el16 AS (SELECT vec_id, CAST(i-1 AS BIGINT) AS i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q16
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |pr AS (SELECT e.vec_id, CAST(SUM(e.q16 * v.q) AS BIGINT) AS proj
+      |  FROM el16 e JOIN v8 v ON e.i = v.i GROUP BY e.vec_id)
+      |SELECT pr.vec_id, pr.proj, lamv.lam AS lam
+      |FROM pr CROSS JOIN lamv ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** MMR diverse re-rank via [[graft.operators.Mmr]]: greedy
+    * maximal-marginal-relevance selection of 5 from each query's
+    * top-20 cosine candidates (λ = 1/2, an exact power-of-two scale).
+    * Fully oracle-checked — each greedy round unrolls into the
+    * generated SQL (argmax with neighbor-id tie-break over
+    * bit-reproducible scores). */
+  def q88MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.operators.Mmr
+      .rerank(corpus, corpus.filter($"vec_id" < 10), nCand = 20, k = 5)
+      .orderBy($"query_id", $"mmr_rnk")
+  }
+
+  val q88Sql: String = {
+    val rounds = (2 to 5).map { t =>
+      s"""rem$t AS (SELECT c.* FROM cand c
+         |  LEFT JOIN sel${t - 1} s
+         |    ON c.query_id = s.query_id AND c.neighbor_id = s.neighbor_id
+         |  WHERE s.neighbor_id IS NULL),
+         |ms$t AS (SELECT p.query_id, p.ca, MAX(p.sim) AS ms
+         |  FROM psim p JOIN sel${t - 1} s
+         |    ON p.query_id = s.query_id AND p.cb = s.neighbor_id
+         |  GROUP BY p.query_id, p.ca),
+         |sc$t AS (SELECT r.query_id, r.neighbor_id,
+         |    0.5 * r.rel - 0.5 * m.ms AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY r.query_id
+         |      ORDER BY 0.5 * r.rel - 0.5 * m.ms DESC, r.neighbor_id) AS rn
+         |  FROM rem$t r JOIN ms$t m
+         |    ON r.query_id = m.query_id AND r.neighbor_id = m.ca),
+         |pick$t AS (SELECT query_id, neighbor_id, score, $t AS mmr_rnk
+         |  FROM sc$t WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH alldots AS (
+      |  SELECT a.vec_id qa, b.vec_id qb,
+      |    $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS cosine
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |cand AS (SELECT query_id, neighbor_id, cosine AS rel, rnk FROM (
+      |    SELECT qa AS query_id, qb AS neighbor_id, cosine,
+      |      ROW_NUMBER() OVER (PARTITION BY qa
+      |        ORDER BY cosine DESC, qb) AS rnk
+      |    FROM alldots) WHERE rnk <= 20),
+      |psim AS (
+      |  SELECT c1.query_id, c1.neighbor_id AS ca, c2.neighbor_id AS cb,
+      |    $dotAB / (${selfDot("a")} * ${selfDot("b")}) AS sim
+      |  FROM cand c1 JOIN cand c2
+      |    ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+      |  JOIN embeddings a ON c1.neighbor_id = a.vec_id
+      |  JOIN embeddings b ON c2.neighbor_id = b.vec_id),
+      |sel1 AS (SELECT query_id, neighbor_id, 0.5 * rel AS score, 1 AS mmr_rnk
+      |  FROM cand WHERE rnk = 1),
+      |$rounds
+      |SELECT query_id, CAST(mmr_rnk AS BIGINT) AS mmr_rnk, neighbor_id, score
+      |FROM sel5 ORDER BY query_id, mmr_rnk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -419,6 +526,8 @@ object VectorQueries {
     "q58_embed_covariance" -> q58EmbedCovariance _,
     "q64_int8_quantize" -> q64Int8Quantize _,
     "q78_ann_recall" -> q78AnnRecall _,
+    "q87_pca_projection" -> q87PcaProjection _,
+    "q88_mmr_rerank" -> q88MmrRerank _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -433,5 +542,7 @@ object VectorQueries {
     "q58_embed_covariance" -> q58Sql,
     "q64_int8_quantize" -> q64Sql,
     "q78_ann_recall" -> q78Sql,
+    "q87_pca_projection" -> q87Sql,
+    "q88_mmr_rerank" -> q88Sql,
   )
 }

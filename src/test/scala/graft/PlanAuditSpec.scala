@@ -32,6 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *    side (N + total tokens / n-grams — q44/q54's pattern)
     *  - q85: the final 1-row flag aggregate over the joined pair
     *    sets (map-side partials upstream)
+    *  - q89: PrefixSum's per-bucket offset window (numParts rows) +
+    *    the 1-row stride-total aggregate broadcast side (the weights
+    *    frame below both is localCheckpoint'ed — its own stages run
+    *    once, eagerly, outside this plan)
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -50,6 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_dsir_weights" -> 1,
     "q80_bigram_lm" -> 1,
     "q85_dedup_recall" -> 1,
+    "q89_importance_sample" -> 2,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

@@ -165,6 +165,45 @@ class SpanPipelineSpec extends AnyFunSuite {
     assert(out == Seq((10L, 0L, "a b"), (10L, 1L, "c d"), (12L, 0L, "e f")))
   }
 
+  test("removeBoilerplate cuts every occurrence of corpus-frequent chunks") {
+    val docs = Seq(
+      (1L, "hdr x a b c d"),   // chunks: "hdr x", "a b", "c d"
+      (2L, "hdr x e f"),       // "hdr x" in 3 docs -> boilerplate
+      (3L, "hdr x hdr x g h"), // both "hdr x" instances cut
+      (4L, "a b c d")          // "a b" only in 2 docs -> kept
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeBoilerplate(docs, "doc_id", "text", n = 2, minDocs = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 3L, 2L, "g h"),
+      (4L, 2L, 0L, "a b c d")))
+  }
+
+  test("removeBoilerplate equals a brute-force reference at sf0.001 and is partition-invariant") {
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".as[Long], $"text".as[String]).collect().sortBy(_._1)
+    def chunksOf(t: String, n: Int): Seq[String] =
+      t.split(" ", -1).grouped(n).map(_.mkString(" ")).toSeq
+    val nd = raw.flatMap { case (id, t) => chunksOf(t, 3).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    val expected = raw.map { case (id, t) =>
+      val ch = chunksOf(t, 3)
+      val kept = ch.filter(c => nd(c) < 3)
+      (id, ch.length.toLong, (ch.length - kept.length).toLong, kept.mkString(" "))
+    }.toSeq
+    for (p <- Seq(1, 7)) {
+      val df = spark.read.parquet(s"$sf/documents.parquet").repartition(p)
+      val got = SpanDedup.removeBoilerplate(df, "doc_id", "text", n = 3, minDocs = 3)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == expected, s"p=$p")
+    }
+    assert(expected.exists(_._3 > 0), "corpus should contain boilerplate chunks")
+  }
+
   test("pii redact: finds planted entities, leaves clean text alone") {
     val df = Seq(
       "contact a.user+x@sub.ex.org or 10.0.3.7 call +1-555-0100",
