@@ -88,10 +88,20 @@ object Bench {
       val pw = new java.io.PrintWriter("bench_last.json")
       try pw.println(json) finally pw.close()
     } catch { case _: Throwable => }
+    // The stdout line must survive the driver's bounded tail capture:
+    // r6's full-name line (~3.3 KB with 90 queries) outgrew the window
+    // and "parsed" came up null AGAIN even with the JSON present in the
+    // tail. Print a compact twin — query keys shortened to their "qNN"
+    // prefix, warm curve elided — ~1.4 KB at 90 queries; the committed
+    // bench_last.json keeps full names and the curve.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
+    val jsonShort = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","load_avg":[$loadStart,$loadEnd]}"""
     spark.stop()
     // printed AFTER spark.stop() so it is the final stdout line —
     // Spark's console logging otherwise interleaves after it
-    println(json)
+    println(jsonShort)
   }
 
   private def systemLoad(): Double = {

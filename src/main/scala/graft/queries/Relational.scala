@@ -28,15 +28,18 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** events with a microsecond-epoch `ts_us` long column, whether the
-    * session read `ts` as TIMESTAMP or as raw nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong). Source ns values are
-    * µs-aligned, so `div 1000` is exact. */
+  /** events with a microsecond-epoch `ts_us` long column, whatever the
+    * parquet encoding of `ts`: raw nanos long (TIMESTAMP(NANOS) under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ
+    * (µs parquet with no timezone — what the current generator writes;
+    * unix_micros rejects NTZ, so cast through TIMESTAMP under the UTC
+    * session zone first). Source ns values are µs-aligned, so
+    * `div 1000` is exact. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts"))
+      case _ => unix_micros(col("ts").cast("timestamp"))
     }
     df.withColumn("ts_us", tsUs)
   }
@@ -622,6 +625,79 @@ object Relational {
       |ON e.user_id = p.pu AND e.ts <= p.pts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Retention cohorts: users grouped by the epoch-week of their first
+    * event; for each (cohort week, week offset) the number of distinct
+    * users still active. Two map-side-combined aggregations joined on
+    * user_id (high-cardinality) — the classic product-analytics query,
+    * all integer week arithmetic. */
+  def q93RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wkUs = 604800L * 1000000L
+    val ev = events(s, dir).select($"user_id", $"ts_us")
+    val cohort = ev.groupBy($"user_id")
+      .agg(expr(s"min(ts_us) div $wkUs").as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .withColumn("week_offset", expr(s"ts_us div $wkUs") - $"cohort_week")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  val q93Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** Conversion funnel view → click → purchase: each stage must follow
+    * the user's previous-stage anchor within one hour; users counted at
+    * the FURTHEST stage reached. Three filtered min-aggregations
+    * chained by left joins on user_id — no window over the whole event
+    * stream, each stage shrinks the frontier. */
+  def q94Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hrUs = 3600L * 1000000L
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts_us")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("v_ts"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts_us" > $"v_ts" && $"ts_us" <= $"v_ts" + hrUs)
+      .groupBy($"user_id").agg(min($"ts_us").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts_us" > $"c_ts" && $"ts_us" <= $"c_ts" + hrUs)
+      .groupBy($"user_id").agg(min($"ts_us").as("p_ts"))
+    v.join(c.select($"user_id", $"c_ts"), Seq("user_id"), "left")
+      .join(p.select($"user_id", $"p_ts"), Seq("user_id"), "left")
+      .withColumn("stage",
+        when($"p_ts".isNotNull, 3L).when($"c_ts".isNotNull, 2L).otherwise(1L))
+      .groupBy($"stage").agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"stage")
+  }
+
+  val q94Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_ts FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts_us) AS c_ts
+      |      FROM ev e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts_us > v.v_ts AND e.ts_us <= v.v_ts + 3600000000
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts_us) AS p_ts
+      |      FROM ev e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts_us > c.c_ts AND e.ts_us <= c.c_ts + 3600000000
+      |      GROUP BY 1)
+      |SELECT CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+      |            WHEN c.c_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+      |  COUNT(DISTINCT v.user_id) AS n_users
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -647,6 +723,8 @@ object Relational {
     "q35_json" -> q35Json _,
     "q39_range_join" -> q39RangeJoin _,
     "q40_asof_forward" -> q40AsofForward _,
+    "q93_retention_cohorts" -> q93RetentionCohorts _,
+    "q94_funnel" -> q94Funnel _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -673,5 +751,7 @@ object Relational {
     // q33_approx_sketches: rows-only (sketch implementations are engine-specific)
     "q34_pivot" -> q34Sql,
     "q35_json" -> q35Sql,
+    "q93_retention_cohorts" -> q93Sql,
+    "q94_funnel" -> q94Sql,
   )
 }

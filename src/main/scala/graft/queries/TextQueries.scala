@@ -1800,6 +1800,180 @@ object TextQueries {
       |  COALESCE(r.ct, '') AS clean_text
       |FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    * shape, thresholds fit to this corpus): per-document word count,
+    * mean word length, top-word repetition share, and stopword
+    * presence, plus the conjunctive pass verdict. All integer
+    * arithmetic (×1000 fixed-point for the ratios) so the verdict is
+    * engine-exact. One explode feeds both the repetition and stopword
+    * aggregates; the length stats are pure length arithmetic on the
+    * raw scan — map-only plus one groupBy(doc_id, tok). */
+  def q91GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id", $"text")
+      .withColumn("n_words",
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("wchars", expr("CAST(length(replace(text, ' ', '')) AS BIGINT)"))
+    val toks = d.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val top = tf.groupBy($"doc_id").agg(max($"c").as("top1_cnt"))
+    val stops = toks.groupBy($"doc_id").agg(
+      sum(when($"tok".isin("the", "a"), 1L).otherwise(0L)).as("stop_hits"))
+    d.join(top, "doc_id").join(stops, "doc_id")
+      .withColumn("mwl_x1000", expr("wchars * 1000 div n_words"))
+      .select($"doc_id", $"n_words", $"mwl_x1000", $"top1_cnt", $"stop_hits",
+        when($"n_words".between(20L, 100000L) &&
+             $"mwl_x1000".between(3800L, 5100L) &&
+             $"top1_cnt" * 1000L <= $"n_words" * 150L &&
+             $"stop_hits" >= 1L, 1L).otherwise(0L).as("pass"))
+      .orderBy($"doc_id")
+  }
+
+  val q91Sql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS n_words,
+      |    CAST(length(replace(text,' ','')) AS BIGINT) AS wchars FROM documents),
+      |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM d),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |top AS (SELECT doc_id, MAX(c) AS top1_cnt FROM tf GROUP BY 1),
+      |st AS (SELECT doc_id,
+      |    CAST(COUNT(*) FILTER (WHERE tok IN ('the','a')) AS BIGINT) AS stop_hits
+      |  FROM w GROUP BY 1)
+      |SELECT d.doc_id, d.n_words, d.wchars*1000//d.n_words AS mwl_x1000,
+      |  top.top1_cnt, st.stop_hits,
+      |  CAST(CASE WHEN d.n_words BETWEEN 20 AND 100000
+      |    AND d.wchars*1000//d.n_words BETWEEN 3800 AND 5100
+      |    AND top.top1_cnt*1000 <= d.n_words*150
+      |    AND st.stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM d JOIN top USING (doc_id) JOIN st USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Borda-count rank fusion of two retrieval signals — document size
+    * (n_chars) and lexical diversity (distinct tokens) — fused over
+    * each signal's top-100 list with rank 101 as the miss penalty (the
+    * cutoff form used for RRF in practice, integer ranks so the fusion
+    * is engine-exact). The `row_number() <= k` filters compile to
+    * map-side WindowGroupLimit pruning (partial top-k before the
+    * shuffle), so the single-partition final sees ≤ k·numParts rows —
+    * the q22 audited pattern, not a corpus funnel. */
+  def q92RankFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id").agg(countDistinct($"tok").as("n_types"))
+    val base = docs(s, dir).select($"doc_id", $"n_chars").join(types, "doc_id")
+    val byChars = Window.orderBy($"n_chars".desc, $"doc_id")
+    val byTypes = Window.orderBy($"n_types".desc, $"doc_id")
+    val r1 = base.withColumn("rank_chars", row_number().over(byChars).cast("long"))
+      .filter($"rank_chars" <= 100L).select($"doc_id", $"rank_chars")
+    val r2 = base.withColumn("rank_types", row_number().over(byTypes).cast("long"))
+      .filter($"rank_types" <= 100L).select($"doc_id", $"rank_types")
+    r1.join(r2, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        (coalesce($"rank_chars", lit(101L)) + coalesce($"rank_types", lit(101L)))
+          .as("borda"),
+        coalesce($"rank_chars", lit(0L)).as("rank_chars"),
+        coalesce($"rank_types", lit(0L)).as("rank_types"))
+      .orderBy($"borda", $"doc_id").limit(50)
+  }
+
+  val q92Sql: String =
+    """WITH types AS (SELECT doc_id, COUNT(DISTINCT tok) AS n_types FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+      |  GROUP BY 1),
+      |base AS (SELECT d.doc_id, d.n_chars, t.n_types
+      |         FROM documents d JOIN types t USING (doc_id)),
+      |r1 AS (SELECT doc_id, rank_chars FROM (
+      |    SELECT doc_id, CAST(row_number() OVER
+      |      (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_chars FROM base)
+      |  WHERE rank_chars <= 100),
+      |r2 AS (SELECT doc_id, rank_types FROM (
+      |    SELECT doc_id, CAST(row_number() OVER
+      |      (ORDER BY n_types DESC, doc_id) AS BIGINT) AS rank_types FROM base)
+      |  WHERE rank_types <= 100)
+      |SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+      |  COALESCE(r1.rank_chars, 101) + COALESCE(r2.rank_types, 101) AS borda,
+      |  COALESCE(r1.rank_chars, 0) AS rank_chars,
+      |  COALESCE(r2.rank_types, 0) AS rank_types
+      |FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+      |ORDER BY borda, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** HITS hubs and authorities over the same synthetic doc-id link
+    * graph as q69's PageRank, two full rounds of [[graft.operators.Hits]]'s
+    * max-norm integer iteration — bit-exact under any partitioning, so
+    * the unrolled-CTE oracle matches cell-for-cell. */
+  def q95Hits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val e1 = d.filter($"doc_id" % 4 > 0)
+      .select(($"doc_id" % 50).as("src"), ($"doc_id" * 7 % 50).as("dst"))
+    val e2 = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 50).as("src"), ($"doc_id" * 11 % 50).as("dst"))
+    graft.operators.Hits.hubsAuthsInt(e1.union(e2), iters = 2)
+      .orderBy($"auth".desc, $"node")
+  }
+
+  val q95Sql: String = {
+    // one max-norm half-step as SQL: raw sums keyed by the receiving
+    // side, rescaled by the global max — mirrors Hits.halfStep
+    def half(prev: String, prevCol: String, keyIn: String, keyOut: String,
+             outCol: String, tag: String): String =
+      s"""${tag}r AS (SELECT e.$keyOut AS node, SUM(p.$prevCol) AS raw
+         |  FROM e JOIN $prev p ON e.$keyIn = p.node GROUP BY 1),
+         |$tag AS (SELECT n.node,
+         |    CAST(COALESCE(r.raw, 0) * 1000000
+         |         // (SELECT MAX(raw) FROM ${tag}r) AS BIGINT) AS $outCol
+         |  FROM n LEFT JOIN ${tag}r r USING (node))""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id % 50 AS src, doc_id * 7 % 50 AS dst FROM documents
+       |    WHERE doc_id % 4 > 0
+       |    UNION ALL
+       |    SELECT doc_id % 50, doc_id * 11 % 50 FROM documents
+       |    WHERE doc_id % 3 > 0)),
+       |n AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+       |${half("h0", "hub", "src", "dst", "auth", "a1")},
+       |${half("a1", "auth", "dst", "src", "hub", "h1")},
+       |${half("h1", "hub", "src", "dst", "auth", "a2")},
+       |${half("a2", "auth", "dst", "src", "hub", "h2")}
+       |SELECT n.node, a2.auth, h2.hub
+       |FROM n JOIN a2 USING (node) JOIN h2 USING (node)
+       |ORDER BY a2.auth DESC, n.node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Lexical diversity report: per-document token count, type count,
+    * hapax-legomena count, and ×1000 fixed-point type-token ratio —
+    * the standard corpus-linguistics diversity stats, one
+    * explode → groupBy(doc_id, tok) → groupBy(doc_id) cascade with
+    * map-side combines at both levels. */
+  def q96TypeTokenRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_x1000", expr("n_types * 1000 div n_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q96Sql: String =
+    """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) AS BIGINT) * 1000 // CAST(SUM(c) AS BIGINT) AS ttr_x1000
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -1850,6 +2024,10 @@ object TextQueries {
     "q86_contamination_rate" -> q86ContaminationRate _,
     "q89_importance_sample" -> q89ImportanceSample _,
     "q90_boilerplate" -> q90Boilerplate _,
+    "q91_gopher_rules" -> q91GopherRules _,
+    "q92_rank_fusion" -> q92RankFusion _,
+    "q95_hits" -> q95Hits _,
+    "q96_ttr" -> q96TypeTokenRatio _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1902,5 +2080,9 @@ object TextQueries {
     "q86_contamination_rate" -> q86Sql,
     "q89_importance_sample" -> q89Sql,
     "q90_boilerplate" -> q90Sql,
+    "q91_gopher_rules" -> q91Sql,
+    "q92_rank_fusion" -> q92Sql,
+    "q95_hits" -> q95Sql,
+    "q96_ttr" -> q96Sql,
   )
 }

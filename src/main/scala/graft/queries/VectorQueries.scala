@@ -514,6 +514,112 @@ object VectorQueries {
       |FROM sel5 ORDER BY query_id, mmr_rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Per-label embedding centroid dispersion — the cluster-cohesion
+    * report behind curation decisions (which classes are tight enough
+    * to dedup aggressively, which are diffuse). Centroids are the
+    * KMeans quantized-integer means (order-free, exact); each member's
+    * squared distance expands to `‖v‖² − 2·v·c + ‖c‖²` with every dot a
+    * strict sequential fold, so the per-row double is bit-exact; the
+    * per-label MEAN then re-quantizes the bit-exact rows to
+    * floor(d²·2²⁰) and sums in DECIMAL(38,0) (≡ DuckDB HUGEINT) —
+    * order-free at any corpus size, one double division at the end.
+    * Scale shape: posexplode → groupBy(label, dim) for centroids
+    * (k·dims rows out), broadcast centroids back, map-only distance,
+    * map-side-combined final agg. */
+  def q97LabelDispersion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = graft.operators.KMeans.QuantScale
+    val e = emb(s, dir)
+    val cents = e.select($"label", posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"label", $"i")
+      .agg(sum(floor($"v".cast("double") * lit(qs))).as("qsum"),
+           count(lit(1)).as("cnt"))
+      .withColumn("cval", $"qsum".cast("double") / $"cnt" / lit(qs))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"cval"))).as("__s"))
+      // k rows: the interpreted HOFs are off the hot path
+      .select($"label", expr("transform(__s, x -> x.cval)").as("cent"))
+      .withColumn("dcc",
+        expr("aggregate(cent, double(0.0), (acc, x) -> acc + x * x)"))
+    e.join(broadcast(cents), "label")
+      .withColumn("d2",
+        expr("float_dot(embedding, embedding)") -
+          lit(2.0) * expr("float_dot(embedding, cent)") + $"dcc")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(floor($"d2" * lit(qs)).cast("decimal(38,0)")).as("qd"))
+      .select($"label", $"n_vecs",
+        ($"qd".cast("double") / $"n_vecs" / lit(qs)).as("mean_sqdist"))
+      .orderBy($"label")
+  }
+
+  val q97Sql: String =
+    """WITH qv AS (
+      |  SELECT label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |newc AS (
+      |  SELECT label, i, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS cval
+      |  FROM qv GROUP BY 1, 2),
+      |carr AS (SELECT label, list(cval ORDER BY i) AS cemb FROM newc GROUP BY 1),
+      |cdot AS (
+      |  SELECT label, cemb,
+      |    (SELECT SUM(cemb[i] * cemb[i])
+      |     FROM UNNEST(range(1, len(cemb)+1)) t(i)) AS dcc
+      |  FROM carr),
+      |dists AS (
+      |  SELECT e.label,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i))
+      |    - 2.0 * (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * c.cemb[i])
+      |             FROM UNNEST(range(1, len(e.embedding)+1)) t(i))
+      |    + c.dcc AS d2
+      |  FROM embeddings e JOIN cdot c USING (label))
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CAST(floor(d2 * 1048576.0) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) / 1048576.0 AS mean_sqdist
+      |FROM dists GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** Per-dimension robust statistics of the embedding space — exact
+    * quartiles and IQR of every coordinate (the robust-scaling /
+    * outlier-fence report feature normalization reads). Coordinates
+    * quantize to floor(v·2²⁰) (exact: ×2²⁰ is an exponent shift, so
+    * the BIGINT is a bit-function of the float), then
+    * [[graft.operators.ExactQuantiles]] reads the order statistics off
+    * a (dim, value) HISTOGRAM — shuffled bytes are the histogram's,
+    * never a corpus sort, and the ceil-rank arithmetic is integer, so
+    * every cell is engine-exact. */
+  def q98DimRobustStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv = emb(s, dir)
+      .select(posexplode($"embedding").as(Seq("i", "v")))
+      .select($"i".cast("long").as("dim"),
+        floor($"v".cast("double") * lit(1048576.0)).cast("long").as("q"))
+    graft.operators.ExactQuantiles.byGroup(qv, Seq("dim"), "q", Seq(25, 50, 75))
+      .withColumn("iqr", $"p75" - $"p25")
+      .orderBy($"dim")
+  }
+
+  val q98Sql: String =
+    """WITH qv AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |h AS (SELECT dim, q, COUNT(*) AS c FROM qv GROUP BY 1, 2),
+      |w AS (SELECT dim, q,
+      |        SUM(c) OVER (PARTITION BY dim ORDER BY q) AS cum,
+      |        SUM(c) OVER (PARTITION BY dim) AS total
+      |      FROM h)
+      |SELECT dim, CAST(MAX(total) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS p25,
+      |  MIN(CASE WHEN cum >= (total*50+99)//100 THEN q END) AS p50,
+      |  MIN(CASE WHEN cum >= (total*75+99)//100 THEN q END) AS p75,
+      |  MIN(CASE WHEN cum >= (total*75+99)//100 THEN q END)
+      |    - MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS iqr
+      |FROM w GROUP BY dim ORDER BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -528,6 +634,8 @@ object VectorQueries {
     "q78_ann_recall" -> q78AnnRecall _,
     "q87_pca_projection" -> q87PcaProjection _,
     "q88_mmr_rerank" -> q88MmrRerank _,
+    "q97_label_dispersion" -> q97LabelDispersion _,
+    "q98_dim_robust_stats" -> q98DimRobustStats _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -544,5 +652,7 @@ object VectorQueries {
     "q78_ann_recall" -> q78Sql,
     "q87_pca_projection" -> q87Sql,
     "q88_mmr_rerank" -> q88Sql,
+    "q97_label_dispersion" -> q97Sql,
+    "q98_dim_robust_stats" -> q98Sql,
   )
 }

@@ -101,6 +101,22 @@ object StreamOps {
       PiiRedact.redact(col("text")).as("text"))
   }
 
+  /** Stream-static enrichment: left-join a micro-batch stream against
+    * a small static dimension frame (per-source curation policy,
+    * per-lang weights, a tenant config table …) with the static side
+    * BROADCAST — each micro-batch is enriched map-side, no shuffle of
+    * the stream and no state. Absent keys keep the stream row with
+    * nulls for the dimension columns (the r6 sparse-model lesson: an
+    * inner join would silently drop rows — dims are DATA, missing
+    * entries mean "default", and the caller coalesces). The static
+    * frame is re-read per micro-batch by Structured Streaming's
+    * stream-static join semantics, so a dim refresh lands without a
+    * stream restart. Same code runs on a batch frame (StreamingSpec
+    * pins stream ≡ batch row-for-row). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   case class MgState(counters: Map[String, Long], streamed: Long)
   case class MgCandidate(shard: Int, item: String, lower_bound: Long, shard_total: Long)
 

@@ -36,6 +36,10 @@ class PlanAuditSpec extends AnyFunSuite {
     *    the 1-row stride-total aggregate broadcast side (the weights
     *    frame below both is localCheckpoint'ed — its own stages run
     *    once, eagerly, outside this plan)
+    *  - q92: two global `row_number() <= 100` top-k windows — Spark's
+    *    WindowGroupLimit inserts a partial top-k BEFORE each exchange,
+    *    so the single partition sees ≤ 100·numParts pre-pruned rows
+    *    (q22's audited pattern), not the corpus
     */
   private val budget: Map[String, Int] = Map(
     "q6_forecast" -> 1,
@@ -55,6 +59,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q80_bigram_lm" -> 1,
     "q85_dedup_recall" -> 1,
     "q89_importance_sample" -> 2,
+    "q92_rank_fusion" -> 2,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

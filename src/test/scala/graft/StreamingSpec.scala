@@ -13,12 +13,22 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** events at sf0.001 staged as a file-stream source with proper
-    * timestamps (ts arrives as nanos long under nanosAsLong). */
+    * TIMESTAMP ts, whatever the testdata's parquet encoding (nanos
+    * long under nanosAsLong in early rounds, timestamp[us] →
+    * TIMESTAMP_NTZ since round 7). */
+  private def normalizedEvents: org.apache.spark.sql.DataFrame = {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsCol)
+  }
+
   private def stagedEventsDir(): String = {
     val dir = Files.createTempDirectory("stream-events").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .write.mode("overwrite").parquet(dir)
+    normalizedEvents.write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -73,6 +83,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
     assert(streamed.forall(r =>
       r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
+  }
+
+  test("stream-static enrichment: broadcast dim join, stream equals batch") {
+    val dir = Files.createTempDirectory("stream-enrich").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // per-source policy dim; src0 deliberately absent → null policy
+    val dim = spark.createDataFrame(Seq(
+      ("src1", 2L, "keep"), ("src2", 5L, "review"), ("src3", 1L, "keep")))
+      .toDF("source", "weight", "policy")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.enrichStream(stream, dim, Seq("source"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enriched")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = StreamOps.enrichStream(spark.read.parquet(dir), dim, Seq("source"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // left-join semantics: unmatched sources survive with null policy
+    assert(streamed.exists(r => r.getAs[String]("source") == "src0"
+      && r.getAs[String]("policy") == null))
+    assert(streamed.exists(r => r.getAs[String]("policy") == "review"))
   }
 
   test("stateless classifier inference: stream fold equals batch join path") {
@@ -132,9 +168,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming dedup drops duplicate keys across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     // two files = two potential micro-batches with overlapping event_ids
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .limit(100).cache()
+    val base = normalizedEvents.limit(100).cache()
     base.write.parquet(s"$dir/b1")
     base.limit(40).write.parquet(s"$dir/b2") // 40 duplicates of b1 rows
     val schema = spark.read.parquet(s"$dir/b1").schema
