@@ -1974,6 +1974,113 @@ object TextQueries {
       |  CAST(COUNT(*) AS BIGINT) * 1000 // CAST(SUM(c) AS BIGINT) AS ttr_x1000
       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** The composed curation pipeline END-TO-END: quality gate (q14's
+    * score, shared expression) → exact-dedup canonical pick among the
+    * survivors (q18's min-id-per-md5) → stratified sampling verdict
+    * (q42's shared hash threshold), with per-stage flags so the output
+    * audits WHERE each document fell out. One scored scan feeds
+    * everything; the canonical window keys on the md5 hash
+    * (high-cardinality); sampling is map-only. The oracle recomposes
+    * the three stages' oracled SQL forms — operator COMPOSITION is
+    * what a real curation run executes, and this pins the composition
+    * itself, not just the pieces. */
+  def q99CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val th = lit(0.625)
+    val scored = docs(s, dir)
+      .withColumn("n_words",
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("__nthe", theCountExpr)
+      .withColumn("quality_score",
+        qualityScore($"n_words", $"__nthe", length($"text")))
+      .select($"doc_id", $"lang", $"text", $"quality_score")
+    val pass = scored.filter($"quality_score" >= th)
+      .withColumn("__h", md5($"text"))
+      .withColumn("canonical",
+        when($"doc_id" === min($"doc_id").over(Window.partitionBy($"__h")), 1L)
+          .otherwise(0L))
+      .select($"doc_id", lit(1L).as("q_pass"), $"canonical")
+    scored.join(pass, Seq("doc_id"), "left")
+      .withColumn("q_pass", coalesce($"q_pass", lit(0L)))
+      .withColumn("canonical", coalesce($"canonical", lit(0L)))
+      .withColumn("sampled",
+        when(samplingHash($"doc_id", $"lang") < samplingThresholdExpr, 1L)
+          .otherwise(0L))
+      .select($"doc_id", $"quality_score", $"q_pass", $"canonical", $"sampled",
+        ($"q_pass" * $"canonical" * $"sampled").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val q99Sql: String =
+    """WITH sc AS (SELECT doc_id, lang, text,
+      |    least(1.0, (length(text) - length(replace(text,' ','')) + 1)/100.0) * 0.5
+      |    + CASE WHEN CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' '))) / 4 AS BIGINT) > 0 THEN 0.25 ELSE 0.0 END
+      |    + least(1.0, length(text)/500.0) * 0.25 AS quality_score
+      |  FROM documents),
+      |p AS (SELECT doc_id, md5(text) AS h FROM sc WHERE quality_score >= 0.625),
+      |canon AS (SELECT doc_id,
+      |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h) THEN 1 ELSE 0 END AS canonical
+      |  FROM p),
+      |f AS (SELECT sc.doc_id, sc.quality_score,
+      |    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS q_pass,
+      |    COALESCE(c.canonical, 0) AS canonical,
+      |    CASE WHEN md5(CAST(sc.doc_id AS VARCHAR)||':'||sc.lang) <
+      |      CASE sc.lang WHEN 'en' THEN '8' WHEN 'de' THEN '4' WHEN 'fr' THEN '2' ELSE '1' END
+      |      THEN 1 ELSE 0 END AS sampled
+      |  FROM sc LEFT JOIN canon c USING (doc_id))
+      |SELECT doc_id, quality_score, CAST(q_pass AS BIGINT) AS q_pass,
+      |  CAST(canonical AS BIGINT) AS canonical, CAST(sampled AS BIGINT) AS sampled,
+      |  CAST(q_pass * canonical * sampled AS BIGINT) AS kept
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** Collocation strength: adjacent-pair LIFT
+    * `(c_xy·N)/(c_x·c_y)` — the PMI exponent — for every bigram seen
+    * ≥ 5 times, top 50. Exact integer products in DECIMAL(38,0)
+    * (≡ DuckDB HUGEINT) and ONE double division (the q44 rational-
+    * surrogate pattern: no logs, bit-portable). Bigrams ride the
+    * native `token_spans(·,2)` expression; unigram counts join on the
+    * token (high-cardinality); N is the 1-row length-arithmetic
+    * aggregate broadcast in (q44's audited pattern). */
+  def q100Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val big = graft.operators.BpePairs.pairCounts(d, "text")
+    val uni = d.select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val total = d.select(expr(
+      "CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)")
+      .as("n_total"))
+    big.filter($"cnt" >= 5L)
+      .withColumn("w1", expr("split(pair, ' ')[0]"))
+      .withColumn("w2", expr("split(pair, ' ')[1]"))
+      .join(uni.select($"tok".as("w1"), $"c1".as("cx")), "w1")
+      .join(uni.select($"tok".as("w2"), $"c1".as("cy")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        ($"cnt".cast("decimal(38,0)") * $"n_total".cast("decimal(38,0)")).cast("double")
+          / ($"cx".cast("decimal(38,0)") * $"cy".cast("decimal(38,0)")).cast("double"))
+      .select($"pair", $"cnt", $"lift")
+      .orderBy($"lift".desc, $"pair").limit(50)
+  }
+
+  val q100Sql: String =
+    """WITH d AS (SELECT string_split(text,' ') AS ts FROM documents),
+      |toks AS (SELECT unnest(ts) AS tok FROM d),
+      |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_total FROM toks),
+      |p AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
+      |      FROM d, UNNEST(range(1, len(ts))) t(i)),
+      |big AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair HAVING COUNT(*) >= 5)
+      |SELECT b.pair, CAST(b.cnt AS BIGINT) AS cnt,
+      |  CAST(CAST(b.cnt AS HUGEINT) * CAST(n.n_total AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(u1.c AS HUGEINT) * CAST(u2.c AS HUGEINT) AS DOUBLE) AS lift
+      |FROM big b, n
+      |JOIN uni u1 ON u1.tok = string_split(b.pair,' ')[1]
+      |JOIN uni u2 ON u2.tok = string_split(b.pair,' ')[2]
+      |ORDER BY lift DESC, pair LIMIT 50""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2028,6 +2135,8 @@ object TextQueries {
     "q92_rank_fusion" -> q92RankFusion _,
     "q95_hits" -> q95Hits _,
     "q96_ttr" -> q96TypeTokenRatio _,
+    "q99_curation_pipeline" -> q99CurationPipeline _,
+    "q100_collocations" -> q100Collocations _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2084,5 +2193,7 @@ object TextQueries {
     "q92_rank_fusion" -> q92Sql,
     "q95_hits" -> q95Sql,
     "q96_ttr" -> q96Sql,
+    "q99_curation_pipeline" -> q99Sql,
+    "q100_collocations" -> q100Sql,
   )
 }

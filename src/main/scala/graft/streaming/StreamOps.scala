@@ -25,6 +25,36 @@ object StreamOps {
         col("n_events"), col("total_value"))
   }
 
+  /** Watermarked STREAM-STREAM interval join — click attribution: every
+    * (view, click) pair of the same user with the click inside
+    * `attributionSec` after the view. This is Spark's genuine
+    * stream-stream join (both sides buffered in state, the interval
+    * condition + watermarks bounding how long: a view can be evicted
+    * once the click watermark passes view_ts + attributionSec, so
+    * state is finite forever on an unbounded stream). State is keyed
+    * by user_id — high-cardinality, no funnel. The same code joins two
+    * batch frames identically (StreamingSpec pins stream ≡ batch pair
+    * sets).
+    *
+    * Both inputs need a TimestampType `ts`; `views`/`clicks` are
+    * pre-filtered event streams (e.g. by event_type). */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      attributionSec: Int = 1800,
+                      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("__cu"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+        s"""user_id = __cu AND
+           |click_ts > view_ts AND
+           |click_ts <= view_ts + interval $attributionSec seconds""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

@@ -36,6 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     *    the 1-row stride-total aggregate broadcast side (the weights
     *    frame below both is localCheckpoint'ed — its own stages run
     *    once, eagerly, outside this plan)
+    *  - q100: the 1-row corpus-token-total aggregate broadcast side
+    *    (q44/q54's pattern)
     *  - q92: two global `row_number() <= 100` top-k windows — Spark's
     *    WindowGroupLimit inserts a partial top-k BEFORE each exchange,
     *    so the single partition sees ≤ 100·numParts pre-pruned rows
@@ -60,6 +62,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q85_dedup_recall" -> 1,
     "q89_importance_sample" -> 2,
     "q92_rank_fusion" -> 2,
+    "q100_collocations" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

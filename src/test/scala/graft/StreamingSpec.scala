@@ -85,6 +85,29 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
   }
 
+  test("stream-stream interval join: click attribution equals batch join") {
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    def split(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.attributeClicks(
+        split(stream, "view"), split(stream, "click"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attributed").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attributed")
+      .select($"view_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchDf = spark.read.parquet(dir)
+    val batch = StreamOps.attributeClicks(
+        split(batchDf, "view"), split(batchDf, "click"))
+      .select($"view_id", $"click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "attribution window produced no pairs in testdata")
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment: broadcast dim join, stream equals batch") {
     val dir = Files.createTempDirectory("stream-enrich").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
