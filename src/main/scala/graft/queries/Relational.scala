@@ -698,6 +698,46 @@ object Relational {
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** The full session TABLE via Spark's native `session_window`
+    * ([[graft.streaming.StreamOps.sessionWindows]] — the exact code
+    * that runs streaming, applied to the batch frame): one row per
+    * (user, inactivity-gap session) with start, end (= last event +
+    * gap), event count, and exact-decimal value total. q12 counts
+    * sessions per user with a hand-rolled gaps-and-islands window;
+    * this emits the sessions themselves through the native operator
+    * (map-side partial session merge, shuffle keyed by user_id), and
+    * the oracle re-derives them as islands SQL — pinning the built-in
+    * operator's boundary semantics (break at gap ≥ 1800s) against an
+    * independent formulation. */
+  def q103SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id",
+      timestamp_micros($"ts_us").as("ts"), $"value")
+    graft.streaming.StreamOps.sessionWindows(ev)
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  val q103Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |x AS (SELECT user_id, ts_us, value,
+      |        LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_ts
+      |      FROM ev),
+      |y AS (SELECT user_id, ts_us, value,
+      |        CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM x),
+      |z AS (SELECT user_id, ts_us, value,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM y)
+      |SELECT user_id, MIN(ts_us) AS session_start_us,
+      |  MAX(ts_us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM z GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -725,6 +765,7 @@ object Relational {
     "q40_asof_forward" -> q40AsofForward _,
     "q93_retention_cohorts" -> q93RetentionCohorts _,
     "q94_funnel" -> q94Funnel _,
+    "q103_session_windows" -> q103SessionWindows _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -753,5 +794,6 @@ object Relational {
     "q35_json" -> q35Sql,
     "q93_retention_cohorts" -> q93Sql,
     "q94_funnel" -> q94Sql,
+    "q103_session_windows" -> q103Sql,
   )
 }

@@ -2081,6 +2081,110 @@ object TextQueries {
       |JOIN uni u2 ON u2.tok = string_split(b.pair,' ')[2]
       |ORDER BY lift DESC, pair LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Temperature-flattened mixture sampling (α = 1/2, the multilingual
+    *-pretraining rebalance: low-resource sources are UP-weighted
+    * relative to proportional sampling): source (language) i with cᵢ
+    * documents receives an expected share ∝ √cᵢ of a target budget of
+    * N = total/2 documents, realized as a deterministic per-document
+    * keep rule — keep d of source i iff H(d)·S·cᵢ < N·wᵢ·2³², with
+    * H(d) a 32-bit md5 bucket, wᵢ = isqrt(cᵢ) and S = Σwᵢ.
+    * Bit-portable: isqrt is floor(sqrt) with a ±1 integer correction
+    * (IEEE sqrt is correctly rounded, the guard makes it exact
+    * regardless), and the keep rule is pure integer arithmetic in
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT — products pass 2⁶³ once source
+    * counts reach ~10¹² docs). Scale shape: one tiny groupBy(lang)
+    * histogram broadcast back; the verdict is map-only over the
+    * corpus; membership is stable as sources grow (q70's hash-range
+    * property, per-source). */
+  def q101TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("__r", expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "__r + (CASE WHEN (__r+1)*(__r+1) <= cnt THEN 1 WHEN __r*__r > cnt THEN -1 ELSE 0 END)"))
+      .select($"lang", $"cnt", $"w")
+    val tot = counts.agg(sum($"w").cast("long").as("sw"),
+      sum($"cnt").cast("long").as("n_total"))
+    val dims = counts.crossJoin(broadcast(tot))
+    val d38 = "decimal(38,0)"
+    docs(s, dir).select($"doc_id", $"lang")
+      .withColumn("__h", expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .join(broadcast(dims), "lang")
+      .withColumn("kept", when(
+        $"__h".cast(d38) * $"sw".cast(d38) * $"cnt".cast(d38) <
+          expr("n_total div 2").cast(d38) * $"w".cast(d38) * lit(4294967296L).cast(d38),
+        1L).otherwise(0L))
+      .select($"doc_id", $"lang", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      |r0 AS (SELECT lang, cnt, CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS r FROM c),
+      |w AS (SELECT lang, cnt,
+      |        r + (CASE WHEN (r+1)*(r+1) <= cnt THEN 1 WHEN r*r > cnt THEN -1 ELSE 0 END) AS w
+      |      FROM r0),
+      |s AS (SELECT CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(cnt) AS BIGINT) AS n_total FROM w),
+      |d AS (SELECT doc_id, lang,
+      |        CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |      FROM documents)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(CASE WHEN CAST(d.h AS HUGEINT) * CAST(s.sw AS HUGEINT) * CAST(w.cnt AS HUGEINT)
+      |       < CAST(s.n_total // 2 AS HUGEINT) * CAST(w.w AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM d JOIN w USING (lang) CROSS JOIN s
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** CCNet-style LM-score tiering (head / middle / tail thirds of the
+    * corpus by language-model quality): q54's engine-exact unigram
+    * score reduced to the integer surrogate
+    * `lm_x1e6 = (Σ count(tok)) · 10⁶ div n_tokens` (the corpus-total
+    * divisor is constant across documents, so ranking by the
+    * surrogate ≡ ranking by the score — no doubles anywhere), cut at
+    * the exact ceil-rank 34th/67th percentiles via
+    * [[graft.operators.ExactQuantiles]] (histogram shuffle = distinct
+    * values, never a corpus sort). The scored frame feeds BOTH the
+    * quantile branch and the verdict branch, so it is eagerly
+    * localCheckpoint'ed (the ImportanceSample pattern — one tokenize
+    * pass, and no re-sampled exchange on the second branch). At
+    * ~10¹³-token corpora promote the ×10⁶ product to DECIMAL before
+    * the div (same headroom note as UnigramLm). */
+  def q102LmTiers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.operators.UnigramLm.score(docs(s, dir), "doc_id", "text")
+      .withColumn("lm_x1e6", expr("(sum_cnt * 1000000) div n_tokens"))
+      .select($"doc_id", $"lm_x1e6")
+      .localCheckpoint(true)
+    val cuts = graft.operators.ExactQuantiles.byGroup(
+        m.withColumn("__g", lit(1)), Seq("__g"), "lm_x1e6", Seq(34, 67))
+      .select($"p34", $"p67")
+    m.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when($"lm_x1e6" <= $"p34", "tail")
+          .when($"lm_x1e6" <= $"p67", "middle")
+          .otherwise("head"))
+      .select($"doc_id", $"lm_x1e6", $"tier")
+      .orderBy($"doc_id")
+  }
+
+  val q102Sql: String =
+    """WITH toks AS (SELECT doc_id, t.tok FROM documents, UNNEST(string_split(text,' ')) t(tok)),
+      |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |per AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+      |        FROM toks JOIN vocab USING (tok) GROUP BY doc_id),
+      |m AS (SELECT doc_id, CAST((sum_cnt * 1000000) // n_tokens AS BIGINT) AS lm_x1e6 FROM per),
+      |h AS (SELECT lm_x1e6 AS v, COUNT(*) AS c FROM m GROUP BY 1),
+      |w AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS total FROM h),
+      |cuts AS (SELECT MIN(CASE WHEN cum >= (total*34+99)//100 THEN v END) AS p34,
+      |                MIN(CASE WHEN cum >= (total*67+99)//100 THEN v END) AS p67 FROM w)
+      |SELECT m.doc_id, m.lm_x1e6,
+      |  CASE WHEN m.lm_x1e6 <= c.p34 THEN 'tail'
+      |       WHEN m.lm_x1e6 <= c.p67 THEN 'middle' ELSE 'head' END AS tier
+      |FROM m CROSS JOIN cuts c ORDER BY m.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2137,6 +2241,8 @@ object TextQueries {
     "q96_ttr" -> q96TypeTokenRatio _,
     "q99_curation_pipeline" -> q99CurationPipeline _,
     "q100_collocations" -> q100Collocations _,
+    "q101_temperature_mix" -> q101TemperatureMix _,
+    "q102_lm_tiers" -> q102LmTiers _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2195,5 +2301,7 @@ object TextQueries {
     "q96_ttr" -> q96Sql,
     "q99_curation_pipeline" -> q99Sql,
     "q100_collocations" -> q100Sql,
+    "q101_temperature_mix" -> q101Sql,
+    "q102_lm_tiers" -> q102Sql,
   )
 }

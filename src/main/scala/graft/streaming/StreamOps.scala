@@ -55,6 +55,32 @@ object StreamOps {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Session-window aggregation via Spark's NATIVE `session_window`
+    * (inactivity-gap sessions: a session absorbs each next event whose
+    * timestamp is strictly before current-end = last-event + gap, so a
+    * gap ≥ `gapSec` starts a new session). Works identically on a
+    * batch or streaming DataFrame with TimestampType `ts`, `user_id`,
+    * `value` — in streaming, append mode emits each session exactly
+    * once, when the watermark passes its end; state per in-flight
+    * session is one (start, end, 2 aggregates) tuple keyed by user_id
+    * (high-cardinality, bounded by the watermark). Using the built-in
+    * beats a hand-rolled flatMapGroupsWithState: Catalyst merges
+    * sessions map-side (partial MergingSessionsExec before the
+    * shuffle), and the same declarative plan serves batch and stream.
+    * Batch twin oracled as q103 (gaps-and-islands SQL). */
+  def sessionWindows(events: DataFrame, gapSec: Int = 1800,
+                     watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

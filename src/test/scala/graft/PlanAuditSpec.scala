@@ -38,6 +38,11 @@ class PlanAuditSpec extends AnyFunSuite {
     *    once, eagerly, outside this plan)
     *  - q100: the 1-row corpus-token-total aggregate broadcast side
     *    (q44/q54's pattern)
+    *  - q101: the 1-row (Σ isqrt-weight, Σ count) aggregate over the
+    *    ≤|languages|-row histogram, broadcast back (same pattern)
+    *  - q102: the 1-row p34/p67 cut-point frame — the reduction below
+    *    it is ExactQuantiles' histogram (distinct lm values, not
+    *    corpus rows), and the scored input is localCheckpoint'ed
     *  - q92: two global `row_number() <= 100` top-k windows — Spark's
     *    WindowGroupLimit inserts a partial top-k BEFORE each exchange,
     *    so the single partition sees ≤ 100·numParts pre-pruned rows
@@ -63,6 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q89_importance_sample" -> 2,
     "q92_rank_fusion" -> 2,
     "q100_collocations" -> 1,
+    "q101_temperature_mix" -> 1,
+    "q102_lm_tiers" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {

@@ -108,6 +108,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("session windows: streamed closed sessions equal batch sessions") {
+    val dir = stagedEventsDir()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.sessionWindows(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("sessions").collect().map(key).toSet
+    val batchDf = spark.read.parquet(dir)
+    val batch = StreamOps.sessionWindows(batchDf).collect().map(key).toSet
+    // append emits a session once the watermark (max ts - 2h under
+    // AvailableNow) passes its end: every surely-closed batch session
+    // must have streamed, and nothing may stream that batch lacks
+    val maxUs = batchDf.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val closed = batch.filter(_._3 < maxUs - 7200L * 1000000L)
+    assert(closed.nonEmpty, "testdata span too short to close any session")
+    assert(closed.subsetOf(streamed))
+    assert(streamed.subsetOf(batch))
+  }
+
   test("stream-static enrichment: broadcast dim join, stream equals batch") {
     val dir = Files.createTempDirectory("stream-enrich").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
