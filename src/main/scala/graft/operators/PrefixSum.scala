@@ -126,7 +126,7 @@ object PrefixSum {
     * key-column-pruned passes (a count to size the residue class, the
     * filtered sample collect); at most `numParts × SamplePerPart` keys
     * ever reach the driver. */
-  private def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int): Seq[Seq[Any]] = {
+  private[operators] def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int): Seq[Seq[Any]] = {
     if (numParts <= 1) return Nil
     val ord = orderCols.map(col)
     val keys = df.select(ord: _*)
@@ -159,7 +159,7 @@ object PrefixSum {
     * codegen-able expression, identical on every plan branch. Linear
     * in `numParts`; for thousands of buckets swap in a broadcast range
     * join against the cut table (same contract). */
-  private def bucketExpr(orderCols: Seq[String], cuts: Seq[Seq[Any]]): Column =
+  private[operators] def bucketExpr(orderCols: Seq[String], cuts: Seq[Seq[Any]]): Column =
     cuts.foldLeft(lit(0)) { (acc, cut) =>
       acc + when(geCut(orderCols, cut), 1).otherwise(0)
     }

@@ -2185,6 +2185,45 @@ object TextQueries {
       |       WHEN m.lm_x1e6 <= c.p67 THEN 'middle' ELSE 'head' END AS tier
       |FROM m CROSS JOIN cuts c ORDER BY m.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Corpus-level repeated-sequence mining via
+    * [[graft.operators.RepeatedSequences]] — the bounded suffix-array
+    * neighbor-LCP scan (Lee et al. 2021's substring dedup idea): top
+    * 25 longest token sequences (≤ 8-token horizon) occurring at ≥ 2
+    * corpus positions. The oracle re-derives the same pairs with a
+    * global LAG over the sorted windows plus a generated 8-term
+    * prefix-equality sum — an independent formulation of the
+    * neighbor-LCP identity, pinning the distributed
+    * bucket/boundary-carry machinery against plain SQL. */
+  def q104RepeatedSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.RepeatedSequences
+      .topRepeats(docs(s, dir), "doc_id", "text", window = 8, topK = 25)
+      .orderBy($"lcp".desc, $"seq")
+  }
+
+  val q104Sql: String = {
+    val w = 8
+    // the i <= len guard is load-bearing: list_slice CLAMPS past the
+    // list end, so two equal windows SHORTER than i would otherwise
+    // count every term and inflate lcp beyond the window length
+    val terms = (1 to w)
+      .map(i => s"(CASE WHEN $i <= greatest(len(wt), len(pwt)) " +
+        s"AND list_slice(pwt,1,$i) = list_slice(wt,1,$i) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+       |win AS (SELECT doc_id, i AS p,
+       |          list_slice(ts, i, least(i + ${w - 1}, len(ts))) AS wt,
+       |          array_to_string(list_slice(ts, i, least(i + ${w - 1}, len(ts))), ' ') AS ws
+       |        FROM d, UNNEST(range(1, len(ts) + 1)) t(i)),
+       |o AS (SELECT wt, LAG(wt) OVER (ORDER BY ws, doc_id, p) AS pwt FROM win),
+       |l AS (SELECT wt, $terms AS lcp FROM o WHERE pwt IS NOT NULL),
+       |f AS (SELECT DISTINCT CAST(lcp AS BIGINT) AS lcp,
+       |        array_to_string(list_slice(wt, 1, lcp), ' ') AS seq
+       |      FROM l WHERE lcp >= 1)
+       |SELECT lcp, seq FROM f ORDER BY lcp DESC, seq LIMIT 25""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2243,6 +2282,7 @@ object TextQueries {
     "q100_collocations" -> q100Collocations _,
     "q101_temperature_mix" -> q101TemperatureMix _,
     "q102_lm_tiers" -> q102LmTiers _,
+    "q104_repeated_sequences" -> q104RepeatedSequences _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2303,5 +2343,6 @@ object TextQueries {
     "q100_collocations" -> q100Sql,
     "q101_temperature_mix" -> q101Sql,
     "q102_lm_tiers" -> q102Sql,
+    "q104_repeated_sequences" -> q104Sql,
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RepeatedSequences
+
+class RepeatedSequencesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Brute-force reference: sort all suffix windows, neighbor LCP,
+    * distinct (lcp, prefix), top-k by (lcp desc, seq asc). */
+  private def brute(docs: Seq[(Long, String)], w: Int, k: Int): Seq[(Long, String)] = {
+    val windows = docs.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1)
+      ts.indices.map(i => (ts.slice(i, math.min(i + w, ts.length)), id, i + 1))
+    }.sortBy { case (wt, id, p) => (wt.mkString(" "), id, p) }
+    windows.sliding(2).collect {
+      case Seq((a, _, _), (b, _, _)) =>
+        val l = RepeatedSequences.lcpLen(a, b)
+        (l.toLong, b.take(l).mkString(" "))
+    }.filter(_._1 >= 1).toSeq.distinct
+      .sortBy { case (l, seq) => (-l, seq) }.take(k)
+  }
+
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "a quick brown fox leaps over the lazy dog today",
+    3L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    4L -> "completely unrelated words here nothing shared",
+    5L -> "over the lazy dog is a common tail phrase",
+    6L -> "the the the the repeated token run run run")
+
+  test("matches the brute-force suffix-window neighbor-LCP reference") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = RepeatedSequences.topRepeats(df, "doc_id", "text", window = 8, topK = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy { case (l, seq) => (-l, seq) }
+    assert(got == brute(corpus, 8, 25))
+    // the exact 8-token dup (docs 1 and 3) must surface at full horizon
+    assert(got.head._1 == 8L)
+  }
+
+  test("output is invariant to bucket count") {
+    val df = corpus.toDF("doc_id", "text")
+    def run(parts: Int) = RepeatedSequences
+      .topRepeats(df, "doc_id", "text", window = 5, topK = 50, numParts = parts)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val r1 = run(1)
+    assert(run(3) == r1 && run(7) == r1)
+  }
+
+  test("empty and single-token documents do not break the scan") {
+    val df = Seq(1L -> "", 2L -> "x", 3L -> "x").toDF("doc_id", "text")
+    val got = RepeatedSequences.topRepeats(df, "doc_id", "text", window = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // "x" appears twice -> (1, "x"); the two empty-ish windows "" and "x"
+    // share no nonempty prefix
+    assert(got == Set((1L, "x")))
+  }
+}
