@@ -2224,6 +2224,56 @@ object TextQueries {
        |SELECT lcp, seq FROM f ORDER BY lcp DESC, seq LIMIT 25""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+  /** Exact triangle counts + local clustering coefficients via
+    * [[graft.operators.Triangles]] (degree-ordered edge-iterator —
+    * the orientation bounds wedge fan-out at O(m^{3/2}) so a hub
+    * cannot become the "last reducer"). The graph is the q69-style
+    * deterministic doc-id arithmetic family, densified to 200 nodes
+    * so triangles are plentiful; the oracle recounts them with a
+    * plain 3-way self-join on the canonicalized (a < b) edge set —
+    * an independent formulation, no orientation involved. */
+  def q105Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val e1 = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 7 + 3) % 200).as("dst"))
+    val e2 = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 13 + 5) % 200).as("dst"))
+    val e3 = d.filter($"doc_id" % 5 > 0)
+      .select((($"doc_id" * 3) % 200).as("src"), (($"doc_id" * 17) % 200).as("dst"))
+    graft.operators.Triangles.perNode(e1.union(e2).union(e3))
+      .orderBy($"node")
+  }
+
+  val q105Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id % 200 AS s, (doc_id*7+3) % 200 AS d FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id % 200, (doc_id*13+5) % 200 FROM documents WHERE doc_id % 3 > 0
+      |  UNION ALL
+      |  SELECT (doc_id*3) % 200, (doc_id*17) % 200 FROM documents WHERE doc_id % 5 > 0),
+      |ce AS (SELECT DISTINCT least(s,d) AS a, greatest(s,d) AS b FROM raw WHERE s <> d),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |          SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+      |        GROUP BY node),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM ce e1
+      |        JOIN ce e2 ON e2.a = e1.b
+      |        JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tc AS (SELECT node, COUNT(*) AS tri FROM (
+      |         SELECT x AS node FROM tri
+      |         UNION ALL SELECT y FROM tri
+      |         UNION ALL SELECT z FROM tri)
+      |       GROUP BY node)
+      |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+      |  CASE WHEN d.deg >= 2
+      |       THEN CAST(2 * COALESCE(t.tri, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+      |       ELSE CAST(0 AS DOUBLE) END AS coeff
+      |FROM deg d LEFT JOIN tc t USING (node)
+      |ORDER BY d.node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2283,6 +2333,7 @@ object TextQueries {
     "q101_temperature_mix" -> q101TemperatureMix _,
     "q102_lm_tiers" -> q102LmTiers _,
     "q104_repeated_sequences" -> q104RepeatedSequences _,
+    "q105_triangles" -> q105Triangles _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2344,5 +2395,6 @@ object TextQueries {
     "q101_temperature_mix" -> q101Sql,
     "q102_lm_tiers" -> q102Sql,
     "q104_repeated_sequences" -> q104Sql,
+    "q105_triangles" -> q105Sql,
   )
 }
