@@ -2274,6 +2274,77 @@ object TextQueries {
       |FROM deg d LEFT JOIN tc t USING (node)
       |ORDER BY d.node""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Corpus datacard: the per-source + overall release report (doc /
+    * token / char counts, exact-dup rate in integer permille, quality-
+    * gate pass count on q14's SHARED score expression) in one scan —
+    * `rollup(lang)` adds the ALL row map-side, `countDistinct(md5)`
+    * shuffles one hash per doc. Everything integer except the shared
+    * quality composite (already pinned bit-exact by q14/q99). */
+  def q106Datacard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .withColumn("n_words",
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("__nthe", theCountExpr)
+      .withColumn("q", qualityScore($"n_words", $"__nthe", length($"text")))
+      .withColumn("h", md5($"text"))
+    scored.rollup($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_tokens"),
+        sum(length($"text")).cast("long").as("n_chars"),
+        countDistinct($"h").as("n_uniq"),
+        sum(when($"q" >= lit(0.625), 1L).otherwise(0L)).as("n_quality"))
+      .withColumn("lang", coalesce($"lang", lit("ALL")))
+      .withColumn("dup_pm", expr("((n_docs - n_uniq) * 1000) div n_docs"))
+      .orderBy($"lang")
+  }
+
+  val q106Sql: String =
+    """WITH sc AS (SELECT lang, text,
+      |    least(1.0, (length(text) - length(replace(text,' ','')) + 1)/100.0) * 0.5
+      |    + CASE WHEN CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' '))) / 4 AS BIGINT) > 0 THEN 0.25 ELSE 0.0 END
+      |    + least(1.0, length(text)/500.0) * 0.25 AS q,
+      |    CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS nw,
+      |    md5(text) AS h
+      |  FROM documents)
+      |SELECT COALESCE(lang, 'ALL') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(nw) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_uniq,
+      |  CAST(SUM(CASE WHEN q >= 0.625 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(((COUNT(*) - COUNT(DISTINCT h)) * 1000) // COUNT(*) AS BIGINT) AS dup_pm
+      |FROM sc GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+  /** Per-source quota admission, batch form: the first 100 documents
+    * (by doc_id) of each language — ingestion rate limiting as a
+    * deterministic query. `row_number() <= k` over the lang partition
+    * compiles to Spark 4's WindowGroupLimit (map-side top-k pruning
+    * BEFORE the exchange, so the low-cardinality lang key never sees
+    * more than k·numParts rows). The streaming twin is
+    * [[graft.streaming.StreamOps.quotaStream]] (one admission counter
+    * per key, carried across micro-batches); StreamingSpec pins
+    * stream ≡ this on a single-batch replay, closing
+    * stream ≡ batch ≡ oracle. */
+  def q107SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"doc_id")))
+      .filter($"rn" <= 100)
+      .select($"doc_id", $"lang", $"rn".cast("long").as("rn"))
+      .orderBy($"doc_id")
+  }
+
+  val q107Sql: String =
+    """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2334,6 +2405,8 @@ object TextQueries {
     "q102_lm_tiers" -> q102LmTiers _,
     "q104_repeated_sequences" -> q104RepeatedSequences _,
     "q105_triangles" -> q105Triangles _,
+    "q106_datacard" -> q106Datacard _,
+    "q107_source_quota" -> q107SourceQuota _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2396,5 +2469,7 @@ object TextQueries {
     "q102_lm_tiers" -> q102Sql,
     "q104_repeated_sequences" -> q104Sql,
     "q105_triangles" -> q105Sql,
+    "q106_datacard" -> q106Sql,
+    "q107_source_quota" -> q107Sql,
   )
 }

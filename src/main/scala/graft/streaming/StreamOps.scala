@@ -81,6 +81,32 @@ object StreamOps {
         col("n_events"), col("total_value"))
   }
 
+  /** Per-source QUOTA admission — ingestion rate limiting: at most
+    * `maxPerKey` documents ever admitted per `lang`, lowest `doc_id`
+    * first within each micro-batch, with the admission counter carried
+    * across batches in one Long of state per key (bounded forever; no
+    * timeout needed — the counter IS the whole state). On a batch
+    * frame the same code runs as a single "micro-batch", where it
+    * coincides with the deterministic
+    * `row_number() over (partition by lang order by doc_id) <= n`
+    * form (q107's oracled query — StreamingSpec pins the chain).
+    * The per-group sort is bounded by the micro-batch's rows for that
+    * key, not the stream's history. */
+  def quotaStream(docs: DataFrame, maxPerKey: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("lang"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lang, it, state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = math.max(0L, maxPerKey - used).toInt
+          val take = it.map(_._2).toArray.sorted.take(room)
+          if (take.nonEmpty) state.update(used + take.length)
+          take.iterator.map(id => (lang, id))
+      }.toDF("lang", "doc_id")
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

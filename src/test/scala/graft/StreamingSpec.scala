@@ -131,6 +131,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch))
   }
 
+  test("per-source quota: stream admission equals batch row_number form") {
+    val dir = Files.createTempDirectory("stream-quota").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy($"doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.quotaStream(stream, maxPerKey = 50)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quota").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("quota").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch twin #1: the same operator on the batch frame
+    val batchOp = StreamOps.quotaStream(spark.read.parquet(dir), maxPerKey = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch twin #2: the oracled window form (first 50 per lang)
+    val windowForm = spark.read.parquet(dir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")))
+      .filter($"rn" <= 50).select($"lang", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(windowForm.nonEmpty)
+    assert(streamed == windowForm)
+    assert(batchOp == windowForm)
+    // quota invariant: never more than 50 per key
+    val perKey = streamed.groupBy(_._1).map(_._2.size)
+    assert(perKey.forall(_ <= 50))
+  }
+
   test("stream-static enrichment: broadcast dim join, stream equals batch") {
     val dir = Files.createTempDirectory("stream-enrich").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
