@@ -247,6 +247,14 @@ object TextQueries {
     * estimated Jaccard = matching-minhash fraction >= 0.25. */
   def q20MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashPairs(s, dir, minEst = 0.25).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q20's minhash candidate pipeline at any estimate threshold —
+    * shared by q20 (0.25) and q108's verification stage (0.5). */
+  private[graft] def minhashPairs(s: SparkSession, dir: String,
+      minEst: Double): DataFrame = {
+    import s.implicits._
     val sh = bigramShingles(s, dir)
     // hash family: 8 independent 32-bit slices of two md5s — one
     // projection per shingle, per-doc mins computed map-side in ONE
@@ -259,12 +267,14 @@ object TextQueries {
     // LSH candidate = any colliding slice; the per-pair count of
     // colliding slices IS the minhash estimate (×1/8). The operator
     // picks band-join (scale path) vs broadcast sweep (small corpus).
-    graft.operators.MinHashLsh.pairs(sigWide, k = 8, minEst = 0.25)
-      .orderBy($"doc_a", $"doc_b")
+    graft.operators.MinHashLsh.pairs(sigWide, k = 8, minEst = minEst)
   }
 
-  val q20Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  val q20Sql: String = minhashSql("0.25")
+
+  /** q20's oracle at any estimate threshold (shared with q108). */
+  private[graft] def minhashSql(minEst: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
       |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
       |hs AS (SELECT doc_id, md5(shingle) m1, md5('x'||shingle) m2 FROM sh),
@@ -288,7 +298,7 @@ object TextQueries {
       |        FROM cand JOIN sigw sa ON doc_a = sa.doc_id
       |                  JOIN sigw sb ON doc_b = sb.doc_id)
       |SELECT doc_a, doc_b, est_jaccard FROM est
-      |WHERE est_jaccard >= 0.25
+      |WHERE est_jaccard >= $minEst
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q21
@@ -2345,6 +2355,75 @@ object TextQueries {
       |  FROM documents) t
       |WHERE rn <= 100 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Edit-distance-VERIFIED near duplicates — the two-stage shape every
+    * production dedup deploys: cheap LSH candidate generation (q20's
+    * minhash pipeline, tightened to est >= 0.5) followed by an EXACT
+    * Levenshtein check on the candidate set only. Both engines'
+    * `levenshtein` is the classic character-level DP, so the distance
+    * is an exact integer; the dup verdict is the pure-integer
+    * comparison 5·lev <= max(len) (normalized distance <= 0.2 with no
+    * float threshold). At 100 TB: candidates are LSH-bounded (never
+    * corpus-quadratic), texts arrive through two high-cardinality
+    * doc_id joins, and the O(len²) DP runs once per candidate. */
+  def q108EditVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir)
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+    minhashPairs(s, dir, minEst = 0.5)
+      .join(t.as("ta"), $"doc_a" === $"ta.doc_id")
+      .join(t.as("tb"), $"doc_b" === $"tb.doc_id")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta.text", $"tb.text").cast("long").as("lev"),
+        $"ta.len".as("len_a"), $"tb.len".as("len_b"))
+      .withColumn("is_dup",
+        when($"lev" * 5 <= greatest($"len_a", $"len_b"), 1L).otherwise(0L))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q108Sql: String =
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM (${minhashSql("0.5")})),
+       |t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+       |  ta.len AS len_a, tb.len AS len_b,
+       |  CAST(CASE WHEN 5 * levenshtein(ta.text, tb.text) <= greatest(ta.len, tb.len)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q109
+  /** k-core extraction (k=5) via [[graft.operators.KCore]] — the dense
+    * cohesive-subgraph extractor for link/co-edit graphs. The input is
+    * q105's deterministic arithmetic edge family plus a genuinely dense
+    * block (`(doc_id % 20, (doc_id div 20) % 20)` — the second
+    * coordinate varies independently of the first, so the block is a
+    * near-clique, not a cycle); at sf0.01 peeling cascades 7 rounds
+    * before the 20-node core stabilizes. Spark peels to fixpoint with
+    * per-round convergence counts; the oracle unrolls 12 generated
+    * rounds (idempotent past the fixpoint, so the margin is free). */
+  def q109KCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val e1 = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 7 + 3) % 200).as("dst"))
+    val e2 = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 13 + 5) % 200).as("dst"))
+    val e3 = d.filter($"doc_id" % 5 > 0)
+      .select((($"doc_id" * 3) % 200).as("src"), (($"doc_id" * 17) % 200).as("dst"))
+    val e4 = d.select(($"doc_id" % 20).as("src"),
+      expr("(doc_id div 20) % 20").as("dst"))
+    graft.operators.KCore.core(e1.union(e2).union(e3).union(e4), k = 5)
+      .orderBy($"node")
+  }
+
+  val q109Sql: String = graft.operators.KCore.oracleSql(
+    """SELECT doc_id % 200 AS s, (doc_id*7+3) % 200 AS d FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id % 200, (doc_id*13+5) % 200 FROM documents WHERE doc_id % 3 > 0
+      |  UNION ALL SELECT (doc_id*3) % 200, (doc_id*17) % 200 FROM documents WHERE doc_id % 5 > 0
+      |  UNION ALL SELECT doc_id % 20, (doc_id // 20) % 20 FROM documents""".stripMargin,
+    k = 5, rounds = 12)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2407,6 +2486,8 @@ object TextQueries {
     "q105_triangles" -> q105Triangles _,
     "q106_datacard" -> q106Datacard _,
     "q107_source_quota" -> q107SourceQuota _,
+    "q108_edit_verified" -> q108EditVerified _,
+    "q109_kcore" -> q109KCore _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2471,5 +2552,7 @@ object TextQueries {
     "q105_triangles" -> q105Sql,
     "q106_datacard" -> q106Sql,
     "q107_source_quota" -> q107Sql,
+    "q108_edit_verified" -> q108Sql,
+    "q109_kcore" -> q109Sql,
   )
 }

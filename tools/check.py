@@ -30,12 +30,15 @@ def cells_equal(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             got = norm(con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
             exp = norm(con.execute(sql).fetchdf())
