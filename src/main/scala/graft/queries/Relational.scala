@@ -738,6 +738,43 @@ object Relational {
       |FROM z GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Z-order layout audit: Morton-interleave (o_custkey, order-day)
+    * via [[graft.operators.ZOrder]] and report per-z-bucket rectangle
+    * stats (row count + min/max of BOTH dimensions). The point of the
+    * layout is visible in the output: every bucket of the z-range
+    * bounds a small rectangle in (custkey, day) space, which is
+    * exactly what makes parquet footer min/max stats prune scans with
+    * predicates on either column after `ZOrder.cluster` writes the
+    * layout. All arithmetic is integer bit manipulation — identical in
+    * any engine, so the audit is hash-exact. Day anchor 1995-01-01
+    * (epoch µs 788918400000000) keeps the second coordinate in 12
+    * bits. */
+  def q110ZOrderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .withColumn("day", expr(
+        "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) - 788918400000000) div 86400000000"))
+      .withColumn("zkey",
+        graft.operators.ZOrder.zkey($"o_custkey", $"day", bits = 12))
+    o.groupBy(shiftright($"zkey", 18).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"o_custkey").as("min_ck"), max($"o_custkey").as("max_ck"),
+        min($"day").as("min_day"), max($"day").as("max_day"))
+      .orderBy($"bucket")
+  }
+
+  val q110Sql: String = {
+    val zk = graft.operators.ZOrder.sqlZkey("o_custkey", "day", 12)
+    s"""WITH o AS (SELECT o_custkey,
+       |  (epoch_us(o_orderdate) - 788918400000000) // 86400000000 AS day FROM orders),
+       |z AS (SELECT o_custkey, day, $zk AS zkey FROM o)
+       |SELECT zkey >> 18 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+       |  MIN(day) AS min_day, MAX(day) AS max_day
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -766,6 +803,7 @@ object Relational {
     "q93_retention_cohorts" -> q93RetentionCohorts _,
     "q94_funnel" -> q94Funnel _,
     "q103_session_windows" -> q103SessionWindows _,
+    "q110_zorder_layout" -> q110ZOrderLayout _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -795,5 +833,6 @@ object Relational {
     "q93_retention_cohorts" -> q93Sql,
     "q94_funnel" -> q94Sql,
     "q103_session_windows" -> q103Sql,
+    "q110_zorder_layout" -> q110Sql,
   )
 }
