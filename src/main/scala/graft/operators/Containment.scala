@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Directed near-containment pairs: |A ∩ B| / |A| >= threshold emits
+  * `(doc_in = A, doc_out = B)` — "A is (nearly) contained in B". The
+  * asymmetric counterpart of [[JaccardPairs]]: Jaccard misses a short
+  * quote inside a long page (the union dominates), while containment
+  * is exactly the quote/subset/boilerplate-reuse detector a curation
+  * pipeline runs next to symmetric near-dup.
+  *
+  * Same two physical regimes as [[JaccardPairs]], same dispatch logic
+  * (the measure changes, the candidate structure doesn't):
+  * - sparse vocabulary → inverted-index self-join keyed by shingle
+  *   (candidates bounded by co-occurrence, map-side combined counts);
+  * - dense vocabulary → broadcast bitmap popcount sweep (the inverted
+  *   index degenerates to all-pairs there while paying the shuffle).
+  * Each unordered candidate pair is examined once (a < b) and emits
+  * up to two directed rows; the containment value is one double
+  * division of exact longs (bit-portable).
+  */
+object Containment {
+
+  def pairs(sh: DataFrame, threshold: Double,
+            maxBitmapVocab: Int = JaccardPairs.DefaultMaxBitmapVocab,
+            maxBitmapDocs: Long = JaccardPairs.DefaultMaxBitmapDocs,
+            maxSweepPairOps: Long = JaccardPairs.DefaultMaxSweepPairOps): DataFrame = {
+    val cached = sh.persist()
+    try {
+      if (cached.limit((JaccardPairs.MaxCollectRows + 1).toInt).count() <= JaccardPairs.MaxCollectRows)
+        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs,
+            maxSweepPairOps)
+          .getOrElse(invertedIndexPairs(sh, threshold))
+      else invertedIndexPairs(sh, threshold)
+    } finally cached.unpersist(false)
+  }
+
+  /** Shuffle-by-shingle inverted-index formulation (sparse regime).
+    * One candidate discovery (a < b), two directed emits. */
+  def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), $"da" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"db" === $"sb.doc_id")
+      .select($"da", $"db", $"common", $"sa.n".as("na"), $"sb.n".as("nb"))
+    val fwd = common.select($"da".as("doc_in"), $"db".as("doc_out"),
+      ($"common" / $"na").as("containment"))
+    val rev = common.select($"db".as("doc_in"), $"da".as("doc_out"),
+      ($"common" / $"nb").as("containment"))
+    fwd.union(rev).filter($"containment" >= threshold)
+  }
+
+  /** Broadcast-bitmap sweep (dense regime); None when the collected
+    * data reveals the vocabulary/corpus/pair budget is exceeded. */
+  def bitmapPairsGuarded(sh: DataFrame, threshold: Double,
+      maxVocab: Int, maxDocs: Long, maxPairOps: Long): Option[DataFrame] = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val raw = sh.select($"doc_id".cast("long"), $"shingle")
+      .as[(Long, String)].collect()
+    val vocab = raw.map(_._2).distinct.sorted
+    if (vocab.length > maxVocab) return None
+    val idx = vocab.zipWithIndex.toMap
+    val nWords = (vocab.length + 63) >>> 6
+    val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
+    if (byDoc.length > maxDocs) return None
+    val n = byDoc.length.toDouble
+    if (n * n / 2 * math.max(nWords, 1) > maxPairOps.toDouble) return None
+    val ids = byDoc.map(_._1)
+    val bits = byDoc.map { case (_, rows) =>
+      val b = new Array[Long](nWords)
+      rows.foreach { case (_, s) =>
+        val i = idx(s); b(i >>> 6) |= 1L << (i & 63)
+      }
+      b
+    }
+    val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bBits = spark.sparkContext.broadcast(bits)
+    val bCounts = spark.sparkContext.broadcast(counts)
+    val slices = spark.sparkContext.defaultParallelism
+    Some(spark.range(ids.length.toLong).as[Long]
+      .repartition(slices)
+      .mapPartitions { iter =>
+        val dIds = bIds.value; val dBits = bBits.value; val dCnt = bCounts.value
+        iter.flatMap { iL =>
+          val i = iL.toInt
+          val ba = dBits(i)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = i + 1
+          while (j < dIds.length) {
+            val bb = dBits(j)
+            var common = 0
+            var w = 0
+            while (w < ba.length) {
+              common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+            }
+            val ca = common.toDouble / dCnt(i)
+            val cb = common.toDouble / dCnt(j)
+            if (ca >= threshold) out += ((dIds(i), dIds(j), ca))
+            if (cb >= threshold) out += ((dIds(j), dIds(i), cb))
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("doc_in", "doc_out", "containment"))
+  }
+}

@@ -2424,6 +2424,38 @@ object TextQueries {
       |  UNION ALL SELECT doc_id % 20, (doc_id // 20) % 20 FROM documents""".stripMargin,
     k = 5, rounds = 12)
 
+  // ---------------------------------------------------------------- q111
+  /** Directed near-containment (quote / subset / boilerplate-reuse
+    * detection): |A∩B|/|A| >= 0.8 over word-bigram shingle sets via
+    * [[graft.operators.Containment]] — the asymmetric counterpart of
+    * q19's Jaccard (a short quote inside a long page never clears a
+    * Jaccard threshold; containment is what catches it). Physical plan
+    * dispatches like q19: inverted-index shingle join for sparse
+    * vocabularies, broadcast-bitmap popcount sweep for dense ones
+    * (this synthetic corpus). Containment itself is one double
+    * division of exact longs. */
+  def q111Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Containment.pairs(bigramShingles(s, dir), threshold = 0.8)
+      .orderBy($"doc_in", $"doc_out")
+  }
+
+  val q111Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT da, db, common, sa.n AS na, sb.n AS nb
+      |      FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id),
+      |d AS (SELECT da AS doc_in, db AS doc_out, common * 1.0 / na AS containment FROM j
+      |      UNION ALL
+      |      SELECT db, da, common * 1.0 / nb FROM j)
+      |SELECT doc_in, doc_out, containment FROM d
+      |WHERE containment >= 0.8 ORDER BY doc_in, doc_out""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2488,6 +2520,7 @@ object TextQueries {
     "q107_source_quota" -> q107SourceQuota _,
     "q108_edit_verified" -> q108EditVerified _,
     "q109_kcore" -> q109KCore _,
+    "q111_containment" -> q111Containment _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2554,5 +2587,6 @@ object TextQueries {
     "q107_source_quota" -> q107Sql,
     "q108_edit_verified" -> q108Sql,
     "q109_kcore" -> q109Sql,
+    "q111_containment" -> q111Sql,
   )
 }

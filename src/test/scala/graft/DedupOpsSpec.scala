@@ -46,6 +46,25 @@ class DedupOpsSpec extends AnyFunSuite {
            b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("Containment: bitmap sweep equals inverted-index join exactly") {
+    import spark.implicits._
+    val sh = shingles
+    val a = graft.operators.Containment.bitmapPairsGuarded(sh, 0.8,
+        Int.MaxValue, Long.MaxValue, Long.MaxValue).get
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    val b = graft.operators.Containment.invertedIndexPairs(sh, 0.8)
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // the measure is directional: at a low threshold some pair's two
+    // directions carry different values (|A| != |B|) — otherwise the
+    // op degenerates to q19's symmetric Jaccard
+    val lo = graft.operators.Containment.invertedIndexPairs(sh, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lo.exists { case ((i, o), v) => lo.get((o, i)).exists(_ != v) })
+  }
+
   test("shingles() equals the declarative transform pipeline as a set") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
