@@ -2456,6 +2456,53 @@ object TextQueries {
       |SELECT doc_in, doc_out, containment FROM d
       |WHERE containment >= 0.8 ORDER BY doc_in, doc_out""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Gazetteer (dictionary) tagging: match a broadcast term→tag
+    * dictionary of unigrams AND bigrams against every occurrence in
+    * the corpus, reporting per-term hit and document counts — the
+    * entity/keyword-tagging primitive (dictionaries are DATA, so this
+    * is a broadcast join, never a hardcoded filter; cf. the
+    * weight-table lesson from the classifier ops). Unigram occurrences
+    * ride one explode of `split`; bigram occurrences ride the native
+    * `token_spans(·,2)` (all adjacent pairs, one eval per row). Both
+    * streams union BEFORE the join so the dictionary probe and the
+    * map-side-combined aggregation happen once. */
+  def q112Gazetteer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = gazetteerTerms.toDF("term", "tag")
+    val d = docs(s, dir)
+    val uni = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val bi = d.select($"doc_id", explode(expr("token_spans(text, 2)")).as("term"))
+    uni.union(bi).join(broadcast(dict), "term")
+      .groupBy($"tag", $"term")
+      .agg(count(lit(1)).as("hits"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"tag", $"term")
+  }
+
+  private val gazetteerTerms: Seq[(String, String)] = Seq(
+    "join" -> "op", "scan" -> "op", "filter" -> "op", "merge" -> "op",
+    "sort" -> "op",
+    "table" -> "storage", "column" -> "storage", "row" -> "storage",
+    "vector" -> "storage",
+    "spark" -> "engine", "stream" -> "engine", "window" -> "engine",
+    "hash join" -> "algo", "sort merge" -> "algo", "row group" -> "algo",
+    "hash agg" -> "algo")
+
+  val q112Sql: String = {
+    val values = gazetteerTerms
+      .map { case (t, g) => s"('$t','$g')" }.mkString(", ")
+    s"""WITH dict(term, tag) AS (SELECT * FROM (VALUES $values)),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |uni AS (SELECT doc_id, t.tok AS term FROM d, UNNEST(ts) AS t(tok)),
+       |bi AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS term
+       |       FROM d, UNNEST(range(1, len(ts))) AS t(i)),
+       |occ AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |SELECT tag, term, CAST(COUNT(*) AS BIGINT) AS hits,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM occ JOIN dict USING (term)
+       |GROUP BY tag, term ORDER BY tag, term""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2521,6 +2568,7 @@ object TextQueries {
     "q108_edit_verified" -> q108EditVerified _,
     "q109_kcore" -> q109KCore _,
     "q111_containment" -> q111Containment _,
+    "q112_gazetteer" -> q112Gazetteer _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2588,5 +2636,6 @@ object TextQueries {
     "q108_edit_verified" -> q108Sql,
     "q109_kcore" -> q109Sql,
     "q111_containment" -> q111Sql,
+    "q112_gazetteer" -> q112Sql,
   )
 }
