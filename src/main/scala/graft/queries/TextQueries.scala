@@ -2503,6 +2503,84 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Per-source TOKEN-budget admission — q107's quota upgraded from
+    * row counts to the unit pipelines actually budget by. Each
+    * source (lang) admits documents in doc_id order until 2500 tokens
+    * are consumed; the crossing document is admitted (fill-to-budget).
+    * Batch form is one prefix-sum window per source (token counts via
+    * length arithmetic on the scan, no tokenize); the streaming twin
+    * [[graft.streaming.StreamOps.tokenBudgetStream]] carries one
+    * counter per key across micro-batches — StreamingSpec closes
+    * stream ≡ batch ≡ oracle. At 100 TB sources are domains
+    * (high-cardinality key), so the window partitions parallelize. */
+  def q114TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("ntok", expr(
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("cum_before", coalesce(
+        sum($"ntok").over(Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"lang", $"ntok",
+        ($"cum_before" + $"ntok").as("cum_tokens"),
+        when($"cum_before" < 2500L, 1L).otherwise(0L).as("admitted"))
+      .orderBy($"doc_id")
+  }
+
+  val q114Sql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok
+      |  FROM documents),
+      |w AS (SELECT doc_id, lang, ntok,
+      |    COALESCE(CAST(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, lang, ntok,
+      |  CAST(cum_before + ntok AS BIGINT) AS cum_tokens,
+      |  CAST(CASE WHEN cum_before < 2500 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** VERIFIED duplicate clusters — the full production dedup arc in
+    * one query: LSH candidates → exact Levenshtein verification
+    * (q108's pair set, is_dup only) → connected components → keep-one
+    * representative groups. q41 clusters the Jaccard graph; this
+    * clusters the edit-distance-verified graph, which is the edge set
+    * a conservative dedup actually deletes on (estimates generate,
+    * exact checks decide — the q55 heavy-hitter philosophy applied to
+    * dedup). Only non-singleton clusters are reported: members with
+    * their cluster id (min doc_id) and a keep/drop verdict. */
+  def q113VerifiedClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val verified = q108EditVerified(s, dir).filter($"is_dup" === 1L)
+      .select($"doc_a", $"doc_b")
+    val verts = docs(s, dir).select($"doc_id")
+    val lab = graft.operators.ConnectedComponents.labels(verts, verified)
+    val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .filter($"cluster_size" > 1L)
+      .select($"doc_id", $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q113Sql: String =
+    s"""WITH RECURSIVE vp AS (
+       |  SELECT doc_a, doc_b FROM (${q108Sql.replace("ORDER BY doc_a, doc_b", "")}) WHERE is_dup = 1),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+       |          UNION ALL SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       |lab AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+       |SELECT l.doc_id, l.cluster_id, cs.cluster_size, l.doc_id = l.cluster_id AS keep
+       |FROM lab l JOIN cs USING (cluster_id)
+       |WHERE cs.cluster_size > 1
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_text_quality" -> q14TextQuality _,
     "q15_token_stats" -> q15TokenStats _,
@@ -2569,6 +2647,8 @@ object TextQueries {
     "q109_kcore" -> q109KCore _,
     "q111_containment" -> q111Containment _,
     "q112_gazetteer" -> q112Gazetteer _,
+    "q113_verified_clusters" -> q113VerifiedClusters _,
+    "q114_token_budget" -> q114TokenBudget _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2637,5 +2717,7 @@ object TextQueries {
     "q109_kcore" -> q109Sql,
     "q111_containment" -> q111Sql,
     "q112_gazetteer" -> q112Sql,
+    "q113_verified_clusters" -> q113Sql,
+    "q114_token_budget" -> q114Sql,
   )
 }

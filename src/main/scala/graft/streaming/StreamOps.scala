@@ -107,6 +107,33 @@ object StreamOps {
       }.toDF("lang", "doc_id")
   }
 
+  /** Per-source TOKEN-budget admission — [[quotaStream]]'s row-count
+    * rule upgraded to the unit pretraining pipelines actually budget
+    * by. State per key is ONE long (tokens admitted so far, carried
+    * across micro-batches, bounded forever); a document is admitted
+    * iff the budget is not yet exhausted when it arrives (the crossing
+    * document is admitted — fill-to-budget), in doc_id order within a
+    * batch. Batch twin: q114's prefix-sum window form; StreamingSpec
+    * closes stream ≡ batch ≡ oracle on a single-batch replay. */
+  def tokenBudgetStream(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("lang"), col("doc_id"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("ntok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (lang, it, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          it.toArray.sortBy(_._2).foreach { case (_, id, ntok) =>
+            if (used < tokenBudget) { out += ((lang, id, ntok)); used += ntok }
+          }
+          state.update(used)
+          out.iterator
+      }.toDF("lang", "doc_id", "ntok")
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

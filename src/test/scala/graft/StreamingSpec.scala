@@ -162,6 +162,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(perKey.forall(_ <= 50))
   }
 
+  test("token-budget admission: stream equals batch prefix-sum form") {
+    val dir = Files.createTempDirectory("stream-tokbudget").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy($"doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val budget = 200L
+    val q = StreamOps.tokenBudgetStream(stream, tokenBudget = budget)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tokbudget").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tokbudget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin #1: the same operator on the batch frame
+    val batchOp = StreamOps.tokenBudgetStream(spark.read.parquet(dir), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin #2: q114's prefix-sum window form (admitted rows)
+    val windowForm = spark.read.parquet(dir)
+      .withColumn("ntok", expr(
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("cum_before", coalesce(
+        sum($"ntok").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter($"cum_before" < budget)
+      .select($"lang", $"doc_id", $"ntok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(windowForm.nonEmpty)
+    assert(streamed == windowForm)
+    assert(batchOp == windowForm)
+    // the budget binds: some source must have blocked at least one doc
+    val all = spark.read.parquet(dir).count()
+    assert(streamed.size < all)
+  }
+
   test("stream-static enrichment: broadcast dim join, stream equals batch") {
     val dir = Files.createTempDirectory("stream-enrich").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
