@@ -168,12 +168,48 @@ object MultimodalQueries {
       |FROM a, UNNEST(range(0, n_samples - 2048 + 1, 1024)) t(st)
       |ORDER BY media_id, seg_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Scene-change detection over the sampled frame stream: quantize
+    * each sampled frame's signature into a coarse perceptual bucket
+    * (sig % 8 — stands for a perceptual hash band) and emit a change
+    * point wherever consecutive sampled frames land in different
+    * buckets — the shot-boundary primitive video curation runs before
+    * frame-level dedup (keep one keyframe per scene, not 24/s). The
+    * LAG window partitions by media_id (high cardinality, parallel);
+    * stride-before-explode keeps the frame stream ~n_frames/30. The
+    * oracle embeds q59's full SQL as its frame source — one more
+    * composed-result oracle. */
+  def q115SceneChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fr = Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(docs(s, dir)), everyK = 30)
+      .toDF()
+      .withColumn("bucket", $"frame_sig" % 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    fr.withColumn("prev_bucket", lag($"bucket", 1).over(w))
+      .filter($"prev_bucket".isNotNull && $"prev_bucket" =!= $"bucket")
+      .select($"media_id", $"frame_idx", $"prev_bucket", $"bucket")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q115Sql: String =
+    s"""WITH fr AS (SELECT media_id, frame_idx, frame_sig % 8 AS bucket
+       |            FROM (${q59Sql})),
+       |lg AS (SELECT media_id, frame_idx, bucket,
+       |         LAG(bucket) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_bucket
+       |       FROM fr)
+       |SELECT media_id, frame_idx, prev_bucket, bucket
+       |FROM lg WHERE prev_bucket IS NOT NULL AND prev_bucket <> bucket
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_meta" -> q25MultimodalMeta _,
     "q26_multimodal_features" -> q26MultimodalFeatures _,
     "q27_rolling_fingerprint" -> q27RollingFingerprint _,
     "q59_frame_sample" -> q59FrameSample _,
     "q65_audio_segments" -> q65AudioSegments _,
+    "q115_scene_changes" -> q115SceneChanges _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -182,5 +218,6 @@ object MultimodalQueries {
     "q27_rolling_fingerprint" -> q27Sql,
     "q59_frame_sample" -> q59Sql,
     "q65_audio_segments" -> q65Sql,
+    "q115_scene_changes" -> q115Sql,
   )
 }

@@ -2503,6 +2503,69 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Trigram frequency SPECTRUM: how many distinct trigrams occur
+    * exactly k times (k = 1..10) — the vocabulary-growth / novelty
+    * profile (a large singleton mass means the corpus keeps producing
+    * new word sequences; a collapsed spectrum signals templated or
+    * looped text). Two map-side-combined aggregations on
+    * high-cardinality keys (trigram, then count value); trigrams ride
+    * the native `token_spans(·,3)` — all occurrences, one eval per
+    * row. */
+  def q117NgramSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(expr("token_spans(text, 3)")).as("tri"))
+      .groupBy($"tri").agg(count(lit(1)).as("c"))
+      .filter($"c" <= 10L)
+      .groupBy($"c".as("k")).agg(count(lit(1)).as("n_types"))
+      .orderBy($"k")
+  }
+
+  val q117Sql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |tri AS (SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tri
+      |        FROM d, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+      |c AS (SELECT tri, COUNT(*) AS c FROM tri GROUP BY tri)
+      |SELECT c AS k, CAST(COUNT(*) AS BIGINT) AS n_types
+      |FROM c WHERE c <= 10 GROUP BY c ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  /** Vocabulary growth curve (the Heaps'-law audit): distinct token
+    * types seen within the first 10%, 20%, …, 100% of the corpus in
+    * doc_id order. Each token shuffles once to find its FIRST document
+    * (min doc_id, map-side combined); the per-token first-seen stream
+    * then joins a broadcast 10-row decile table (vocab × 10 map-side
+    * rows, no second corpus pass). The corpus size is the audited
+    * 1-row aggregate broadcast (q44's pattern). */
+  def q118VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val firstSeen = d.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(min($"doc_id").as("first_seen"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val deciles = s.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(n))
+      .withColumn("thr", expr("(n_docs * decile) div 10"))
+    firstSeen.crossJoin(broadcast(deciles))
+      .filter($"first_seen" < $"thr")
+      .groupBy($"decile", $"thr")
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy($"decile")
+  }
+
+  val q118Sql: String =
+    """WITH fs AS (SELECT t.tok, MIN(doc_id) AS first_seen
+      |            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      |            GROUP BY t.tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |dec AS (SELECT d AS decile, (n_docs * d) // 10 AS thr
+      |        FROM n, UNNEST(range(1, 11)) AS r(d))
+      |SELECT decile, CAST(thr AS BIGINT) AS thr,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab
+      |FROM fs JOIN dec ON first_seen < thr
+      |GROUP BY decile, thr ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- q114
   /** Per-source TOKEN-budget admission — q107's quota upgraded from
     * row counts to the unit pipelines actually budget by. Each
@@ -2649,6 +2712,8 @@ object TextQueries {
     "q112_gazetteer" -> q112Gazetteer _,
     "q113_verified_clusters" -> q113VerifiedClusters _,
     "q114_token_budget" -> q114TokenBudget _,
+    "q117_ngram_spectrum" -> q117NgramSpectrum _,
+    "q118_vocab_growth" -> q118VocabGrowth _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2719,5 +2784,7 @@ object TextQueries {
     "q112_gazetteer" -> q112Sql,
     "q113_verified_clusters" -> q113Sql,
     "q114_token_budget" -> q114Sql,
+    "q117_ngram_spectrum" -> q117Sql,
+    "q118_vocab_growth" -> q118Sql,
   )
 }

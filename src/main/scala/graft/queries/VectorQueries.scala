@@ -620,6 +620,58 @@ object VectorQueries {
       |    - MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS iqr
       |FROM w GROUP BY dim ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Truncated-dimension retrieval agreement — the audit behind
+    * Matryoshka-style embedding truncation (Kusupati et al. 2022:
+    * serve a prefix of the dims, keep most of the retrieval quality):
+    * for each probe vector, does the exact top-1 cosine neighbor over
+    * the FIRST 32 dims agree with the top-1 over all 64? One row per
+    * probe with both neighbor ids and the agreement bit — the
+    * aggregate agreement rate is the number a deployment reads before
+    * halving its vector storage. Both sides are strict sequential
+    * folds (bit-identical to the oracle's ordered-UNNEST sums); ties
+    * break by neighbor id in both engines. */
+  def q116TruncAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = emb(s, dir)
+    val full = Similarity.bruteForceTopK(base, base.filter($"vec_id" < 20), k = 1)
+      .select($"query_id", $"neighbor_id".as("full_nn"))
+    val tr = base.withColumn("embedding", expr("slice(embedding, 1, 32)"))
+    val trunc = Similarity.bruteForceTopK(tr, tr.filter($"vec_id" < 20), k = 1)
+      .select($"query_id", $"neighbor_id".as("trunc_nn"))
+    full.join(trunc, "query_id")
+      .withColumn("agree", when($"full_nn" === $"trunc_nn", 1L).otherwise(0L))
+      .orderBy($"query_id")
+  }
+
+  private def nn1Sql(dims: Int): String =
+    s"""SELECT query_id, neighbor_id FROM (
+       |  SELECT qa AS query_id, qb AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qa ORDER BY dotv / (na.nrm * nb.nrm) DESC, qb) AS rnk
+       |  FROM (
+       |    SELECT a.vec_id qa, b.vec_id qb,
+       |      (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+       |       FROM UNNEST(range(1, $dims + 1)) t(i)) AS dotv
+       |    FROM embeddings a, embeddings b
+       |    WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id) d
+       |  JOIN (SELECT vec_id,
+       |          sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+       |                FROM UNNEST(range(1, $dims + 1)) t(i))) AS nrm
+       |        FROM embeddings e) na ON qa = na.vec_id
+       |  JOIN (SELECT vec_id,
+       |          sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+       |                FROM UNNEST(range(1, $dims + 1)) t(i))) AS nrm
+       |        FROM embeddings e) nb ON qb = nb.vec_id) r
+       |WHERE rnk = 1""".stripMargin
+
+  val q116Sql: String =
+    s"""WITH f AS (${nn1Sql(64)}),
+       |tr AS (${nn1Sql(32)})
+       |SELECT f.query_id, f.neighbor_id AS full_nn, tr.neighbor_id AS trunc_nn,
+       |  CAST(CASE WHEN f.neighbor_id = tr.neighbor_id THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM f JOIN tr USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q23_ann_lsh" -> q23AnnLsh _,
@@ -636,6 +688,7 @@ object VectorQueries {
     "q88_mmr_rerank" -> q88MmrRerank _,
     "q97_label_dispersion" -> q97LabelDispersion _,
     "q98_dim_robust_stats" -> q98DimRobustStats _,
+    "q116_trunc_agreement" -> q116TruncAgreement _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -654,5 +707,6 @@ object VectorQueries {
     "q88_mmr_rerank" -> q88Sql,
     "q97_label_dispersion" -> q97Sql,
     "q98_dim_robust_stats" -> q98Sql,
+    "q116_trunc_agreement" -> q116Sql,
   )
 }

@@ -70,6 +70,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_collocations" -> 1,
     "q101_temperature_mix" -> 1,
     "q102_lm_tiers" -> 1,
+    // q118: the 1-row corpus-count aggregate broadcast into the 10-row
+    // decile table (q44's pattern) — the reduction below it is
+    // map-side partials, never corpus rows on one partition
+    "q118_vocab_growth" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
