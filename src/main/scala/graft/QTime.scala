@@ -32,8 +32,13 @@ object QTime {
       if (new java.io.File(warmDir).isDirectory) fn(spark, warmDir).count()
       def onePass(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        if (sys.env.contains("QTIME_TRACE"))
+          println(f"[qtime-trace] construct=${(t1 - t0) / 1e9}%.2fs count=${(t2 - t1) / 1e9}%.2fs")
+        (t2 - t0) / 1e9
       }
       val (a, b) = (onePass(), onePass())
       println(f"[qtime] $name%-26s min=${math.min(a, b)}%.2f s  (p1=$a%.2f p2=$b%.2f)")

@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * (the CC/HITS pattern: the count is an action we need anyway to
   * detect the fixpoint, so convergence costs no extra job).
   *
-  * Lineage: each round's edge set is persisted and the previous
-  * round's handle freed; every `checkpointEvery` rounds the frame is
-  * `localCheckpoint`ed instead (lineage cut) so the plan stays bounded
-  * for deep peels (the CC/PageRank discipline — persist alone grows
-  * the logical plan linearly, and the count() action makes the
-  * checkpoint eager and cheap).
+  * Lineage: the round result is `localCheckpoint`ed EVERY round by
+  * default (checkpointEvery = 1). Each round references its input 3×
+  * (degree union twice, filter join once), so with persist alone the
+  * LOGICAL plan grows 3^r between cuts — persist dedups execution but
+  * not analysis, and driver-side analysis + cache-lookup time came to
+  * dominate the whole operator (measured at sf0.1: 13.3s with cuts
+  * every 4 rounds, 3.2s with a cut per round; the distributed work is
+  * identical). The count() action that detects convergence makes each
+  * checkpoint materialize for free.
   *
   * Peel rounds are at most the graph's degeneracy ordering depth; on
   * power-law corpora that is tens of rounds, each touching only the
@@ -34,12 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** Below this many surviving edges the per-round keep-set (≤ 2·edges
+    * node rows) rides a broadcast, turning both endpoint filters into
+    * map-side joins — the late peel rounds of ANY graph shrink into
+    * this regime. (Sizing note: this is a scale nicety, not the toy-
+    * graph fix — see checkpointEvery below for what actually cost
+    * 13s → 3s at sf0.1.) */
+  val BroadcastEdgeLimit = 2000000L
+
   /** Nodes of the k-core of the undirected simple graph induced by
     * `edges` (any direction, loops/dups ignored), with their degree
     * inside the core: `(node, deg)`, deg >= k.
     */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 100,
-           checkpointEvery: Int = 4): DataFrame = {
+           checkpointEvery: Int = 1): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     def degrees(e: DataFrame): DataFrame =
@@ -50,14 +61,18 @@ object KCore {
         least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct()
       .persist()
+    val tInit = System.nanoTime()
     var curCount = cur.count()
+    if (sys.env.contains("KCORE_TRACE"))
+      println(f"[kcore] init count=$curCount ${(System.nanoTime() - tInit) / 1e9}%.2fs")
     var prev: DataFrame = null
     var round = 0
     var converged = curCount == 0L
     try {
       while (!converged && round < maxRounds) {
         round += 1
-        val keep = degrees(cur).filter($"deg" >= k).select($"node")
+        val keep0 = degrees(cur).filter($"deg" >= k).select($"node")
+        val keep = if (curCount <= BroadcastEdgeLimit) broadcast(keep0) else keep0
         val stepped = cur
           .join(keep.as("ka"), $"a" === $"ka.node").drop("node")
           .join(keep.as("kb"), $"b" === $"kb.node").drop("node")
@@ -65,18 +80,25 @@ object KCore {
         val next =
           if (round % checkpointEvery == 0) stepped.localCheckpoint(false)
           else stepped.persist()
+        val t0 = System.nanoTime()
         val nextCount = next.count()          // action: materializes + converges
+        if (sys.env.contains("KCORE_TRACE"))
+          println(f"[kcore] round $round count=$nextCount ${(System.nanoTime() - t0) / 1e9}%.2fs")
         if (prev != null) prev.unpersist(false)
         prev = cur
         cur = next
         converged = nextCount == curCount
         curCount = nextCount
       }
-      degrees(cur).filter($"deg" >= k)
+      val tFin = System.nanoTime()
+      val out = degrees(cur).filter($"deg" >= k)
         .select($"node", $"deg".cast("long").as("deg"))
         // the caller gets a small result (core nodes); cut lineage so
         // the returned frame doesn't pin the peel's cached rounds
         .localCheckpoint(true)
+      if (sys.env.contains("KCORE_TRACE"))
+        println(f"[kcore] final ${(System.nanoTime() - tFin) / 1e9}%.2fs rounds=$round")
+      out
     } finally {
       if (prev != null) prev.unpersist(false)
       cur.unpersist(false)
