@@ -775,6 +775,42 @@ object Relational {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q120
+  /** Markov transition matrix over each user's event sequence: counts
+    * and row-normalized probabilities of event_type → next event_type
+    * (the session-modeling / next-action-prediction primitive; also
+    * the bot-vs-human fingerprint behavioral analytics reads). LAG
+    * partitions by user_id (high cardinality, parallel), ordered by
+    * (ts_us, event_id) so timestamp ties are deterministic; the
+    * probability is one double division of exact longs. */
+  def q120MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val tr = events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = tr.groupBy($"prev_type").agg(sum($"cnt").as("row_total"))
+    tr.join(totals, "prev_type")
+      .select($"prev_type", $"event_type", $"cnt",
+        ($"cnt" / $"row_total").as("prob"))
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  val q120Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |lg AS (SELECT event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      |       FROM ev),
+      |tr AS (SELECT prev_type, event_type, COUNT(*) AS cnt
+      |       FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, SUM(cnt) AS row_total FROM tr GROUP BY 1)
+      |SELECT t.prev_type, t.event_type, CAST(t.cnt AS BIGINT) AS cnt,
+      |  t.cnt * 1.0 / tot.row_total AS prob
+      |FROM tr t JOIN tot USING (prev_type)
+      |ORDER BY prev_type, event_type""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -804,6 +840,7 @@ object Relational {
     "q94_funnel" -> q94Funnel _,
     "q103_session_windows" -> q103SessionWindows _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
+    "q120_markov_transitions" -> q120MarkovTransitions _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -834,5 +871,6 @@ object Relational {
     "q94_funnel" -> q94Sql,
     "q103_session_windows" -> q103Sql,
     "q110_zorder_layout" -> q110Sql,
+    "q120_markov_transitions" -> q120Sql,
   )
 }

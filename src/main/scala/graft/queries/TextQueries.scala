@@ -2503,6 +2503,48 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q119
+  /** Context-diversity profile — the Kneser-Ney continuation counts:
+    * for each token, how many DISTINCT left neighbors and distinct
+    * right neighbors it occurs with, plus its raw frequency. KN
+    * smoothing weighs a word by how many contexts it completes (not
+    * how often it occurs) — the same statistic separates function
+    * words (high diversity) from words glued into fixed phrases (high
+    * count, low diversity), which is what tokenizer-quality audits
+    * read. One native token_spans(·,2) explode feeds both directions;
+    * distinct-counting shuffles (token, neighbor) pairs — high-
+    * cardinality keys, map-side combined. Top 50 by left diversity. */
+  def q119ContextDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pair = docs(s, dir)
+      .select(explode(expr("token_spans(text, 2)")).as("pair"))
+      .select(expr("split(pair, ' ')[0]").as("w1"),
+              expr("split(pair, ' ')[1]").as("w2"))
+      .persist()
+    try {
+      val left = pair.groupBy($"w2".as("tok"))
+        .agg(countDistinct($"w1").as("n_left"), count(lit(1)).as("c_right_of"))
+      val right = pair.groupBy($"w1".as("tok"))
+        .agg(countDistinct($"w2").as("n_right"))
+      left.join(right, "tok")
+        .select($"tok", $"n_left", $"n_right", $"c_right_of".as("freq"))
+        .orderBy($"n_left".desc, $"tok").limit(50)
+        .localCheckpoint(true)
+    } finally pair.unpersist(false)
+  }
+
+  val q119Sql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |p AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+      |      FROM d, UNNEST(range(1, len(ts))) AS t(i)),
+      |l AS (SELECT w2 AS tok, COUNT(DISTINCT w1) AS n_left, COUNT(*) AS freq
+      |      FROM p GROUP BY w2),
+      |r AS (SELECT w1 AS tok, COUNT(DISTINCT w2) AS n_right FROM p GROUP BY w1)
+      |SELECT tok, CAST(n_left AS BIGINT) AS n_left,
+      |  CAST(n_right AS BIGINT) AS n_right, CAST(freq AS BIGINT) AS freq
+      |FROM l JOIN r USING (tok)
+      |ORDER BY n_left DESC, tok LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- q117
   /** Trigram frequency SPECTRUM: how many distinct trigrams occur
     * exactly k times (k = 1..10) — the vocabulary-growth / novelty
@@ -2714,6 +2756,7 @@ object TextQueries {
     "q114_token_budget" -> q114TokenBudget _,
     "q117_ngram_spectrum" -> q117NgramSpectrum _,
     "q118_vocab_growth" -> q118VocabGrowth _,
+    "q119_context_diversity" -> q119ContextDiversity _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2786,5 +2829,6 @@ object TextQueries {
     "q114_token_budget" -> q114Sql,
     "q117_ngram_spectrum" -> q117Sql,
     "q118_vocab_growth" -> q118Sql,
+    "q119_context_diversity" -> q119Sql,
   )
 }
