@@ -134,6 +134,39 @@ object StreamOps {
       }.toDF("lang", "doc_id", "ntok")
   }
 
+  /** Scene-change detection over a LIVE frame stream — q115's batch
+    * rule (coarse signature bucket differs from the previous sampled
+    * frame) with the LAG carried as state: ONE bucket value per
+    * media_id across micro-batches, bounded forever. Frames are
+    * processed in frame_idx order within a batch; across batches the
+    * stream is assumed per-media nondecreasing in frame_idx (the live-
+    * feed property — frames of one capture arrive in order). Emits
+    * change points `(media_id, frame_idx, prev_bucket, bucket)`;
+    * StreamingSpec pins stream ≡ q115's LAG form on a 3-batch replay
+    * with per-media sequences split across batches. */
+  def sceneChangeStream(frames: DataFrame, buckets: Long = 8L): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.select(col("media_id"), col("frame_idx"), col("frame_sig"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (mid, it, state: GroupState[Long]) =>
+          var last: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          it.toArray.sortBy(_._2).foreach { case (_, idx, sig) =>
+            val b = sig % buckets
+            last match {
+              case Some(p) if p != b => out += ((mid, idx, p, b))
+              case _ =>
+            }
+            last = Some(b)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }.toDF("media_id", "frame_idx", "prev_bucket", "bucket")
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

@@ -162,6 +162,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(perKey.forall(_ <= 50))
   }
 
+  test("scene changes: stream carries per-media bucket across batches, equals LAG form") {
+    val dir = Files.createTempDirectory("stream-scene").toString
+    val frames = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.mediaFromDocuments(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet")),
+        everyK = 30)
+      .toDF().filter($"error".isNull)
+      .select($"media_id", $"frame_idx", $"frame_sig")
+    // split each media's frame sequence ACROSS batch files so the
+    // change at a file boundary is only found via carried state
+    for ((cond, i) <- Seq($"frame_idx" < 60,
+        $"frame_idx" >= 60 && $"frame_idx" < 120, $"frame_idx" >= 120).zipWithIndex) {
+      frames.filter(cond).coalesce(1).write.parquet(s"$dir/in/f$i")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/f$i")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val q = StreamOps.sceneChangeStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scene").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scene").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: q115's LAG rule over the same frame rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    val batch = frames.withColumn("bucket", $"frame_sig" % 8)
+      .withColumn("prev_bucket", lag($"bucket", 1).over(w))
+      .filter($"prev_bucket".isNotNull && $"prev_bucket" =!= $"bucket")
+      .select($"media_id", $"frame_idx", $"prev_bucket", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // the carry mattered: some change point sits at a batch boundary
+    assert(batch.exists(_._2 == 60) || batch.exists(_._2 == 120))
+  }
+
   test("token-budget admission: stream equals batch prefix-sum form") {
     val dir = Files.createTempDirectory("stream-tokbudget").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
