@@ -786,13 +786,17 @@ object Relational {
   def q120MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-    val tr = events(s, dir)
+    events(s, dir)
       .withColumn("prev_type", lag($"event_type", 1).over(w))
       .filter($"prev_type".isNotNull)
       .groupBy($"prev_type", $"event_type")
       .agg(count(lit(1)).as("cnt"))
-    val totals = tr.groupBy($"prev_type").agg(sum($"cnt").as("row_total"))
-    tr.join(totals, "prev_type")
+      // row totals as a window over the ALREADY-aggregated frame (one
+      // row per transition pair) — a groupBy+join would re-execute the
+      // whole scan+window subtree (column pruning defeats
+      // ReuseExchange; verified in the plan)
+      .withColumn("row_total",
+        sum($"cnt").over(Window.partitionBy($"prev_type")))
       .select($"prev_type", $"event_type", $"cnt",
         ($"cnt" / $"row_total").as("prob"))
       .orderBy($"prev_type", $"event_type")
