@@ -815,6 +815,36 @@ object Relational {
       |FROM tr t JOIN tot USING (prev_type)
       |ORDER BY prev_type, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Market-basket co-purchase pairs: for every unordered pair of
+    * distinct parts appearing in the same order, the number of orders
+    * containing both — the association-rule / recommendation
+    * primitive. The self-join is keyed by l_orderkey, so fan-out is
+    * bounded by basket size squared (baskets are small by nature),
+    * never corpus-quadratic; per-order part lists are deduped BEFORE
+    * pairing so quantities/line splits don't inflate counts. Support
+    * filter >= 3, top 50 by support with pair tiebreak. */
+  def q122CoPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    op.as("x").join(op.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .groupBy($"x.pk".as("part_a"), $"y.pk".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 3L)
+      .orderBy($"support".desc, $"part_a", $"part_b")
+      .limit(50)
+  }
+
+  val q122Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT x.pk AS part_a, y.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+      |GROUP BY x.pk, y.pk
+      |HAVING COUNT(*) >= 3
+      |ORDER BY support DESC, part_a, part_b
+      |LIMIT 50""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -845,6 +875,7 @@ object Relational {
     "q103_session_windows" -> q103SessionWindows _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
     "q120_markov_transitions" -> q120MarkovTransitions _,
+    "q122_copurchase" -> q122CoPurchase _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -876,5 +907,6 @@ object Relational {
     "q103_session_windows" -> q103Sql,
     "q110_zorder_layout" -> q110Sql,
     "q120_markov_transitions" -> q120Sql,
+    "q122_copurchase" -> q122Sql,
   )
 }

@@ -2503,6 +2503,77 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q121
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the canonical edge set — do hubs link to
+    * hubs (assortative, r > 0) or to leaves (disassortative)? The
+    * whole statistic reduces to five integer edge sums (Σx, Σy, Σxy,
+    * Σx², Σy² with each edge counted in BOTH orientations so the
+    * measure is symmetric); products of sums are taken in
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT — exact), the denominator is ONE
+    * sqrt of the exact product and the result ONE double division —
+    * bit-portable, no per-edge floats. Graph: q105's families. */
+  def q121Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val e1 = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 7 + 3) % 200).as("dst"))
+    val e2 = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 200).as("src"), (($"doc_id" * 13 + 5) % 200).as("dst"))
+    val e3 = d.filter($"doc_id" % 5 > 0)
+      .select((($"doc_id" * 3) % 200).as("src"), (($"doc_id" * 17) % 200).as("dst"))
+    val ce = e1.union(e2).union(e3)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .persist()
+    try {
+      val deg = ce.select($"a".as("node")).union(ce.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      // both orientations -> symmetric sums; degrees arrive by join
+      val both = ce.select($"a".as("x"), $"b".as("y"))
+        .union(ce.select($"b".as("x"), $"a".as("y")))
+        .join(deg.select($"node".as("x"), $"deg".as("dx")), "x")
+        .join(deg.select($"node".as("y"), $"deg".as("dy")), "y")
+      val sums = both.agg(
+        count(lit(1)).as("m"),
+        sum($"dx").as("sx"), sum($"dy").as("sy"),
+        sum($"dx" * $"dy").as("sxy"),
+        sum($"dx" * $"dx").as("sxx"), sum($"dy" * $"dy").as("syy"))
+      sums.select($"m", $"sx", $"sxy",
+        (($"m".cast("decimal(38,0)") * $"sxy".cast("decimal(38,0)")
+          - $"sx".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)")).cast("double")
+          / sqrt((($"m".cast("decimal(38,0)") * $"sxx".cast("decimal(38,0)")
+              - $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)"))
+            * ($"m".cast("decimal(38,0)") * $"syy".cast("decimal(38,0)")
+              - $"sy".cast("decimal(38,0)") * $"sy".cast("decimal(38,0)"))).cast("double")))
+          .as("assortativity"))
+        .localCheckpoint(true)
+    } finally ce.unpersist(false)
+  }
+
+  val q121Sql: String =
+    """WITH raw AS (
+      |  SELECT doc_id % 200 AS s, (doc_id*7+3) % 200 AS d FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL SELECT doc_id % 200, (doc_id*13+5) % 200 FROM documents WHERE doc_id % 3 > 0
+      |  UNION ALL SELECT (doc_id*3) % 200, (doc_id*17) % 200 FROM documents WHERE doc_id % 5 > 0),
+      |ce AS (SELECT DISTINCT least(s,d) AS a, greatest(s,d) AS b FROM raw WHERE s <> d),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM (
+      |          SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node),
+      |bo AS (SELECT a AS x, b AS y FROM ce UNION ALL SELECT b, a FROM ce),
+      |j AS (SELECT dx.deg AS dx, dy.deg AS dy FROM bo
+      |      JOIN deg dx ON x = dx.node JOIN deg dy ON y = dy.node),
+      |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+      |    CAST(SUM(dx*dx) AS BIGINT) AS sxx, CAST(SUM(dy*dy) AS BIGINT) AS syy
+      |  FROM j)
+      |SELECT m, sx, sxy,
+      |  CAST(CAST(m AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+      |    / sqrt(CAST((CAST(m AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+      |                * (CAST(m AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy) AS DOUBLE))
+      |  AS assortativity
+      |FROM sums""".stripMargin
+
   // ---------------------------------------------------------------- q119
   /** Context-diversity profile — the Kneser-Ney continuation counts:
     * for each token, how many DISTINCT left neighbors and distinct
@@ -2757,6 +2828,7 @@ object TextQueries {
     "q117_ngram_spectrum" -> q117NgramSpectrum _,
     "q118_vocab_growth" -> q118VocabGrowth _,
     "q119_context_diversity" -> q119ContextDiversity _,
+    "q121_assortativity" -> q121Assortativity _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2830,5 +2902,6 @@ object TextQueries {
     "q117_ngram_spectrum" -> q117Sql,
     "q118_vocab_growth" -> q118Sql,
     "q119_context_diversity" -> q119Sql,
+    "q121_assortativity" -> q121Sql,
   )
 }
