@@ -845,6 +845,51 @@ object Relational {
       |ORDER BY support DESC, part_a, part_b
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Integer-exact CUSUM changepoint scan over the daily event-count
+    * series: deviation of each day from the global mean without any
+    * division (dev_d = n_days·c_d − total — the mean scaled by
+    * n_days), cumulative-summed in day order; the day where |cusum|
+    * peaks is the level-shift changepoint estimate (classic CUSUM).
+    * All integers end-to-end, so the scan is hash-exact. The series is
+    * one row per DAY (calendar-bounded, tiny by design) — the global
+    * windows run on that reduced frame, never on raw events; the raw
+    * scan reduces map-side into the per-day counts. */
+  def q125Changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDay = events(s, dir)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wRun = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDay
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum($"c").over(wAll))
+      .withColumn("dev", $"n_days" * $"c" - $"total")
+      .withColumn("cusum", sum($"dev").over(wRun))
+      .withColumn("is_peak",
+        (abs($"cusum") === max(abs($"cusum")).over(wAll)).cast("long"))
+      .select($"day", $"c", $"dev", $"cusum", $"is_peak")
+      .orderBy($"day")
+  }
+
+  val q125Sql: String =
+    """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT day, c,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS total
+      |  FROM byday),
+      |d AS (SELECT day, c, n_days * c - total AS dev FROM w),
+      |cs AS (SELECT day, c, dev,
+      |    CAST(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+      |  FROM d)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS c,
+      |  CAST(dev AS BIGINT) AS dev, cusum,
+      |  CAST(CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER () THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+      |FROM cs ORDER BY day""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -876,6 +921,7 @@ object Relational {
     "q110_zorder_layout" -> q110ZOrderLayout _,
     "q120_markov_transitions" -> q120MarkovTransitions _,
     "q122_copurchase" -> q122CoPurchase _,
+    "q125_changepoint" -> q125Changepoint _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -908,5 +954,6 @@ object Relational {
     "q110_zorder_layout" -> q110Sql,
     "q120_markov_transitions" -> q120Sql,
     "q122_copurchase" -> q122Sql,
+    "q125_changepoint" -> q125Sql,
   )
 }

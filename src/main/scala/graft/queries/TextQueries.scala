@@ -2503,6 +2503,67 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Weighted priority sampling (the Efraimidis–Spirakis shape, the
+    * standard one-pass distributed weighted sample): each document
+    * draws a deterministic uniform hash h and takes priority h/w with
+    * w = its token count — the k smallest priorities form a sample
+    * where inclusion probability grows with w. h is the first 12 hex
+    * digits of md5 (exact 48-bit integer in both engines); the
+    * priority is ONE double division of exact integers (bit-portable),
+    * ties broken by doc_id. Map-only until the global top-k, which
+    * plans as TakeOrdered (per-partition partial top-k). */
+  def q123WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("w", expr(
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("h", expr(
+        "conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)").cast("long"))
+      .withColumn("priority", $"h" / $"w")
+      .select($"doc_id", $"w", $"h", $"priority")
+      .orderBy($"priority", $"doc_id")
+      .limit(100)
+  }
+
+  val q123Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS w,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, w, h, h * 1.0 / w AS priority
+      |FROM t ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** KWIC concordance (keyword in context): every occurrence of the
+    * target token with its ±2-token window — the corpus-linguistics
+    * inspection tool (and the span-level audit a PII/gazetteer pass
+    * wants for review). 5-token spans from native token_spans(·,5)
+    * with the target centered; flanks re-split from the span string.
+    * Map-only explode; output bounded by occurrence count. */
+  def q124Kwic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(expr("token_spans(text, 5)")).as("span"))
+      .select($"doc_id", split($"span", " ").as("ts"))
+      .filter(expr("ts[2] = 'spark'"))
+      .select($"doc_id",
+        expr("concat_ws(' ', ts[0], ts[1])").as("left_ctx"),
+        expr("ts[2]").as("term"),
+        expr("concat_ws(' ', ts[3], ts[4])").as("right_ctx"))
+      .orderBy($"doc_id", $"left_ctx", $"right_ctx")
+  }
+
+  val q124Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sp AS (SELECT doc_id, ts[i] AS w0, ts[i+1] AS w1, ts[i+2] AS w2,
+      |              ts[i+3] AS w3, ts[i+4] AS w4
+      |       FROM d, UNNEST(range(1, len(ts) - 3)) AS t(i))
+      |SELECT doc_id, w0 || ' ' || w1 AS left_ctx, w2 AS term,
+      |  w3 || ' ' || w4 AS right_ctx
+      |FROM sp WHERE w2 = 'spark'
+      |ORDER BY doc_id, left_ctx, right_ctx""".stripMargin
+
   // ---------------------------------------------------------------- q121
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the canonical edge set — do hubs link to
@@ -2829,6 +2890,8 @@ object TextQueries {
     "q118_vocab_growth" -> q118VocabGrowth _,
     "q119_context_diversity" -> q119ContextDiversity _,
     "q121_assortativity" -> q121Assortativity _,
+    "q123_weighted_sample" -> q123WeightedSample _,
+    "q124_kwic" -> q124Kwic _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2903,5 +2966,7 @@ object TextQueries {
     "q118_vocab_growth" -> q118Sql,
     "q119_context_diversity" -> q119Sql,
     "q121_assortativity" -> q121Sql,
+    "q123_weighted_sample" -> q123Sql,
+    "q124_kwic" -> q124Sql,
   )
 }

@@ -74,6 +74,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // decile table (q44's pattern) — the reduction below it is
     // map-side partials, never corpus rows on one partition
     "q118_vocab_growth" -> 1,
+    // q125: the global CUSUM/peak windows run over the PER-DAY series
+    // (one row per calendar day — bounded by time, not corpus size);
+    // the raw event scan reduces map-side into that series first
+    "q125_changepoint" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
