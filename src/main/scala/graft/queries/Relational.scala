@@ -890,6 +890,148 @@ object Relational {
       |  CAST(CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER () THEN 1 ELSE 0 END AS BIGINT) AS is_peak
       |FROM cs ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Daily-revenue trend slope — ordinary-least-squares over the
+    * (day, revenue-in-cents) series with q121's exact-sum discipline:
+    * revenue is summed per day in DECIMAL then scaled to integer
+    * cents, the five OLS sums are exact integers, products of sums go
+    * through DECIMAL(38,0) (≡ HUGEIT exact), and the slope is ONE
+    * double division — no per-row floats, no libm. The series is one
+    * row per day; the raw scan reduces map-side. */
+  def q126TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDay = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg((sum(m2($"o_totalprice")) * 100).cast("long").as("cents"))
+    val sums = byDay.agg(
+      count(lit(1)).as("n"),
+      sum($"day").as("sx"), sum($"cents").as("sy"),
+      sum($"day" * $"cents").as("sxy"),
+      sum($"day" * $"day").as("sxx"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    sums.select($"n", $"sx", $"sy",
+      ((d($"n") * d($"sxy") - d($"sx") * d($"sy")).cast("double")
+        / (d($"n") * d($"sxx") - d($"sx") * d($"sx")).cast("double"))
+        .as("slope_cents_per_day"))
+  }
+
+  val q126Sql: String =
+    """WITH byday AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+      |    CAST(SUM(day * cents) AS HUGEINT) AS sxy,
+      |    CAST(SUM(day * day) AS BIGINT) AS sxx
+      |  FROM byday)
+      |SELECT n, sx, sy,
+      |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |  AS slope_cents_per_day
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** Column profiler over `orders` — the data-quality primitive every
+    * warehouse runs first: per profiled column its null count, exact
+    * distinct count, and min/max rendered as text (one scan; the
+    * per-column stats stack into rows so adding a column is one map
+    * entry, and distinct counts use Spark's exact count_distinct
+    * under map-side partial aggregation). */
+  def q127Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .withColumn("odate_us", unix_micros($"o_orderdate".cast("timestamp")))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "odate_us")
+    val aggCols = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")) }
+    o.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col"), col(s"${c}__nn").as("n_null"),
+        col(s"${c}__nd").as("n_distinct"), col(s"${c}__mn").as("min_repr"),
+        col(s"${c}__mx").as("max_repr"))): _*)).as("s"))
+      .select($"s.col", $"s.n_null", $"s.n_distinct", $"s.min_repr", $"s.max_repr")
+      .orderBy($"col")
+  }
+
+  val q127Sql: String =
+    """WITH o AS (SELECT *, epoch_us(o_orderdate) AS odate_us FROM orders),
+      |s AS (
+      |  SELECT 'o_orderkey' AS col, CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr, CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr FROM o
+      |  UNION ALL
+      |  SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM o
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+      |    MIN(o_orderstatus), MAX(o_orderstatus) FROM o
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      |    MIN(o_orderpriority), MAX(o_orderpriority) FROM o
+      |  UNION ALL
+      |  SELECT 'odate_us', CAST(SUM(CASE WHEN odate_us IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(DISTINCT odate_us) AS BIGINT),
+      |    CAST(MIN(odate_us) AS VARCHAR), CAST(MAX(odate_us) AS VARCHAR) FROM o)
+      |SELECT * FROM s ORDER BY col""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  /** Referential-integrity audit: orphaned foreign keys across the
+    * star schema (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer) — each check is one left-anti join on the key
+    * (shuffle on a high-cardinality key; at 100 TB the dimension side
+    * of small dims broadcasts). One row per relationship with child
+    * row count and orphan count. */
+  def q128FkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.join(parent, child(fk) === parent(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      total.crossJoin(orphans).select(lit(rel).as("rel"), $"n_child", $"n_orphan")
+    }
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .union(audit("lineitem.l_partkey->part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .union(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .union(audit("orders.o_custkey->customer", o, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .orderBy($"rel")
+  }
+
+  val q128Sql: String =
+    """SELECT 'lineitem.l_orderkey->orders' AS rel,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphan
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |ORDER BY rel""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -922,6 +1064,9 @@ object Relational {
     "q120_markov_transitions" -> q120MarkovTransitions _,
     "q122_copurchase" -> q122CoPurchase _,
     "q125_changepoint" -> q125Changepoint _,
+    "q126_trend_slope" -> q126TrendSlope _,
+    "q127_profile" -> q127Profile _,
+    "q128_fk_audit" -> q128FkAudit _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -955,5 +1100,8 @@ object Relational {
     "q120_markov_transitions" -> q120Sql,
     "q122_copurchase" -> q122Sql,
     "q125_changepoint" -> q125Sql,
+    "q126_trend_slope" -> q126Sql,
+    "q127_profile" -> q127Sql,
+    "q128_fk_audit" -> q128Sql,
   )
 }

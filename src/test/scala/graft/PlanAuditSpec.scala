@@ -78,6 +78,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // (one row per calendar day — bounded by time, not corpus size);
     // the raw event scan reduces map-side into that series first
     "q125_changepoint" -> 1,
+    // q126/q127: the final 1-row stats aggregate (map-side partials
+    // upstream — q6's corpus-wide-scalar pattern)
+    "q126_trend_slope" -> 1,
+    "q127_profile" -> 1,
+    // q128: four FK relationships × (child-count + orphan-count) 1-row
+    // aggregates, each reduced map-side before the single partition
+    "q128_fk_audit" -> 8,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
