@@ -1032,6 +1032,130 @@ object Relational {
       |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
       |ORDER BY rel""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** Market share (the TPC-H Q8 shape): per order-year, the fraction
+    * of total revenue contributed by customers of one nation — a
+    * conditional-sum-over-sum with the full join tree (lineitem ⋈
+    * orders ⋈ customer ⋈ broadcast nation). Both sums are exact
+    * decimals; the share is one double division. Exercises the
+    * multi-join + conditional aggregation path Catalyst reorders. */
+  def q129MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .withColumn("yr", year($"o_orderdate".cast("timestamp")))
+      .withColumn("amt", m2($"l_extendedprice") * m2(lit(1) - $"l_discount"))
+    rev.groupBy($"yr")
+      .agg(
+        sum(when($"n_name" === "NATION_1", $"amt")
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("nat"),
+        sum($"amt").as("tot"))
+      .select($"yr".cast("long").as("yr"),
+        $"nat".cast("double").as("nation_revenue"),
+        $"tot".cast("double").as("total_revenue"),
+        ($"nat".cast("double") / $"tot".cast("double")).as("share"))
+      .orderBy($"yr")
+  }
+
+  val q129Sql: String =
+    """WITH rev AS (
+      |  SELECT year(o_orderdate) AS yr, n_name,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) AS amt
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |a AS (SELECT yr,
+      |    SUM(CASE WHEN n_name = 'NATION_1' THEN amt ELSE CAST(0 AS DECIMAL(12,2)) END) AS nat,
+      |    SUM(amt) AS tot
+      |  FROM rev GROUP BY yr)
+      |SELECT CAST(yr AS BIGINT) AS yr, CAST(nat AS DOUBLE) AS nation_revenue,
+      |  CAST(tot AS DOUBLE) AS total_revenue,
+      |  CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |FROM a ORDER BY yr""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+  /** Suppliers who kept multi-supplier orders waiting (the TPC-H Q21
+    * shape): line items shipped after 1999-06-01 ("late") where the
+    * order has ANOTHER supplier's line item (EXISTS / semi-join) but
+    * no OTHER supplier shipped late (NOT EXISTS / anti-join) — the
+    * correlated multi-quantifier pattern, compiled to one semi and one
+    * anti join on (orderkey) with a supplier inequality. Count per
+    * supplier, top 20. */
+  def q130WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val cutoff = lit(java.sql.Timestamp.valueOf("1999-06-01 00:00:00"))
+    val late = li.filter($"l_shipdate" > cutoff)
+    val others = li.select($"l_orderkey".as("o_ok"), $"l_suppkey".as("o_sk"))
+    val lateOthers = late.select($"l_orderkey".as("lo_ok"), $"l_suppkey".as("lo_sk"))
+    late
+      .join(others,
+        $"l_orderkey" === $"o_ok" && $"l_suppkey" =!= $"o_sk", "left_semi")
+      .join(lateOthers,
+        $"l_orderkey" === $"lo_ok" && $"l_suppkey" =!= $"lo_sk", "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"l_suppkey")
+      .limit(20)
+  }
+
+  val q130Sql: String =
+    """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |WHERE l1.l_shipdate > TIMESTAMP '1999-06-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > TIMESTAMP '1999-06-01 00:00:00')
+      |GROUP BY l_suppkey
+      |ORDER BY numwait DESC, l_suppkey
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+  /** Percentile standing of every order within its priority class:
+    * rank-based percent_rank reimplemented from exact integers —
+    * (rank − 1)/(n − 1) with rank() ties and the class row count from
+    * a partition window, ONE double division — plus the decile bucket
+    * from integer arithmetic (the distribution-placement window
+    * pattern; per-class partitions parallelize). First 300 orders by
+    * key for a bounded output. */
+  def q131PercentileRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val wc = Window.partitionBy($"o_orderpriority")
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("pct_rank",
+        when($"n" > 1L, ($"rnk" - 1L) / ($"n" - 1L)).otherwise(lit(0.0)))
+      .withColumn("decile",
+        least(expr("((rnk - 1) * 10) div n"), lit(9L)))
+      .filter($"o_orderkey" < 300)
+      .select($"o_orderkey", $"o_orderpriority", $"rnk", $"n",
+        $"pct_rank", $"decile")
+      .orderBy($"o_orderkey")
+  }
+
+  val q131Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(RANK() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, rnk, n,
+      |  CASE WHEN n > 1 THEN (rnk - 1) * 1.0 / (n - 1) ELSE 0.0 END AS pct_rank,
+      |  CAST(least(((rnk - 1) * 10) // n, 9) AS BIGINT) AS decile
+      |FROM r WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1067,6 +1191,9 @@ object Relational {
     "q126_trend_slope" -> q126TrendSlope _,
     "q127_profile" -> q127Profile _,
     "q128_fk_audit" -> q128FkAudit _,
+    "q129_market_share" -> q129MarketShare _,
+    "q130_waiting_suppliers" -> q130WaitingSuppliers _,
+    "q131_percentile_rank" -> q131PercentileRank _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1103,5 +1230,8 @@ object Relational {
     "q126_trend_slope" -> q126Sql,
     "q127_profile" -> q127Sql,
     "q128_fk_audit" -> q128Sql,
+    "q129_market_share" -> q129Sql,
+    "q130_waiting_suppliers" -> q130Sql,
+    "q131_percentile_rank" -> q131Sql,
   )
 }
