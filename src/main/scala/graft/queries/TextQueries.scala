@@ -2503,6 +2503,109 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Diversity-capped top-k curation: the global top-100 by q14's
+    * SHARED quality score, but with at most 20 documents per source
+    * (lang) — the "diverse shortlist" rule that stops one dominant
+    * source from filling a curated slice. Two row_number windows
+    * (per-source, then global over the ≤20·|sources| survivors);
+    * Spark 4 inserts WindowGroupLimit partial top-k before each
+    * exchange, so neither window ever sees unpruned corpus rows. */
+  def q134DiverseTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .withColumn("n_words", expr(
+        "length(text) - length(replace(text, ' ', '')) + 1"))
+      .withColumn("__nthe", theCountExpr)
+      .withColumn("quality_score",
+        qualityScore($"n_words", $"__nthe", length($"text")))
+    val wLang = Window.partitionBy($"lang").orderBy($"quality_score".desc, $"doc_id")
+    val wAll = Window.orderBy($"quality_score".desc, $"doc_id")
+    scored
+      .withColumn("lang_rn", row_number().over(wLang).cast("long"))
+      .filter($"lang_rn" <= 20L)
+      .withColumn("global_rn", row_number().over(wAll).cast("long"))
+      .filter($"global_rn" <= 100L)
+      .select($"doc_id", $"lang", $"quality_score", $"lang_rn", $"global_rn")
+      .orderBy($"global_rn")
+  }
+
+  /** The quality composite as oracle SQL (q14's expression verbatim). */
+  private val qualitySqlExpr: String =
+    """least(1.0, (length(text) - length(replace(text,' ','')) + 1)/100.0) * 0.5
+      |    + CASE WHEN CAST((length(' '||text||' ') - length(replace(' '||text||' ',' the ',' '))) / 4 AS BIGINT) > 0 THEN 0.25 ELSE 0.0 END
+      |    + least(1.0, length(text)/500.0) * 0.25""".stripMargin
+
+  val q134Sql: String =
+    s"""WITH sc AS (SELECT doc_id, lang, $qualitySqlExpr AS quality_score FROM documents),
+       |pl AS (SELECT doc_id, lang, quality_score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |         ORDER BY quality_score DESC, doc_id) AS BIGINT) AS lang_rn
+       |  FROM sc),
+       |f AS (SELECT doc_id, lang, quality_score, lang_rn,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS global_rn
+       |  FROM pl WHERE lang_rn <= 20)
+       |SELECT doc_id, lang, quality_score, lang_rn, global_rn
+       |FROM f WHERE global_rn <= 100 ORDER BY global_rn""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Cross-source score-drift report: each source's exact quality-
+    * score quartiles against the POOLED quartiles — the calibration
+    * check run before mixing scored corpora (a source whose p50 sits
+    * far from the pool needs renormalizing, cf. per-source quantile
+    * normalization in mixture pipelines). Scores quantize to
+    * floor(q·2²⁰) BIGINT (q98's exact-histogram discipline — the
+    * shuffle is distinct score values, never corpus rows); drift is an
+    * integer difference. */
+  def q135SourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .withColumn("n_words", expr(
+        "length(text) - length(replace(text, ' ', '')) + 1"))
+      .withColumn("__nthe", theCountExpr)
+      .withColumn("q", floor(
+        qualityScore($"n_words", $"__nthe", length($"text")) * 1048576.0).cast("long"))
+      .select($"lang", $"q")
+      .persist()
+    try {
+      val bySrc = graft.operators.ExactQuantiles
+        .byGroup(scored, Seq("lang"), "q", Seq(25, 50, 75))
+        .select($"lang", $"n", $"p25", $"p50", $"p75")
+      val pooled = graft.operators.ExactQuantiles
+        .byGroup(scored.select(lit("all").as("g"), $"q"), Seq("g"), "q", Seq(25, 50, 75))
+        .select($"p25".as("all_p25"), $"p50".as("all_p50"), $"p75".as("all_p75"))
+      bySrc.crossJoin(broadcast(pooled))
+        .withColumn("drift_p50", $"p50" - $"all_p50")
+        .orderBy($"lang")
+        .localCheckpoint(true)
+    } finally scored.unpersist(false)
+  }
+
+  val q135Sql: String =
+    s"""WITH sc AS (SELECT lang,
+       |    CAST(floor(($qualitySqlExpr) * 1048576.0) AS BIGINT) AS q
+       |  FROM documents),
+       |h AS (SELECT lang, q, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+       |w AS (SELECT lang, q,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY q) AS cum,
+       |    SUM(c) OVER (PARTITION BY lang) AS total
+       |  FROM h),
+       |src AS (SELECT lang, CAST(MAX(total) AS BIGINT) AS n,
+       |    MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS p25,
+       |    MIN(CASE WHEN cum >= (total*50+99)//100 THEN q END) AS p50,
+       |    MIN(CASE WHEN cum >= (total*75+99)//100 THEN q END) AS p75
+       |  FROM w GROUP BY lang),
+       |hp AS (SELECT q, COUNT(*) AS c FROM sc GROUP BY 1),
+       |wp AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cum, SUM(c) OVER () AS total FROM hp),
+       |pool AS (SELECT
+       |    MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS all_p25,
+       |    MIN(CASE WHEN cum >= (total*50+99)//100 THEN q END) AS all_p50,
+       |    MIN(CASE WHEN cum >= (total*75+99)//100 THEN q END) AS all_p75
+       |  FROM wp)
+       |SELECT lang, n, p25, p50, p75, all_p25, all_p50, all_p75,
+       |  p50 - all_p50 AS drift_p50
+       |FROM src, pool ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q132
   /** Wikitext TEMPLATE census — q68's sibling over `{{Template|...}}`
     * markup (the transclusion syntax the reference's revision text
@@ -2962,6 +3065,8 @@ object TextQueries {
     "q123_weighted_sample" -> q123WeightedSample _,
     "q124_kwic" -> q124Kwic _,
     "q132_template_census" -> q132TemplateCensus _,
+    "q134_diverse_topk" -> q134DiverseTopK _,
+    "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
   )
 
@@ -3040,6 +3145,8 @@ object TextQueries {
     "q123_weighted_sample" -> q123Sql,
     "q124_kwic" -> q124Sql,
     "q132_template_census" -> q132Sql,
+    "q134_diverse_topk" -> q134Sql,
+    "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
   )
 }
