@@ -1156,6 +1156,109 @@ object Relational {
       |  CAST(least(((rnk - 1) * 10) // n, 9) AS BIGINT) AS decile
       |FROM r WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Time-to-convert distribution: for every user whose first view is
+    * followed by a purchase, the view→purchase lag in seconds, reduced
+    * to EXACT quartiles via the histogram order-statistic form
+    * (distinct lag values shuffle, never user rows) — the funnel-
+    * latency report next to q94's stage counts. All integers. */
+  def q136ConvertLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_us").as("v_us"))
+    val firstBuy = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"ts_us").as("p_us"))
+    val lags = firstView.join(firstBuy, "user_id")
+      .filter($"p_us" >= $"v_us")
+      .selectExpr("(p_us - v_us) div 1000000 AS lag_s")
+    graft.operators.ExactQuantiles
+      .byGroup(lags.select(lit("all").as("g"), $"lag_s".as("q")),
+        Seq("g"), "q", Seq(25, 50, 75))
+      .select($"n", $"p25", $"p50", $"p75")
+  }
+
+  val q136Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT user_id, MIN(ts_us) AS p_us FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      |lag AS (SELECT (p_us - v_us) // 1000000 AS q FROM v JOIN p USING (user_id)
+      |        WHERE p_us >= v_us),
+      |h AS (SELECT q, COUNT(*) AS c FROM lag GROUP BY 1),
+      |w AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cum, SUM(c) OVER () AS total FROM h)
+      |SELECT CAST(MAX(total) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (total*25+99)//100 THEN q END) AS p25,
+      |  MIN(CASE WHEN cum >= (total*50+99)//100 THEN q END) AS p50,
+      |  MIN(CASE WHEN cum >= (total*75+99)//100 THEN q END) AS p75
+      |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------- q137
+  /** 7-day centered moving average of daily revenue — the smoothing
+    * window every ops dashboard draws: per day, the exact decimal sum
+    * of revenue cents over days [d−3, d+3] divided ONCE by the actual
+    * window row count (edges shrink; integer count, one double
+    * division). The window runs on the per-day series (calendar-
+    * bounded), a RANGE frame over the integer day key. */
+  def q137MovingAverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDay = t(s, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      .agg((sum(m2($"o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy($"day").rangeBetween(-3L, 3L)
+    byDay
+      .withColumn("win_cents", sum($"cents").over(w))
+      .withColumn("win_days", count(lit(1)).over(w))
+      .select($"day", $"cents",
+        ($"win_cents" / $"win_days").as("ma7_cents"))
+      .orderBy($"day")
+  }
+
+  val q137Sql: String =
+    """WITH byday AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT day, cents,
+      |    CAST(SUM(cents) OVER (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_cents,
+      |    CAST(COUNT(*) OVER (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS win_days
+      |  FROM byday)
+      |SELECT CAST(day AS BIGINT) AS day, cents,
+      |  win_cents * 1.0 / win_days AS ma7_cents
+      |FROM w ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  /** Year-over-year growth per month: monthly revenue cents with a
+    * 12-month LAG and the growth ratio as one double division of exact
+    * integers (NULL for the first year — absent baselines stay NULL,
+    * never fabricated). Month key = yr·12 + (mo−1) so the LAG is a
+    * plain integer RANGE without date arithmetic in the frame. */
+  def q138YoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byMonth = t(s, dir, "orders")
+      .withColumn("ts", $"o_orderdate".cast("timestamp"))
+      .groupBy((year($"ts") * 12 + month($"ts") - 1).cast("long").as("mkey"))
+      .agg((sum(m2($"o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy($"mkey")
+    byMonth
+      .withColumn("prev_year_cents", lag($"cents", 12).over(w))
+      .select(expr("mkey div 12").as("yr"), ($"mkey" % 12L + 1L).as("mo"),
+        $"cents", $"prev_year_cents",
+        ($"cents" / $"prev_year_cents").as("yoy_ratio"))
+      .orderBy($"yr", $"mo")
+  }
+
+  val q138Sql: String =
+    """WITH bym AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT mkey, cents,
+      |    LAG(cents, 12) OVER (ORDER BY mkey) AS prev_year_cents
+      |  FROM bym)
+      |SELECT CAST(mkey // 12 AS BIGINT) AS yr, CAST(mkey % 12 + 1 AS BIGINT) AS mo,
+      |  cents, prev_year_cents,
+      |  cents * 1.0 / prev_year_cents AS yoy_ratio
+      |FROM w ORDER BY yr, mo""".stripMargin
+
   /** Query registry for this module. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1194,6 +1297,9 @@ object Relational {
     "q129_market_share" -> q129MarketShare _,
     "q130_waiting_suppliers" -> q130WaitingSuppliers _,
     "q131_percentile_rank" -> q131PercentileRank _,
+    "q136_convert_lag" -> q136ConvertLag _,
+    "q137_moving_average" -> q137MovingAverage _,
+    "q138_yoy_growth" -> q138YoyGrowth _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1233,5 +1339,8 @@ object Relational {
     "q129_market_share" -> q129Sql,
     "q130_waiting_suppliers" -> q130Sql,
     "q131_percentile_rank" -> q131Sql,
+    "q136_convert_lag" -> q136Sql,
+    "q137_moving_average" -> q137Sql,
+    "q138_yoy_growth" -> q138Sql,
   )
 }

@@ -85,6 +85,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q128: four FK relationships × (child-count + orphan-count) 1-row
     // aggregates, each reduced map-side before the single partition
     "q128_fk_audit" -> 8,
+    // q136: ExactQuantiles' histogram windows over one pooled group —
+    // input is distinct lag VALUES (map-side-combined), not user rows
+    "q136_convert_lag" -> 1,
+    // q137/q138: global windows over the per-day / per-month series
+    // (calendar-bounded, q125's pattern); raw scans reduce map-side
+    "q137_moving_average" -> 1,
+    "q138_yoy_growth" -> 1,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
