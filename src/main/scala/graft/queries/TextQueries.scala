@@ -2503,6 +2503,75 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q139
+  /** Per-document token concentration (Herfindahl index): HHI =
+    * Σ cᵢ² / N² over the document's token counts — the entropy-free
+    * repetition statistic (1/HHI is the "effective vocabulary size");
+    * templated or looping text concentrates mass and pushes HHI up.
+    * Both sums are exact integers, ONE double division per doc, no
+    * logs (the q44 rational-surrogate rule). Top 50 most concentrated
+    * docs of at least 20 tokens. */
+  def q139TokenHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c" * $"c").as("sum_c2"), sum($"c").as("n_tok"))
+      .filter($"n_tok" >= 20L)
+      .withColumn("hhi",
+        $"sum_c2".cast("double") / ($"n_tok" * $"n_tok").cast("double"))
+      .select($"doc_id", $"n_tok", $"sum_c2", $"hhi")
+      .orderBy($"hhi".desc, $"doc_id").limit(50)
+  }
+
+  val q139Sql: String =
+    """WITH tc AS (SELECT doc_id, t.tok, COUNT(*) AS c
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      |  GROUP BY doc_id, t.tok),
+      |agg AS (SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS sum_c2,
+      |    CAST(SUM(c) AS BIGINT) AS n_tok
+      |  FROM tc GROUP BY doc_id)
+      |SELECT doc_id, n_tok, sum_c2,
+      |  CAST(sum_c2 AS DOUBLE) / CAST(n_tok * n_tok AS DOUBLE) AS hhi
+      |FROM agg WHERE n_tok >= 20
+      |ORDER BY hhi DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  /** Source-size inequality (Gini coefficient): how skewed is the
+    * corpus across sources? G = (2·Σ rᵢ·xᵢ)/(n·Σ xᵢ) − (n+1)/n over
+    * sizes xᵢ sorted ascending with rank rᵢ — the mixture-balance
+    * number a datacard quotes next to per-source counts. The series
+    * is one row per source; every sum is an exact integer and the
+    * result is two double divisions of exact integers combined by one
+    * subtraction. */
+  def q140SourceGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("x"))
+    val ranked = sizes.withColumn("r",
+      row_number().over(Window.orderBy($"x", $"lang")).cast("long"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("total"),
+        sum($"r" * $"x").as("rx"))
+      .select($"n", $"total",
+        ((lit(2.0) * $"rx".cast("double")) / ($"n" * $"total").cast("double")
+          - ($"n" + 1L).cast("double") / $"n".cast("double")).as("gini"))
+  }
+
+  val q140Sql: String =
+    """WITH sizes AS (SELECT lang, COUNT(*) AS x FROM documents GROUP BY lang),
+      |ranked AS (SELECT x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY x, lang) AS BIGINT) AS r
+      |  FROM sizes),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(SUM(r * x) AS BIGINT) AS rx
+      |  FROM ranked)
+      |SELECT n, total,
+      |  (2.0 * CAST(rx AS DOUBLE)) / CAST(n * total AS DOUBLE)
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q134
   /** Diversity-capped top-k curation: the global top-100 by q14's
     * SHARED quality score, but with at most 20 documents per source
@@ -3066,6 +3135,8 @@ object TextQueries {
     "q124_kwic" -> q124Kwic _,
     "q132_template_census" -> q132TemplateCensus _,
     "q134_diverse_topk" -> q134DiverseTopK _,
+    "q139_token_hhi" -> q139TokenHhi _,
+    "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
   )
@@ -3146,6 +3217,8 @@ object TextQueries {
     "q124_kwic" -> q124Sql,
     "q132_template_census" -> q132Sql,
     "q134_diverse_topk" -> q134Sql,
+    "q139_token_hhi" -> q139Sql,
+    "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
   )

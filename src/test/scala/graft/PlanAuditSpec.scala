@@ -92,6 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // (calendar-bounded, q125's pattern); raw scans reduce map-side
     "q137_moving_average" -> 1,
     "q138_yoy_growth" -> 1,
+    // q140: rank window + 1-row Gini sums over the per-source series
+    // (one row per source — mixture cardinality, not corpus rows)
+    "q140_source_gini" -> 2,
   )
 
   test("no unaudited single-partition exchange in any query plan") {
