@@ -2503,6 +2503,76 @@ object TextQueries {
        |GROUP BY tag, term ORDER BY tag, term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q141
+  /** Duplicate-trigram fraction per document — the n-gram-level
+    * repetition gate from the Gopher/MassiveText rules (reported
+    * there as "fraction of duplicate n-grams"): 1 − distinct/total
+    * over the document's trigrams, as exact counts plus ONE double
+    * division. Complements q43 (line-level) and q139 (token-level
+    * concentration). Docs with ≥ 10 trigrams, 50 most repetitive. */
+  def q141DupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", explode(expr("token_spans(text, 3)")).as("tri"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct($"tri").as("n_distinct"))
+      .filter($"n_tri" >= 10L)
+      .withColumn("dup_frac",
+        ($"n_tri" - $"n_distinct").cast("double") / $"n_tri".cast("double"))
+      .orderBy($"dup_frac".desc, $"doc_id").limit(50)
+  }
+
+  val q141Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |tri AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tri
+      |        FROM d, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |    CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_distinct
+      |  FROM tri GROUP BY doc_id)
+      |SELECT doc_id, n_tri, n_distinct,
+      |  CAST(n_tri - n_distinct AS DOUBLE) / CAST(n_tri AS DOUBLE) AS dup_frac
+      |FROM agg WHERE n_tri >= 10
+      |ORDER BY dup_frac DESC, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Redirect-chain resolution — MediaWiki's `#REDIRECT [[Target]]`
+    * semantics (the reference consumer collapses these before diffing;
+    * chains of redirects resolve transitively, here to the bounded
+    * 2 hops MediaWiki itself follows): planted deterministic redirect
+    * pages (page % 7 == 0 redirects to (page+7) % 100 — the target is
+    * itself a redirect unless the chain wraps, so both 1-hop and
+    * 2-hop resolutions occur) are resolved by LEFT self-joins with
+    * coalesce —
+    * non-redirects resolve to themselves, a dangling hop keeps the
+    * last resolvable target. Output: per page its final target and
+    * hop count. */
+  def q142RedirectResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = docs(s, dir).select(($"doc_id" % 100).as("page")).distinct()
+      .withColumn("redirect_to",
+        when($"page" % 7 === 0, ($"page" + 7) % 100))
+    val r1 = pages.as("a")
+      .join(pages.select($"page".as("b_page"), $"redirect_to".as("b_to")).as("b"),
+        $"a.redirect_to" === $"b_page", "left")
+    r1.select($"a.page".as("page"),
+        coalesce($"b_to", $"a.redirect_to", $"a.page").as("final_target"),
+        (when($"b_to".isNotNull, 2L)
+          .when($"a.redirect_to".isNotNull, 1L).otherwise(0L)).as("hops"))
+      .orderBy($"page")
+  }
+
+  val q142Sql: String =
+    """WITH pages AS (SELECT DISTINCT doc_id % 100 AS page FROM documents),
+      |r AS (SELECT page,
+      |    CASE WHEN page % 7 = 0 THEN (page + 7) % 100 END AS redirect_to
+      |  FROM pages)
+      |SELECT a.page,
+      |  COALESCE(b.redirect_to, a.redirect_to, a.page) AS final_target,
+      |  CAST(CASE WHEN b.redirect_to IS NOT NULL THEN 2
+      |            WHEN a.redirect_to IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hops
+      |FROM r a LEFT JOIN r b ON a.redirect_to = b.page
+      |ORDER BY a.page""".stripMargin
+
   // ---------------------------------------------------------------- q139
   /** Per-document token concentration (Herfindahl index): HHI =
     * Σ cᵢ² / N² over the document's token counts — the entropy-free
@@ -3136,6 +3206,8 @@ object TextQueries {
     "q132_template_census" -> q132TemplateCensus _,
     "q134_diverse_topk" -> q134DiverseTopK _,
     "q139_token_hhi" -> q139TokenHhi _,
+    "q141_dup_ngram_frac" -> q141DupNgramFrac _,
+    "q142_redirect_resolve" -> q142RedirectResolve _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3218,6 +3290,8 @@ object TextQueries {
     "q132_template_census" -> q132Sql,
     "q134_diverse_topk" -> q134Sql,
     "q139_token_hhi" -> q139Sql,
+    "q141_dup_ngram_frac" -> q141Sql,
+    "q142_redirect_resolve" -> q142Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
