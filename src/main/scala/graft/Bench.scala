@@ -89,7 +89,7 @@ object Bench {
     // fork opts apply?), the full per-pass warm curve, and the host
     // load before/after the measurement window.
     val curve = warmCurve.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
     // a file copy makes the artifact recoverable even if the driver's
     // stdout tail capture truncates (it did, twice: r4/r5 recorded
     // "parsed": null); cwd is the repo when sbt runs
@@ -97,16 +97,24 @@ object Bench {
       val pw = new java.io.PrintWriter("bench_last.json")
       try pw.println(json) finally pw.close()
     } catch { case _: Throwable => }
-    // The stdout line must survive the driver's bounded tail capture:
-    // r6's full-name line (~3.3 KB with 90 queries) outgrew the window
-    // and "parsed" came up null AGAIN even with the JSON present in the
-    // tail. Print a compact twin — query keys shortened to their "qNN"
-    // prefix, warm curve elided — ~1.4 KB at 90 queries; the committed
-    // bench_last.json keeps full names and the curve.
-    val qsShort = results.map { case (k, v) =>
+    // The stdout line must survive the driver's bounded tail capture
+    // (a hard 2000-char window): every per-query scheme outgrew it —
+    // r6's full-name line was ~3.3 KB at 90 queries, and even the
+    // "compact qNN twin" hit ~2.2 KB at 142 queries, so "parsed" came
+    // up null in ALL SEVEN rounds. The stdout line is now SUMMARY-ONLY
+    // with a fixed-size query section (the 5 slowest, by short key) —
+    // it cannot grow with query count. The full per-query map and warm
+    // curve live in bench_last.json, which the line names.
+    val slowest5 = results.toSeq.sortBy(-_._2).take(5).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
     }.mkString("{", ",", "}")
-    val jsonShort = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val jsonShort = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest5,"queries_note":"slowest 5 of ${results.size}; full map in bench_last.json","per_query":"bench_last.json","sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    // hard guarantee: the line fits the driver's capture window with
+    // headroom for the capture's own framing. The query section is
+    // fixed-size, so this can only trip if a pathological env value
+    // sneaks in — fail loudly rather than silently overflow again.
+    require(jsonShort.length < 1500,
+      s"bench stdout line ${jsonShort.length} chars >= 1500 — would overflow the driver's tail capture")
     spark.stop()
     // printed AFTER spark.stop() so it is the final stdout line —
     // Spark's console logging otherwise interleaves after it
@@ -155,6 +163,22 @@ object Bench {
       i += 1
     }
     if (x == 42L) System.err.println("canary") // defeat DCE
+  }
+
+  /** The env overrides that change the forked JVM or parallelism, so
+    * the artifact self-explains heap/GC/core drift (r6 and r7 recorded
+    * heapGb=79 vs build.sbt's pinned 16g and the cause — an active
+    * SPARK_DRIVER_MEM — was not recoverable from the artifact). Only
+    * SET variables appear; values are sanitized for JSON embedding and
+    * clipped so a pathological value cannot overflow the stdout line. */
+  private def envOverrides(): String = {
+    Seq("SPARK_DRIVER_MEM", "SPARK_EXTRA_JVM_OPTS", "SPARK_GRAFT_CPUS")
+      .flatMap { k =>
+        sys.env.get(k).map { v =>
+          val clean = v.replaceAll("[\"\\\\\\p{Cntrl}]", "'").take(80)
+          "\"" + k + "\":\"" + clean + "\""
+        }
+      }.mkString("{", ",", "}")
   }
 
   private def systemLoad(): Double = {

@@ -214,6 +214,17 @@ object DiffKernelU8 {
     * hits via `UTF8String.equals` (memcmp). */
   private final class Ctx {
     var interner = new InternerU8
+    // identity-only memo key: the mediawiki reader deliberately shares
+    // ONE immutable UTF8String object between curr-of-row-i and
+    // prev-of-row-i+1, so `eq` is a safe fast path. NEVER content-
+    // compare this reference: a foreign UTF8String (UnsafeRow, column
+    // vector) points into a REUSED buffer, and once the next row
+    // overwrites it with same-length fields, `u.equals(lastRef)`
+    // compares the new text against ITSELF and the memo returns the
+    // PREVIOUS text's ids — observed as whole-document garbled diffs
+    // (q143's planted pairs caught it through a broadcast join).
+    private var lastRef: UTF8String = null
+    // owned copy of the last text for safe content-equality
     private var lastStr: UTF8String = null
     private var lastBytes: Array[Byte] = null
     private var lastBounds: Array[Int] = new Array[Int](256)
@@ -225,18 +236,23 @@ object DiffKernelU8 {
 
     def reset(): Unit = {
       interner = new InternerU8
-      lastStr = null; lastBytes = null; lastIds = null
+      lastRef = null; lastStr = null; lastBytes = null; lastIds = null
     }
 
     def ids(u: UTF8String): Array[Int] = {
-      if (lastStr != null && ((u eq lastStr) || u.equals(lastStr))) return lastIds
-      val b = u.getBytes
+      if (lastIds != null && ((u eq lastRef) || u.equals(lastStr))) return lastIds
+      val g = u.getBytes
+      // getBytes returns the BACKING array (not a copy) when the
+      // string exactly spans it — own the bytes unconditionally so
+      // lastBytes/lastStr can never alias caller-reused memory
+      val b = if (g.asInstanceOf[AnyRef] eq u.getBaseObject) java.util.Arrays.copyOf(g, g.length) else g
       val (buf, bn) = tokenBoundsInto(b, 0, b.length, spare)
       val out =
         if (lastBytes == null || lastIds == null) internRange(b, buf, 0, bn / 2, null, 0)
         else sharedIntern(b, buf, bn / 2)
       spare = if (buf eq lastBounds) new Array[Int](buf.length) else lastBounds
-      lastStr = u; lastBytes = b; lastBounds = buf; lastIds = out
+      lastRef = u; lastStr = UTF8String.fromBytes(b); lastBytes = b
+      lastBounds = buf; lastIds = out
       out
     }
 

@@ -101,14 +101,17 @@ object GraftFunctions {
     * columns), computed from a mediawiki-source DataFrame with
     * `prev`/`curr` columns. */
   def diffdb(revisions: DataFrame, nsByName: Map[String, Int] = Map.empty): DataFrame = {
-    val norm = normalizeTitleUdf(nsByName)
+    // native codegen expression, not the closure UDF: the UDF was the
+    // one interpreted dispatch left on this path (encoder round trip
+    // per revision); the ns map rides the plan as a foldable literal
     revisions
-      .withColumn("__norm", norm(col("title")))
+      .withColumn("__norm", call_function("normalize_title",
+        col("title"), lit(NormalizeTitle.encodeMap(nsByName))))
       .select(
         col("curr.rev_id").as("rev_id"),
         col("page_id"),
-        coalesce(col("ns"), col("__norm._1")).as("namespace"),
-        col("__norm._2").as("title"),
+        coalesce(col("ns"), col("__norm.ns")).as("namespace"),
+        col("__norm.title").as("title"),
         (unix_micros(col("curr.timestamp")) / 1000000L).cast("long").as("timestamp"),
         col("curr.comment").as("comment"),
         col("curr.minor").as("minor"),

@@ -90,6 +90,14 @@ object KCore {
         converged = nextCount == curCount
         curCount = nextCount
       }
+      // a maxRounds exit before the fixpoint returns a SUPERSET of the
+      // true k-core (survivors filtered by deg >= k) — make that
+      // visible instead of silently handing an oracle-mismatching
+      // frame to the caller
+      if (!converged)
+        System.err.println(
+          s"[kcore] WARNING: maxRounds=$maxRounds reached before fixpoint " +
+          s"($curCount edges still changing) — result is a superset of the true $k-core")
       val tFin = System.nanoTime()
       val out = degrees(cur).filter($"deg" >= k)
         .select($"node", $"deg".cast("long").as("deg"))

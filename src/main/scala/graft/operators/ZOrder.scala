@@ -24,9 +24,15 @@ object ZOrder {
     * or offset first); the result fits in 2·bits bits of a long. */
   def zkey(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    // widen to long FIRST: shiftleft on an IntegerType column wraps at
+    // 32 bits, silently dropping interleave positions above 15 for
+    // int32 inputs — the long cast makes the arithmetic match
+    // sqlZkey's BIGINT semantics for any integer input width
+    val xl = x.cast("long")
+    val yl = y.cast("long")
     val terms = (0 until bits).flatMap { b =>
-      Seq(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b),
-          shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+      Seq(shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b),
+          shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
     }
     terms.reduce(_ + _).cast("long")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, HashedMargin, Int8Quantize, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, HashedMargin, Int8Quantize, NormalizeTitle, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -78,6 +78,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "bpe_merge expects exactly 3 arguments")
         BpeMerge(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_title"),
+      new ExpressionInfo(classOf[NormalizeTitle].getName, "normalize_title"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "normalize_title expects exactly 2 arguments")
+        NormalizeTitle(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("wiki_diff_safe"),

@@ -907,7 +907,11 @@ object Relational {
     val sums = byDay.agg(
       count(lit(1)).as("n"),
       sum($"day").as("sx"), sum($"cents").as("sy"),
-      sum($"day" * $"cents").as("sxy"),
+      // sxy is the one sum that can wrap: day*cents is ~3.9e16 at
+      // sf0.1, so ~200× that revenue volume overflows a BIGINT sum —
+      // accumulate in DECIMAL(38,0) (≡ the oracle's HUGEINT). The
+      // day*day and plain sums stay far inside long range.
+      sum(($"day" * $"cents").cast("decimal(38,0)")).as("sxy"),
       sum($"day" * $"day").as("sxx"))
     def d(c: Column) = c.cast("decimal(38,0)")
     sums.select($"n", $"sx", $"sy",
@@ -1227,20 +1231,24 @@ object Relational {
       |FROM w ORDER BY day""".stripMargin
 
   // ---------------------------------------------------------------- q138
-  /** Year-over-year growth per month: monthly revenue cents with a
-    * 12-month LAG and the growth ratio as one double division of exact
-    * integers (NULL for the first year — absent baselines stay NULL,
-    * never fabricated). Month key = yr·12 + (mo−1) so the LAG is a
-    * plain integer RANGE without date arithmetic in the frame. */
+  /** Year-over-year growth per month: monthly revenue cents with the
+    * same-month-last-year baseline and the growth ratio as one double
+    * division of exact integers (NULL for the first year — absent
+    * baselines stay NULL, never fabricated). Month key = yr·12 +
+    * (mo−1); the baseline is a RANGE frame pinned at exactly mkey−12,
+    * so a calendar month with zero orders yields NULL rather than
+    * silently pairing with the wrong year's row (a row-based lag(12)
+    * breaks on gapped series). The window is global-order but runs on
+    * the ≤ #months post-aggregation rows — bounded, audited. */
   def q138YoyGrowth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val byMonth = t(s, dir, "orders")
       .withColumn("ts", $"o_orderdate".cast("timestamp"))
       .groupBy((year($"ts") * 12 + month($"ts") - 1).cast("long").as("mkey"))
       .agg((sum(m2($"o_totalprice")) * 100).cast("long").as("cents"))
-    val w = Window.orderBy($"mkey")
+    val w = Window.orderBy($"mkey").rangeBetween(-12, -12)
     byMonth
-      .withColumn("prev_year_cents", lag($"cents", 12).over(w))
+      .withColumn("prev_year_cents", max($"cents").over(w))
       .select(expr("mkey div 12").as("yr"), ($"mkey" % 12L + 1L).as("mo"),
         $"cents", $"prev_year_cents",
         ($"cents" / $"prev_year_cents").as("yoy_ratio"))
@@ -1252,7 +1260,7 @@ object Relational {
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
       |  FROM orders GROUP BY 1),
       |w AS (SELECT mkey, cents,
-      |    LAG(cents, 12) OVER (ORDER BY mkey) AS prev_year_cents
+      |    MAX(cents) OVER (ORDER BY mkey RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING) AS prev_year_cents
       |  FROM bym)
       |SELECT CAST(mkey // 12 AS BIGINT) AS yr, CAST(mkey % 12 + 1 AS BIGINT) AS mo,
       |  cents, prev_year_cents,

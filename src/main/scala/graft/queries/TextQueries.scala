@@ -2573,6 +2573,125 @@ object TextQueries {
       |FROM r a LEFT JOIN r b ON a.redirect_to = b.page
       |ORDER BY a.page""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  /** End-to-end oracle for the diff kernel — the reference's core
+    * product (`python/revision_differ.py:68-84`, semantics doc
+    * `python/example.py:67-107`): deterministic revision pairs with
+    * PROVABLY UNIQUE minimal diffs are planted per doc_id, pushed
+    * through the native `wiki_diff_safe` expression (tokenize →
+    * intern → Myers bisect → region canonicalize → position
+    * accounting, the same path `entry()`/diffdb runs), and the
+    * op rows are compared against expectations computed by PLAIN
+    * STRING ARITHMETIC on the construction — never by calling the
+    * kernel, so the oracle is independent, not circular.
+    *
+    * Why the expectations are forced: within each planted text every
+    * edited token is globally unique (doc-scoped word tokens; space
+    * runs of distinct lengths are distinct ` +` tokens), so the LCS is
+    * exactly the untouched tokens and ANY minimal script removes/adds
+    * precisely the planted region; the kernel's canonicalization then
+    * merges each region to one remove op followed by one add op at
+    * the region-start position (equal and add content advance the
+    * position; removes do not — `revision_differ.py:78-84`). The
+    * shared prefix exercises the wikitext token classes (header,
+    * template, link, bold, entity, newlines) without touching the
+    * edit region. Five edit shapes keyed off doc_id % 5: identity,
+    * single-token replace, excision, insertion, block replace. */
+  private[graft] def diffPlant(id: Int): (String, String, Seq[(Int, Int, String)]) = {
+    val prefix = s"== H$id ==\n{{t$id}} [[L$id]] '''b$id''' &amp; x$id\n"
+    val u = (0 until 6).map(i => s"w${id}q$i")
+    def sep(i: Int) = " " * i
+    // old = prefix u0 s1 u1 s2 u2 s3 u3 s4 u4 s5 u5
+    val old = prefix + u(0) + (1 until 6).map(i => sep(i) + u(i)).mkString
+    val p2 = prefix.length + u(0).length + 1 + u(1).length          // before s2
+    val p3 = p2 + 2 + u(2).length                                    // before s3
+    id % 5 match {
+      case 0 => (old, old, Seq.empty)
+      case 1 =>
+        // replace u2 -> r: remove then add at len(prefix u0 s1 u1 s2)
+        val r = s"r${id}x"
+        val nw = old.patch(p2 + 2, r, u(2).length)
+        (old, nw, Seq((p2 + 2, -1, u(2)), (p2 + 2, 1, r)))
+      case 2 =>
+        // excise s2+u2: one remove at len(prefix u0 s1 u1)
+        val nw = old.patch(p2, "", 2 + u(2).length)
+        (old, nw, Seq((p2, -1, sep(2) + u(2))))
+      case 3 =>
+        // insert a 20-space run + new word after u1: one add
+        val ins = " " * 20 + s"r${id}x"
+        val nw = old.patch(p2, ins, 0)
+        (old, nw, Seq((p2, 1, ins)))
+      case _ =>
+        // block replace u2 s3 u3 -> ra + 21 spaces + rb
+        val rep = s"ra${id}x" + " " * 21 + s"rb${id}x"
+        val cut = u(2).length + 3 + u(3).length
+        val nw = old.patch(p2 + 2, rep, cut)
+        (old, nw, Seq((p2 + 2, -1, old.substring(p2 + 2, p2 + 2 + cut)),
+                      (p2 + 2, 1, rep)))
+    }
+  }
+
+  def q143DiffOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookup = s.createDataFrame(
+        (0 until 40).map { id => val (o, n, _) = diffPlant(id); (id.toLong, o, n) })
+      .toDF("doc_id", "old_text", "new_text")
+    docs(s, dir).select($"doc_id").filter($"doc_id" < 40)
+      .join(broadcast(lookup), "doc_id")
+      .select($"doc_id",
+        posexplode(expr("wiki_diff_safe(old_text, new_text).diffs")))
+      .select($"doc_id", $"pos".cast("long").as("op_idx"),
+        $"col.position".cast("long").as("position"),
+        $"col.action".cast("long").as("action"),
+        $"col.content".as("content"))
+      .orderBy($"doc_id", $"op_idx")
+  }
+
+  /** Expected rows embedded as literal VALUES (the q52 planting
+    * pattern); joined against the table's doc_ids so the row set
+    * tracks whatever documents the SF actually has. */
+  val q143Sql: String = {
+    val rows = (0 until 40).flatMap { id =>
+      val (_, _, ops) = diffPlant(id)
+      ops.zipWithIndex.map { case ((pos, act, content), i) =>
+        s"($id, $i, $pos, $act, '${content.replace("'", "''")}')"
+      }
+    }
+    s"""WITH exp(doc_id, op_idx, position, action, content) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |d AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40)
+       |SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       |  CAST(e.op_idx AS BIGINT) AS op_idx,
+       |  CAST(e.position AS BIGINT) AS position,
+       |  CAST(e.action AS BIGINT) AS action, e.content
+       |FROM exp e JOIN d USING (doc_id)
+       |ORDER BY doc_id, op_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q144
+  /** Arbitrary-executable mapper via [[graft.operators.PipeMapper]] —
+    * the reference's Hadoop-Streaming contract (`README.rst:22-27`:
+    * any executable over stdin/stdout) exercised end-to-end: each
+    * partition's (doc_id, text) rows stream through an external
+    * `tr a-z A-Z` process and come back as rows. The corpus is pure
+    * ASCII single-line text, so the external uppercase is
+    * byte-identical to SQL `UPPER()` — which is what makes an
+    * external-process operator oracle-checkable at all. */
+  def q144PipeUpper(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = StructType(Seq(
+      StructField("doc_id", LongType), StructField("utext", StringType)))
+    graft.operators.PipeMapper
+      .pipe(docs(s, dir).select($"doc_id", $"text"),
+        Seq("tr", "a-z", "A-Z"), out)
+      .orderBy($"doc_id")
+  }
+
+  val q144Sql: String =
+    """SELECT doc_id, UPPER(text) AS utext FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q139
   /** Per-document token concentration (Herfindahl index): HHI =
     * Σ cᵢ² / N² over the document's token counts — the entropy-free
@@ -3208,6 +3327,8 @@ object TextQueries {
     "q139_token_hhi" -> q139TokenHhi _,
     "q141_dup_ngram_frac" -> q141DupNgramFrac _,
     "q142_redirect_resolve" -> q142RedirectResolve _,
+    "q143_diff_ops" -> q143DiffOps _,
+    "q144_pipe_upper" -> q144PipeUpper _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3292,6 +3413,8 @@ object TextQueries {
     "q139_token_hhi" -> q139Sql,
     "q141_dup_ngram_frac" -> q141Sql,
     "q142_redirect_resolve" -> q142Sql,
+    "q143_diff_ops" -> q143Sql,
+    "q144_pipe_upper" -> q144Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,

@@ -127,4 +127,28 @@ class DiffdbSpec extends AnyFunSuite {
       .select($"page_id", $"rev_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.sortBy(identity).toSeq == rows.toSeq)
   }
+
+  test("native normalize_title expression ≡ the Scala function (parity)") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val nsMap = Map("talk" -> 1, "user" -> 2, "user talk" -> 3)
+    val titles = Seq(
+      "Plain Title", "Talk:Something", "User_talk:Alice_B",
+      "talk:lower case prefix", "Unknown:Prefix kept", "No_Colon_Here",
+      ":Leading colon", "Talk: spaced ", "A:B:C", "")
+    val df = spark.createDataFrame(titles.map(Tuple1(_))).toDF("title")
+    val got = df.select(col("title"), call_function("normalize_title",
+        col("title"), lit(graft.functions.NormalizeTitle.encodeMap(nsMap))).as("n"))
+      .select(col("title"), col("n.ns"), col("n.title"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    for ((t, ns, norm) <- got) {
+      val (ens, enorm) = GraftFunctions.normalizeTitle(t, nsMap)
+      assert(ns == ens && norm == enorm, s"mismatch for '$t': got ($ns,$norm) want ($ens,$enorm)")
+    }
+    // null title → (0, null), never a NULL struct (diffdb coalesces ns)
+    val nullRow = spark.sql("SELECT CAST(NULL AS STRING) AS title")
+      .select(call_function("normalize_title", col("title"),
+        lit(graft.functions.NormalizeTitle.encodeMap(nsMap))).as("n"))
+      .select(col("n.ns"), col("n.title")).collect().head
+    assert(!nullRow.isNullAt(0) && nullRow.getInt(0) == 0 && nullRow.isNullAt(1))
+  }
 }

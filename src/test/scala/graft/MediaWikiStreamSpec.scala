@@ -111,6 +111,105 @@ class MediaWikiStreamSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.size($"diffs") > 0).count() == 3)
   }
 
+  /** Streaming at bench-dump scale: two multi-block bz2 parts
+    * (~384 MB raw total — the Bench ingest dump's size), read as a
+    * stream with small splits, killed after the first micro-batch
+    * (mid-dump), resumed from the checkpoint, and pinned row-exact
+    * (count AND distinct rev_ids) against the batch source. Earlier
+    * stream specs used KB-scale fixtures; this is the case where
+    * split ownership, bz2 BYBLOCK boundaries, and the offset log all
+    * have real work to do. */
+  test("bench-dump-scale stream: multi-split bz2, mid-dump resume, batch parity") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-stream-scale").toFile
+    // ~192 MB raw per part, vocab words like the bench dump, straight
+    // into the compressor (no giant in-heap string)
+    def writeBigBz2(name: String, firstPage: Int, targetRaw: Long, seed: Int): Unit = {
+      val f = new java.io.File(dir, name)
+      val fos = new java.io.FileOutputStream(f)
+      fos.write('B'); fos.write('Z')
+      val bz = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 9)
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(bz, "UTF-8"), 1 << 20)
+      val rnd = new scala.util.Random(seed)
+      var raw = 0L
+      def emit(s: String): Unit = { w.write(s); raw += s.length }
+      emit("<mediawiki>\n")
+      var page = firstPage
+      var revId = firstPage * 100
+      while (raw < targetRaw) {
+        emit(s"<page><title>Page $page</title><ns>0</ns><id>$page</id>\n")
+        var text = Array.fill(300)("w" + rnd.nextInt(5000)).mkString(" ")
+        for (r <- 1 to (1 + page % 7)) {
+          revId += 1
+          val words = text.split(" ")
+          val at = rnd.nextInt(words.length)
+          text = (words.take(at) ++ Array.fill(20)("w" + rnd.nextInt(5000)) ++
+            words.drop(at + 10)).mkString(" ")
+          emit(s"<revision><id>$revId</id><timestamp>2021-01-01T00:00:00Z</timestamp>")
+          emit(s"<contributor><username>u${r % 50}</username><id>${r % 50}</id></contributor>")
+          emit(s"<text xml:space=\"preserve\">$text</text></revision>\n")
+        }
+        emit("</page>\n")
+        page += 1
+      }
+      emit("</mediawiki>\n")
+      w.close()
+    }
+    writeBigBz2("part1.xml.bz2", firstPage = 1, targetRaw = 192L * 1024 * 1024, seed = 11)
+    writeBigBz2("part2.xml.bz2", firstPage = 1000000, targetRaw = 192L * 1024 * 1024, seed = 22)
+
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", String.valueOf(8 * 1024 * 1024))
+    try {
+      val batch = spark.read.format("mediawiki").load(dir.getAbsolutePath)
+      assert(batch.rdd.getNumPartitions > 4,
+        s"expected multi-split scan, got ${batch.rdd.getNumPartitions}")
+      val expected = batch.count()
+      assert(expected > 50000, s"dump unexpectedly small: $expected revisions")
+
+      val checkpoint = Files.createTempDirectory("mw-ckpt-scale").toString
+      val outDir = Files.createTempDirectory("mw-out-scale").toString
+      // run 1: one file per trigger; FAIL the query before batch 1 is
+      // processed — a mid-dump shutdown with batch 0 committed
+      val q1 = spark.readStream.format("mediawiki")
+        .option("maxFilesPerTrigger", "1").load(dir.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id >= 1) throw new RuntimeException("planted mid-dump kill")
+          b.select($"curr.rev_id".as("rev_id"))
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.awaitTermination()
+      }
+      val afterKill = spark.read.parquet(outDir).count()
+      assert(afterKill > 0 && afterKill < expected,
+        s"run 1 should commit exactly the first part ($afterKill of $expected)")
+
+      // run 2: resume from the checkpoint; the failed batch replays,
+      // the rest follows
+      val q2 = spark.readStream.format("mediawiki")
+        .option("maxFilesPerTrigger", "1").load(dir.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select($"curr.rev_id".as("rev_id"))
+            .write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(300000)
+
+      val got = spark.read.parquet(outDir)
+      assert(got.count() == expected,
+        s"stream total ${got.count()} != batch $expected")
+      assert(got.distinct().count() == expected,
+        "duplicate revisions across the resume boundary")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
   test("maxFilesPerTrigger caps each micro-batch") {
     val dir = Files.createTempDirectory("mw-stream3").toString
     writeDump(dir, "a.xml", 1 to 2)
