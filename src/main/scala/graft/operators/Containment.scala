@@ -28,11 +28,35 @@ object Containment {
             maxSweepPairOps: Long = JaccardPairs.DefaultMaxSweepPairOps): DataFrame = {
     val cached = sh.persist()
     try {
-      if (cached.limit((JaccardPairs.MaxCollectRows + 1).toInt).count() <= JaccardPairs.MaxCollectRows)
-        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs,
-            maxSweepPairOps)
-          .getOrElse(invertedIndexPairs(sh, threshold))
-      else invertedIndexPairs(sh, threshold)
+      if (cached.limit((JaccardPairs.MaxCollectRows + 1).toInt).count() > JaccardPairs.MaxCollectRows)
+        invertedIndexPairs(sh, threshold)
+      else {
+        val spark = sh.sparkSession
+        import spark.implicits._
+        val raw = cached.select($"doc_id".cast("long"), $"shingle")
+          .as[(Long, String)].collect()
+        // cost-modeled regime choice, same reasoning as
+        // JaccardPairs.pairs (see the comment there): sweep word-ops
+        // vs exact Σ df² inverted-index join rows, bounded by
+        // broadcast memory rather than a hard vocabulary cap.
+        val nDocs = raw.iterator.map(_._1).toSet.size.toLong
+        val dfCounts = raw.groupBy(_._2).view.mapValues(_.length.toLong)
+        val vocabN = dfCounts.size.toLong
+        val nWords = ((vocabN + 63) >>> 6).max(1L)
+        val sweepOps = nDocs.toDouble * nDocs / 2 * nWords
+        val sweepBytes = nDocs.toDouble * nWords * 8
+        val invCost = dfCounts.valuesIterator
+          .map(d => d.toDouble * d).sum * JaccardPairs.InvRowCostWordOps
+        val classicDense = vocabN <= maxBitmapVocab &&
+          sweepOps <= maxSweepPairOps.toDouble
+        val useSweep = nDocs <= maxBitmapDocs &&
+          sweepBytes <= JaccardPairs.MaxSweepBroadcastBytes.toDouble &&
+          (classicDense || sweepOps <= invCost)
+        if (useSweep)
+          bitmapPairsGuarded(cached, threshold, Int.MaxValue, Long.MaxValue,
+            Long.MaxValue).get
+        else invertedIndexPairs(sh, threshold)
+      }
     } finally cached.unpersist(false)
   }
 

@@ -56,6 +56,22 @@ object JaccardPairs {
     * (~40 B/row → ≤ ~400 MB transient). */
   val MaxCollectRows = 10000000L
 
+  /** Broadcast-size cap for the sweep's signature table: the bitmap
+    * matrix is n·ceil(|V|/64)·8 bytes — THIS, not a fixed vocabulary
+    * count, is what actually bounds the dense path. */
+  val MaxSweepBroadcastBytes = 512L * 1024 * 1024
+
+  /** Cost of one materialized inverted-index join row expressed in
+    * sweep word-ops, for the cross-regime comparison. MEASURED, not
+    * guessed: at 10× rehearsal scale the inverted index took 152 s
+    * for Σ df² = 4.45e9 joined rows on 32 cores (hash + shuffle
+    * write/read + aggregation probe per row ≈ 1 µs-core), while the
+    * sweep's word-AND+popcount streams at ~10⁹ ops/s-core — a joined
+    * row costs ~10³ word-ops. 256 keeps a 4× safety margin toward
+    * the inverted index (mis-dispatching a borderline case to the
+    * distributed join is recoverable; the reverse risks a broadcast). */
+  val InvRowCostWordOps = 256L
+
   def pairs(sh: DataFrame, threshold: Double,
             maxBitmapVocab: Int = DefaultMaxBitmapVocab,
             maxBitmapDocs: Long = DefaultMaxBitmapDocs,
@@ -64,17 +80,43 @@ object JaccardPairs {
     // computes once on the dense path; the probe is a LIMIT-bounded
     // count, so on a huge corpus it short-circuits after
     // MaxCollectRows+1 rows instead of scanning everything just to
-    // dispatch. Vocabulary/doc-count guards are checked AFTER the
-    // collect, on exact numbers, falling back to the distributed path
-    // if they fail. Callers that KNOW the corpus is large should call
+    // dispatch. All regime guards are checked AFTER the collect, on
+    // exact numbers. Callers that KNOW the corpus is large should call
     // invertedIndexPairs directly and skip the probe entirely.
     val cached = sh.persist()
     try {
-      if (cached.limit((MaxCollectRows + 1).toInt).count() <= MaxCollectRows)
-        bitmapPairsGuarded(cached, threshold, maxBitmapVocab, maxBitmapDocs,
-            maxSweepPairOps)
-          .getOrElse(invertedIndexPairs(sh, threshold))
-      else invertedIndexPairs(sh, threshold)
+      if (cached.limit((MaxCollectRows + 1).toInt).count() > MaxCollectRows)
+        invertedIndexPairs(sh, threshold)
+      else {
+        val spark = sh.sparkSession
+        import spark.implicits._
+        val raw = cached.select($"doc_id".cast("long"), $"shingle")
+          .as[(Long, String)].collect()
+        // exact dispatch stats from the collected rows: both regime
+        // costs are computable up front — the sweep does n²/2·words
+        // word-ops; the inverted index materializes exactly Σ_s df(s)²
+        // joined rows (each far costlier than a word-op). The r8
+        // 10×-scale rehearsal showed why a hard vocabulary cap is the
+        // wrong guard: a dense corpus whose vocabulary outgrows the
+        // cap fell back to an inverted index that was quadratically
+        // WORSE than the sweep it rejected. Choose by cost, bounded
+        // by broadcast memory.
+        val nDocs = raw.iterator.map(_._1).toSet.size.toLong
+        val dfCounts = raw.groupBy(_._2).view.mapValues(_.length.toLong)
+        val vocabN = dfCounts.size.toLong
+        val nWords = ((vocabN + 63) >>> 6).max(1L)
+        val sweepOps = nDocs.toDouble * nDocs / 2 * nWords
+        val sweepBytes = nDocs.toDouble * nWords * 8
+        val invCost = dfCounts.valuesIterator
+          .map(d => d.toDouble * d).sum * InvRowCostWordOps
+        val classicDense = vocabN <= maxBitmapVocab &&
+          sweepOps <= maxSweepPairOps.toDouble
+        val useSweep = nDocs <= maxBitmapDocs &&
+          sweepBytes <= MaxSweepBroadcastBytes.toDouble &&
+          (classicDense || sweepOps <= invCost)
+        if (useSweep) sweepFromRaw(spark, raw, threshold)
+        else invertedIndexPairs(sh, threshold)
+      }
     } finally cached.unpersist(false)
   }
 
@@ -113,14 +155,24 @@ object JaccardPairs {
     import spark.implicits._
     val raw = sh.select($"doc_id".cast("long"), $"shingle")
       .as[(Long, String)].collect()
+    val vocabN = raw.iterator.map(_._2).toSet.size
+    if (vocabN > maxVocab) return None
+    val nWords = math.max((vocabN + 63) >>> 6, 1)
+    val nDocs = raw.iterator.map(_._1).toSet.size
+    if (nDocs > maxDocs) return None
+    val n = nDocs.toDouble
+    if (n * n / 2 * nWords > maxPairOps.toDouble) return None
+    Some(sweepFromRaw(spark, raw, threshold))
+  }
+
+  /** Bitmap-encode the collected set rows and launch the distributed
+    * triangular sweep (callers have already applied their guards). */
+  private def sweepFromRaw(spark: org.apache.spark.sql.SparkSession,
+      raw: Array[(Long, String)], threshold: Double): DataFrame = {
     val vocab = raw.map(_._2).distinct.sorted
-    if (vocab.length > maxVocab) return None
     val idx = vocab.zipWithIndex.toMap
-    val nWords = (vocab.length + 63) >>> 6
+    val nWords = math.max((vocab.length + 63) >>> 6, 1)
     val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
-    if (byDoc.length > maxDocs) return None
-    val n = byDoc.length.toDouble
-    if (n * n / 2 * math.max(nWords, 1) > maxPairOps.toDouble) return None
     val ids = byDoc.map(_._1)
     val bits = byDoc.map { case (_, rows) =>
       val b = new Array[Long](nWords)
@@ -130,7 +182,7 @@ object JaccardPairs {
       b
     }
     val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
-    Some(buildSweep(spark, ids, bits, counts, threshold))
+    buildSweep(spark, ids, bits, counts, threshold)
   }
 
   private def buildSweep(spark: org.apache.spark.sql.SparkSession,

@@ -631,26 +631,40 @@ object TextQueries {
     * crossing a tiny window) and `train_idx` from the multi-column
     * global scan. All arithmetic is one double division of exact
     * integers per row, so the oracle matches bit-exact. */
-  def q50MixInterleave(s: SparkSession, dir: String): DataFrame = {
+  def q50MixInterleave(s: SparkSession, dir: String): DataFrame =
+    q50MixInterleaveImpl(s, dir, eagerCut = Some(true))
+
+  /** r7's +30% on this query was adjudicated in r8 as HOST LOAD, not
+    * the eager cut: same build, same sf0.1, one JVM apart — with the
+    * cut 1.81 s, without it 2.84 s (the cut saves four re-executions
+    * of the inner grouped-prefix pipeline, which costs more than the
+    * one materialization job even at 5k rows). The cut is therefore
+    * unconditional; the `eagerCut` knob exists so TrainingOpsSpec can
+    * pin both variants result-identical. */
+  private[graft] def q50MixInterleaveImpl(s: SparkSession, dir: String,
+                                          eagerCut: Option[Boolean]): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select($"doc_id", $"lang").withColumn("__one", lit(1L))
-    val keyed = graft.operators.PrefixSum
+    val keyed0 = graft.operators.PrefixSum
       .withRunningTotalGrouped(d, Seq("lang"), Seq("doc_id"), "__one", "pos_in_lang")
       .withColumn("mix_key", ($"pos_in_lang" * 2 - 1).cast("double") / expr(
         "CASE lang WHEN 'en' THEN double(0.8) WHEN 'de' THEN double(0.6) " +
           "WHEN 'fr' THEN double(0.4) ELSE double(0.2) END"))
-      // the outer scan consumes its input four times (cut count, cut
-      // sample, local sums, bucket totals) — fine on a raw parquet
-      // scan, 4× a window+join pipeline here. One eager local
-      // materialization (≈ one shuffle write's worth of disk; blocks
-      // freed when the frame is dereferenced, never a session-lifetime
-      // cache entry) makes those four passes read 5 slim columns.
-      .localCheckpoint(true)
+    // the outer scan consumes its input four times (cut count, cut
+    // sample, local sums, bucket totals) — fine on a raw parquet
+    // scan, 4× a window+join pipeline here. On a large corpus one
+    // eager local materialization (≈ one shuffle write's worth of
+    // disk; blocks freed when the frame is dereferenced, never a
+    // session-lifetime cache entry) makes those four passes read 5
+    // slim columns — measured faster than the lazy form at every SF
+    // tried (see q50MixInterleave's Scaladoc).
+    val keyed = if (eagerCut.getOrElse(true)) keyed0.localCheckpoint(true) else keyed0
     graft.operators.PrefixSum
       .withRunningTotalOrdered(keyed, Seq("mix_key", "doc_id"), "__one", "train_idx")
       .select($"doc_id", $"lang", $"pos_in_lang", $"mix_key", $"train_idx")
       .orderBy($"train_idx")
   }
+
 
   val q50Sql: String =
     """WITH p AS (SELECT doc_id, lang,
@@ -3220,7 +3234,20 @@ object TextQueries {
     * their cluster id (min doc_id) and a keep/drop verdict. */
   def q113VerifiedClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val verified = q108EditVerified(s, dir).filter($"is_dup" === 1L)
+    // q108's pair pipeline with an EXACT length-bound prune ahead of
+    // the O(len²) DP: levenshtein >= |len_a − len_b|, so any pair with
+    // 5·|len_a − len_b| > max(len) can never verify — skip its DP
+    // entirely (q108 itself must still compute lev for every candidate
+    // because lev is in its output contract; here only the verdict
+    // matters). The conjunct order short-circuits in codegen.
+    val t = docs(s, dir)
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+    val verified = minhashPairs(s, dir, minEst = 0.5)
+      .join(t.as("ta"), $"doc_a" === $"ta.doc_id")
+      .join(t.as("tb"), $"doc_b" === $"tb.doc_id")
+      .filter(abs($"ta.len" - $"tb.len") * 5 <= greatest($"ta.len", $"tb.len") &&
+        levenshtein($"ta.text", $"tb.text").cast("long") * 5 <=
+          greatest($"ta.len", $"tb.len"))
       .select($"doc_a", $"doc_b")
     val verts = docs(s, dir).select($"doc_id")
     val lab = graft.operators.ConnectedComponents.labels(verts, verified)

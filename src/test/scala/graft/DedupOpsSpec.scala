@@ -158,6 +158,29 @@ class DedupOpsSpec extends AnyFunSuite {
            band.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("JaccardPairs/Containment: over-cap vocabulary still sweeps when cheaper (cost model)") {
+    import spark.implicits._
+    val sh = shingles
+    // force the classic vocabulary cap to fail (vocab ≫ 4): the old
+    // dispatcher fell back to the inverted index here even when the
+    // dense sharing made that quadratically worse — the cost model
+    // must keep the sweep and produce identical results
+    val viaCost = graft.operators.JaccardPairs
+      .pairs(sh, 0.5, maxBitmapVocab = 4)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val inv = graft.operators.JaccardPairs.invertedIndexPairs(sh, 0.5)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(viaCost.nonEmpty)
+    assert(viaCost.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val cCost = graft.operators.Containment.pairs(sh, 0.8, maxBitmapVocab = 4)
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    val cInv = graft.operators.Containment.invertedIndexPairs(sh, 0.8)
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    assert(cCost.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           cInv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("JaccardPairs: pair-ops budget rejects the bitmap sweep") {
     import spark.implicits._
     val sh = shingles

@@ -228,6 +228,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(math.abs(share.getOrElse("es", 0.0) - 0.1) <= 0.1, share.toString)
   }
 
+  test("mix interleave: eager-cut and lazy variants are result-identical") {
+    def rows(cut: Boolean) =
+      graft.queries.TextQueries.q50MixInterleaveImpl(spark, sf, Some(cut))
+        .orderBy(col("train_idx")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSeq
+    assert(rows(cut = true) == rows(cut = false),
+      "size-gated localCheckpoint must not change the interleave")
+  }
+
   test("decontamination: shuffle-join path (over-budget bench) equals broadcast path") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("isBench", col("source") === "src0")
