@@ -48,6 +48,34 @@ object ZOrder {
           s"(((($y) >> $b) & 1) << ${2 * b + 1})")
     }.mkString("(", " + ", ")")
 
+  /** N-dimensional Morton key: bit b of column i lands at position
+    * b·k + i (k = number of columns) — the same round-robin
+    * interleave Delta/Iceberg clustering uses for >2 dimensions. The
+    * result must fit a long: k·bits ≤ 63. */
+  def zkeyN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "zkeyN needs at least 2 columns")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} cols × $bits bits exceeds a long")
+    val longs = cols.map(_.cast("long"))
+    val k = cols.size
+    val terms = (0 until bits).flatMap { b =>
+      longs.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }
+    terms.reduce(_ + _).cast("long")
+  }
+
+  /** [[zkeyN]] as engine-portable SQL (same parenthesization rule). */
+  def sqlZkeyN(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    (0 until bits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        s"(((($c) >> $b) & 1) << ${b * k + i})"
+      }
+    }.mkString("(", " + ", ")")
+  }
+
   /** Write-layout: add the z-key, range-partition by it into
     * `numParts` output slices and sort within each — every slice then
     * owns one contiguous z-range, i.e. a bounded rectangle set in

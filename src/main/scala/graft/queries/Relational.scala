@@ -775,6 +775,48 @@ object Relational {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q148
+  /** N-dimensional Z-order layout audit — q110's rectangle check in
+    * THREE dimensions via [[graft.operators.ZOrder.zkeyN]] (round-
+    * robin bit interleave, the Delta/Iceberg multi-column clustering
+    * form): (custkey, order-day, whole-dollar price) interleave into
+    * one 36-bit key; every 64th-of-z-range bucket bounds a small box
+    * in all three dimensions at once, which is what multi-column
+    * min/max file skipping buys. Integer bit arithmetic end to end —
+    * hash-exact in any engine. */
+  def q148ZOrder3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .withColumn("day", expr(
+        "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) - 788918400000000) div 86400000000"))
+      // floor on BOTH engines: DuckDB's decimal→bigint cast ROUNDS
+      // while Spark's truncates — an explicit floor of the exact
+      // decimal is identical everywhere (prices are positive)
+      .withColumn("usd", expr(
+        "CAST(floor(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT)"))
+      .withColumn("zkey", graft.operators.ZOrder.zkeyN(
+        Seq($"o_custkey", $"day", $"usd"), bits = 12))
+    o.groupBy(shiftright($"zkey", 30).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"o_custkey").as("min_ck"), max($"o_custkey").as("max_ck"),
+        min($"day").as("min_day"), max($"day").as("max_day"),
+        min($"usd").as("min_usd"), max($"usd").as("max_usd"))
+      .orderBy($"bucket")
+  }
+
+  val q148Sql: String = {
+    val zk = graft.operators.ZOrder.sqlZkeyN(Seq("o_custkey", "day", "usd"), 12)
+    s"""WITH o AS (SELECT o_custkey,
+       |  (epoch_us(o_orderdate) - 788918400000000) // 86400000000 AS day,
+       |  CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT) AS usd FROM orders),
+       |z AS (SELECT o_custkey, day, usd, $zk AS zkey FROM o)
+       |SELECT zkey >> 30 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+       |  MIN(day) AS min_day, MAX(day) AS max_day,
+       |  MIN(usd) AS min_usd, MAX(usd) AS max_usd
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q120
   /** Markov transition matrix over each user's event sequence: counts
     * and row-normalized probabilities of event_type → next event_type
@@ -1296,6 +1338,7 @@ object Relational {
     "q94_funnel" -> q94Funnel _,
     "q103_session_windows" -> q103SessionWindows _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
+    "q148_zorder3" -> q148ZOrder3 _,
     "q120_markov_transitions" -> q120MarkovTransitions _,
     "q122_copurchase" -> q122CoPurchase _,
     "q125_changepoint" -> q125Changepoint _,
@@ -1338,6 +1381,7 @@ object Relational {
     "q94_funnel" -> q94Sql,
     "q103_session_windows" -> q103Sql,
     "q110_zorder_layout" -> q110Sql,
+    "q148_zorder3" -> q148Sql,
     "q120_markov_transitions" -> q120Sql,
     "q122_copurchase" -> q122Sql,
     "q125_changepoint" -> q125Sql,

@@ -2706,6 +2706,173 @@ object TextQueries {
     """SELECT doc_id, UPPER(text) AS utext FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Diff churn statistics — the aggregate consumers run over diffdb
+    * (chars added/removed per revision, `fileformat.rst:20-27`'s op
+    * rows rolled up): q143's planted pairs pushed through
+    * `wiki_diff_safe`, aggregated per document, including the
+    * identity docs as explicit zero rows (LEFT join — absent edits
+    * are 0 churn, not absent rows). Expected values are the same
+    * construction arithmetic as q143's, summed per doc. */
+  def q146DiffChurn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookup = s.createDataFrame(
+        (0 until 40).map { id => val (o, n, _) = diffPlant(id); (id.toLong, o, n) })
+      .toDF("doc_id", "old_text", "new_text")
+    val ids = docs(s, dir).select($"doc_id").filter($"doc_id" < 40)
+    val ops = ids.join(broadcast(lookup), "doc_id")
+      .select($"doc_id", explode(expr("wiki_diff_safe(old_text, new_text).diffs")).as("op"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when($"op.action" === 1, length($"op.content").cast("long"))
+          .otherwise(0L)).as("chars_added"),
+        sum(when($"op.action" === -1, length($"op.content").cast("long"))
+          .otherwise(0L)).as("chars_removed"))
+    ids.join(ops, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_ops", lit(0L)).as("n_ops"),
+        coalesce($"chars_added", lit(0L)).as("chars_added"),
+        coalesce($"chars_removed", lit(0L)).as("chars_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val q146Sql: String = {
+    val rows = (0 until 40).map { id =>
+      val (_, _, ops) = diffPlant(id)
+      val added = ops.filter(_._2 == 1).map(_._3.length).sum
+      val removed = ops.filter(_._2 == -1).map(_._3.length).sum
+      s"($id, ${ops.length}, $added, $removed)"
+    }
+    s"""WITH exp(doc_id, n_ops, chars_added, chars_removed) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |d AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40)
+       |SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       |  CAST(e.n_ops AS BIGINT) AS n_ops,
+       |  CAST(e.chars_added AS BIGINT) AS chars_added,
+       |  CAST(e.chars_removed AS BIGINT) AS chars_removed
+       |FROM exp e JOIN d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q145
+  /** Revert detection over a revision history — THE analysis the
+    * reference's diffdb exists to serve (identity reverts: a revision
+    * whose full text equals some EARLIER revision of the same page,
+    * `fileformat.rst:4-27` motivates exactly this workload). A
+    * deterministic 5-revision history is planted per document with
+    * variant pattern v0 v1 v2 v1 v0, so rev 3 reverts to rev 1 and
+    * rev 4 to rev 0. Detection joins on (page, md5(text)) — never on
+    * the full text, so at 100 TB the shuffle carries 16-byte digests
+    * instead of document bodies — and takes min(earlier rev) as the
+    * revert target. DuckDB's md5 matches Spark's (both RFC 1321 hex),
+    * but the JOIN result only needs digest EQUALITY, which holds iff
+    * text equality does, so the oracle is robust even in principle. */
+  def q145Reverts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // posexplode gives (rev = position, variant = value); the variant
+    // text is built in a SEPARATE projection below the Generate (the
+    // ExtractGenerator alias-hoist lesson)
+    val revs0 = docs(s, dir).select($"doc_id", $"text",
+      posexplode(expr("array(0, 1, 2, 1, 0)")))
+    val revs = revs0.select($"doc_id", $"pos".cast("long").as("rev"),
+      md5(concat($"text", lit(" v"), $"col".cast("string"))).as("h"))
+    val earlier = revs.select($"doc_id", $"rev".as("prev_rev"), $"h")
+    val hits = revs.as("a")
+      .join(earlier.as("e"),
+        $"a.doc_id" === $"e.doc_id" && $"a.h" === $"e.h" &&
+          $"e.prev_rev" < $"a.rev")
+      .groupBy($"a.doc_id".as("doc_id"), $"a.rev".as("rev"))
+      .agg(min($"e.prev_rev").as("rt"))
+    revs.select($"doc_id", $"rev")
+      .join(hits, Seq("doc_id", "rev"), "left")
+      .select($"doc_id", $"rev",
+        coalesce($"rt", lit(-1L)).as("reverted_to"),
+        when($"rt".isNotNull, 1L).otherwise(0L).as("is_revert"))
+      .orderBy($"doc_id", $"rev")
+  }
+
+  val q145Sql: String =
+    """WITH revs AS (
+      |  SELECT doc_id, CAST(m.k AS BIGINT) AS rev,
+      |         md5(text || ' v' || CAST(m.v AS VARCHAR)) AS h
+      |  FROM documents, (VALUES (0,0),(1,1),(2,2),(3,1),(4,0)) AS m(k, v)),
+      |hits AS (
+      |  SELECT a.doc_id, a.rev, CAST(MIN(e.rev) AS BIGINT) AS rt
+      |  FROM revs a JOIN revs e
+      |    ON a.doc_id = e.doc_id AND a.h = e.h AND e.rev < a.rev
+      |  GROUP BY a.doc_id, a.rev)
+      |SELECT r.doc_id, r.rev,
+      |  CAST(COALESCE(h2.rt, -1) AS BIGINT) AS reverted_to,
+      |  CAST(CASE WHEN h2.rt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_revert
+      |FROM revs r LEFT JOIN hits h2 ON r.doc_id = h2.doc_id AND r.rev = h2.rev
+      |ORDER BY r.doc_id, r.rev""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** Mutual-revert (edit-war) pairs — the canonical wiki conflict
+    * metric built ON TOP of q145's identity reverts: when revision i
+    * reverts to revision j, the authors of the undone revisions
+    * j+1..i−1 were "reverted by" i's author; aggregating those
+    * directed pairs and taking the symmetric minimum gives mutual
+    * reverts (the edit-war signal of Sumi et al.). q145's planted
+    * history (v0 v1 v2 v1 v0, authors alternating u0/u1) makes every
+    * count fully derivable: rev 3 (u1) undoes rev 2 (u0); rev 4 (u0)
+    * undoes revs 1-3 (u1, u0, u1) — self-reverts are excluded. The
+    * whole derivation is relational (no VALUES), so the oracle runs
+    * the identical CTEs; the revision→undone-range expansion is a
+    * range join on rev indices, bounded by history length. */
+  def q147EditWars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revs0 = docs(s, dir).select($"doc_id", $"text",
+      posexplode(expr("array(0, 1, 2, 1, 0)")))
+    val revs = revs0.select($"doc_id", $"pos".cast("long").as("rev"),
+      concat(lit("u"), ($"pos" % 2).cast("string")).as("author"),
+      md5(concat($"text", lit(" v"), $"col".cast("string"))).as("h"))
+    val earlier = revs.select($"doc_id", $"rev".as("prev_rev"), $"h")
+    val reverts = revs.as("a")
+      .join(earlier.as("e"),
+        $"a.doc_id" === $"e.doc_id" && $"a.h" === $"e.h" &&
+          $"e.prev_rev" < $"a.rev")
+      .groupBy($"a.doc_id".as("doc_id"), $"a.rev".as("rev"),
+        $"a.author".as("reverter"))
+      .agg(min($"e.prev_rev").as("rt"))
+    val undone = reverts.as("r")
+      .join(revs.select($"doc_id", $"rev".as("mid_rev"), $"author".as("reverted")).as("m"),
+        $"r.doc_id" === $"m.doc_id" &&
+          $"m.mid_rev" > $"r.rt" && $"m.mid_rev" < $"r.rev")
+      .filter($"reverter" =!= $"reverted")
+      .groupBy($"reverter", $"reverted")
+      .agg(count(lit(1)).as("n_reverts"))
+    val sym = undone.select($"reverted".as("reverter"), $"reverter".as("reverted"),
+      $"n_reverts".as("n_back"))
+    undone.join(sym, Seq("reverter", "reverted"), "left")
+      .select($"reverter", $"reverted", $"n_reverts",
+        least($"n_reverts", coalesce($"n_back", lit(0L))).as("mutual"))
+      .orderBy($"reverter", $"reverted")
+  }
+
+  val q147Sql: String =
+    """WITH revs AS (
+      |  SELECT doc_id, CAST(m.k AS BIGINT) AS rev,
+      |         'u' || CAST(m.k % 2 AS VARCHAR) AS author,
+      |         md5(text || ' v' || CAST(m.v AS VARCHAR)) AS h
+      |  FROM documents, (VALUES (0,0),(1,1),(2,2),(3,1),(4,0)) AS m(k, v)),
+      |reverts AS (
+      |  SELECT a.doc_id, a.rev, a.author AS reverter, CAST(MIN(e.rev) AS BIGINT) AS rt
+      |  FROM revs a JOIN revs e
+      |    ON a.doc_id = e.doc_id AND a.h = e.h AND e.rev < a.rev
+      |  GROUP BY a.doc_id, a.rev, a.author),
+      |undone AS (
+      |  SELECT r.reverter, m.author AS reverted, CAST(COUNT(*) AS BIGINT) AS n_reverts
+      |  FROM reverts r JOIN revs m
+      |    ON r.doc_id = m.doc_id AND m.rev > r.rt AND m.rev < r.rev
+      |  WHERE r.reverter <> m.author
+      |  GROUP BY r.reverter, m.author)
+      |SELECT u.reverter, u.reverted, u.n_reverts,
+      |  CAST(LEAST(u.n_reverts, COALESCE(b.n_reverts, 0)) AS BIGINT) AS mutual
+      |FROM undone u LEFT JOIN undone b
+      |  ON u.reverter = b.reverted AND u.reverted = b.reverter
+      |ORDER BY u.reverter, u.reverted""".stripMargin
+
   // ---------------------------------------------------------------- q139
   /** Per-document token concentration (Herfindahl index): HHI =
     * Σ cᵢ² / N² over the document's token counts — the entropy-free
@@ -3356,6 +3523,9 @@ object TextQueries {
     "q142_redirect_resolve" -> q142RedirectResolve _,
     "q143_diff_ops" -> q143DiffOps _,
     "q144_pipe_upper" -> q144PipeUpper _,
+    "q145_reverts" -> q145Reverts _,
+    "q146_diff_churn" -> q146DiffChurn _,
+    "q147_edit_wars" -> q147EditWars _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3442,6 +3612,9 @@ object TextQueries {
     "q142_redirect_resolve" -> q142Sql,
     "q143_diff_ops" -> q143Sql,
     "q144_pipe_upper" -> q144Sql,
+    "q145_reverts" -> q145Sql,
+    "q146_diff_churn" -> q146Sql,
+    "q147_edit_wars" -> q147Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,

@@ -167,6 +167,52 @@ object StreamOps {
       }.toDF("media_id", "frame_idx", "prev_bucket", "bucket")
   }
 
+  case class RevertHist(revs: Seq[Long], hashes: Seq[String])
+
+  /** Identity-revert detection over a LIVE revision stream — q145's
+    * batch rule (a revision whose content hash equals some EARLIER
+    * revision of the same page reverts to the smallest such revision)
+    * with per-page state: the page's seen `(rev, hash)` history,
+    * bounded to the most recent `maxHistory` entries so state per key
+    * is finite forever (revert practice looks back a bounded window;
+    * a revert past the horizon reports as novel — the documented
+    * trade). Input needs `(page_id, rev, h)` — hash upstream with
+    * `md5(text)` so state holds 32-char digests, never bodies.
+    * Revisions are processed in rev order within a batch; across
+    * batches the per-page stream is assumed nondecreasing in rev (the
+    * dump/live-feed property). Emits every revision with its verdict:
+    * `(page_id, rev, reverted_to (−1 if none), is_revert)`.
+    * StreamingSpec pins stream ≡ the q145 batch rule on a multi-batch
+    * replay split mid-page. */
+  def revertStream(revs: DataFrame, maxHistory: Int = 64): DataFrame = {
+    import revs.sparkSession.implicits._
+    revs.select(col("page_id"), col("rev"), col("h"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RevertHist, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (page, it, state: GroupState[RevertHist]) =>
+          val h0 = state.getOption.getOrElse(RevertHist(Seq.empty, Seq.empty))
+          var revsSeen = h0.revs
+          var hashesSeen = h0.hashes
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          it.toArray.sortBy(_._2).foreach { case (_, rev, h) =>
+            var rt = -1L
+            var i = 0
+            while (i < revsSeen.length) {
+              if (hashesSeen(i) == h && revsSeen(i) < rev &&
+                  (rt < 0 || revsSeen(i) < rt)) rt = revsSeen(i)
+              i += 1
+            }
+            out += ((page, rev, rt, if (rt >= 0) 1L else 0L))
+            revsSeen = (revsSeen :+ rev).takeRight(maxHistory)
+            hashesSeen = (hashesSeen :+ h).takeRight(maxHistory)
+          }
+          state.update(RevertHist(revsSeen, hashesSeen))
+          out.iterator
+      }.toDF("page_id", "rev", "reverted_to", "is_revert")
+  }
+
   case class RevEvent(page_id: Long, rev_seq: Int, rev_id: Long, text: String)
   case class RevPair(page_id: Long, rev_seq: Int, rev_id: Long,
       prev_rev_id: Option[Long], prev_text: Option[String], text: String)

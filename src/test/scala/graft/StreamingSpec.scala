@@ -202,6 +202,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(_._2 == 60) || batch.exists(_._2 == 120))
   }
 
+  test("revert detection: stream carries per-page hash history, equals q145 rule") {
+    val dir = Files.createTempDirectory("stream-revert").toString
+    // q145's planted history (v0 v1 v2 v1 v0) per page: rev 3 reverts
+    // to 1, rev 4 to 0
+    val revs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".as("page_id"), $"text",
+        posexplode(expr("array(0, 1, 2, 1, 0)")))
+      .select($"page_id", $"pos".cast("long").as("rev"),
+        md5(concat($"text", lit(" v"), $"col".cast("string"))).as("h"))
+    // split each page's sequence ACROSS batch files: the rev-3 and
+    // rev-4 reverts can only be found via carried state
+    for ((cond, i) <- Seq($"rev" < 2, $"rev" >= 2 && $"rev" < 4, $"rev" === 4).zipWithIndex) {
+      revs.filter(cond).coalesce(1).write.parquet(s"$dir/in/f$i")
+      val t = java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/f$i")).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+    }
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val q = StreamOps.revertStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reverts").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("reverts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: q145's min-earlier-same-hash join rule
+    val earlier = revs.select($"page_id", $"rev".as("prev_rev"), $"h")
+    val hits = revs.as("a").join(earlier.as("e"),
+        $"a.page_id" === $"e.page_id" && $"a.h" === $"e.h" &&
+          $"e.prev_rev" < $"a.rev")
+      .groupBy($"a.page_id".as("page_id"), $"a.rev".as("rev"))
+      .agg(min($"e.prev_rev").as("rt"))
+    val batch = revs.select($"page_id", $"rev")
+      .join(hits, Seq("page_id", "rev"), "left")
+      .select($"page_id", $"rev", coalesce($"rt", lit(-1L)),
+        when($"rt".isNotNull, 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.exists(_._4 == 1L))
+    assert(streamed == batch)
+    // bounded history: a 1-entry horizon forgets rev 0 by rev 4 —
+    // the documented trade, exercised so the cap is real
+    val dirB = Files.createTempDirectory("stream-revert-b").toString
+    revs.filter($"page_id" === revs.select(min($"page_id")).collect()(0).getLong(0))
+      .coalesce(1).write.parquet(s"$dirB/in/f0")
+    val sB = spark.readStream.schema(schema).parquet(s"$dirB/in/f*")
+    val qB = StreamOps.revertStream(sB, maxHistory = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("reverts_b").trigger(Trigger.AvailableNow()).start()
+    qB.awaitTermination(120000)
+    val bounded = spark.table("reverts_b").collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(bounded(4L) == 0L, "horizon-1 must forget rev 0")
+    assert(bounded(3L) == 0L, "horizon-1 must forget rev 1")
+  }
+
   test("token-budget admission: stream equals batch prefix-sum form") {
     val dir = Files.createTempDirectory("stream-tokbudget").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

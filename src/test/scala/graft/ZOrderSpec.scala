@@ -31,6 +31,37 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zkeyN: 3-dim round-robin interleave matches reference; SQL twin; int32 inputs safe") {
+    import spark.implicits._
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      z
+    }
+    val pts = for (a <- 0L until 9L; b <- 0L until 9L; c <- 0L until 9L) yield (a, b, c)
+    val df = pts.toDF("a", "b", "c")
+      .withColumn("z", graft.operators.ZOrder.zkeyN(Seq($"a", $"b", $"c"), bits = 4))
+      .withColumn("zs", expr(graft.operators.ZOrder.sqlZkeyN(Seq("a", "b", "c"), 4)))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    pts.foreach { case (a, b, c) =>
+      val (zc, zs) = got((a, b, c))
+      assert(zc === ref3(a, b, c, 4), s"($a,$b,$c)")
+      assert(zs === zc, s"SQL twin ($a,$b,$c)")
+    }
+    // int32 columns with bits beyond 15 must not wrap (the r8 ADVICE
+    // fix: widen-to-long-first applies to zkeyN too)
+    val i32 = Seq((40000, 1, 2)).toDF("a", "b", "c")
+      .select(graft.operators.ZOrder.zkeyN(Seq($"a", $"b", $"c"), bits = 17).as("z"))
+      .collect().head.getLong(0)
+    assert(i32 === ref3(40000L, 1L, 2L, 17))
+  }
+
   test("sqlZkey evaluates identically to the column form in Spark SQL") {
     import spark.implicits._
     val df = Seq((5L, 9L), (4095L, 0L), (0L, 4095L), (1234L, 987L))
