@@ -817,6 +817,59 @@ object Relational {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Robust daily-volume anomaly detection per event type — median /
+    * MAD instead of mean / stddev, so a burst day cannot drag its own
+    * baseline (the reason ops monitoring uses MAD): daily counts →
+    * per-type exact median (ceil-rank order statistic via
+    * [[graft.operators.ExactQuantiles.byGroup]] — histogram shuffle,
+    * never a sort) → median absolute deviation the same way → flag
+    * days with |c − med| > 3·MAD. Every quantity is an exact integer;
+    * the oracle repeats the identical ceil-rank arithmetic. */
+  def q150MadAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, dir)
+      .groupBy($"event_type", expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val med = graft.operators.ExactQuantiles
+      .byGroup(daily, Seq("event_type"), "c", Seq(50))
+      .select($"event_type", $"p50".as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs($"c" - $"med"))
+    val mad = graft.operators.ExactQuantiles
+      .byGroup(dev, Seq("event_type"), "adev", Seq(50))
+      .select($"event_type", $"p50".as("mad"))
+    dev.join(mad, "event_type")
+      .select($"event_type", $"day", $"c", $"med", $"mad",
+        when($"adev" > $"mad" * 3, 1L).otherwise(0L).as("is_anom"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q150Sql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |h1 AS (SELECT event_type, c, COUNT(*) AS k FROM daily GROUP BY 1, 2),
+      |w1 AS (SELECT event_type, c,
+      |    SUM(k) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+      |    SUM(k) OVER (PARTITION BY event_type) AS total FROM h1),
+      |med AS (SELECT event_type,
+      |    MIN(CASE WHEN cum >= (total*50+99)//100 THEN c END) AS med
+      |  FROM w1 GROUP BY 1),
+      |dev AS (SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |h2 AS (SELECT event_type, adev, COUNT(*) AS k FROM dev GROUP BY 1, 2),
+      |w2 AS (SELECT event_type, adev,
+      |    SUM(k) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+      |    SUM(k) OVER (PARTITION BY event_type) AS total FROM h2),
+      |mad AS (SELECT event_type,
+      |    MIN(CASE WHEN cum >= (total*50+99)//100 THEN adev END) AS mad
+      |  FROM w2 GROUP BY 1)
+      |SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.c, d.med, a.mad,
+      |  CAST(CASE WHEN d.adev > a.mad * 3 THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+      |FROM dev d JOIN mad a USING (event_type)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   // ---------------------------------------------------------------- q120
   /** Markov transition matrix over each user's event sequence: counts
     * and row-normalized probabilities of event_type → next event_type
@@ -1339,6 +1392,7 @@ object Relational {
     "q103_session_windows" -> q103SessionWindows _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
     "q148_zorder3" -> q148ZOrder3 _,
+    "q150_mad_anomalies" -> q150MadAnomalies _,
     "q120_markov_transitions" -> q120MarkovTransitions _,
     "q122_copurchase" -> q122CoPurchase _,
     "q125_changepoint" -> q125Changepoint _,
@@ -1382,6 +1436,7 @@ object Relational {
     "q103_session_windows" -> q103Sql,
     "q110_zorder_layout" -> q110Sql,
     "q148_zorder3" -> q148Sql,
+    "q150_mad_anomalies" -> q150Sql,
     "q120_markov_transitions" -> q120Sql,
     "q122_copurchase" -> q122Sql,
     "q125_changepoint" -> q125Sql,

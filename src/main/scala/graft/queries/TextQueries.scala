@@ -2706,6 +2706,67 @@ object TextQueries {
     """SELECT doc_id, UPPER(text) AS utext FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Community detection via synchronous label propagation
+    * ([[graft.operators.LabelProp]], min-tie-break LPA) — the 6th
+    * graph algorithm, on a planted two-block graph: dense intra-block
+    * edge families on nodes 0-49 and 50-99 plus one bridge edge
+    * (0,50), all derived from doc_id arithmetic so the construction
+    * is identical SQL. After 4 synchronous rounds label mass has
+    * consolidated within each block while the single bridge lets at
+    * most its own neighborhood's label seep across — the blocks'
+    * label sets stay (near-)disjoint. The oracle
+    * unrolls the 4 rounds as generated CTEs; every round's label
+    * table is referenced twice (count join + keep-old coalesce), so
+    * each is `AS MATERIALIZED` (the r7 k-core lesson — DuckDB inlines
+    * multiply-referenced CTEs into 2^r scans otherwise). */
+  def q149Lpa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val eA = d.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" % 50).as("a"), (($"doc_id" * 3 + 7) % 50).as("b"))
+    val eB = d.filter($"doc_id" % 3 > 0)
+      .select(($"doc_id" % 50 + 50).as("a"), (($"doc_id" * 5 + 3) % 50 + 50).as("b"))
+    val eBr = d.filter($"doc_id" % 97 === 0)
+      .select(lit(0L).as("a"), lit(50L).as("b"))
+    val nodes = d.select(($"doc_id" % 100).as("node")).distinct()
+    graft.operators.LabelProp
+      .communities(nodes, eA.union(eB).union(eBr), rounds = 4)
+      .select($"node", $"community")
+      .orderBy($"node")
+  }
+
+  val q149Sql: String = {
+    val rounds = (1 to 4).map { r =>
+      val p = r - 1
+      s"""c$r AS (SELECT n.src AS node, l.lbl, COUNT(*) AS c
+         |  FROM nbrs n JOIN l$p l ON n.dst = l.node GROUP BY 1, 2),
+         |p$r AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM c$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+         |  FROM l$p l LEFT JOIN p$r p USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eA AS (SELECT doc_id % 50 AS a, (doc_id*3+7) % 50 AS b
+       |    FROM documents WHERE doc_id % 2 = 0),
+       |eB AS (SELECT doc_id % 50 + 50 AS a, (doc_id*5+3) % 50 + 50 AS b
+       |    FROM documents WHERE doc_id % 3 > 0),
+       |eBr AS (SELECT 0 AS a, 50 AS b FROM documents WHERE doc_id % 97 = 0),
+       |eRaw AS (SELECT a, b FROM eA UNION ALL SELECT a, b FROM eB
+       |         UNION ALL SELECT a, b FROM eBr),
+       |eC AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+       |       FROM eRaw WHERE a <> b),
+       |nbrs AS (SELECT a AS src, b AS dst FROM eC
+       |         UNION ALL SELECT b, a FROM eC),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM (
+       |    SELECT DISTINCT doc_id % 100 AS node FROM documents
+       |    UNION SELECT DISTINCT src AS node FROM nbrs)),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+       |FROM l4 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q146
   /** Diff churn statistics — the aggregate consumers run over diffdb
     * (chars added/removed per revision, `fileformat.rst:20-27`'s op
@@ -3526,6 +3587,7 @@ object TextQueries {
     "q145_reverts" -> q145Reverts _,
     "q146_diff_churn" -> q146DiffChurn _,
     "q147_edit_wars" -> q147EditWars _,
+    "q149_lpa_communities" -> q149Lpa _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3615,6 +3677,7 @@ object TextQueries {
     "q145_reverts" -> q145Sql,
     "q146_diff_churn" -> q146Sql,
     "q147_edit_wars" -> q147Sql,
+    "q149_lpa_communities" -> q149Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
