@@ -2767,6 +2767,52 @@ object TextQueries {
        |FROM l4 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  /** Corpus snapshot diff (dataset-versioning / CDC): classify every
+    * document across two corpus versions as unchanged / modified /
+    * removed / added — the audit every dataset release pipeline runs
+    * between crawls. Version 2 is derived deterministically from the
+    * corpus (doc_id % 11 = 0 dropped — including ids that would also
+    * have been modified; % 7 = 0 edited; % 13 = 0 spawns a new
+    * 1 000 000-offset doc), then a FULL OUTER join on doc_id compares
+    * md5 digests — 16-byte hashes shuffle, never bodies, exactly how
+    * a 100 TB snapshot diff must run. */
+  def q151SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = docs(s, dir).select($"doc_id", md5($"text").as("h1"))
+    val base = docs(s, dir).select($"doc_id", $"text")
+    val v2kept = base.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id", md5(when($"doc_id" % 7 === 0,
+        concat($"text", lit(" [edited]"))).otherwise($"text")).as("h2"))
+    val v2added = base.filter($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        md5(concat($"text", lit(" [new]"))).as("h2"))
+    val v2 = v2kept.union(v2added)
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h1".isNull, "added")
+          .when($"h2".isNull, "removed")
+          .when($"h1" === $"h2", "unchanged")
+          .otherwise("modified").as("status"))
+      .orderBy($"doc_id")
+  }
+
+  val q151Sql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' [new]') AS h2
+      |  FROM documents WHERE doc_id % 13 = 0)
+      |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v2.doc_id IS NULL THEN 'removed'
+      |       WHEN v1.h1 = v2.h2 THEN 'unchanged'
+      |       ELSE 'modified' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q146
   /** Diff churn statistics — the aggregate consumers run over diffdb
     * (chars added/removed per revision, `fileformat.rst:20-27`'s op
@@ -3588,6 +3634,7 @@ object TextQueries {
     "q146_diff_churn" -> q146DiffChurn _,
     "q147_edit_wars" -> q147EditWars _,
     "q149_lpa_communities" -> q149Lpa _,
+    "q151_snapshot_diff" -> q151SnapshotDiff _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3678,6 +3725,7 @@ object TextQueries {
     "q146_diff_churn" -> q146Sql,
     "q147_edit_wars" -> q147Sql,
     "q149_lpa_communities" -> q149Sql,
+    "q151_snapshot_diff" -> q151Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
