@@ -2645,6 +2645,64 @@ object TextQueries {
     }
   }
 
+  /** Two-edit plants for q152 — the axis q143 cannot test: POSITION
+    * ACCOUNTING ACROSS REGIONS. Both u1 and u4 are replaced with
+    * strings of DIFFERENT length, so the second region's position
+    * reflects the first region's add-advance (equal and add content
+    * advance the position; removes do not): p₂ = len(prefix u0 s1) +
+    * len(r1) + len(s2 u2 s3 u3 s4). Same uniqueness argument as
+    * [[diffPlant]]. */
+  private[graft] def diffPlant2(id: Int): (String, String, Seq[(Int, Int, String)]) = {
+    val prefix = s"== H$id ==\n{{t$id}} [[L$id]] '''b$id''' &amp; x$id\n"
+    val u = (0 until 6).map(i => s"w${id}q$i")
+    def sep(i: Int) = " " * i
+    val old = prefix + u(0) + (1 until 6).map(i => sep(i) + u(i)).mkString
+    val r1 = s"ra${id}zz"      // always 1 char longer than u1 — the
+                               // second region's position MUST shift
+    val r2 = s"rb${id}zzz"
+    val p1 = prefix.length + u(0).length + 1
+    val off4 = p1 + u(1).length + 2 + u(2).length + 3 + u(3).length + 4
+    // patch right edit first so left indices stay valid
+    val nw = old.patch(off4, r2, u(4).length).patch(p1, r1, u(1).length)
+    val p2 = p1 + r1.length + 2 + u(2).length + 3 + u(3).length + 4
+    (old, nw, Seq((p1, -1, u(1)), (p1, 1, r1),
+                  (p2, -1, u(4)), (p2, 1, r2)))
+  }
+
+  def q152DiffMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lookup = s.createDataFrame(
+        (0 until 40).map { id => val (o, n, _) = diffPlant2(id); (id.toLong, o, n) })
+      .toDF("doc_id", "old_text", "new_text")
+    docs(s, dir).select($"doc_id").filter($"doc_id" < 40)
+      .join(broadcast(lookup), "doc_id")
+      .select($"doc_id",
+        posexplode(expr("wiki_diff_safe(old_text, new_text).diffs")))
+      .select($"doc_id", $"pos".cast("long").as("op_idx"),
+        $"col.position".cast("long").as("position"),
+        $"col.action".cast("long").as("action"),
+        $"col.content".as("content"))
+      .orderBy($"doc_id", $"op_idx")
+  }
+
+  val q152Sql: String = {
+    val rows = (0 until 40).flatMap { id =>
+      val (_, _, ops) = diffPlant2(id)
+      ops.zipWithIndex.map { case ((pos, act, content), i) =>
+        s"($id, $i, $pos, $act, '${content.replace("'", "''")}')"
+      }
+    }
+    s"""WITH exp(doc_id, op_idx, position, action, content) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |d AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 40)
+       |SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       |  CAST(e.op_idx AS BIGINT) AS op_idx,
+       |  CAST(e.position AS BIGINT) AS position,
+       |  CAST(e.action AS BIGINT) AS action, e.content
+       |FROM exp e JOIN d USING (doc_id)
+       |ORDER BY doc_id, op_idx""".stripMargin
+  }
+
   def q143DiffOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lookup = s.createDataFrame(
@@ -3635,6 +3693,7 @@ object TextQueries {
     "q147_edit_wars" -> q147EditWars _,
     "q149_lpa_communities" -> q149Lpa _,
     "q151_snapshot_diff" -> q151SnapshotDiff _,
+    "q152_diff_multi" -> q152DiffMulti _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3726,6 +3785,7 @@ object TextQueries {
     "q147_edit_wars" -> q147Sql,
     "q149_lpa_communities" -> q149Sql,
     "q151_snapshot_diff" -> q151Sql,
+    "q152_diff_multi" -> q152Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,
