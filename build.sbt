@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt -batch "runMain graft.Bench" 2>&1 | tail -c 2000`
+// and json-parses the LAST line. Three things must hold for that to work:
+// (a) the forked JVM's stdout passes through RAW — sbt's default logger
+//     re-logs it with an "[info] " prefix, which is not bare JSON;
+// (b) sbt must not append "[success] Total time: ..." after the run;
+// (c) nothing (Spark WARN spam) may flood the 2000-char window after the
+//     metric line (handled by src/main/resources/log4j2.properties).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

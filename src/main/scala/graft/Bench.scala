@@ -20,7 +20,7 @@ object Bench {
       // whole surface.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session (codegen, shuffle machinery) and the OS page
     // cache for EVERY table uniformly, so the first measured query
     // doesn't absorb JVM startup and no query gets a selectively warm

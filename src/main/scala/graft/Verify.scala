@@ -17,7 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     // Builder fast loop only: SPARK_GRAFT_ONLY="q87_x q88_y" dumps a
     // subset. The driver never sets it — default behavior unchanged.

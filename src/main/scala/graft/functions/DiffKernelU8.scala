@@ -214,17 +214,18 @@ object DiffKernelU8 {
     * hits via `UTF8String.equals` (memcmp). */
   private final class Ctx {
     var interner = new InternerU8
-    // identity-only memo key: the mediawiki reader deliberately shares
-    // ONE immutable UTF8String object between curr-of-row-i and
-    // prev-of-row-i+1, so `eq` is a safe fast path. NEVER content-
-    // compare this reference: a foreign UTF8String (UnsafeRow, column
-    // vector) points into a REUSED buffer, and once the next row
-    // overwrites it with same-length fields, `u.equals(lastRef)`
-    // compares the new text against ITSELF and the memo returns the
-    // PREVIOUS text's ids — observed as whole-document garbled diffs
-    // (q143's planted pairs caught it through a broadcast join).
-    private var lastRef: UTF8String = null
-    // owned copy of the last text for safe content-equality
+    // The memo key is ALWAYS the owned copy `lastStr`: a foreign
+    // UTF8String (UnsafeRow, column vector) points into a REUSED
+    // buffer, so neither content-comparing a retained caller reference
+    // nor trusting its object identity is sound — once the next row
+    // overwrites the buffer with same-length fields, a retained-ref
+    // equals() compares the new text against ITSELF, and a recycled
+    // wrapper object would make even `eq` lie (the r8 bug class,
+    // caught by q143's planted pairs through a broadcast join).
+    // Identity (`eq`) is trusted only against `lastStr` itself — an
+    // object this kernel created and never mutates; every other hit
+    // must pay the memcmp against the owned bytes (~0.3% of a
+    // revision's tokenize cost; measured irrelevant to ingest).
     private var lastStr: UTF8String = null
     private var lastBytes: Array[Byte] = null
     private var lastBounds: Array[Int] = new Array[Int](256)
@@ -236,11 +237,11 @@ object DiffKernelU8 {
 
     def reset(): Unit = {
       interner = new InternerU8
-      lastRef = null; lastStr = null; lastBytes = null; lastIds = null
+      lastStr = null; lastBytes = null; lastIds = null
     }
 
     def ids(u: UTF8String): Array[Int] = {
-      if (lastIds != null && ((u eq lastRef) || u.equals(lastStr))) return lastIds
+      if (lastIds != null && ((u eq lastStr) || u.equals(lastStr))) return lastIds
       val g = u.getBytes
       // getBytes returns the BACKING array (not a copy) when the
       // string exactly spans it — own the bytes unconditionally so
@@ -251,7 +252,7 @@ object DiffKernelU8 {
         if (lastBytes == null || lastIds == null) internRange(b, buf, 0, bn / 2, null, 0)
         else sharedIntern(b, buf, bn / 2)
       spare = if (buf eq lastBounds) new Array[Int](buf.length) else lastBounds
-      lastRef = u; lastStr = UTF8String.fromBytes(b); lastBytes = b
+      lastStr = UTF8String.fromBytes(b); lastBytes = b
       lastBounds = buf; lastIds = out
       out
     }

@@ -101,12 +101,31 @@ object GraftFunctions {
     * columns), computed from a mediawiki-source DataFrame with
     * `prev`/`curr` columns. */
   def diffdb(revisions: DataFrame, nsByName: Map[String, Int] = Map.empty): DataFrame = {
-    // native codegen expression, not the closure UDF: the UDF was the
-    // one interpreted dispatch left on this path (encoder round trip
-    // per revision); the ns map rides the plan as a foldable literal
+    // native codegen expressions when the session carries
+    // GraftExtensions (no encoder round trip per revision; the ns map
+    // rides the plan as a foldable literal), with a UDF fallback so
+    // diffdb keeps working on a vanilla SparkSession — the natives are
+    // session-registered functions, and depending on them
+    // unconditionally would silently narrow diffdb's session contract
+    val sess = revisions.sparkSession
+    val normCol =
+      if (sess.catalog.functionExists("normalize_title"))
+        call_function("normalize_title",
+          col("title"), lit(NormalizeTitle.encodeMap(nsByName)))
+      else {
+        val u = normalizeTitleUdf(nsByName)(col("title"))
+        struct(u.getField("_1").as("ns"), u.getField("_2").as("title"))
+      }
+    val diffCol =
+      if (sess.catalog.functionExists("wiki_diff_safe"))
+        expr("wiki_diff_safe(coalesce(prev.text, ''), coalesce(curr.text, ''))")
+      else {
+        val d = diffSafeUdf(coalesce(col("prev.text"), lit("")),
+          coalesce(col("curr.text"), lit("")))
+        struct(d.getField("_1").as("diffs"), d.getField("_2").as("error"))
+      }
     revisions
-      .withColumn("__norm", call_function("normalize_title",
-        col("title"), lit(NormalizeTitle.encodeMap(nsByName))))
+      .withColumn("__norm", normCol)
       .select(
         col("curr.rev_id").as("rev_id"),
         col("page_id"),
@@ -117,10 +136,7 @@ object GraftFunctions {
         col("curr.minor").as("minor"),
         col("curr.contributor.id").as("user_id"),
         coalesce(col("curr.contributor.username"), col("curr.contributor.ip")).as("user_text"),
-        // native expression, not the UDF: no Catalyst↔Scala encoder
-        // round trip per row on the ingest hot path (requires the
-        // session to carry GraftExtensions, as all entry points do)
-        expr("wiki_diff_safe(coalesce(prev.text, ''), coalesce(curr.text, ''))").as("__d"))
+        diffCol.as("__d"))
       .withColumn("diffs", col("__d.diffs"))
       .withColumn("diff_error", col("__d.error"))
       .drop("__d")

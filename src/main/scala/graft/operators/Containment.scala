@@ -25,40 +25,24 @@ object Containment {
   def pairs(sh: DataFrame, threshold: Double,
             maxBitmapVocab: Int = JaccardPairs.DefaultMaxBitmapVocab,
             maxBitmapDocs: Long = JaccardPairs.DefaultMaxBitmapDocs,
-            maxSweepPairOps: Long = JaccardPairs.DefaultMaxSweepPairOps): DataFrame = {
-    val cached = sh.persist()
-    try {
-      if (cached.limit((JaccardPairs.MaxCollectRows + 1).toInt).count() > JaccardPairs.MaxCollectRows)
-        invertedIndexPairs(sh, threshold)
-      else {
-        val spark = sh.sparkSession
-        import spark.implicits._
-        val raw = cached.select($"doc_id".cast("long"), $"shingle")
-          .as[(Long, String)].collect()
-        // cost-modeled regime choice, same reasoning as
-        // JaccardPairs.pairs (see the comment there): sweep word-ops
-        // vs exact Σ df² inverted-index join rows, bounded by
-        // broadcast memory rather than a hard vocabulary cap.
-        val nDocs = raw.iterator.map(_._1).toSet.size.toLong
-        val dfCounts = raw.groupBy(_._2).view.mapValues(_.length.toLong)
-        val vocabN = dfCounts.size.toLong
-        val nWords = ((vocabN + 63) >>> 6).max(1L)
-        val sweepOps = nDocs.toDouble * nDocs / 2 * nWords
-        val sweepBytes = nDocs.toDouble * nWords * 8
-        val invCost = dfCounts.valuesIterator
-          .map(d => d.toDouble * d).sum * JaccardPairs.InvRowCostWordOps
-        val classicDense = vocabN <= maxBitmapVocab &&
-          sweepOps <= maxSweepPairOps.toDouble
-        val useSweep = nDocs <= maxBitmapDocs &&
-          sweepBytes <= JaccardPairs.MaxSweepBroadcastBytes.toDouble &&
-          (classicDense || sweepOps <= invCost)
-        if (useSweep)
-          bitmapPairsGuarded(cached, threshold, Int.MaxValue, Long.MaxValue,
-            Long.MaxValue).get
-        else invertedIndexPairs(sh, threshold)
-      }
-    } finally cached.unpersist(false)
-  }
+            maxSweepPairOps: Long = JaccardPairs.DefaultMaxSweepPairOps): DataFrame =
+    pairsFromStats(sh, JaccardPairs.probe(sh), threshold, maxBitmapVocab,
+      maxBitmapDocs, maxSweepPairOps)
+
+  /** As [[pairs]], but with a precomputed [[JaccardPairs.DispatchStats]]
+    * (cost-modeled regime choice, same reasoning as
+    * [[JaccardPairs.pairsFromStats]]: sweep word-ops vs exact Σ df²
+    * inverted-index join rows, bounded by broadcast memory rather than
+    * a hard vocabulary cap). The dense path builds its sweep from the
+    * already-collected rows — no second collect of the corpus. */
+  def pairsFromStats(sh: DataFrame, stats: JaccardPairs.DispatchStats,
+      threshold: Double,
+      maxBitmapVocab: Int = JaccardPairs.DefaultMaxBitmapVocab,
+      maxBitmapDocs: Long = JaccardPairs.DefaultMaxBitmapDocs,
+      maxSweepPairOps: Long = JaccardPairs.DefaultMaxSweepPairOps): DataFrame =
+    if (stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
+      sweepFromRaw(sh.sparkSession, stats.raw, threshold)
+    else invertedIndexPairs(sh, threshold)
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime).
     * One candidate discovery (a < b), two directed emits. */
@@ -88,14 +72,25 @@ object Containment {
     import spark.implicits._
     val raw = sh.select($"doc_id".cast("long"), $"shingle")
       .as[(Long, String)].collect()
+    val vocabN = raw.iterator.map(_._2).toSet.size
+    if (vocabN > maxVocab) return None
+    val nWords = math.max((vocabN + 63) >>> 6, 1)
+    val nDocs = raw.iterator.map(_._1).toSet.size
+    if (nDocs > maxDocs) return None
+    val n = nDocs.toDouble
+    if (n * n / 2 * nWords > maxPairOps.toDouble) return None
+    Some(sweepFromRaw(spark, raw, threshold))
+  }
+
+  /** Bitmap-encode the collected set rows and launch the distributed
+    * directed triangular sweep (guards already applied by callers). */
+  private def sweepFromRaw(spark: org.apache.spark.sql.SparkSession,
+      raw: Array[(Long, String)], threshold: Double): DataFrame = {
+    import spark.implicits._
     val vocab = raw.map(_._2).distinct.sorted
-    if (vocab.length > maxVocab) return None
     val idx = vocab.zipWithIndex.toMap
-    val nWords = (vocab.length + 63) >>> 6
+    val nWords = math.max((vocab.length + 63) >>> 6, 1)
     val byDoc = raw.groupBy(_._1).toArray.sortBy(_._1)
-    if (byDoc.length > maxDocs) return None
-    val n = byDoc.length.toDouble
-    if (n * n / 2 * math.max(nWords, 1) > maxPairOps.toDouble) return None
     val ids = byDoc.map(_._1)
     val bits = byDoc.map { case (_, rows) =>
       val b = new Array[Long](nWords)
@@ -109,7 +104,7 @@ object Containment {
     val bBits = spark.sparkContext.broadcast(bits)
     val bCounts = spark.sparkContext.broadcast(counts)
     val slices = spark.sparkContext.defaultParallelism
-    Some(spark.range(ids.length.toLong).as[Long]
+    spark.range(ids.length.toLong).as[Long]
       .repartition(slices)
       .mapPartitions { iter =>
         val dIds = bIds.value; val dBits = bBits.value; val dCnt = bCounts.value
@@ -133,6 +128,6 @@ object Containment {
           }
           out.iterator
         }
-      }.toDF("doc_in", "doc_out", "containment"))
+      }.toDF("doc_in", "doc_out", "containment")
   }
 }

@@ -72,53 +72,91 @@ object JaccardPairs {
     * distributed join is recoverable; the reverse risks a broadcast). */
   val InvRowCostWordOps = 256L
 
-  def pairs(sh: DataFrame, threshold: Double,
-            maxBitmapVocab: Int = DefaultMaxBitmapVocab,
-            maxBitmapDocs: Long = DefaultMaxBitmapDocs,
-            maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame = {
-    // persist across probe + collect so the upstream (scan, shingling)
-    // computes once on the dense path; the probe is a LIMIT-bounded
-    // count, so on a huge corpus it short-circuits after
-    // MaxCollectRows+1 rows instead of scanning everything just to
-    // dispatch. All regime guards are checked AFTER the collect, on
-    // exact numbers. Callers that KNOW the corpus is large should call
-    // invertedIndexPairs directly and skip the probe entirely.
+  /** Regime-dispatch statistics, computed once per shingle frame and
+    * shareable across every pair operator that consumes it
+    * ([[JaccardPairs.pairsFromStats]], [[Containment.pairsFromStats]]).
+    * Exact numbers from the collected rows: both regime costs are
+    * computable up front — the sweep does n²/2·words word-ops; the
+    * inverted index materializes exactly Σ_s df(s)² joined rows (each
+    * far costlier than a word-op). The r8 10×-scale rehearsal showed
+    * why a hard vocabulary cap is the wrong guard: a dense corpus
+    * whose vocabulary outgrows the cap fell back to an inverted index
+    * that was quadratically WORSE than the sweep it rejected. Choose
+    * by cost, bounded by broadcast memory.
+    *
+    * `raw` is null iff `overLimit` (the probe short-circuited on a
+    * large corpus and collected nothing). */
+  final class DispatchStats private[operators] (
+      private[operators] val raw: Array[(Long, String)],
+      val overLimit: Boolean) {
+    val nDocs: Long =
+      if (overLimit) -1L else raw.iterator.map(_._1).toSet.size.toLong
+    private val dfCounts: Map[String, Long] =
+      if (overLimit) Map.empty
+      else raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocabN: Long = dfCounts.size.toLong
+    val nWords: Long = ((vocabN + 63) >>> 6).max(1L)
+    val sweepOps: Double = nDocs.toDouble * nDocs / 2 * nWords
+    val sweepBytes: Double = nDocs.toDouble * nWords * 8
+    val invCost: Double = dfCounts.valuesIterator
+      .map(d => d.toDouble * d).sum * InvRowCostWordOps
+
+    /** The regime decision (guards on exact post-collect numbers). */
+    def useSweep(maxBitmapVocab: Int, maxBitmapDocs: Long,
+        maxSweepPairOps: Long): Boolean = {
+      if (overLimit) return false
+      val classicDense = vocabN <= maxBitmapVocab &&
+        sweepOps <= maxSweepPairOps.toDouble
+      nDocs <= maxBitmapDocs &&
+        sweepBytes <= MaxSweepBroadcastBytes.toDouble &&
+        (classicDense || sweepOps <= invCost)
+    }
+  }
+
+  /** One probe per shingle frame: LIMIT-bounded count (short-circuits
+    * after MaxCollectRows+1 rows on a huge corpus instead of scanning
+    * everything just to dispatch), then a collect of the set rows.
+    * The frame is persisted across count + collect so the upstream
+    * (scan, shingling) computes once. Callers composing several pair
+    * operators over the SAME shingle frame should probe once and pass
+    * the stats to each `pairsFromStats` — the probe is the dominant
+    * fixed cost at small scale (measured +0.5 s on q41 at sf0.1 when
+    * re-run per operator). */
+  def probe(sh: DataFrame): DispatchStats = {
     val cached = sh.persist()
     try {
       if (cached.limit((MaxCollectRows + 1).toInt).count() > MaxCollectRows)
-        invertedIndexPairs(sh, threshold)
+        new DispatchStats(null, true)
       else {
         val spark = sh.sparkSession
         import spark.implicits._
-        val raw = cached.select($"doc_id".cast("long"), $"shingle")
-          .as[(Long, String)].collect()
-        // exact dispatch stats from the collected rows: both regime
-        // costs are computable up front — the sweep does n²/2·words
-        // word-ops; the inverted index materializes exactly Σ_s df(s)²
-        // joined rows (each far costlier than a word-op). The r8
-        // 10×-scale rehearsal showed why a hard vocabulary cap is the
-        // wrong guard: a dense corpus whose vocabulary outgrows the
-        // cap fell back to an inverted index that was quadratically
-        // WORSE than the sweep it rejected. Choose by cost, bounded
-        // by broadcast memory.
-        val nDocs = raw.iterator.map(_._1).toSet.size.toLong
-        val dfCounts = raw.groupBy(_._2).view.mapValues(_.length.toLong)
-        val vocabN = dfCounts.size.toLong
-        val nWords = ((vocabN + 63) >>> 6).max(1L)
-        val sweepOps = nDocs.toDouble * nDocs / 2 * nWords
-        val sweepBytes = nDocs.toDouble * nWords * 8
-        val invCost = dfCounts.valuesIterator
-          .map(d => d.toDouble * d).sum * InvRowCostWordOps
-        val classicDense = vocabN <= maxBitmapVocab &&
-          sweepOps <= maxSweepPairOps.toDouble
-        val useSweep = nDocs <= maxBitmapDocs &&
-          sweepBytes <= MaxSweepBroadcastBytes.toDouble &&
-          (classicDense || sweepOps <= invCost)
-        if (useSweep) sweepFromRaw(spark, raw, threshold)
-        else invertedIndexPairs(sh, threshold)
+        new DispatchStats(
+          cached.select($"doc_id".cast("long"), $"shingle")
+            .as[(Long, String)].collect(), false)
       }
     } finally cached.unpersist(false)
   }
+
+  def pairs(sh: DataFrame, threshold: Double,
+            maxBitmapVocab: Int = DefaultMaxBitmapVocab,
+            maxBitmapDocs: Long = DefaultMaxBitmapDocs,
+            maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame =
+    pairsFromStats(sh, probe(sh), threshold, maxBitmapVocab,
+      maxBitmapDocs, maxSweepPairOps)
+
+  /** As [[pairs]], but with a precomputed [[DispatchStats]] (no probe,
+    * no persist — the decision and the sweep's input both come from
+    * the stats; only the inverted-index path touches `sh`). Callers
+    * that KNOW the corpus is large can call invertedIndexPairs
+    * directly and skip even the stats. */
+  def pairsFromStats(sh: DataFrame, stats: DispatchStats,
+      threshold: Double,
+      maxBitmapVocab: Int = DefaultMaxBitmapVocab,
+      maxBitmapDocs: Long = DefaultMaxBitmapDocs,
+      maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame =
+    if (stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
+      sweepFromRaw(sh.sparkSession, stats.raw, threshold)
+    else invertedIndexPairs(sh, threshold)
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime). */
   def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end oracle for the flagship `entry()` dataflow — the one §2
+  * surface that q143/q146/q152 do not cover: the XML SOURCE + prev/curr
+  * PAIRING feeding the diff kernel. A deterministic mini-dump is
+  * generated from a construction (pages, revisions, texts with provably
+  * unique minimal diffs — [[TextQueries.diffPlant]]'s uniqueness
+  * argument), read through `format("mediawiki")` → `diffdb` exactly as
+  * `SparkEntry.entry` does, and every output field — rev_id, page_id,
+  * namespace resolution (both the dump's `<ns>` element and the
+  * siteinfo-driven title-prefix fallback), normalized title, timestamp,
+  * comment (incl. XML entity unescape and absent-element NULL), minor
+  * flag, user id/text (username and IP contributors), and the full
+  * nested op rows — is compared against VALUES computed by STRING
+  * ARITHMETIC on the construction, never by calling any kernel.
+  *
+  * Reference semantics: the dump fields are `fileformat.rst:4-27`'s
+  * columns; pairing is the reference's prev/curr revision streaming
+  * (`README.rst:22-27`); a page's FIRST revision diffs against the
+  * empty text, which tokenizes to nothing, so its provably unique
+  * minimal diff is one add op of the entire text at position 0. */
+object EntryOracle {
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private final case class Rev(revId: Long, ts: String, comment: Option[String],
+      minor: Boolean, user: Either[String, (String, Long)], text: String)
+  private final case class Pg(pageId: Long, title: String, ns: Option[Int],
+      revs: Seq[Rev])
+
+  private val NumPlants = 10
+
+  /** The planted pages: title/namespace shape cycles through plain
+    * (ns 0 from the dump), Talk-prefixed (ns element present AND
+    * prefix), and Category-prefixed with the `<ns>` element OMITTED —
+    * namespace must then come from siteinfo-driven title
+    * normalization. Contributors alternate username/IP; the minor
+    * flag and an absent comment element are both exercised. */
+  private def pages: Seq[Pg] = (0 until NumPlants).map { id =>
+    val (o, n, _) = TextQueries.diffPlant(id)
+    val (title, ns) = id % 3 match {
+      case 0 => (s"Plant page $id", Some(0))
+      case 1 => (s"Talk:Plant page $id", Some(1))
+      case _ => (s"Category:Plant $id", None)
+    }
+    def user(seq: Int): Either[String, (String, Long)] =
+      if ((id + seq) % 2 == 0) Right((s"Editor$id", 7000L + id))
+      else Left(s"10.0.0.$id")
+    val r1 = Rev(1000L + 2 * id, tsOf(id, 0),
+      if (id % 4 == 3) None else Some(s"create & <x> 'q' $id"),
+      minor = false, user(0), o)
+    val r2 = Rev(1001L + 2 * id, tsOf(id, 1), Some(s"edit $id"),
+      minor = id % 2 == 1, user(1), n)
+    Pg(100L + id, title, ns, Seq(r1, r2))
+  }
+
+  private def tsOf(id: Int, seq: Int): String =
+    f"2021-02-${1 + id}%02dT${3 + seq}%02d:30:00Z"
+
+  private def epochOf(id: Int, seq: Int): Long =
+    java.time.Instant.parse(tsOf(id, seq)).getEpochSecond
+
+  /** Render the construction as a MediaWiki export XML document. */
+  private[graft] def dumpXml: String = {
+    val sb = new StringBuilder
+    sb ++= """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/" version="0.10" xml:lang="en">
+      |  <siteinfo>
+      |    <sitename>PlantWiki</sitename>
+      |    <namespaces>
+      |      <namespace key="0" case="first-letter" />
+      |      <namespace key="1" case="first-letter">Talk</namespace>
+      |      <namespace key="14" case="first-letter">Category</namespace>
+      |    </namespaces>
+      |  </siteinfo>
+      |""".stripMargin
+    pages.foreach { p =>
+      sb ++= "  <page>\n"
+      sb ++= s"    <title>${xmlEscape(p.title)}</title>\n"
+      p.ns.foreach(n => sb ++= s"    <ns>$n</ns>\n")
+      sb ++= s"    <id>${p.pageId}</id>\n"
+      var parent: Option[Long] = None
+      p.revs.foreach { r =>
+        sb ++= "    <revision>\n"
+        sb ++= s"      <id>${r.revId}</id>\n"
+        parent.foreach(pid => sb ++= s"      <parentid>$pid</parentid>\n")
+        sb ++= s"      <timestamp>${r.ts}</timestamp>\n"
+        sb ++= "      <contributor>\n"
+        r.user match {
+          case Right((name, uid)) =>
+            sb ++= s"        <username>${xmlEscape(name)}</username>\n"
+            sb ++= s"        <id>$uid</id>\n"
+          case Left(ip) =>
+            sb ++= s"        <ip>$ip</ip>\n"
+        }
+        sb ++= "      </contributor>\n"
+        if (r.minor) sb ++= "      <minor/>\n"
+        r.comment.foreach(c => sb ++= s"      <comment>${xmlEscape(c)}</comment>\n")
+        sb ++= "      <model>wikitext</model>\n"
+        sb ++= "      <format>text/x-wiki</format>\n"
+        sb ++= s"""      <text xml:space="preserve" bytes="${r.text.getBytes("UTF-8").length}">${xmlEscape(r.text)}</text>\n"""
+        sb ++= "    </revision>\n"
+        parent = Some(r.revId)
+      }
+      sb ++= "  </page>\n"
+    }
+    sb ++= "</mediawiki>\n"
+    sb.result()
+  }
+
+  /** Write the dump to a deterministic temp path (atomic move; content
+    * is a pure function of the construction, so rewriting is cheap and
+    * always safe). */
+  private[graft] def ensureDump(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val target = dir.resolve("graft_entry_oracle_dump.xml")
+    val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle", ".xml")
+    java.nio.file.Files.write(tmp, dumpXml.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
+  /** Expected diffdb rows, one per (revision, op) — computed purely
+    * from the construction. `None` op fields model a revision whose
+    * diff is empty (the identity edit shape, id % 5 == 0). */
+  private def expectedRows: Seq[(Long, Long, Int, String, Long, Option[String],
+      Boolean, Option[Long], String, Option[(Int, Int, Int, String)])] =
+    pages.zipWithIndex.flatMap { case (p, id) =>
+      val (o, _, ops2) = TextQueries.diffPlant(id)
+      val nsExpected = id % 3 match {
+        case 0 => 0
+        case 1 => 1
+        case _ => 14 // from siteinfo title normalization, no <ns> element
+      }
+      val titleExpected = id % 3 match {
+        case 0 => s"Plant page $id"
+        case 1 => s"Plant page $id" // "Talk:" prefix stripped
+        case _ => s"Plant $id"      // "Category:" prefix stripped
+      }
+      p.revs.zipWithIndex.flatMap { case (r, seq) =>
+        val (uid, utext) = r.user match {
+          case Right((name, u)) => (Some(u), name)
+          case Left(ip) => (None, ip)
+        }
+        val ops: Seq[(Int, Int, String)] =
+          if (seq == 0) Seq((0, 1, o)) else ops2
+        val base = (r.revId, p.pageId, nsExpected, titleExpected,
+          epochOf(id, seq), r.comment, r.minor, uid, utext)
+        if (ops.isEmpty) Seq((base._1, base._2, base._3, base._4, base._5,
+          base._6, base._7, base._8, base._9,
+          None: Option[(Int, Int, Int, String)]))
+        else ops.zipWithIndex.map { case ((pos, act, content), i) =>
+          (base._1, base._2, base._3, base._4, base._5, base._6, base._7,
+            base._8, base._9, Some((i, pos, act, content)))
+        }
+      }
+    }
+
+  // ---------------------------------------------------------------- q153
+  /** The flagship dataflow, flattened for comparison: source → pair →
+    * diff → diffdb, one output row per (revision, op). */
+  def q153EntryDiffdb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureDump()
+    graft.SparkEntry.entryFor(s, path)
+      .select($"rev_id", $"page_id", $"namespace".cast("long").as("namespace"),
+        $"title", $"timestamp", $"comment", $"minor",
+        $"user_id", $"user_text", $"diffs")
+      .select($"rev_id", $"page_id", $"namespace", $"title", $"timestamp",
+        $"comment", $"minor", $"user_id", $"user_text",
+        posexplode_outer($"diffs"))
+      .select($"rev_id", $"page_id", $"namespace", $"title", $"timestamp",
+        $"comment", $"minor", $"user_id", $"user_text",
+        $"pos".cast("long").as("op_idx"),
+        $"col.position".cast("long").as("position"),
+        $"col.action".cast("long").as("action"),
+        $"col.content".as("content"))
+      .orderBy($"rev_id", $"op_idx")
+  }
+
+  private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
+  private def sqlStrOpt(s: Option[String]): String =
+    s.fold("NULL")(sqlStr)
+
+  /** Pure-VALUES oracle (independent of the parquet tables — the dump
+    * is self-contained). Every numeric column is CAST to BIGINT for
+    * dtype parity with the Spark side. */
+  val q153Sql: String = {
+    val rows = expectedRows.map { case (revId, pageId, ns, title, ts,
+        comment, minor, uid, utext, op) =>
+      val (opIdx, pos, act, content) = op match {
+        case Some((i, p, a, c)) => (i.toString, p.toString, a.toString, sqlStr(c))
+        case None => ("NULL", "NULL", "NULL", "NULL")
+      }
+      s"($revId, $pageId, $ns, ${sqlStr(title)}, $ts, ${sqlStrOpt(comment)}, " +
+        s"$minor, ${uid.fold("NULL")(_.toString)}, ${sqlStr(utext)}, " +
+        s"$opIdx, $pos, $act, $content)"
+    }
+    s"""WITH exp(rev_id, page_id, namespace, title, ts, comment, minor,
+       |         user_id, user_text, op_idx, position, action, content) AS (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |SELECT CAST(rev_id AS BIGINT) AS rev_id,
+       |  CAST(page_id AS BIGINT) AS page_id,
+       |  CAST(namespace AS BIGINT) AS namespace, title,
+       |  CAST(ts AS BIGINT) AS "timestamp",
+       |  CAST(comment AS VARCHAR) AS comment,
+       |  CAST(minor AS BOOLEAN) AS minor,
+       |  CAST(user_id AS BIGINT) AS user_id, user_text,
+       |  CAST(op_idx AS BIGINT) AS op_idx,
+       |  CAST(position AS BIGINT) AS position,
+       |  CAST(action AS BIGINT) AS action,
+       |  CAST(content AS VARCHAR) AS content
+       |FROM exp ORDER BY rev_id, op_idx""".stripMargin
+  }
+}

@@ -67,6 +67,27 @@ object TextQueries {
       .select($"doc_id", explode(expr("shingles(text, 2)")).as("shingle"))
   }
 
+  /** One regime-dispatch probe per (session, corpus): q19/q41/q85/q111
+    * all run pair operators over the SAME bigram-shingle frame, and the
+    * probe (persist + bounded count + collect) is the dominant fixed
+    * cost at small scale — re-running it per operator cost q41 +0.5 s
+    * at sf0.1 (r8 verdict). Single-entry memo: the sweeps this serves
+    * (Verify, Bench) run one (session, dir) at a time, and the entry is
+    * replaced wholesale on a new corpus so at most one collected stats
+    * array is ever retained. */
+  @volatile private[this] var shingleProbeMemo:
+      (SparkSession, String, graft.operators.JaccardPairs.DispatchStats) = null
+  private def shingleStats(s: SparkSession, dir: String):
+      graft.operators.JaccardPairs.DispatchStats = synchronized {
+    val m = shingleProbeMemo
+    if (m != null && (m._1 eq s) && m._2 == dir) m._3
+    else {
+      val st = graft.operators.JaccardPairs.probe(bigramShingles(s, dir))
+      shingleProbeMemo = (s, dir, st)
+      st
+    }
+  }
+
   // ---------------------------------------------------------------- q14
   /** Per-document quality metrics + composite score (all per-row
     * arithmetic — deterministic in IEEE doubles). */
@@ -223,7 +244,8 @@ object TextQueries {
     * ships whole shingle arrays. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.JaccardPairs.pairs(bigramShingles(s, dir), threshold = 0.5)
+    graft.operators.JaccardPairs.pairsFromStats(bigramShingles(s, dir),
+        shingleStats(s, dir), threshold = 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -374,7 +396,8 @@ object TextQueries {
     * scores below threshold). Singletons cluster to themselves. */
   def q41DupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.operators.JaccardPairs.pairs(bigramShingles(s, dir), threshold = 0.5)
+    val pairs = graft.operators.JaccardPairs.pairsFromStats(
+        bigramShingles(s, dir), shingleStats(s, dir), threshold = 0.5)
       .select($"doc_a", $"doc_b")
     val verts = docs(s, dir).select($"doc_id")
     val lab = graft.operators.ConnectedComponents.labels(verts, pairs)
@@ -2450,7 +2473,8 @@ object TextQueries {
     * division of exact longs. */
   def q111Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.Containment.pairs(bigramShingles(s, dir), threshold = 0.8)
+    graft.operators.Containment.pairsFromStats(bigramShingles(s, dir),
+        shingleStats(s, dir), threshold = 0.8)
       .orderBy($"doc_in", $"doc_out")
   }
 
@@ -3694,6 +3718,7 @@ object TextQueries {
     "q149_lpa_communities" -> q149Lpa _,
     "q151_snapshot_diff" -> q151SnapshotDiff _,
     "q152_diff_multi" -> q152DiffMulti _,
+    "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3786,6 +3811,7 @@ object TextQueries {
     "q149_lpa_communities" -> q149Sql,
     "q151_snapshot_diff" -> q151Sql,
     "q152_diff_multi" -> q152Sql,
+    "q153_entry_diffdb" -> EntryOracle.q153Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,

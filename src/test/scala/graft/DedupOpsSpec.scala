@@ -181,12 +181,24 @@ class DedupOpsSpec extends AnyFunSuite {
            cInv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
-  test("JaccardPairs: pair-ops budget rejects the bitmap sweep") {
+  test("JaccardPairs: budget/cost-model dispatch contract pinned on stats") {
     import spark.implicits._
     val sh = shingles
+    // a zero pair-ops budget still hard-rejects the explicitly guarded
+    // sweep entry point — its contract is the budget, not the model
     assert(graft.operators.JaccardPairs
       .bitmapPairsGuarded(sh, 0.5, Int.MaxValue, Long.MaxValue, maxPairOps = 1)
       .isEmpty)
+    // the dispatcher treats the budget as the CLASSIC dense guard only:
+    // with maxSweepPairOps = 1 the classic route is off, and the
+    // decision must equal the raw cross-regime cost comparison. On this
+    // dense corpus the sweep is cheaper, so it is KEPT despite the
+    // exhausted classic budget (the r8 cost-model contract).
+    val st = graft.operators.JaccardPairs.probe(sh)
+    assert(!st.overLimit)
+    assert(st.sweepOps <= st.invCost)
+    assert(st.useSweep(Int.MaxValue, Long.MaxValue, 1L))
+    // …and the sweep-favored dispatch is value-identical to the join
     val dispatched = graft.operators.JaccardPairs
       .pairs(sh, 0.5, maxSweepPairOps = 1)
       .orderBy($"doc_a", $"doc_b").collect().toSeq
@@ -194,6 +206,17 @@ class DedupOpsSpec extends AnyFunSuite {
       .orderBy($"doc_a", $"doc_b").collect().toSeq
     assert(dispatched.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
            inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // a sparse corpus (every shingle unique → invCost ≈ rows, sweep
+    // still quadratic) must flip to the inverted index once the
+    // classic budget is gone — the budget override is not a no-op
+    val sparse = (0L until 256L).map(d => (d, s"uniq$d"))
+      .toDF("doc_id", "shingle")
+    val spSt = graft.operators.JaccardPairs.probe(sparse)
+    assert(spSt.invCost < spSt.sweepOps)
+    assert(!spSt.useSweep(Int.MaxValue, Long.MaxValue, 1L))
+    // with the default budget the same corpus is classic-dense again
+    assert(spSt.useSweep(Int.MaxValue, Long.MaxValue,
+      graft.operators.JaccardPairs.DefaultMaxSweepPairOps))
   }
 
   test("shingles() edge cases: short text, empty tokens, n=3") {

@@ -43,6 +43,81 @@ class PipeMapperSpec extends AnyFunSuite {
     assert(out.filter($"m" === $"n" * 3).count() == 2)
   }
 
+  // ------------------------------------------------- failure surface
+  // Hadoop Streaming's real-world pain points, each pinned LOUD here:
+  // silent truncation/shift is the one behavior the operator must not
+  // inherit from the text-mode contract it mirrors.
+
+  test("child exiting non-zero fails the job loudly, not truncates") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(1L, 2L, 3L)).toDF("n").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      // emits one good line, then dies mid-stream
+      PipeMapper.pipe(df, Seq("sh", "-c", "head -n 1; exit 3"),
+        StructType(Seq(StructField("n", LongType)))).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("status 3")),
+      s"expected child exit status in: ${messages(e)}")
+  }
+
+  test("embedded TAB in a cell fails the task (no silent column shift)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq((1L, "ok"), (2L, "bad\tcell")))
+      .toDF("id", "t")
+    val e = intercept[Exception] {
+      PipeMapper.pipe(df, Seq("cat"), StructType(Seq(
+        StructField("id", LongType), StructField("t", StringType)))).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("TSV framing") ||
+      Option(e.getCause).exists(c => c.getMessage != null &&
+        c.getMessage.contains("TSV framing")))
+  }
+
+  test("embedded NEWLINE in a cell fails the task (no silent row split)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq((1L, "two\nlines"))).toDF("id", "t")
+    assertThrows[Exception] {
+      PipeMapper.pipe(df, Seq("cat"), StructType(Seq(
+        StructField("id", LongType), StructField("t", StringType)))).count()
+    }
+  }
+
+  test("child output wider than outSchema fails (no positional mis-parse)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(7L)).toDF("n")
+    assertThrows[Exception] {
+      // child emits 3 fields, schema declares 2
+      PipeMapper.pipe(df, Seq("awk", "{print $1\"\\t\"$1\"\\t\"$1}"),
+        StructType(Seq(StructField("a", LongType),
+          StructField("b", LongType)))).count()
+    }
+  }
+
+  test("child output narrower than outSchema decodes trailing NULLs") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(7L)).toDF("n")
+    val out = PipeMapper.pipe(df, Seq("cat"), StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 7L && out(0).isNullAt(1))
+  }
+
+  test("large-partition smoke: streaming I/O, no buffering blow-up") {
+    import spark.implicits._
+    // ~400 MB through one child process on a single partition: pipe
+    // I/O must stream (PipedRDD writes from a feeder thread while the
+    // parent drains stdout), so peak memory stays per-row, not
+    // per-partition. A buffered implementation would OOM or stall here.
+    val payload = "x" * 400
+    val df = spark.range(0, 1000000L).coalesce(1)
+      .select($"id", concat($"id".cast("string"), lit(payload)).as("t"))
+    val out = PipeMapper.pipe(df, Seq("cat"), StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType))))
+    assert(out.count() == 1000000L)
+  }
+
   private def concat(cs: org.apache.spark.sql.Column*) =
     org.apache.spark.sql.functions.concat(cs: _*)
   private def lit(v: Any) = org.apache.spark.sql.functions.lit(v)
