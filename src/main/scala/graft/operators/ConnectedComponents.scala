@@ -36,11 +36,20 @@ object ConnectedComponents {
     * participate in label propagation but are excluded from the
     * output (same contract on both algorithm paths). Vertex ids must
     * be non-negative: the deep-graph fallback's convergence checksum
-    * requires it (enforced there). */
+    * requires it (enforced there).
+    *
+    * `maxRounds` is the HANDOFF point to the star-contraction
+    * fallback, not a correctness bound — both paths return the same
+    * labels (spec-pinned). 16 splits the regimes: near-dup cluster
+    * graphs (diameter 2-5) converge far below it, while a
+    * deeper-than-16 graph is better off in the O(log² n) path
+    * immediately — the GraphScale probe measured 50 wasted
+    * propagation rounds costing ~½ of CC's 169 s on a
+    * diameter-Θ(m/d) graph before the r9 change. */
   def labels(vertices: DataFrame, edges: DataFrame,
              idCol: String = "doc_id",
              srcCol: String = "doc_a", dstCol: String = "doc_b",
-             maxRounds: Int = 50): DataFrame = {
+             maxRounds: Int = 16): DataFrame = {
     // symmetrize with one explode, not a self-union: a union would
     // execute the upstream pair pipeline twice before the persist
     // materializes (measured 2x the near-dup generation cost on q41)

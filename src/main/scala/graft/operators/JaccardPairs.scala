@@ -61,6 +61,16 @@ object JaccardPairs {
     * count, is what actually bounds the dense path. */
   val MaxSweepBroadcastBytes = 512L * 1024 * 1024
 
+  /** Vocabulary cap for the DISTRIBUTED block sweep: the sorted-vocab
+    * index broadcast is ~40 B/entry → ≤ ~40 MB. A dense regime with a
+    * bigger vocabulary than this has ≥ 2²⁰ 64-bit signature words per
+    * doc and stops being "dense" in any exploitable sense. */
+  val MaxBlockSweepVocab = 1L << 20
+
+  /** Per-task signature-block budget for the block sweep: a block pair
+    * holds two blocks in executor memory (≤ 2× this). */
+  val DefaultBlockBytes = 64L * 1024 * 1024
+
   /** Cost of one materialized inverted-index join row expressed in
     * sweep word-ops, for the cross-regime comparison. MEASURED, not
     * guessed: at 10× rehearsal scale the inverted index took 152 s
@@ -84,56 +94,75 @@ object JaccardPairs {
     * that was quadratically WORSE than the sweep it rejected. Choose
     * by cost, bounded by broadcast memory.
     *
-    * `raw` is null iff `overLimit` (the probe short-circuited on a
-    * large corpus and collected nothing). */
+    * `raw` is null iff `overLimit` (the probe hit the collect cap; the
+    * regime statistics are then computed DISTRIBUTED — two linear
+    * aggregations — so a huge corpus still gets a cost-modeled
+    * decision instead of a blind fallback). */
   final class DispatchStats private[operators] (
       private[operators] val raw: Array[(Long, String)],
-      val overLimit: Boolean) {
+      val overLimit: Boolean,
+      distNDocs: Long, distVocabN: Long, distSumDf2: Double) {
     val nDocs: Long =
-      if (overLimit) -1L else raw.iterator.map(_._1).toSet.size.toLong
+      if (raw != null) raw.iterator.map(_._1).toSet.size.toLong else distNDocs
     private val dfCounts: Map[String, Long] =
-      if (overLimit) Map.empty
+      if (raw == null) Map.empty
       else raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val vocabN: Long = dfCounts.size.toLong
+    val vocabN: Long = if (raw != null) dfCounts.size.toLong else distVocabN
     val nWords: Long = ((vocabN + 63) >>> 6).max(1L)
     val sweepOps: Double = nDocs.toDouble * nDocs / 2 * nWords
     val sweepBytes: Double = nDocs.toDouble * nWords * 8
-    val invCost: Double = dfCounts.valuesIterator
-      .map(d => d.toDouble * d).sum * InvRowCostWordOps
+    private val sumDf2: Double =
+      if (raw != null) dfCounts.valuesIterator.map(d => d.toDouble * d).sum
+      else distSumDf2
+    val invCost: Double = sumDf2 * InvRowCostWordOps
 
-    /** The regime decision (guards on exact post-collect numbers). */
+    /** Driver broadcast-sweep eligibility (needs the collected rows). */
     def useSweep(maxBitmapVocab: Int, maxBitmapDocs: Long,
         maxSweepPairOps: Long): Boolean = {
-      if (overLimit) return false
+      if (raw == null) return false
       val classicDense = vocabN <= maxBitmapVocab &&
         sweepOps <= maxSweepPairOps.toDouble
       nDocs <= maxBitmapDocs &&
         sweepBytes <= MaxSweepBroadcastBytes.toDouble &&
         (classicDense || sweepOps <= invCost)
     }
+
+    /** Distributed block-sweep eligibility: the dense regime PAST the
+      * driver sweep's collect/broadcast bounds. Chosen when the sweep
+      * is still the cheaper formulation (sweepOps ≤ invCost — the same
+      * cross-regime cost model) and the vocabulary index fits a
+      * broadcast. No absolute op cap: past this point the inverted
+      * index is quadratically worse by the same arithmetic (the r8
+      * lesson — a cap here would force the catastrophic path). */
+    def useBlockSweep: Boolean =
+      nDocs > 0 && vocabN > 0 && vocabN <= MaxBlockSweepVocab &&
+        sweepOps <= invCost
   }
 
-  /** One probe per shingle frame: LIMIT-bounded count (short-circuits
-    * after MaxCollectRows+1 rows on a huge corpus instead of scanning
-    * everything just to dispatch), then a collect of the set rows.
-    * The frame is persisted across count + collect so the upstream
-    * (scan, shingling) computes once. Callers composing several pair
+  /** One probe per shingle frame: LIMIT-bounded count, then either a
+    * collect of the set rows (small corpus — enables the driver
+    * sweep) or two linear aggregations for the same statistics
+    * (large corpus — enables the cost model without moving rows).
+    * The frame is persisted across the passes so the upstream (scan,
+    * shingling) computes once. Callers composing several pair
     * operators over the SAME shingle frame should probe once and pass
     * the stats to each `pairsFromStats` — the probe is the dominant
     * fixed cost at small scale (measured +0.5 s on q41 at sf0.1 when
     * re-run per operator). */
   def probe(sh: DataFrame): DispatchStats = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val cached = sh.persist()
     try {
-      if (cached.limit((MaxCollectRows + 1).toInt).count() > MaxCollectRows)
-        new DispatchStats(null, true)
-      else {
-        val spark = sh.sparkSession
-        import spark.implicits._
+      if (cached.limit((MaxCollectRows + 1).toInt).count() > MaxCollectRows) {
+        val nDocs = cached.select($"doc_id").distinct().count()
+        val r = cached.groupBy($"shingle").count()
+          .agg(count(lit(1)), sum(($"count" * $"count").cast("double"))).head
+        new DispatchStats(null, true, nDocs, r.getLong(0), r.getDouble(1))
+      } else
         new DispatchStats(
           cached.select($"doc_id".cast("long"), $"shingle")
-            .as[(Long, String)].collect(), false)
-      }
+            .as[(Long, String)].collect(), false, -1L, -1L, 0.0)
     } finally cached.unpersist(false)
   }
 
@@ -156,6 +185,8 @@ object JaccardPairs {
       maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame =
     if (stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
       sweepFromRaw(sh.sparkSession, stats.raw, threshold)
+    else if (stats.useBlockSweep)
+      blockSweepPairs(sh, threshold, stats.nDocs, stats.nWords)
     else invertedIndexPairs(sh, threshold)
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime). */
@@ -201,6 +232,108 @@ object JaccardPairs {
     val n = nDocs.toDouble
     if (n * n / 2 * nWords > maxPairOps.toDouble) return None
     Some(sweepFromRaw(spark, raw, threshold))
+  }
+
+  /** DISTRIBUTED bitmap sweep over a block grid — the dense regime
+    * past the driver sweep's collect/broadcast bounds. No corpus rows
+    * ever reach the driver:
+    *
+    *  - the sorted vocabulary (small by the dense-regime premise,
+    *    guarded by [[MaxBlockSweepVocab]]) is collected and broadcast
+    *    as the bit-index;
+    *  - signatures build DISTRIBUTED in one shuffle keyed by doc;
+    *  - docs hash into `B` blocks sized by `targetBlockBytes`; each
+    *    signature is replicated to its `B` block pairs, and every
+    *    unordered pair {i, j} is swept by exactly one task (triangular
+    *    on the diagonal, bipartite off it). Peak task memory = two
+    *    blocks; shuffle = B signature copies per doc; pair ops are the
+    *    same n²/2·words the regime costs out — now spread over
+    *    B(B+1)/2 tasks instead of one driver broadcast.
+    *
+    * Output is the same pair set as every other formulation
+    * (DedupOpsSpec pins it against the inverted join). */
+  def blockSweepPairs(sh: DataFrame, threshold: Double,
+      nDocsHint: Long = -1L, nWordsHint: Long = -1L,
+      targetBlockBytes: Long = DefaultBlockBytes): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val vocab = sh.select($"shingle").distinct().as[String].collect().sorted
+    require(vocab.length <= MaxBlockSweepVocab,
+      s"block sweep vocabulary ${vocab.length} exceeds $MaxBlockSweepVocab")
+    val nWords = math.max((vocab.length + 63) >>> 6, 1)
+    val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
+    val sigs = sh.select($"doc_id".cast("long"), $"shingle")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val ix = bIdx.value
+        val b = new Array[Long](nWords)
+        it.foreach { case (_, s) =>
+          val i = ix(s); b(i >>> 6) |= 1L << (i & 63)
+        }
+        (id, b, b.map(java.lang.Long.bitCount).sum)
+      }
+    val nDocs =
+      if (nDocsHint > 0) nDocsHint
+      else sh.select($"doc_id").distinct().count()
+    val nBlocks = math.max(1,
+      math.ceil(nDocs.toDouble * nWords * 8 / targetBlockBytes).toInt)
+    val paired = sigs.flatMap { case (id, bits, cnt) =>
+      val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
+      (0 until nBlocks).iterator.map { other =>
+        val lo = math.min(blk, other); val hi = math.max(blk, other)
+        (lo * nBlocks + hi, blk, id, bits, cnt)
+      }
+    }
+    paired.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val lo = key / nBlocks; val hi = key % nBlocks
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
+        it.foreach { case (_, blk, id, bits, cnt) =>
+          if (blk == lo) left += ((id, bits, cnt))
+          if (blk == hi && lo != hi) right += ((id, bits, cnt))
+        }
+        def jac(a: (Long, Array[Long], Int), b: (Long, Array[Long], Int)): Double = {
+          var common = 0; var w = 0
+          val ba = a._2; val bb = b._2
+          while (w < ba.length) {
+            common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
+          }
+          common.toDouble / (a._3 + b._3 - common)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (lo == hi) {
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) {
+              val v = jac(left(i), left(j))
+              if (v >= threshold) {
+                val (a, b) = (left(i)._1, left(j)._1)
+                out += ((math.min(a, b), math.max(a, b), v))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) {
+              val v = jac(left(i), right(j))
+              if (v >= threshold) {
+                val (a, b) = (left(i)._1, right(j)._1)
+                out += ((math.min(a, b), math.max(a, b), v))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }.toDF("doc_a", "doc_b", "jaccard")
   }
 
   /** Bitmap-encode the collected set rows and launch the distributed

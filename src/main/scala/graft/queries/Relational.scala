@@ -738,6 +738,99 @@ object Relational {
       |FROM z GROUP BY user_id, sid
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** Click attribution — the EXACT batch twin of
+    * [[graft.streaming.StreamOps.attributeClicks]] (the operator code
+    * itself on the batch frame; `withWatermark` is a no-op in batch):
+    * every (view, click) pair of one user with the click within 1800 s
+    * after the view. Streaming, the same plan is Spark's genuine
+    * stream-stream interval join with watermark-bounded state;
+    * StreamingSpec pins stream ≡ batch pair sets, and this row pins
+    * the batch side to an independent SQL formulation — closing the
+    * chain for the interval-join operator. Shuffle is keyed by
+    * user_id (high cardinality); the interval predicate prunes within
+    * each key. */
+  def q155ClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_id",
+      timestamp_micros($"ts_us").as("ts"), $"event_type")
+    graft.streaming.StreamOps.attributeClicks(
+        ev.filter($"event_type" === "view"),
+        ev.filter($"event_type" === "click"))
+      .select($"user_id", $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_ts_us"),
+        unix_micros($"click_ts").as("click_ts_us"))
+      .orderBy($"user_id", $"view_id", $"click_id")
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** Tumbling-window event aggregation — the EXACT batch twin of
+    * [[graft.streaming.StreamOps.windowedEventCounts]] (the operator
+    * code on the batch frame; the watermark is a batch no-op): hourly
+    * windows × event_type with exact-decimal value totals. Streaming,
+    * the same plan runs with watermark-bounded state and append-mode
+    * window emission; this row pins the window boundary + decimal-sum
+    * semantics against an independent epoch-arithmetic SQL
+    * formulation. */
+  def q156WindowedCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select(
+      timestamp_micros($"ts_us").as("ts"), $"event_type", $"value")
+    graft.streaming.StreamOps.windowedEventCounts(ev)
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  val q156Sql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events)
+      |SELECT CAST((ts_us // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** Stream-static broadcast enrichment — the EXACT batch twin of
+    * [[graft.streaming.StreamOps.enrichStream]]: events left-joined
+    * against a small per-user dimension (each user's lifetime view
+    * count, kept only for users with ≥ 3 views so ABSENT KEYS are
+    * exercised — the left join must keep their rows with NULL
+    * enrichment, the r6 sparse-model lesson). The dimension rides a
+    * broadcast; the stream side never shuffles. */
+  def q157EnrichedEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val dim = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_views"))
+      .filter($"n_views" >= 3)
+    graft.streaming.StreamOps.enrichStream(
+        ev.select($"event_id", $"user_id", $"event_type"),
+        dim, Seq("user_id"))
+      .select($"event_id", $"user_id", $"event_type", $"n_views")
+      .orderBy($"event_id")
+  }
+
+  val q157Sql: String =
+    """WITH dim AS (SELECT user_id, COUNT(*) AS n_views FROM events
+      |             WHERE event_type = 'view' GROUP BY 1
+      |             HAVING COUNT(*) >= 3)
+      |SELECT e.event_id, e.user_id, e.event_type, d.n_views
+      |FROM events e LEFT JOIN dim d USING (user_id)
+      |ORDER BY e.event_id""".stripMargin
+
+  val q155Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, event_id AS view_id, ts_us AS view_ts_us
+      |      FROM ev WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_ts_us
+      |      FROM ev WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id, view_ts_us, click_ts_us
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND click_ts_us > view_ts_us
+      |  AND click_ts_us <= view_ts_us + 1800000000
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- q110
   /** Z-order layout audit: Morton-interleave (o_custkey, order-day)
     * via [[graft.operators.ZOrder]] and report per-z-bucket rectangle
@@ -1390,6 +1483,9 @@ object Relational {
     "q93_retention_cohorts" -> q93RetentionCohorts _,
     "q94_funnel" -> q94Funnel _,
     "q103_session_windows" -> q103SessionWindows _,
+    "q155_click_attribution" -> q155ClickAttribution _,
+    "q156_windowed_counts" -> q156WindowedCounts _,
+    "q157_enriched_events" -> q157EnrichedEvents _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
     "q148_zorder3" -> q148ZOrder3 _,
     "q150_mad_anomalies" -> q150MadAnomalies _,
@@ -1434,6 +1530,9 @@ object Relational {
     "q93_retention_cohorts" -> q93Sql,
     "q94_funnel" -> q94Sql,
     "q103_session_windows" -> q103Sql,
+    "q155_click_attribution" -> q155Sql,
+    "q156_windowed_counts" -> q156Sql,
+    "q157_enriched_events" -> q157Sql,
     "q110_zorder_layout" -> q110Sql,
     "q148_zorder3" -> q148Sql,
     "q150_mad_anomalies" -> q150Sql,

@@ -2788,6 +2788,61 @@ object TextQueries {
     """SELECT doc_id, UPPER(text) AS utext FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** The EXACT batch twin of
+    * [[graft.streaming.StreamOps.minhashCandidatesStream]] — the
+    * operator code itself run on the batch frame (Spark executes
+    * `flatMapGroupsWithState` on a batch Dataset as one micro-batch
+    * with empty state), emitting the stream's own output shape: one
+    * row per COLLIDING BAND per candidate pair, with the
+    * full-signature estimate (m-of-8 matching slices, one double
+    * division — portable). q20 oracles the pair-level dedup of this;
+    * this row oracles the band-level emission the stream actually
+    * produces, closing the chain StreamingSpec pins (stream ≡ this ≡
+    * SQL). The unbounded `maxBucketDocs` is the oracle configuration
+    * only — at scale the operator caps buckets, and the scale path for
+    * batch dedup is [[graft.operators.MinHashLsh]]'s band join. */
+  def q154LshBandCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.StreamOps.minhashCandidatesStream(
+        docs(s, dir).select($"doc_id", $"text"), "doc_id", "text",
+        minEst = 0.25, maxBucketDocs = Int.MaxValue)
+      .toDF()
+      .select($"band".cast("long").as("band"), $"doc_a", $"doc_b",
+        $"est_jaccard")
+      .orderBy($"band", $"doc_a", $"doc_b")
+  }
+
+  /** Band-level LSH oracle: q20's signature CTEs, but candidates keep
+    * the band index and each colliding band emits its own row. */
+  val q154Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |hs AS (SELECT doc_id, md5(shingle) m1, md5('x'||shingle) m2 FROM sh),
+      |sigw AS (SELECT doc_id,
+      |           MIN(substr(m1,1,8)) h0, MIN(substr(m1,9,8)) h1,
+      |           MIN(substr(m1,17,8)) h2, MIN(substr(m1,25,8)) h3,
+      |           MIN(substr(m2,1,8)) h4, MIN(substr(m2,9,8)) h5,
+      |           MIN(substr(m2,17,8)) h6, MIN(substr(m2,25,8)) h7
+      |         FROM hs GROUP BY doc_id),
+      |sig AS (SELECT doc_id, i,
+      |          CASE i WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3
+      |                 WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END AS mh
+      |        FROM sigw, UNNEST(range(0, 8)) AS r(i)),
+      |cand AS (SELECT a.i AS band, a.doc_id doc_a, b.doc_id doc_b
+      |         FROM sig a JOIN sig b ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      |est AS (SELECT band, doc_a, doc_b,
+      |          ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+      |        FROM cand JOIN sigw sa ON doc_a = sa.doc_id
+      |                  JOIN sigw sb ON doc_b = sb.doc_id)
+      |SELECT CAST(band AS BIGINT) AS band, doc_a, doc_b, est_jaccard FROM est
+      |WHERE est_jaccard >= 0.25
+      |ORDER BY band, doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- q149
   /** Community detection via synchronous label propagation
     * ([[graft.operators.LabelProp]], min-tie-break LPA) — the 6th
@@ -3719,6 +3774,7 @@ object TextQueries {
     "q151_snapshot_diff" -> q151SnapshotDiff _,
     "q152_diff_multi" -> q152DiffMulti _,
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
+    "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3812,6 +3868,7 @@ object TextQueries {
     "q151_snapshot_diff" -> q151Sql,
     "q152_diff_multi" -> q152Sql,
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
+    "q154_lsh_band_candidates" -> q154Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,

@@ -219,6 +219,44 @@ class DedupOpsSpec extends AnyFunSuite {
       graft.operators.JaccardPairs.DefaultMaxSweepPairOps))
   }
 
+  test("JaccardPairs: distributed block sweep equals inverted join (multi-block)") {
+    import spark.implicits._
+    val sh = shingles
+    // tiny block budget forces a real grid (many diagonal + bipartite
+    // tasks); the pair set must still be exactly the join's
+    val a = graft.operators.JaccardPairs
+      .blockSweepPairs(sh, 0.5, targetBlockBytes = 32 * 1024)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val b = graft.operators.JaccardPairs.invertedIndexPairs(sh, 0.5)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // dispatch contract: with the driver sweep ineligible (doc cap 1)
+    // on this dense corpus, the cost model must route to the block
+    // sweep, never the inverted join it costed out
+    val st = graft.operators.JaccardPairs.probe(sh)
+    assert(!st.useSweep(Int.MaxValue, 1L, Long.MaxValue) && st.useBlockSweep)
+    val dispatched = graft.operators.JaccardPairs
+      .pairsFromStats(sh, st, 0.5, maxBitmapDocs = 1L)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(dispatched.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("Containment: distributed block sweep equals inverted join (multi-block)") {
+    import spark.implicits._
+    val sh = shingles
+    val a = graft.operators.Containment
+      .blockSweepPairs(sh, 0.8, targetBlockBytes = 32 * 1024)
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    val b = graft.operators.Containment.invertedIndexPairs(sh, 0.8)
+      .orderBy($"doc_in", $"doc_out").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("shingles() edge cases: short text, empty tokens, n=3") {
     import spark.implicits._
     val df = Seq("one", "", "a b", "a  b", "x y z").toDF("text")

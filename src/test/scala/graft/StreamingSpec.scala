@@ -377,9 +377,12 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming dedup drops duplicate keys across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup").toString
     // two files = two potential micro-batches with overlapping event_ids
+    // cache pins limit(100)'s row choice so both writes share rows;
+    // released right after (CCSpec/SoakSpec assert an empty cache)
     val base = normalizedEvents.limit(100).cache()
     base.write.parquet(s"$dir/b1")
     base.limit(40).write.parquet(s"$dir/b2") // 40 duplicates of b1 rows
+    base.unpersist(false)
     val schema = spark.read.parquet(s"$dir/b1").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
@@ -553,6 +556,17 @@ class StreamingSpec extends AnyFunSuite {
       s"stream found ${streamPairs.size} pairs, batch ${q20.size}; " +
         s"missing=${(q20.keySet -- streamPairs.keySet).take(5)} extra=${(streamPairs.keySet -- q20.keySet).take(5)}")
     streamPairs.foreach { case (pair, est) => assert(est == q20(pair), s"est diverges for $pair") }
+    // band-level: the stream's exact output shape must equal q154, the
+    // oracle-backed batch twin (closing stream ≡ batch ≡ SQL)
+    val bandLevel = scala.jdk.CollectionConverters.ListHasAsScala(got).asScala
+      .map(c => (c.band, c.doc_a, c.doc_b, c.est_jaccard)).toSet
+    val q154 = graft.queries.TextQueries
+      .q154LshBandCandidates(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(bandLevel == q154,
+      s"band-level mismatch: stream=${bandLevel.size} batch=${q154.size}")
   }
 
   test("LSH bucket TTL: aged-out buckets stop emitting pairs, fresh ones still match") {

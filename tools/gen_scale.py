@@ -12,7 +12,22 @@ small deterministic per-copy rotation of a few dimensions for the same
 reason. This is NOT oracle data - it exists to measure per-query
 scaling exponents (BENCH at ~10x), not correctness.
 
-Usage: python3 tools/gen_scale.py [K] [outdir]
+Usage: python3 tools/gen_scale.py [K] [outdir] [mode]
+
+mode (default "tiled"):
+  tiled  — the round-8 scheme: the perturbed token POSITIONS are the
+           same in every copy (only the suffix differs), so copy i and
+           copy j of one base document share ~6/7 of tokens — i.e.
+           every base dup family is INFLATED ~K× across copies and
+           candidate pairs grow ~K² per family. Good for stress, bad
+           for attributing growth to the operator.
+  pinned — per-copy dup-family size PINNED: the perturbed position set
+           depends on the copy index ((...+ i*101) % 63 < 9 ≈ 1/7
+           rate, all K offsets distinct), so cross-copy versions of a
+           document share only ~3/7 of bigrams (Jaccard ≈ 0.27, below
+           every candidate threshold) while WITHIN-copy families keep
+           exactly the round-8 structure. Measured growth is then the
+           operator's, not a dup-family explosion.
 """
 import sys
 import numpy as np
@@ -23,6 +38,8 @@ import pyarrow.compute as pc
 SRC = "/root/testdata/sf0.1"
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale"
+MODE = sys.argv[3] if len(sys.argv) > 3 else "tiled"
+assert MODE in ("tiled", "pinned"), MODE
 
 import os
 os.makedirs(OUT, exist_ok=True)
@@ -83,10 +100,18 @@ for i in range(K):
         pt = []
         for di, t in enumerate(texts):
             toks = t.split(" ")
-            # deterministic ~1/7 of tokens become copy-local
-            pt.append(" ".join(
-                f"{w}c{i}" if (hash_ := (len(w) * 31 + j * 7 + di)) % 7 == 0 else w
-                for j, w in enumerate(toks)))
+            # deterministic ~1/7 of tokens become copy-local; in
+            # "pinned" mode the position set shifts per copy (see
+            # module docstring) so cross-copy pairs are not near-dups
+            if MODE == "pinned":
+                pt.append(" ".join(
+                    f"{w}c{i}"
+                    if (len(w) * 31 + j * 7 + di + i * 101) % 63 < 9 else w
+                    for j, w in enumerate(toks)))
+            else:
+                pt.append(" ".join(
+                    f"{w}c{i}" if (len(w) * 31 + j * 7 + di) % 7 == 0 else w
+                    for j, w in enumerate(toks)))
     cols = {
         "doc_id": shift(tb.column("doc_id"), i * D_STRIDE) if i else tb.column("doc_id"),
         "text": pa.array(pt, type=pa.string()),
