@@ -2788,6 +2788,77 @@ object TextQueries {
     """SELECT doc_id, UPPER(text) AS utext FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** Wikitext → plaintext ([[graft.operators.WikitextStrip]]): markup
+    * is CONSTRUCTED deterministically around each document's fields
+    * (template + one nested level, piped + plain links, bold runs,
+    * heading rule, XML entities) so the strip rules are exercised on
+    * every row, then stripped by the operator's codegen'd rule chain.
+    * The oracle builds the identical wikitext and applies the
+    * operator's own SQL twin (`WikitextStrip.plainSql` — the two rule
+    * lists live side by side so they can only drift visibly). */
+  def q158WikitextStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        concat(lit("== "), $"source", lit(" ==\n{{t|"), $"lang",
+          lit("}} {{o|{{i}}}} [[T|shown]] [[Plain]] '''"),
+          substring($"text", 1, 60),
+          lit("''' &amp; &lt;x&gt; &quot;q&quot;")).as("wikitext"))
+      .select($"doc_id",
+        graft.operators.WikitextStrip.plain($"wikitext").as("plain"))
+      .orderBy($"doc_id")
+  }
+
+  val q158Sql: String = {
+    val wt = "'== ' || source || ' ==' || chr(10) || '{{t|' || lang || " +
+      "'}} {{o|{{i}}}} [[T|shown]] [[Plain]] ' || repeat(chr(39),3) || " +
+      "left(text, 60) || repeat(chr(39),3) || ' &amp; &lt;x&gt; &quot;q&quot;'"
+    s"""WITH w AS (SELECT doc_id, $wt AS wikitext FROM documents)
+       |SELECT doc_id, ${graft.operators.WikitextStrip.plainSql("wikitext")} AS plain
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q159
+  /** Cross-source overlap matrix: shared distinct bigrams between
+    * every pair of sources, with per-source set sizes and Jaccard —
+    * the "how much do my corpus sources copy each other" report a
+    * mixing pipeline consults before setting source weights. Scale
+    * shape: one distinct on (source, shingle) (shuffle keyed by the
+    * pair), then a self-join keyed by shingle whose fan-out per
+    * shingle is bounded by #sources (tiny), never by docs. */
+  def q159SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"source", explode(expr("shingles(text, 2)")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), $"source_a" === $"sa.source")
+      .join(sizes.as("sb"), $"source_b" === $"sb.source")
+      .select($"source_a", $"source_b", $"common",
+        $"sa.n".as("n_a"), $"sb.n".as("n_b"),
+        ($"common" / ($"sa.n" + $"sb.n" - $"common")).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q159Sql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT source, ts[i]||' '||ts[i+1] AS shingle
+      |       FROM toks, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT source_a, source_b, common, sa.n AS n_a, sb.n AS n_b,
+      |  common * 1.0 / (sa.n + sb.n - common) AS jaccard
+      |FROM pairs JOIN sizes sa ON source_a = sa.source
+      |           JOIN sizes sb ON source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
   // ---------------------------------------------------------------- q154
   /** The EXACT batch twin of
     * [[graft.streaming.StreamOps.minhashCandidatesStream]] — the
@@ -3775,6 +3846,8 @@ object TextQueries {
     "q152_diff_multi" -> q152DiffMulti _,
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
+    "q158_wikitext_strip" -> q158WikitextStrip _,
+    "q159_source_overlap" -> q159SourceOverlap _,
     "q140_source_gini" -> q140SourceGini _,
     "q135_source_drift" -> q135SourceDrift _,
     "q133_categories" -> q133Categories _,
@@ -3869,6 +3942,8 @@ object TextQueries {
     "q152_diff_multi" -> q152Sql,
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
     "q154_lsh_band_candidates" -> q154Sql,
+    "q158_wikitext_strip" -> q158Sql,
+    "q159_source_overlap" -> q159Sql,
     "q140_source_gini" -> q140Sql,
     "q135_source_drift" -> q135Sql,
     "q133_categories" -> q133Sql,

@@ -591,6 +591,63 @@ object VectorQueries {
     * a (dim, value) HISTOGRAM — shuffled bytes are the histogram's,
     * never a corpus sort, and the ceil-rank arithmetic is integer, so
     * every cell is engine-exact. */
+  // ---------------------------------------------------------------- q160
+  /** Per-dimension embedding DRIFT between two corpus halves (vec_id
+    * parity stands in for "yesterday's batch vs today's"): fixed
+    * 16-bin histograms (width 0.5 over [-4, 4), clamped — ×2 is a
+    * power of two so the binning is float-exact in any engine) and a
+    * chi-square-style divergence per dimension, computed ENTIRELY in
+    * integer/decimal arithmetic: per bin
+    * `((n_a·N_b − n_b·N_a)² · 1000) div ((n_a+n_b)·N_a·N_b)` (exact
+    * DECIMAL(38,0) products, one floor-div), summed per dim as
+    * BIGINT — order-free exact, no libm, no double sums. N_a/N_b are
+    * one 2-row bounded collect. Scale shape: shuffle = dims × bins
+    * stats rows, never corpus rows (the Covariance pattern). */
+  def q160EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val halves = e.select(($"vec_id" % 2).as("h")).groupBy($"h")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    val na = halves.getOrElse(0L, 0L)
+    val nb = halves.getOrElse(1L, 0L)
+    e.select(($"vec_id" % 2).as("half"), posexplode($"embedding").as(Seq("i", "v")))
+      .select($"half", $"i".cast("long").as("dim"),
+        greatest(lit(0L), least(lit(15L),
+          (floor($"v".cast("double") * 2) + 8).cast("long"))).as("bin"))
+      .groupBy($"dim", $"bin")
+      .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"half" === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("chi2_milli", expr(
+        s"""CAST((CAST(n_a*${nb}L - n_b*${na}L AS DECIMAL(38,0)) *
+           |      CAST(n_a*${nb}L - n_b*${na}L AS DECIMAL(38,0)) * 1000)
+           |     div (CAST((n_a+n_b) AS DECIMAL(38,0)) * ${na}L * ${nb}L)
+           |     AS BIGINT)""".stripMargin))
+      .groupBy($"dim")
+      .agg(sum($"chi2_milli").as("chi2_milli"))
+      .orderBy($"dim")
+  }
+
+  val q160Sql: String =
+    """WITH na AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+      |nb AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 1),
+      |b AS (SELECT vec_id % 2 AS half, CAST(i - 1 AS BIGINT) AS dim,
+      |        GREATEST(0, LEAST(15,
+      |          CAST(floor(CAST(embedding[i] AS DOUBLE) * 2) + 8 AS BIGINT))) AS bin
+      |      FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |c AS (SELECT dim, bin,
+      |        CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM b GROUP BY 1, 2),
+      |k AS (SELECT dim,
+      |        CAST((CAST(n_a*(SELECT n FROM nb) - n_b*(SELECT n FROM na) AS HUGEINT)
+      |              * CAST(n_a*(SELECT n FROM nb) - n_b*(SELECT n FROM na) AS HUGEINT)
+      |              * 1000)
+      |             // (CAST(n_a+n_b AS HUGEINT) * (SELECT n FROM na) * (SELECT n FROM nb))
+      |             AS BIGINT) AS chi2_milli
+      |      FROM c)
+      |SELECT dim, CAST(SUM(chi2_milli) AS BIGINT) AS chi2_milli
+      |FROM k GROUP BY dim ORDER BY dim""".stripMargin
+
   def q98DimRobustStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qv = emb(s, dir)
@@ -688,6 +745,7 @@ object VectorQueries {
     "q88_mmr_rerank" -> q88MmrRerank _,
     "q97_label_dispersion" -> q97LabelDispersion _,
     "q98_dim_robust_stats" -> q98DimRobustStats _,
+    "q160_embedding_drift" -> q160EmbeddingDrift _,
     "q116_trunc_agreement" -> q116TruncAgreement _,
   )
 
@@ -707,6 +765,7 @@ object VectorQueries {
     "q88_mmr_rerank" -> q88Sql,
     "q97_label_dispersion" -> q97Sql,
     "q98_dim_robust_stats" -> q98Sql,
+    "q160_embedding_drift" -> q160Sql,
     "q116_trunc_agreement" -> q116Sql,
   )
 }
