@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal probe: driver broadcast sweep vs distributed block
+  * sweep on the same shingle frame — equal pair counts asserted, both
+  * timed (min of 2). The block budget is passed small so a local run
+  * exercises a REAL grid (at its 64 MB default a 50 k-doc corpus is a
+  * single block, i.e. one task — the default is sized for the
+  * multi-million-doc corpora the operator exists for).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.operators.SweepProbe \
+  *          <sfDir> [blockBytes]
+  */
+object SweepProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val blockBytes = if (args.length > 1) args(1).toLong else 4L * 1024 * 1024
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", explode(expr("shingles(text, 2)")).as("shingle"))
+    def minOf2(f: => Long): (Double, Long) = {
+      def one(): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (a, n) = one(); val (b, _) = one(); (math.min(a, b), n)
+    }
+    val (tDrv, nDrv) = minOf2(JaccardPairs.pairs(sh, 0.5).count())
+    val (tBlk, nBlk) = minOf2(
+      JaccardPairs.blockSweepPairs(sh, 0.5, targetBlockBytes = blockBytes).count())
+    println(f"[sweepprobe] dir=$dir blockBytes=$blockBytes")
+    println(f"[sweepprobe] driver-dispatch min=$tDrv%6.2f s pairs=$nDrv")
+    println(f"[sweepprobe] block-sweep     min=$tBlk%6.2f s pairs=$nBlk")
+    assert(nDrv == nBlk, s"pair counts diverge: $nDrv vs $nBlk")
+    spark.stop()
+  }
+}
