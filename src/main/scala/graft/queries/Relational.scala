@@ -35,7 +35,7 @@ object Relational {
     * unix_micros rejects NTZ, so cast through TIMESTAMP under the UTC
     * session zone first). Source ns values are µs-aligned, so
     * `div 1000` is exact. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
