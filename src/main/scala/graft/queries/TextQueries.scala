@@ -2878,19 +2878,24 @@ object TextQueries {
     * shingle is bounded by #sources (tiny), never by docs. */
   def q159SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-source set size rides each row as a window over the SAME
+    // branch instead of a separate `sizes` aggregate: the naive
+    // sizes-join form re-executed the scan→explode→distinct subtree
+    // FOUR times (self-join + two size joins; column pruning defeats
+    // ReuseExchange — the r5 lesson), this form twice, with the size
+    // carried through the join for free (constant per group key).
     val sh = docs(s, dir)
       .select($"source", explode(expr("shingles(text, 2)")).as("shingle"))
       .distinct()
-    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
     sh.as("a").join(sh.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.as("sa"), $"source_a" === $"sa.source")
-      .join(sizes.as("sb"), $"source_b" === $"sb.source")
-      .select($"source_a", $"source_b", $"common",
-        $"sa.n".as("n_a"), $"sb.n".as("n_b"),
-        ($"common" / ($"sa.n" + $"sb.n" - $"common")).as("jaccard"))
+      .select($"source_a", $"source_b", $"common", $"n_a", $"n_b",
+        ($"common" / ($"n_a" + $"n_b" - $"common")).as("jaccard"))
       .orderBy($"source_a", $"source_b")
   }
 
