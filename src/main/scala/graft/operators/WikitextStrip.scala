@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *  3. `[[target]]` plain links → target.
   *  4. bold/italic apostrophe runs (2+ apostrophes) dropped.
   *  5. heading `=`-runs dropped.
-  *  6. XML entities `&amp; &lt; &gt; &quot;` unescaped (plain
-  *     replace, no regex).
+  *  6. XML entities unescaped — `&lt; &gt; &quot;` first, `&amp;`
+  *     LAST (the reverse order double-unescapes: `&amp;lt;` must
+  *     yield the literal `&lt;`, not `<`).
   */
 object WikitextStrip {
 
@@ -36,10 +37,12 @@ object WikitextStrip {
     val t3 = regexp_replace(t2, "\\[\\[([^\\[\\]|]*)\\]\\]", "$1")
     val t4 = regexp_replace(t3, "''+", "")
     val t5 = regexp_replace(t4, "=+", "")
-    val t6 = regexp_replace(t5, "&amp;", "&")
-    val t7 = regexp_replace(t6, "&lt;", "<")
-    val t8 = regexp_replace(t7, "&gt;", ">")
-    regexp_replace(t8, "&quot;", "\"")
+    // &amp; LAST: unescaping it first manufactures new entity
+    // sequences ("&amp;lt;" must yield the literal "&lt;", not "<")
+    val t6 = regexp_replace(t5, "&lt;", "<")
+    val t7 = regexp_replace(t6, "&gt;", ">")
+    val t8 = regexp_replace(t7, "&quot;", "\"")
+    regexp_replace(t8, "&amp;", "&")
   }
 
   /** The same rules as DuckDB SQL over a column expression (RE2 'g'
@@ -56,8 +59,8 @@ object WikitextStrip {
        |'\\[\\[([^\\[\\]|]*)\\]\\]', '\\1', 'g'),
        |'''''+', '', 'g'),
        |'=+', '', 'g'),
-       |'&amp;', '&', 'g'),
        |'&lt;', '<', 'g'),
        |'&gt;', '>', 'g'),
-       |'&quot;', '"', 'g')""".stripMargin.replace("\n", "")
+       |'&quot;', '"', 'g'),
+       |'&amp;', '&', 'g')""".stripMargin.replace("\n", "")
 }
