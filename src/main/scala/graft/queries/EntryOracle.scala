@@ -126,6 +126,29 @@ object EntryOracle {
     target.toString
   }
 
+  /** Write the same dump bz2-COMPRESSED (Hadoop's codec, recognized by
+    * extension) so the flagship oracle can also drive the compressed
+    * reader path end-to-end. */
+  private[graft] def ensureDumpBz2(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val target = dir.resolve("graft_entry_oracle_dump.xml.bz2")
+    val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle", ".xml.bz2")
+    val fos = new java.io.FileOutputStream(tmp.toFile)
+    try {
+      // Hadoop's CBZip2OutputStream expects the caller to write the
+      // two-byte magic itself (the codec strips it on read)
+      fos.write('B'); fos.write('Z')
+      val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+      out.write(dumpXml.getBytes("UTF-8"))
+      out.close()
+    } finally fos.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
   /** Expected diffdb rows, one per (revision, op) — computed purely
     * from the construction. `None` op fields model a revision whose
     * diff is empty (the identity edit shape, id % 5 == 0). */
@@ -162,13 +185,11 @@ object EntryOracle {
       }
     }
 
-  // ---------------------------------------------------------------- q153
-  /** The flagship dataflow, flattened for comparison: source → pair →
-    * diff → diffdb, one output row per (revision, op). */
-  def q153EntryDiffdb(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val path = ensureDump()
-    graft.SparkEntry.entryFor(s, path)
+  /** Flatten a diffdb frame for comparison: one output row per
+    * (revision, op). */
+  private def flatten(db: DataFrame): DataFrame = {
+    import db.sparkSession.implicits._
+    db
       .select($"rev_id", $"page_id", $"namespace".cast("long").as("namespace"),
         $"title", $"timestamp", $"comment", $"minor",
         $"user_id", $"user_text", $"diffs")
@@ -184,15 +205,50 @@ object EntryOracle {
       .orderBy($"rev_id", $"op_idx")
   }
 
+  // ---------------------------------------------------------------- q153
+  /** The flagship dataflow, flattened for comparison: source → pair →
+    * diff → diffdb, one output row per (revision, op). */
+  def q153EntryDiffdb(s: SparkSession, dir: String): DataFrame =
+    flatten(graft.SparkEntry.entryFor(s, ensureDump()))
+
+  // ---------------------------------------------------------------- q163
+  /** The same flagship oracle through the bz2-COMPRESSED reader: the
+    * identical dump compressed with the Hadoop codec, identical
+    * expected VALUES — so the compressed-stream scan path sits inside
+    * the correctness gate, not only the specs. */
+  def q163EntryDiffdbBz2(s: SparkSession, dir: String): DataFrame =
+    flatten(graft.SparkEntry.entryFor(s, ensureDumpBz2()))
+
+  // ---------------------------------------------------------------- q164
+  /** The flagship pipeline with the reference's `excludePagesWith`
+    * header filter (F1, `org.wikimedia.wikihadoop.excludePagesWith`):
+    * Category pages are excluded AT THE READER (never parsed past the
+    * header), and the expected VALUES drop exactly those pages'
+    * rows — source-level filtering oracled end-to-end. */
+  def q164EntryExcluded(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDump()
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val src = s.read.format("mediawiki")
+      .option("excludePagesWith", "<title>Category:")
+      .load(path)
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
+
   private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
   private def sqlStrOpt(s: Option[String]): String =
     s.fold("NULL")(sqlStr)
 
   /** Pure-VALUES oracle (independent of the parquet tables — the dump
     * is self-contained). Every numeric column is CAST to BIGINT for
-    * dtype parity with the Spark side. */
-  val q153Sql: String = {
-    val rows = expectedRows.map { case (revId, pageId, ns, title, ts,
+    * dtype parity with the Spark side. `keep` filters by construction
+    * index (pageId − 100), for the source-filter variants. */
+  private def sqlFor(keep: Int => Boolean): String = {
+    val rows = expectedRows
+      .filter { r => keep((r._2 - 100L).toInt) }
+      .map { case (revId, pageId, ns, title, ts,
         comment, minor, uid, utext, op) =>
       val (opIdx, pos, act, content) = op match {
         case Some((i, p, a, c)) => (i.toString, p.toString, a.toString, sqlStr(c))
@@ -218,4 +274,12 @@ object EntryOracle {
        |  CAST(content AS VARCHAR) AS content
        |FROM exp ORDER BY rev_id, op_idx""".stripMargin
   }
+
+  val q153Sql: String = sqlFor(_ => true)
+
+  /** q163 reads the SAME construction through the compressed reader. */
+  val q163Sql: String = q153Sql
+
+  /** q164 excludes the Category pages at the reader (id % 3 == 2). */
+  val q164Sql: String = sqlFor(id => id % 3 != 2)
 }

@@ -3899,6 +3899,8 @@ object TextQueries {
     "q151_snapshot_diff" -> q151SnapshotDiff _,
     "q152_diff_multi" -> q152DiffMulti _,
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
+    "q163_entry_diffdb_bz2" -> EntryOracle.q163EntryDiffdbBz2 _,
+    "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -3996,6 +3998,8 @@ object TextQueries {
     "q151_snapshot_diff" -> q151Sql,
     "q152_diff_multi" -> q152Sql,
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
+    "q163_entry_diffdb_bz2" -> EntryOracle.q163Sql,
+    "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
