@@ -47,81 +47,19 @@ object Containment {
     else invertedIndexPairs(sh, threshold)
 
   /** Distributed block-grid sweep, the directed twin of
-    * [[JaccardPairs.blockSweepPairs]] (same block replication and
-    * memory/shuffle shape; each unordered candidate pair examined by
+    * [[JaccardPairs.blockSweepPairs]] (shared machinery in
+    * [[BlockGrid.sweep]]; each unordered candidate pair examined by
     * exactly one task, emitting up to two directed rows). */
   def blockSweepPairs(sh: DataFrame, threshold: Double,
       nDocsHint: Long = -1L,
-      targetBlockBytes: Long = JaccardPairs.DefaultBlockBytes): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val vocab = sh.select($"shingle").distinct().as[String].collect().sorted
-    require(vocab.length <= JaccardPairs.MaxBlockSweepVocab,
-      s"block sweep vocabulary ${vocab.length} exceeds ${JaccardPairs.MaxBlockSweepVocab}")
-    val nWords = math.max((vocab.length + 63) >>> 6, 1)
-    val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
-    val sigs = sh.select($"doc_id".cast("long"), $"shingle")
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val ix = bIdx.value
-        val b = new Array[Long](nWords)
-        it.foreach { case (_, s) =>
-          val i = ix(s); b(i >>> 6) |= 1L << (i & 63)
-        }
-        (id, b, b.map(java.lang.Long.bitCount).sum)
-      }
-    val nDocs =
-      if (nDocsHint > 0) nDocsHint
-      else sh.select($"doc_id").distinct().count()
-    val nBlocks = math.max(1,
-      math.ceil(nDocs.toDouble * nWords * 8 / targetBlockBytes).toInt)
-    val paired = sigs.flatMap { case (id, bits, cnt) =>
-      val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
-      (0 until nBlocks).iterator.map { other =>
-        val lo = math.min(blk, other); val hi = math.max(blk, other)
-        (lo * nBlocks + hi, blk, id, bits, cnt)
-      }
-    }
-    paired.groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val lo = key / nBlocks; val hi = key % nBlocks
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
-        it.foreach { case (_, blk, id, bits, cnt) =>
-          if (blk == lo) left += ((id, bits, cnt))
-          if (blk == hi && lo != hi) right += ((id, bits, cnt))
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        def emit(a: (Long, Array[Long], Int), b: (Long, Array[Long], Int)): Unit = {
-          var common = 0; var w = 0
-          val ba = a._2; val bb = b._2
-          while (w < ba.length) {
-            common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
-          }
-          val ca = common.toDouble / a._3
-          val cb = common.toDouble / b._3
-          if (ca >= threshold) out += ((a._1, b._1, ca))
-          if (cb >= threshold) out += ((b._1, a._1, cb))
-        }
-        if (lo == hi) {
-          var i = 0
-          while (i < left.length) {
-            var j = i + 1
-            while (j < left.length) { emit(left(i), left(j)); j += 1 }
-            i += 1
-          }
-        } else {
-          var i = 0
-          while (i < left.length) {
-            var j = 0
-            while (j < right.length) { emit(left(i), right(j)); j += 1 }
-            i += 1
-          }
-        }
-        out.iterator
-      }.toDF("doc_in", "doc_out", "containment")
-  }
+      targetBlockBytes: Long = JaccardPairs.DefaultBlockBytes): DataFrame =
+    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes,
+      (ia, ca, ib, cb, common, out) => {
+        val fa = common.toDouble / ca
+        val fb = common.toDouble / cb
+        if (fa >= threshold) out += ((ia, ib, fa))
+        if (fb >= threshold) out += ((ib, ia, fb))
+      }).toDF("doc_in", "doc_out", "containment")
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime).
     * One candidate discovery (a < b), two directed emits. */

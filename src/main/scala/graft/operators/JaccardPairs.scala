@@ -186,7 +186,7 @@ object JaccardPairs {
     if (stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
       sweepFromRaw(sh.sparkSession, stats.raw, threshold)
     else if (stats.useBlockSweep)
-      blockSweepPairs(sh, threshold, stats.nDocs, stats.nWords)
+      blockSweepPairs(sh, threshold, stats.nDocs)
     else invertedIndexPairs(sh, threshold)
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime). */
@@ -235,106 +235,22 @@ object JaccardPairs {
   }
 
   /** DISTRIBUTED bitmap sweep over a block grid — the dense regime
-    * past the driver sweep's collect/broadcast bounds. No corpus rows
-    * ever reach the driver:
-    *
-    *  - the sorted vocabulary (small by the dense-regime premise,
-    *    guarded by [[MaxBlockSweepVocab]]) is collected and broadcast
-    *    as the bit-index;
-    *  - signatures build DISTRIBUTED in one shuffle keyed by doc;
-    *  - docs hash into `B` blocks sized by `targetBlockBytes`; each
-    *    signature is replicated to its `B` block pairs, and every
-    *    unordered pair {i, j} is swept by exactly one task (triangular
-    *    on the diagonal, bipartite off it). Peak task memory = two
-    *    blocks; shuffle = B signature copies per doc; pair ops are the
-    *    same n²/2·words the regime costs out — now spread over
-    *    B(B+1)/2 tasks instead of one driver broadcast.
-    *
-    * Output is the same pair set as every other formulation
-    * (DedupOpsSpec pins it against the inverted join). */
+    * past the driver sweep's collect/broadcast bounds. Grid machinery
+    * (vocab broadcast, distributed signature build behind an eager
+    * lineage cut, block replication, one task per unordered block
+    * pair) lives in [[BlockGrid.sweep]]; this wrapper supplies the
+    * symmetric Jaccard emit. Output is the same pair set as every
+    * other formulation (DedupOpsSpec pins it against the inverted
+    * join). */
   def blockSweepPairs(sh: DataFrame, threshold: Double,
-      nDocsHint: Long = -1L, nWordsHint: Long = -1L,
-      targetBlockBytes: Long = DefaultBlockBytes): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val vocab = sh.select($"shingle").distinct().as[String].collect().sorted
-    require(vocab.length <= MaxBlockSweepVocab,
-      s"block sweep vocabulary ${vocab.length} exceeds $MaxBlockSweepVocab")
-    val nWords = math.max((vocab.length + 63) >>> 6, 1)
-    val bIdx = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
-    val sigs = sh.select($"doc_id".cast("long"), $"shingle")
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val ix = bIdx.value
-        val b = new Array[Long](nWords)
-        it.foreach { case (_, s) =>
-          val i = ix(s); b(i >>> 6) |= 1L << (i & 63)
-        }
-        (id, b, b.map(java.lang.Long.bitCount).sum)
-      }
-    val nDocs =
-      if (nDocsHint > 0) nDocsHint
-      else sh.select($"doc_id").distinct().count()
-    val nBlocks = math.max(1,
-      math.ceil(nDocs.toDouble * nWords * 8 / targetBlockBytes).toInt)
-    val paired = sigs.flatMap { case (id, bits, cnt) =>
-      val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
-      (0 until nBlocks).iterator.map { other =>
-        val lo = math.min(blk, other); val hi = math.max(blk, other)
-        (lo * nBlocks + hi, blk, id, bits, cnt)
-      }
-    }
-    paired.groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val lo = key / nBlocks; val hi = key % nBlocks
-        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
-        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Int)]
-        it.foreach { case (_, blk, id, bits, cnt) =>
-          if (blk == lo) left += ((id, bits, cnt))
-          if (blk == hi && lo != hi) right += ((id, bits, cnt))
-        }
-        def jac(a: (Long, Array[Long], Int), b: (Long, Array[Long], Int)): Double = {
-          var common = 0; var w = 0
-          val ba = a._2; val bb = b._2
-          while (w < ba.length) {
-            common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
-          }
-          common.toDouble / (a._3 + b._3 - common)
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        if (lo == hi) {
-          var i = 0
-          while (i < left.length) {
-            var j = i + 1
-            while (j < left.length) {
-              val v = jac(left(i), left(j))
-              if (v >= threshold) {
-                val (a, b) = (left(i)._1, left(j)._1)
-                out += ((math.min(a, b), math.max(a, b), v))
-              }
-              j += 1
-            }
-            i += 1
-          }
-        } else {
-          var i = 0
-          while (i < left.length) {
-            var j = 0
-            while (j < right.length) {
-              val v = jac(left(i), right(j))
-              if (v >= threshold) {
-                val (a, b) = (left(i)._1, right(j)._1)
-                out += ((math.min(a, b), math.max(a, b), v))
-              }
-              j += 1
-            }
-            i += 1
-          }
-        }
-        out.iterator
-      }.toDF("doc_a", "doc_b", "jaccard")
-  }
+      nDocsHint: Long = -1L,
+      targetBlockBytes: Long = DefaultBlockBytes): DataFrame =
+    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes,
+      (ia, ca, ib, cb, common, out) => {
+        val v = common.toDouble / (ca + cb - common)
+        if (v >= threshold)
+          out += ((math.min(ia, ib), math.max(ia, ib), v))
+      }).toDF("doc_a", "doc_b", "jaccard")
 
   /** Bitmap-encode the collected set rows and launch the distributed
     * triangular sweep (callers have already applied their guards). */

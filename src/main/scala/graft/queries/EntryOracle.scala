@@ -65,7 +65,9 @@ object EntryOracle {
     java.time.Instant.parse(tsOf(id, seq)).getEpochSecond
 
   /** Render the construction as a MediaWiki export XML document. */
-  private[graft] def dumpXml: String = {
+  private[graft] def dumpXml: String = renderDump(pages)
+
+  private def renderDump(ps: Seq[Pg]): String = {
     val sb = new StringBuilder
     sb ++= """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/" version="0.10" xml:lang="en">
       |  <siteinfo>
@@ -77,7 +79,7 @@ object EntryOracle {
       |    </namespaces>
       |  </siteinfo>
       |""".stripMargin
-    pages.foreach { p =>
+    ps.foreach { p =>
       sb ++= "  <page>\n"
       sb ++= s"    <title>${xmlEscape(p.title)}</title>\n"
       p.ns.foreach(n => sb ++= s"    <ns>$n</ns>\n")
@@ -237,6 +239,49 @@ object EntryOracle {
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
   }
 
+  // ---------------------------------------------------------------- q165
+  /** The flagship oracle through the STREAMING source: the identical
+    * construction, split into TWO dump parts and read via
+    * `readStream.format("mediawiki")` with `maxFilesPerTrigger=1`
+    * (two micro-batches, so the offset log actually advances),
+    * `Trigger.AvailableNow`, diffdb applied per batch, appended to a
+    * parquet file sink (exactly-once via the sink's own metadata log;
+    * the memory sink cannot resume checkpoints), read back and
+    * compared against the SAME VALUES oracle as q153. This puts the
+    * micro-batch source (`MediaWikiDataSource`'s offset/file log,
+    * per-trigger caps) inside the correctness gate the way q163 did
+    * for the compressed reader. */
+  def q165EntryDiffdbStream(s: SparkSession, dir: String): DataFrame = {
+    val dumpDir = java.nio.file.Files.createTempDirectory("graft_q165_dump")
+    val p1 = dumpDir.resolve("part1.xml")
+    val p2 = dumpDir.resolve("part2.xml")
+    java.nio.file.Files.write(p1,
+      renderDump(pages.take(NumPlants / 2)).getBytes("UTF-8"))
+    java.nio.file.Files.write(p2,
+      renderDump(pages.drop(NumPlants / 2)).getBytes("UTF-8"))
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, p1.toString))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val ns = if (fromDump.nonEmpty) fromDump
+             else Map("talk" -> 1, "user" -> 2, "category" -> 14)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_q165_ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft_q165_out")
+    val stream = graft.functions.GraftFunctions.diffdb(
+      s.readStream.format("mediawiki")
+        .option("maxFilesPerTrigger", "1")
+        .load(dumpDir.toString), nsByName = ns)
+    val q = stream.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(300000)
+    finally q.stop()
+    flatten(s.read.parquet(out.toString))
+  }
+
   private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
   private def sqlStrOpt(s: Option[String]): String =
     s.fold("NULL")(sqlStr)
@@ -282,4 +327,7 @@ object EntryOracle {
 
   /** q164 excludes the Category pages at the reader (id % 3 == 2). */
   val q164Sql: String = sqlFor(id => id % 3 != 2)
+
+  /** q165 reads the SAME construction through the streaming source. */
+  val q165Sql: String = q153Sql
 }

@@ -3901,6 +3901,7 @@ object TextQueries {
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163EntryDiffdbBz2 _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
+    "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4000,6 +4001,7 @@ object TextQueries {
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
+    "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
