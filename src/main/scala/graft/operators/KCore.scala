@@ -48,9 +48,20 @@ object KCore {
   /** Nodes of the k-core of the undirected simple graph induced by
     * `edges` (any direction, loops/dups ignored), with their degree
     * inside the core: `(node, deg)`, deg >= k.
+    *
+    * Rounds are bounded by the peel cascade's depth — a GRAPH property,
+    * not a plan defect: a near-critical construction can peel exactly
+    * one layer per round (GraphScale's harmonic graph does), so
+    * `maxRounds` is reachable on adversarial inputs at ANY scale. An
+    * exit before the fixpoint would return a SUPERSET of the true
+    * k-core (survivors still filtered by deg >= k); since a
+    * correct-looking superset is the one way this operator can be
+    * silently wrong, non-convergence THROWS by default. Callers that
+    * want the partial peel (e.g. as a pruning pre-pass) opt in with
+    * `allowPartial = true` and get the superset plus a stderr warning.
     */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 100,
-           checkpointEvery: Int = 1): DataFrame = {
+           checkpointEvery: Int = 1, allowPartial: Boolean = false): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     def degrees(e: DataFrame): DataFrame =
@@ -91,13 +102,16 @@ object KCore {
         curCount = nextCount
       }
       // a maxRounds exit before the fixpoint returns a SUPERSET of the
-      // true k-core (survivors filtered by deg >= k) — make that
-      // visible instead of silently handing an oracle-mismatching
-      // frame to the caller
-      if (!converged)
-        System.err.println(
-          s"[kcore] WARNING: maxRounds=$maxRounds reached before fixpoint " +
-          s"($curCount edges still changing) — result is a superset of the true $k-core")
+      // true k-core (survivors filtered by deg >= k) — a correct-looking
+      // wrong answer, so it is an ERROR unless the caller opted in
+      if (!converged) {
+        val msg =
+          s"[kcore] maxRounds=$maxRounds reached before fixpoint " +
+          s"($curCount edges still changing) — result is a superset of the true $k-core"
+        if (!allowPartial) throw new IllegalStateException(
+          msg + "; raise maxRounds or pass allowPartial = true")
+        System.err.println(s"WARNING: $msg")
+      }
       val tFin = System.nanoTime()
       val out = degrees(cur).filter($"deg" >= k)
         .select($"node", $"deg".cast("long").as("deg"))

@@ -45,6 +45,33 @@ class KCoreSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("maxRounds before fixpoint throws by default; allowPartial returns the superset") {
+    import spark.implicits._
+    // planted deep cascade: a path 0-1-…-11 at k=2 peels exactly its two
+    // endpoints per round (degree-1 ends fall, exposing new ends) — 6
+    // rounds to empty, so maxRounds=3 stops mid-cascade. This is the
+    // small-m stand-in for GraphScale's harmonic near-critical graph
+    // (one layer per round at any scale).
+    val path = (0L until 11L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.KCore.core(path, k = 2, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("superset"))
+    assert(ex.getMessage.contains("allowPartial"))
+    // opting in returns the partial peel: a SUPERSET of the (empty)
+    // true 2-core, still non-empty mid-cascade
+    val partial = graft.operators.KCore
+      .core(path, k = 2, maxRounds = 3, allowPartial = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial.nonEmpty && partial.subsetOf((0L to 11L).toSet))
+    // 3 rounds peeled {0,11},{1,10},{2,9}; surviving edges 3-4…7-8, and
+    // the output's deg>=2 filter drops the degree-1 ends 3 and 8
+    assert(partial === (4L to 7L).toSet)
+    // enough rounds converges to the true empty core, no throw
+    assert(graft.operators.KCore.core(path, k = 2, maxRounds = 10).count() === 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("partitioning independence and scoped persists") {
     val edges = (0L until 40L).flatMap(i =>
       Seq(i -> ((i * 7 + 3) % 40), i -> ((i * 13 + 5) % 40), i % 8 -> ((i * 3) % 8)))
