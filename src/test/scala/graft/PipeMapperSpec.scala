@@ -104,6 +104,28 @@ class PipeMapperSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(0) == 7L && out(0).isNullAt(1))
   }
 
+  test("stderr reporter:counter lines feed the accumulator (Streaming protocol)") {
+    import spark.implicits._
+    // the reference mapper reports job counters as
+    // `reporter:counter:<group>,<name>,<n>` stderr lines
+    // (revision_differ.py:166); they must land in Spark counters, and
+    // non-reporter stderr must NOT be swallowed into them
+    val df = spark.createDataset(Seq(1L, 2L, 3L, 4L)).toDF("n").repartition(2)
+    val acc = PipeMapper.counterAccumulator(spark, "pipe_counters_spec")
+    val script = "while read n; do " +
+      "echo \"reporter:counter:DiffLength,chars,$n\" >&2; " +
+      "echo \"reporter:counter:Revisions,seen,1\" >&2; " +
+      "echo \"reporter:status:working on $n\" >&2; " +
+      "echo \"plain diagnostic $n\" >&2; " +
+      "echo \"$n\"; done"
+    val out = PipeMapper.pipe(df, Seq("sh", "-c", script),
+      StructType(Seq(StructField("n", LongType))), counters = Some(acc))
+    assert(out.count() == 4)
+    assert(acc("DiffLength", "chars") == 10L) // 1+2+3+4
+    assert(acc("Revisions", "seen") == 4L)
+    assert(acc.value.keySet == Set(("DiffLength", "chars"), ("Revisions", "seen")))
+  }
+
   test("large-partition smoke: streaming I/O, no buffering blow-up") {
     import spark.implicits._
     // ~400 MB through one child process on a single partition: pipe
