@@ -26,11 +26,27 @@ object Bench {
     // doesn't absorb JVM startup and no query gets a selectively warm
     // cache
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "events", "documents", "embeddings")) {
-      try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
-      catch { case _: Throwable => }
-    }
+    val tableRows = Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings")
+      .map { tbl =>
+        tbl -> (try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+                catch { case _: Throwable => -1L })
+      }
+    // data fingerprint: the driver REGENERATES the testdata between
+    // rounds, and r10 adjudication found the documents corpus' bigram
+    // vocabulary DOUBLED round-over-round (157 → 335 signature words)
+    // — which moves every dense-sweep query by design. Cross-round
+    // per-query comparisons are only valid when these match; carrying
+    // them makes the artifact self-adjudicating (bench_last.json only).
+    val dataStats = try {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val r = d.selectExpr("sum(length(text)) AS chars").collect()(0).getLong(0)
+      val vocab = d.selectExpr("explode(shingles(text, 2)) AS s")
+        .select("s").distinct().count()
+      s""""documents_chars":$r,"documents_bigram_vocab":$vocab"""
+    } catch { case _: Throwable => "\"documents_chars\":-1" }
+    val tableRowsJson = tableRows.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // ingest measured on the freshly-warmed session, before the query
     // sweep: 36 prior queries measurably degrade the JVM (codegen
     // cache churn, profile pollution) and halve observed throughput
@@ -82,6 +98,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // steady-state twin for the 5 slowest: a THIRD timed pass each,
+    // taken after the whole sweep so all first-run codegen/JIT debt
+    // (~1-3s on complex queries) is long paid — recorded in
+    // bench_last.json ONLY (the stdout line must not grow), so a
+    // "regression" on a slow query can be adjudicated JIT-free from
+    // the artifact alone
+    val steady = results.toSeq.sortBy(-_._2).take(5).map { case (name, _) =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val steadyJson = steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
     // byte-identical kernel and could not be adjudicated from the
     // artifact — so the artifact now carries its own evidence: the
@@ -89,7 +119,7 @@ object Bench {
     // fork opts apply?), the full per-pass warm curve, and the host
     // load before/after the measurement window.
     val curve = warmCurve.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"steady":$steadyJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
     // a file copy makes the artifact recoverable even if the driver's
     // stdout tail capture truncates (it did, twice: r4/r5 recorded
     // "parsed": null); cwd is the repo when sbt runs

@@ -42,6 +42,29 @@ object SweepProbe {
     println(f"[sweepprobe] driver-dispatch min=$tDrv%6.2f s pairs=$nDrv")
     println(f"[sweepprobe] block-sweep     min=$tBlk%6.2f s pairs=$nBlk")
     assert(nDrv == nBlk, s"pair counts diverge: $nDrv vs $nBlk")
+    // grid-shape evidence for the cluster-scale claim: per-task
+    // resident memory is EXACTLY the two block signature sets a task
+    // receives, and the grid's load balance is the pair-ops spread
+    // across the B(B+1)/2 tasks. Computed from the same id→block
+    // assignment the sweep uses, so this measures the real grid.
+    val docs = sh.select($"doc_id".cast("long")).distinct().as[Long].collect()
+    val vocabN = sh.select($"shingle").distinct().count()
+    val nWords = math.max((vocabN + 63) >>> 6, 1L)
+    val nBlocks = math.max(1,
+      math.ceil(docs.length.toDouble * nWords * 8 / blockBytes).toInt)
+    val cnt = new Array[Long](nBlocks)
+    docs.foreach(id => cnt(((id % nBlocks + nBlocks) % nBlocks).toInt) += 1)
+    var maxBytes = 0L; var maxOps = 0.0; var sumOps = 0.0; var tasks = 0
+    for (lo <- 0 until nBlocks; hi <- lo until nBlocks) {
+      val bytes = (if (lo == hi) cnt(lo) else cnt(lo) + cnt(hi)) * nWords * 8
+      val ops = if (lo == hi) cnt(lo).toDouble * (cnt(lo) - 1) / 2 * nWords
+                else cnt(lo).toDouble * cnt(hi) * nWords
+      maxBytes = math.max(maxBytes, bytes)
+      maxOps = math.max(maxOps, ops); sumOps += ops; tasks += 1
+    }
+    println(f"[sweepprobe] grid: nDocs=${docs.length} vocab=$vocabN words=$nWords blocks=$nBlocks tasks=$tasks")
+    println(f"[sweepprobe] grid: block docs min=${cnt.min} mean=${docs.length.toDouble / nBlocks}%.0f max=${cnt.max}")
+    println(f"[sweepprobe] grid: task resident max=${maxBytes / 1024.0 / 1024.0}%.1f MB (≤ 2 blocks), pair-op skew max/mean=${maxOps / (sumOps / tasks)}%.2f")
     spark.stop()
   }
 }
