@@ -125,6 +125,13 @@ object PipeMapper {
       val pb = new ProcessBuilder(cmd: _*)
       env.foreach { case (k, v) => pb.environment().put(k, v) }
       val proc = pb.start()
+      // a downstream LIMIT can stop consuming mid-stream, abandoning
+      // this iterator with the child still alive (blocked on a full
+      // stdout pipe) — kill it when the task ends, however it ends
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly(): Unit
+        })
       val childErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val errThread = new Thread(() => {
         try {

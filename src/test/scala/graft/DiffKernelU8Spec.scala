@@ -107,6 +107,50 @@ class DiffKernelU8Spec extends AnyFunSuite {
     assert(got.map(_.position).toList == List(2, 2))
   }
 
+  test("buffer-aliased inputs (Spark-style buffer reuse) never corrupt the memo") {
+    // The r8 memo bug class: Spark backs UTF8Strings with REUSED buffers
+    // (UnsafeRow, column vectors), so any retained reference to a
+    // caller's bytes reads the NEXT row's content later. This fuzz
+    // replays revision chains through ONE shared buffer: every prev is
+    // written at offset 0 and every curr at offset 2048, so the memo's
+    // "prev of row i+1 == curr of row i" hot path always sees the old
+    // curr's region overwritten — often with a SAME-LENGTH text (the
+    // trigger that made the r8 window compare read the new text). Ops
+    // must equal the String kernel's on owned inputs, row for row.
+    val rnd = new scala.util.Random(11)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def mk(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    for (round <- 1 to 60) {
+      var revs = Vector(mk(8 + rnd.nextInt(10)))
+      for (_ <- 0 until 6) {
+        val t = revs.last.split(" ", -1).toBuffer
+        val at = rnd.nextInt(t.length)
+        // mostly same-length replacements; occasional inserts
+        if (rnd.nextInt(4) == 0) t.insert(at, words(rnd.nextInt(words.length)))
+        else t(at) = words(rnd.nextInt(words.length))
+        revs :+= t.mkString(" ")
+      }
+      val buf = new Array[Byte](4096)
+      def aliased(s: String, off: Int): UTF8String = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        System.arraycopy(b, 0, buf, off, b.length)
+        UTF8String.fromBytes(buf, off, b.length)
+      }
+      val pairs = revs.init zip revs.tail
+      val scribble = round % 2 == 0 // alternate: junk-fill vs direct overlay
+      val got = pairs.map { case (p, c) =>
+        val ops = DiffKernelU8.diffOps(aliased(p, 0), aliased(c, 2048))
+          .map(o => (o.position, o.action, o.content.toString)).toList
+        if (scribble) java.util.Arrays.fill(buf, 'z'.toByte)
+        ops
+      }
+      val exp = pairs.map { case (p, c) =>
+        DiffKernel.diffOps(p, c).map(o => (o.position, o.action, o.content)).toList
+      }
+      assert(got == exp, s"aliased-buffer divergence in chain: $revs")
+    }
+  }
+
   test("replay invariant holds for byte-path output") {
     val a = "one two three four five six seven"
     val b = "one TWO three four 4.5 five seven eight"

@@ -126,6 +126,25 @@ class PipeMapperSpec extends AnyFunSuite {
     assert(acc.value.keySet == Set(("DiffLength", "chars"), ("Revisions", "seen")))
   }
 
+  test("abandoned-iterator child is killed at task end (no orphan process)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    def yesChildren(): Long = ProcessHandle.current().descendants().iterator()
+      .asScala.count(p => p.info().command().orElse("").endsWith("/yes"))
+    val before = yesChildren()
+    // `yes` produces forever; LIMIT 1 stops consuming after one row, so
+    // without the task-completion kill the child outlives the job
+    // (blocked on a full stdout pipe)
+    val df = spark.createDataset(Seq(1L)).toDF("n").coalesce(1)
+    val got = PipeMapper.pipe(df, Seq("yes", "7"),
+      StructType(Seq(StructField("v", LongType)))).limit(1).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(7L))
+    val deadline = System.currentTimeMillis() + 10000
+    while (yesChildren() > before && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(yesChildren() <= before, "orphan `yes` child survived task end")
+  }
+
   test("large-partition smoke: streaming I/O, no buffering blow-up") {
     import spark.implicits._
     // ~400 MB through one child process on a single partition: pipe
