@@ -64,7 +64,12 @@ object GraphScale {
 
     val allOps: Seq[(String, DataFrame => Long)] = Seq(
       "triangles" -> { e => graft.operators.Triangles.perNode(e).count() },
-      "kcore_k8" -> { e => graft.operators.KCore.core(e, k = 8).count() },
+      // allowPartial: this probe MEASURES the capped peel — the
+      // harmonic construction peels one layer per round by design and
+      // hits maxRounds at every scale (r9 note); the default throw is
+      // for production answers, not scaling probes
+      "kcore_k8" -> { e =>
+        graft.operators.KCore.core(e, k = 8, allowPartial = true).count() },
       "hits_i2" -> { e =>
         graft.operators.Hits.hubsAuthsInt(e, iters = 2).count() },
       "pagerank_i2" -> { e =>

@@ -30,12 +30,30 @@ import scala.collection.mutable.ArrayBuffer
   */
 private[operators] object BlockGrid {
 
-  /** Loud upper bound on the grid size. The group key is Long
-    * arithmetic (`lo.toLong * nBlocks + hi`) so overflow is not the
-    * binding constraint — the replication factor is: B signature
-    * copies per doc makes a four-digit block count the practical
-    * ceiling (raise `targetBlockBytes` instead of the grid). */
+  /** Upper bound on the grid size. The group key is Long arithmetic
+    * (`lo.toLong * nBlocks + hi`) so overflow is not the binding
+    * constraint — the replication factor is: B signature copies per
+    * doc makes a four-digit block count the practical ceiling. The
+    * grid CAPS here rather than throwing (the automatic dispatch path
+    * exposes no block-size knob to a caller): past the cap the
+    * effective block grows beyond `targetBlockBytes`, trading per-task
+    * memory (still exactly two blocks) for a bounded replication
+    * factor — at the 512 MB-broadcast dispatch boundary this engages
+    * only past ~256 GB of signature volume. */
   val MaxBlocks = 4096
+
+  /** Grid sizing shared with the probes (SweepProbe's recorded grid
+    * shape must be THE grid the sweep runs). */
+  private[operators] def nBlocksFor(nDocs: Long, nWords: Long,
+      targetBlockBytes: Long): Int = {
+    val ideal = math.max(1,
+      math.ceil(nDocs.toDouble * nWords * 8 / targetBlockBytes).toInt)
+    math.min(ideal, MaxBlocks)
+  }
+
+  /** Block assignment shared with the probes. */
+  private[operators] def blockOf(id: Long, nBlocks: Int): Int =
+    ((id % nBlocks + nBlocks) % nBlocks).toInt
 
   /** Run the grid sweep. `emit(idA, cntA, idB, cntB, common, out)` is
     * called once per unordered candidate pair with the popcount of the
@@ -71,13 +89,13 @@ private[operators] object BlockGrid {
         val n = if (nDocsHint > 0) nDocsHint else snap.count()
         (snap, n, w)
       } finally cached.unpersist(false)
-    val nBlocks = math.max(1,
-      math.ceil(nDocs.toDouble * nWords * 8 / targetBlockBytes).toInt)
-    require(nBlocks <= MaxBlocks,
-      s"block grid of $nBlocks blocks exceeds $MaxBlocks (replication factor " +
-        s"is per-doc linear in the grid) — raise targetBlockBytes")
+    val nBlocks = nBlocksFor(nDocs, nWords, targetBlockBytes)
+    if (nBlocks == MaxBlocks)
+      System.err.println(s"[blockgrid] grid capped at $MaxBlocks blocks " +
+        s"(${nDocs} docs × $nWords words); per-task memory grows past " +
+        s"2×$targetBlockBytes bytes")
     val paired = sigs.flatMap { case (id, bits, cnt) =>
-      val blk = ((id % nBlocks + nBlocks) % nBlocks).toInt
+      val blk = blockOf(id, nBlocks)
       (0 until nBlocks).iterator.map { other =>
         val lo = math.min(blk, other); val hi = math.max(blk, other)
         (lo.toLong * nBlocks + hi, blk, id, bits, cnt)

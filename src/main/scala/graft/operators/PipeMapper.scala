@@ -65,7 +65,15 @@ object PipeMapper {
   /** Hadoop Streaming's dynamic job counters as a Spark accumulator:
     * `(group, counter) -> total`, merged across tasks. Counter NAMES
     * are data (the child emits them at runtime), so a map-valued
-    * accumulator stands in for Hadoop's dynamically-created counters. */
+    * accumulator stands in for Hadoop's dynamically-created counters.
+    *
+    * ACCURACY CAVEAT (standard Spark transformation-accumulator
+    * semantics, unlike Hadoop's winner-only counters): updates are fed
+    * from `mapPartitions`, so a retried/speculative task re-adds its
+    * counts, and EVERY action over the returned frame re-runs the
+    * child (two actions double every counter). Read counters after
+    * exactly one action — e.g. the write that materializes the piped
+    * output — and treat them as diagnostics, not exactly-once stats. */
   final class PipeCounters extends AccumulatorV2[((String, String), Long),
       Map[(String, String), Long]] {
     private val m = scala.collection.mutable.HashMap.empty[(String, String), Long]

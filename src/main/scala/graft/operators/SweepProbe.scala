@@ -50,10 +50,11 @@ object SweepProbe {
     val docs = sh.select($"doc_id".cast("long")).distinct().as[Long].collect()
     val vocabN = sh.select($"shingle").distinct().count()
     val nWords = math.max((vocabN + 63) >>> 6, 1L)
-    val nBlocks = math.max(1,
-      math.ceil(docs.length.toDouble * nWords * 8 / blockBytes).toInt)
+    // sizing and assignment SHARED with BlockGrid.sweep — the printed
+    // shape is the grid the sweep actually ran
+    val nBlocks = BlockGrid.nBlocksFor(docs.length.toLong, nWords, blockBytes)
     val cnt = new Array[Long](nBlocks)
-    docs.foreach(id => cnt(((id % nBlocks + nBlocks) % nBlocks).toInt) += 1)
+    docs.foreach(id => cnt(BlockGrid.blockOf(id, nBlocks)) += 1)
     var maxBytes = 0L; var maxOps = 0.0; var sumOps = 0.0; var tasks = 0
     for (lo <- 0 until nBlocks; hi <- lo until nBlocks) {
       val bytes = (if (lo == hi) cnt(lo) else cnt(lo) + cnt(hi)) * nWords * 8

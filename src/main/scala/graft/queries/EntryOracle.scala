@@ -252,7 +252,21 @@ object EntryOracle {
     * per-trigger caps) inside the correctness gate the way q163 did
     * for the compressed reader. */
   def q165EntryDiffdbStream(s: SparkSession, dir: String): DataFrame = {
-    val dumpDir = java.nio.file.Files.createTempDirectory("graft_q165_dump")
+    // fixed deterministic paths, wiped per invocation (the q153
+    // ensureDump pattern) — Bench calls every query several times and
+    // createTempDirectory would leak dump/offset-log/parquet trees
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    def fresh(name: String): java.nio.file.Path = {
+      val p = base.resolve(name)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectory(p)
+    }
+    val dumpDir = fresh("graft_q165_dump")
     val p1 = dumpDir.resolve("part1.xml")
     val p2 = dumpDir.resolve("part2.xml")
     java.nio.file.Files.write(p1,
@@ -265,8 +279,8 @@ object EntryOracle {
       catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
     val ns = if (fromDump.nonEmpty) fromDump
              else Map("talk" -> 1, "user" -> 2, "category" -> 14)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_q165_ckpt")
-    val out = java.nio.file.Files.createTempDirectory("graft_q165_out")
+    val ckpt = fresh("graft_q165_ckpt")
+    val out = fresh("graft_q165_out")
     val stream = graft.functions.GraftFunctions.diffdb(
       s.readStream.format("mediawiki")
         .option("maxFilesPerTrigger", "1")
@@ -277,8 +291,11 @@ object EntryOracle {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(300000)
-    finally q.stop()
+    // a hung stream must FAIL, not hand a partial (correct-looking)
+    // frame to the gate
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q165: streaming query did not terminate within 300 s")
     flatten(s.read.parquet(out.toString))
   }
 
