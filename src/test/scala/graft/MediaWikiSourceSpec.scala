@@ -158,6 +158,44 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("multistream bz2 (concatenated streams — the -multistream dump layout)") {
+    // Wikipedia's pages-articles-multistream dumps are MANY complete
+    // bz2 streams back-to-back in one file (index file points at
+    // stream offsets). The raw concatenation equals the plain dump, so
+    // the reader must produce identical records whole or split, with
+    // stream headers treated like any other compressed-block boundary.
+    val nPages = 40
+    val bytes = genDump(nPages, fillerLen = 40000).getBytes("UTF-8")
+    val cuts = Seq(0, bytes.length / 3, 2 * bytes.length / 3, bytes.length)
+    val dir = Files.createTempDirectory("mwbz2multi").toFile
+    val f = new File(dir, "dump.xml.bz2")
+    val fos = new java.io.FileOutputStream(f)
+    try {
+      for ((from, to) <- cuts.init.zip(cuts.tail)) {
+        // each stream is a complete bz2 file: own BZ magic + own EOS
+        fos.write('B'); fos.write('Z')
+        val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+        out.write(bytes, from, to - from)
+        out.finish()
+      }
+    } finally fos.close()
+    val expected = expectedRevCount(nPages)
+    def fingerprint(minSplit: String): List[(Long, Long, Any)] =
+      spark.read.format("mediawiki").option("minSplitBytes", minSplit)
+        .load(f.getAbsolutePath)
+        .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toList
+        .sortBy(t => (t._1, t._2))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "200000")
+    try {
+      val split = fingerprint("200000")
+      val whole = fingerprint("100000000")
+      assert(whole.length == expected,
+        s"multistream whole read: got ${whole.length} expected $expected")
+      assert(split == whole, "multistream split-dependent output")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
   test("bz2 randomized small-block split property: block sizes 1/5/9, random splits") {
     // the reference's testSplitCompressed fuzz (block sizes 1/5/9 ×
     // randomized splits over ~90k revisions, asserting only >= counts);
