@@ -299,6 +299,76 @@ object EntryOracle {
     flatten(s.read.parquet(out.toString))
   }
 
+  // ---------------------------------------------------------------- q166
+  /** The reference's `previousRevision=false` mode (F2, conf
+    * `org.wikimedia.wikihadoop.previousRevision`) oracled end-to-end:
+    * the same construction dump read WITHOUT pairing — the `prev`
+    * column is absent at the SOURCE (no carry state, a pure scan) —
+    * and every raw per-revision field the reader exposes is compared
+    * against VALUES from the construction: dump-order title (NOT
+    * normalized) and `ns` including the omitted-`<ns>` NULL, the
+    * parent_id chain, epoch-micros timestamp, the contributor
+    * username/ip/id split, minor, absent-comment NULL, model, format,
+    * text characters, and the `bytes` attribute. Complements q153
+    * (which oracles the PAIRED diffdb projection of the same dump). */
+  def q166EntryNoPrev(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = s.read.format("mediawiki")
+      .option("previousRevision", "false")
+      .load(ensureDump())
+    require(!src.columns.contains("prev"),
+      "previousRevision=false must drop the prev column at the source")
+    src.select(
+      $"page_id",
+      $"title",
+      $"ns".cast("long").as("ns"),
+      $"rev_seq".cast("long").as("rev_seq"),
+      $"curr.rev_id".as("rev_id"),
+      $"curr.parent_id".as("parent_id"),
+      expr("unix_micros(curr.timestamp)").as("ts_us"),
+      $"curr.minor".as("minor"),
+      $"curr.comment".as("comment"),
+      $"curr.contributor.username".as("username"),
+      $"curr.contributor.ip".as("ip"),
+      $"curr.contributor.id".as("user_id"),
+      $"curr.model".as("model"),
+      $"curr.format".as("format"),
+      length($"curr.text").cast("long").as("text_chars"),
+      $"curr.bytes".as("bytes"))
+      .orderBy($"rev_id")
+  }
+
+  val q166Sql: String = {
+    val rows = pages.zipWithIndex.flatMap { case (p, id) =>
+      p.revs.zipWithIndex.map { case (r, seq) =>
+        val (username, ip, uid) = r.user match {
+          case Right((n, u)) => (sqlStr(n), "NULL", u.toString)
+          case Left(i) => ("NULL", sqlStr(i), "NULL")
+        }
+        val parent = if (seq == 0) "NULL" else (r.revId - 1).toString
+        val chars = r.text.codePointCount(0, r.text.length)
+        s"(${p.pageId}, ${sqlStr(p.title)}, ${p.ns.fold("NULL")(_.toString)}, " +
+          s"$seq, ${r.revId}, $parent, ${epochOf(id, seq)}000000, ${r.minor}, " +
+          s"${sqlStrOpt(r.comment)}, $username, $ip, $uid, 'wikitext', " +
+          s"'text/x-wiki', $chars, ${r.text.getBytes("UTF-8").length})"
+      }
+    }
+    s"""WITH exp(page_id, title, ns, rev_seq, rev_id, parent_id, ts_us, minor,
+       |         comment, username, ip, user_id, model, format, text_chars, bytes) AS (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |SELECT CAST(page_id AS BIGINT) AS page_id, title,
+       |  CAST(ns AS BIGINT) AS ns, CAST(rev_seq AS BIGINT) AS rev_seq,
+       |  CAST(rev_id AS BIGINT) AS rev_id,
+       |  CAST(parent_id AS BIGINT) AS parent_id,
+       |  CAST(ts_us AS BIGINT) AS ts_us, CAST(minor AS BOOLEAN) AS minor,
+       |  CAST(comment AS VARCHAR) AS comment,
+       |  CAST(username AS VARCHAR) AS username, CAST(ip AS VARCHAR) AS ip,
+       |  CAST(user_id AS BIGINT) AS user_id, model, format,
+       |  CAST(text_chars AS BIGINT) AS text_chars,
+       |  CAST(bytes AS BIGINT) AS bytes
+       |FROM exp ORDER BY rev_id""".stripMargin
+  }
+
   private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
   private def sqlStrOpt(s: Option[String]): String =
     s.fold("NULL")(sqlStr)

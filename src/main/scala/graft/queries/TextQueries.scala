@@ -3902,6 +3902,7 @@ object TextQueries {
     "q163_entry_diffdb_bz2" -> EntryOracle.q163EntryDiffdbBz2 _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
+    "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4002,6 +4003,7 @@ object TextQueries {
     "q163_entry_diffdb_bz2" -> EntryOracle.q163Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
+    "q166_entry_noprev" -> EntryOracle.q166Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
