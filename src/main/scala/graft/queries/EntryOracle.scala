@@ -369,6 +369,52 @@ object EntryOracle {
        |FROM exp ORDER BY rev_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q167
+  /** The PRUNED reader path (F3) through the oracle gate: a
+    * metadata-only projection — no `text`, no `prev` — which the DSv2
+    * pruneColumns pushdown turns into the head-bounded metadata scan
+    * (RevMetaFields mask; the text body is never captured, absent
+    * elements resolve from the pre-`<text>` head only). The spec pins
+    * prune ≡ full read structurally; this row value-checks the pruned
+    * path itself against construction VALUES, exercising the
+    * absent-comment NULL and username/IP split on that code path. */
+  def q167EntryPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("mediawiki").load(ensureDump())
+      .select(
+        $"page_id",
+        $"rev_seq".cast("long").as("rev_seq"),
+        $"curr.rev_id".as("rev_id"),
+        expr("unix_micros(curr.timestamp)").as("ts_us"),
+        $"curr.minor".as("minor"),
+        $"curr.comment".as("comment"),
+        $"curr.contributor.username".as("username"),
+        $"curr.model".as("model"))
+      .orderBy($"rev_id")
+  }
+
+  val q167Sql: String = {
+    val rows = pages.zipWithIndex.flatMap { case (p, id) =>
+      p.revs.zipWithIndex.map { case (r, seq) =>
+        val username = r.user match {
+          case Right((n, _)) => sqlStr(n)
+          case Left(_) => "NULL"
+        }
+        s"(${p.pageId}, $seq, ${r.revId}, ${epochOf(id, seq)}000000, " +
+          s"${r.minor}, ${sqlStrOpt(r.comment)}, $username, 'wikitext')"
+      }
+    }
+    s"""WITH exp(page_id, rev_seq, rev_id, ts_us, minor, comment, username,
+       |         model) AS (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |SELECT CAST(page_id AS BIGINT) AS page_id,
+       |  CAST(rev_seq AS BIGINT) AS rev_seq,
+       |  CAST(rev_id AS BIGINT) AS rev_id, CAST(ts_us AS BIGINT) AS ts_us,
+       |  CAST(minor AS BOOLEAN) AS minor, CAST(comment AS VARCHAR) AS comment,
+       |  CAST(username AS VARCHAR) AS username, model
+       |FROM exp ORDER BY rev_id""".stripMargin
+  }
+
   private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
   private def sqlStrOpt(s: Option[String]): String =
     s.fold("NULL")(sqlStr)

@@ -3903,6 +3903,7 @@ object TextQueries {
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
+    "q167_entry_pruned" -> EntryOracle.q167EntryPruned _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4004,6 +4005,7 @@ object TextQueries {
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,
+    "q167_entry_pruned" -> EntryOracle.q167Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
