@@ -255,17 +255,7 @@ object EntryOracle {
     // fixed deterministic paths, wiped per invocation (the q153
     // ensureDump pattern) — Bench calls every query several times and
     // createTempDirectory would leak dump/offset-log/parquet trees
-    val base = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    def fresh(name: String): java.nio.file.Path = {
-      val p = base.resolve(name)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.createDirectory(p)
-    }
+    import OracleTmp.fresh
     val dumpDir = fresh("graft_q165_dump")
     val p1 = dumpDir.resolve("part1.xml")
     val p2 = dumpDir.resolve("part2.xml")

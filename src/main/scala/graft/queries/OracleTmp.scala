@@ -1,0 +1,38 @@
+package graft.queries
+
+/** Fixed deterministic scratch paths for oracle queries that drive a
+  * real streaming run inside `queries()` (q165/q168): Bench calls each
+  * query several times, so per-invocation-wiped FIXED directories
+  * replace `createTempDirectory` (which leaks a tree per call). */
+private[queries] object OracleTmp {
+
+  private def base = java.nio.file.Paths.get(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
+  /** (Re)create `/tmp/<name>` empty and return it. */
+  def fresh(name: String): java.nio.file.Path = {
+    val p = base.resolve(name)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectory(p)
+  }
+
+  /** Write `df` as ONE parquet file named `name` inside `dir` (the
+    * file-stream sources need individually-placed files to build a
+    * deterministic per-trigger sequence). */
+  def writeOne(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = fresh(dir.getFileName.toString + "_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    java.nio.file.Files.move(part, dir.resolve(name))
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+}

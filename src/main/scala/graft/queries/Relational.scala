@@ -819,6 +819,52 @@ object Relational {
       |FROM events e LEFT JOIN dim d USING (user_id)
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Watermarked streaming dedup driven through an ACTUAL stream run
+    * inside the query (the q165 pattern): Spark 4 rejects
+    * `dropDuplicatesWithinWatermark` on batch frames, so the only way
+    * to put [[graft.streaming.StreamOps.dedupStream]] in the oracle
+    * gate is to run the real micro-batch op. Events plus exact
+    * duplicate copies of every 5th event land as TWO source files
+    * (originals, then duplicates), read one file per trigger through a
+    * parquet file stream; dedup keys on event_id with a huge watermark
+    * delay (no state eviction → exact global dedup), AvailableNow,
+    * parquet sink, read back. Duplicates are exact row copies, so the
+    * kept set is deterministic regardless of arrival/batch order; the
+    * oracle is SELECT DISTINCT over the same union. */
+  def q168DedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id",
+      timestamp_micros($"ts_us").as("ts"), $"user_id", $"event_type")
+    val inDir = OracleTmp.fresh("graft_q168_in")
+    val ckpt = OracleTmp.fresh("graft_q168_ckpt")
+    val out = OracleTmp.fresh("graft_q168_out")
+    OracleTmp.writeOne(ev, inDir, "a_orig.parquet")
+    OracleTmp.writeOne(ev.filter($"event_id" % 5 === 0), inDir, "b_dups.parquet")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val dd = graft.streaming.StreamOps.dedupStream(
+      stream, Seq("event_id"), "ts", "3650 days")
+    val q = dd.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q168: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"event_id", unix_micros($"ts").as("ts_us"),
+        $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  val q168Sql: String =
+    """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+      |            FROM events),
+      |uni AS (SELECT * FROM ev
+      |        UNION ALL SELECT * FROM ev WHERE event_id % 5 = 0)
+      |SELECT DISTINCT event_id, ts_us, user_id, event_type
+      |FROM uni ORDER BY event_id""".stripMargin
+
   val q155Sql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
       |v AS (SELECT user_id, event_id AS view_id, ts_us AS view_ts_us
@@ -1486,6 +1532,7 @@ object Relational {
     "q155_click_attribution" -> q155ClickAttribution _,
     "q156_windowed_counts" -> q156WindowedCounts _,
     "q157_enriched_events" -> q157EnrichedEvents _,
+    "q168_dedup_stream" -> q168DedupStream _,
     "q110_zorder_layout" -> q110ZOrderLayout _,
     "q148_zorder3" -> q148ZOrder3 _,
     "q150_mad_anomalies" -> q150MadAnomalies _,
@@ -1533,6 +1580,7 @@ object Relational {
     "q155_click_attribution" -> q155Sql,
     "q156_windowed_counts" -> q156Sql,
     "q157_enriched_events" -> q157Sql,
+    "q168_dedup_stream" -> q168Sql,
     "q110_zorder_layout" -> q110Sql,
     "q148_zorder3" -> q148Sql,
     "q150_mad_anomalies" -> q150Sql,
