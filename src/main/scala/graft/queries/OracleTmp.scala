@@ -9,14 +9,17 @@ private[queries] object OracleTmp {
   private def base = java.nio.file.Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"))
 
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    val all = try s.iterator().asScala.toSeq.reverse finally s.close()
+    all.foreach(java.nio.file.Files.delete)
+  }
+
   /** (Re)create `/tmp/<name>` empty and return it. */
   def fresh(name: String): java.nio.file.Path = {
     val p = base.resolve(name)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    if (java.nio.file.Files.exists(p)) deleteTree(p)
     java.nio.file.Files.createDirectory(p)
   }
 
@@ -28,11 +31,12 @@ private[queries] object OracleTmp {
     import scala.jdk.CollectionConverters._
     val tmp = fresh(dir.getFileName.toString + "_stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+    val ls = java.nio.file.Files.list(tmp)
+    val part =
+      try ls.iterator().asScala.find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      finally ls.close()
     java.nio.file.Files.move(part, dir.resolve(name))
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
+    deleteTree(tmp)
   }
 }

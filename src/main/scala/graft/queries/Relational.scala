@@ -843,8 +843,13 @@ object Relational {
     OracleTmp.writeOne(ev.filter($"event_id" % 5 === 0), inDir, "b_dups.parquet")
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    // dedup on ALL columns, not just event_id: per-key dedup keeps an
+    // arbitrary first-arrival row, which only matches SELECT DISTINCT
+    // while event_id happens to be a unique key of the (driver-
+    // regenerated!) events table — full-row keys make the twin
+    // regeneration-proof and the ORDER BY total
     val dd = graft.streaming.StreamOps.dedupStream(
-      stream, Seq("event_id"), "ts", "3650 days")
+      stream, Seq("event_id", "ts", "user_id", "event_type"), "ts", "3650 days")
     val q = dd.writeStream.format("parquet").option("path", out.toString)
       .option("checkpointLocation", ckpt.toString).outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -854,7 +859,7 @@ object Relational {
     s.read.parquet(out.toString)
       .select($"event_id", unix_micros($"ts").as("ts_us"),
         $"user_id", $"event_type")
-      .orderBy($"event_id")
+      .orderBy($"event_id", $"ts_us", $"user_id", $"event_type")
   }
 
   val q168Sql: String =
@@ -863,7 +868,7 @@ object Relational {
       |uni AS (SELECT * FROM ev
       |        UNION ALL SELECT * FROM ev WHERE event_id % 5 = 0)
       |SELECT DISTINCT event_id, ts_us, user_id, event_type
-      |FROM uni ORDER BY event_id""".stripMargin
+      |FROM uni ORDER BY event_id, ts_us, user_id, event_type""".stripMargin
 
   val q155Sql: String =
     """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
