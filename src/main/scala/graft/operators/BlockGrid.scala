@@ -42,6 +42,17 @@ private[operators] object BlockGrid {
     * only past ~256 GB of signature volume. */
   val MaxBlocks = 4096
 
+  /** One capped-grid attribution line per executor JVM: when the grid
+    * caps, per-task memory silently exceeds 2×targetBlockBytes, and a
+    * driver-stderr warning is invisible from an executor OOM. The
+    * first sweep task on each executor logs the grid shape and its own
+    * block sizes, so the executor's log carries the cause next to any
+    * OOM it produces. An `object` is JVM-static — never serialized
+    * into the closure, initialized fresh on each executor. */
+  private object CappedLog {
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+  }
+
   /** Grid sizing shared with the probes (SweepProbe's recorded grid
     * shape must be THE grid the sweep runs). */
   private[operators] def nBlocksFor(nDocs: Long, nWords: Long,
@@ -90,10 +101,12 @@ private[operators] object BlockGrid {
         (snap, n, w)
       } finally cached.unpersist(false)
     val nBlocks = nBlocksFor(nDocs, nWords, targetBlockBytes)
-    if (nBlocks == MaxBlocks)
+    val capped = nBlocks == MaxBlocks
+    if (capped)
       System.err.println(s"[blockgrid] grid capped at $MaxBlocks blocks " +
         s"(${nDocs} docs × $nWords words); per-task memory grows past " +
-        s"2×$targetBlockBytes bytes")
+        s"2×$targetBlockBytes bytes (est ~${nDocs / MaxBlocks * nWords * 16} " +
+        "bytes/task); first task on each executor logs its block sizes")
     val paired = sigs.flatMap { case (id, bits, cnt) =>
       val blk = blockOf(id, nBlocks)
       (0 until nBlocks).iterator.map { other =>
@@ -104,6 +117,11 @@ private[operators] object BlockGrid {
     paired.groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val lo = (key / nBlocks).toInt; val hi = (key % nBlocks).toInt
+        if (capped && CappedLog.once.compareAndSet(false, true))
+          System.err.println(s"[blockgrid] CAPPED grid ($MaxBlocks blocks, " +
+            s"~${nDocs / MaxBlocks} sigs × $nWords words × 8 B per block, " +
+            s"2 blocks resident/task) — an OOM in this stage is the capped " +
+            "grid exceeding targetBlockBytes")
         val left = ArrayBuffer.empty[(Long, Array[Long], Int)]
         val right = ArrayBuffer.empty[(Long, Array[Long], Int)]
         it.foreach { case (_, blk, id, bits, cnt) =>

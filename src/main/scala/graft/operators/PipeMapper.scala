@@ -136,11 +136,18 @@ object PipeMapper {
       // a downstream LIMIT can stop consuming mid-stream, abandoning
       // this iterator with the child still alive (blocked on a full
       // stdout pipe) — kill it when the task ends, however it ends
+      val childErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      @volatile var errThreadRef: Thread = null
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit] { _ =>
           if (proc.isAlive) proc.destroyForcibly(): Unit
+          // bound the abandoned-iterator race: the stderr thread may
+          // still be draining counter lines when the task completes —
+          // give it a bounded window to finish so late adds land inside
+          // the task's accumulator update, not after it
+          val et = errThreadRef
+          if (et != null) et.join(2000)
         })
-      val childErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val errThread = new Thread(() => {
         try {
           val br = new BufferedReader(
@@ -155,6 +162,7 @@ object PipeMapper {
           }
         } catch { case t: Throwable => childErr.compareAndSet(null, t) }
       }, s"pipe-stderr-${cmd.head}")
+      errThreadRef = errThread
       errThread.setDaemon(true); errThread.start()
       val taskCtx = org.apache.spark.TaskContext.get()
       val inThread = new Thread(() => {
@@ -220,5 +228,24 @@ object PipeMapper {
         // decodes trailing NULLs instead of an ANSI array-index error
         get(parts, lit(i)).cast(f.dataType).as(f.name)
       }.toSeq: _*)
+  }
+
+  /** The supported counter surface: pipe `df` through `cmd` and run
+    * exactly ONE materializing `action` over the result, returning the
+    * action's value together with a SNAPSHOT of the counters that one
+    * action produced. A fresh accumulator is registered per call, so
+    * counts can never leak across pipes, and the caller never holds a
+    * live accumulator to re-read after a second action (the
+    * double-count trap on the raw `counters` parameter). Failed-task
+    * updates are excluded by Spark (`countFailedValues=false` for
+    * registered accumulators); stage retries that re-run a SUCCEEDED
+    * task remain over-counted — same caveat as every Spark
+    * transformation-fed accumulator, documented on [[PipeCounters]]. */
+  def pipeCounted[T](df: DataFrame, cmd: Seq[String], outSchema: StructType,
+      env: Map[String, String] = Map.empty)
+      (action: DataFrame => T): (T, Map[(String, String), Long]) = {
+    val acc = counterAccumulator(df.sparkSession)
+    val out = action(pipe(df, cmd, outSchema, env, Some(acc)))
+    (out, acc.value)
   }
 }

@@ -405,6 +405,178 @@ object EntryOracle {
        |FROM exp ORDER BY rev_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+  /** Deleted-revision fields (RevisionDelete) through the oracle gate —
+    * the one flagship corner q153 does not plant. The reference fixture
+    * carries `<contributor deleted="deleted" />` revisions
+    * (`python/page_sample.xml:45`) and the downstream differ maps an
+    * absent contributor to null user id/text
+    * (`python/revision_differ.py:144-148`); the export format deletes
+    * comments and text the same way. The construction plants every
+    * shape and the VALUES oracle carries the NULLs:
+    *
+    *  - deleted contributor + deleted comment on a MIDDLE revision:
+    *    null `user_id`/`user_text`/`comment` while the diff against the
+    *    previous revision stays a normal forced-unique edit;
+    *  - deleted text after a live revision: the suppressed text reads
+    *    as empty, so the provably unique minimal diff REMOVES the whole
+    *    previous text at position 0;
+    *  - the revision AFTER a deleted text diffs from empty: one whole
+    *    add at 0 (deleted text is carried as empty prev, never skipped);
+    *  - a page whose FIRST revision has deleted text AND deleted
+    *    contributor: empty-to-empty diff = zero ops — flatten's
+    *    `posexplode_outer` must keep the revision as one all-NULL op
+    *    row, not drop it. */
+  private final case class DRev(revId: Long, ts: String,
+      comment: Option[String], commentDeleted: Boolean,
+      user: Option[Either[String, (String, Long)]], // None = deleted
+      text: Option[String], minor: Boolean)
+
+  private def delPages: Seq[(Long, String, Option[Int], Seq[DRev])] = {
+    val (o, n, _) = TextQueries.diffPlant(901) // 901 % 5 == 1: replace edit
+    val t3 = "z900a z900b  z900c"
+    val t4 = "q901x  q901y q901z"
+    Seq(
+      (900L, "Deleted page 0", Some(0), Seq(
+        DRev(9001L, "2021-03-01T04:00:00Z", Some("create"),
+          commentDeleted = false,
+          Some(Right(("DelEditor", 7900L))), Some(o), minor = false),
+        DRev(9002L, "2021-03-01T05:00:00Z", None, commentDeleted = true,
+          None, Some(n), minor = true),
+        DRev(9003L, "2021-03-01T06:00:00Z", Some("oversight"),
+          commentDeleted = false,
+          Some(Left("10.1.1.9")), None, minor = false),
+        DRev(9004L, "2021-03-01T07:00:00Z", Some("restore"),
+          commentDeleted = false,
+          Some(Right(("DelEditor", 7900L))), Some(t3), minor = false))),
+      (901L, "Talk:Deleted page 1", Some(1), Seq(
+        DRev(9011L, "2021-03-02T04:00:00Z", None, commentDeleted = true,
+          None, None, minor = false),
+        DRev(9012L, "2021-03-02T05:00:00Z", Some("first visible"),
+          commentDeleted = false,
+          Some(Right(("DelEditor2", 7901L))), Some(t4), minor = false))))
+  }
+
+  private def renderDelDump: String = {
+    val sb = new StringBuilder
+    sb ++= """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/" version="0.10" xml:lang="en">
+      |  <siteinfo>
+      |    <sitename>PlantWiki</sitename>
+      |    <namespaces>
+      |      <namespace key="0" case="first-letter" />
+      |      <namespace key="1" case="first-letter">Talk</namespace>
+      |      <namespace key="14" case="first-letter">Category</namespace>
+      |    </namespaces>
+      |  </siteinfo>
+      |""".stripMargin
+    delPages.foreach { case (pageId, title, ns, revs) =>
+      sb ++= "  <page>\n"
+      sb ++= s"    <title>${xmlEscape(title)}</title>\n"
+      ns.foreach(x => sb ++= s"    <ns>$x</ns>\n")
+      sb ++= s"    <id>$pageId</id>\n"
+      var parent: Option[Long] = None
+      revs.foreach { r =>
+        sb ++= "    <revision>\n"
+        sb ++= s"      <id>${r.revId}</id>\n"
+        parent.foreach(pid => sb ++= s"      <parentid>$pid</parentid>\n")
+        sb ++= s"      <timestamp>${r.ts}</timestamp>\n"
+        r.user match {
+          case None =>
+            sb ++= "      <contributor deleted=\"deleted\" />\n"
+          case Some(Right((name, uid))) =>
+            sb ++= "      <contributor>\n"
+            sb ++= s"        <username>${xmlEscape(name)}</username>\n"
+            sb ++= s"        <id>$uid</id>\n"
+            sb ++= "      </contributor>\n"
+          case Some(Left(ip)) =>
+            sb ++= s"      <contributor>\n        <ip>$ip</ip>\n      </contributor>\n"
+        }
+        if (r.minor) sb ++= "      <minor/>\n"
+        if (r.commentDeleted) sb ++= "      <comment deleted=\"deleted\" />\n"
+        else r.comment.foreach(c => sb ++= s"      <comment>${xmlEscape(c)}</comment>\n")
+        sb ++= "      <model>wikitext</model>\n"
+        sb ++= "      <format>text/x-wiki</format>\n"
+        r.text match {
+          case Some(t) =>
+            sb ++= s"""      <text xml:space="preserve" bytes="${t.getBytes("UTF-8").length}">${xmlEscape(t)}</text>\n"""
+          case None =>
+            sb ++= "      <text deleted=\"deleted\" />\n"
+        }
+        sb ++= "    </revision>\n"
+        parent = Some(r.revId)
+      }
+      sb ++= "  </page>\n"
+    }
+    sb ++= "</mediawiki>\n"
+    sb.result()
+  }
+
+  private[graft] def ensureDelDump(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val target = dir.resolve("graft_entry_oracle_del_dump.xml")
+    val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle_del", ".xml")
+    java.nio.file.Files.write(tmp, renderDelDump.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
+  def q169EntryDeleted(s: SparkSession, dir: String): DataFrame =
+    flatten(graft.SparkEntry.entryFor(s, ensureDelDump()))
+
+  val q169Sql: String = {
+    val (o, n, ops2) = TextQueries.diffPlant(901)
+    val t3 = "z900a z900b  z900c"
+    val t4 = "q901x  q901y q901z"
+    // expected ops per revision, by string arithmetic on the
+    // construction (see q169EntryDeleted's uniqueness notes)
+    val opsByRev: Map[Long, Seq[(Int, Int, String)]] = Map(
+      9001L -> Seq((0, 1, o)),
+      9002L -> ops2,
+      9003L -> Seq((0, -1, n)), // deleted text reads empty: remove all
+      9004L -> Seq((0, 1, t3)), // prev was deleted: whole add
+      9011L -> Seq.empty,       // empty -> empty: zero ops
+      9012L -> Seq((0, 1, t4)))
+    val titleOf = Map(900L -> "Deleted page 0", 901L -> "Deleted page 1")
+    val nsOf = Map(900L -> 0, 901L -> 1)
+    val rows = delPages.flatMap { case (pageId, _, _, revs) =>
+      revs.flatMap { r =>
+        val (uid, utext) = r.user match {
+          case Some(Right((name, u))) => (u.toString, sqlStr(name))
+          case Some(Left(ip)) => ("NULL", sqlStr(ip))
+          case None => ("NULL", "NULL")
+        }
+        val ts = java.time.Instant.parse(r.ts).getEpochSecond
+        val base = s"(${r.revId}, $pageId, ${nsOf(pageId)}, " +
+          s"${sqlStr(titleOf(pageId))}, $ts, ${sqlStrOpt(r.comment)}, " +
+          s"${r.minor}, $uid, $utext, "
+        val ops = opsByRev(r.revId)
+        if (ops.isEmpty) Seq(base + "NULL, NULL, NULL, NULL)")
+        else ops.zipWithIndex.map { case ((pos, act, content), i) =>
+          base + s"$i, $pos, $act, ${sqlStr(content)})"
+        }
+      }
+    }
+    s"""WITH exp(rev_id, page_id, namespace, title, ts, comment, minor,
+       |         user_id, user_text, op_idx, position, action, content) AS (VALUES
+       |  ${rows.mkString(",\n  ")})
+       |SELECT CAST(rev_id AS BIGINT) AS rev_id,
+       |  CAST(page_id AS BIGINT) AS page_id,
+       |  CAST(namespace AS BIGINT) AS namespace, title,
+       |  CAST(ts AS BIGINT) AS "timestamp",
+       |  CAST(comment AS VARCHAR) AS comment,
+       |  CAST(minor AS BOOLEAN) AS minor,
+       |  CAST(user_id AS BIGINT) AS user_id,
+       |  CAST(user_text AS VARCHAR) AS user_text,
+       |  CAST(op_idx AS BIGINT) AS op_idx,
+       |  CAST(position AS BIGINT) AS position,
+       |  CAST(action AS BIGINT) AS action,
+       |  CAST(content AS VARCHAR) AS content
+       |FROM exp ORDER BY rev_id, op_idx""".stripMargin
+  }
+
   private def sqlStr(s: String): String = s"'${s.replace("'", "''")}'"
   private def sqlStrOpt(s: Option[String]): String =
     s.fold("NULL")(sqlStr)

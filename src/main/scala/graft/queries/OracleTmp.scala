@@ -9,6 +9,20 @@ private[queries] object OracleTmp {
   private def base = java.nio.file.Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"))
 
+  /** Per-process namespace token: stable within one JVM (Bench's repeated
+    * calls reuse the same dirs) but disjoint across concurrent JVMs
+    * (parallel Verify + Bench, or two checkouts on one host, must not
+    * wipe each other's live streaming checkpoint/sink dirs). Checkout
+    * path + user disambiguate two checkouts; the PID disambiguates two
+    * JVMs on one checkout. */
+  private val nsToken: String = {
+    val checkout = sys.props.getOrElse("user.dir", "")
+    val user = sys.props.getOrElse("user.name", "")
+    val pid = ProcessHandle.current().pid()
+    val h = java.lang.Integer.toHexString((checkout + "|" + user).hashCode)
+    s"${h}_$pid"
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Files.walk(p)
@@ -16,9 +30,9 @@ private[queries] object OracleTmp {
     all.foreach(java.nio.file.Files.delete)
   }
 
-  /** (Re)create `/tmp/<name>` empty and return it. */
+  /** (Re)create `/tmp/<name>_<nsToken>` empty and return it. */
   def fresh(name: String): java.nio.file.Path = {
-    val p = base.resolve(name)
+    val p = base.resolve(name + "_" + nsToken)
     if (java.nio.file.Files.exists(p)) deleteTree(p)
     java.nio.file.Files.createDirectory(p)
   }

@@ -3904,6 +3904,7 @@ object TextQueries {
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
     "q167_entry_pruned" -> EntryOracle.q167EntryPruned _,
+    "q169_entry_deleted" -> EntryOracle.q169EntryDeleted _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4006,6 +4007,7 @@ object TextQueries {
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,
     "q167_entry_pruned" -> EntryOracle.q167Sql,
+    "q169_entry_deleted" -> EntryOracle.q169Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,

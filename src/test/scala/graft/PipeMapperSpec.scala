@@ -126,6 +126,70 @@ class PipeMapperSpec extends AnyFunSuite {
     assert(acc.value.keySet == Set(("DiffLength", "chars"), ("Revisions", "seen")))
   }
 
+  test("flagship counters: differ-like mapper over diffdb records, multi-partition") {
+    import spark.implicits._
+    // The reference's A2 surface on its OWN shape: the streaming differ
+    // reports a DiffLength counter per emitted record
+    // (revision_differ.py:166). Build a real dump -> diffdb frame at
+    // spec-realistic volume (200 pages, ~800 revisions), pipe every
+    // record through an external mapper that reports
+    // reporter:counter:DiffLength,chars,<n> + Revisions,seen,1 per
+    // record across 8 partitions, and assert the AGGREGATED counters
+    // equal Spark-side ground truth via the single-action pipeCounted
+    // surface (the documented exactly-one-materialization contract).
+    val dir = java.nio.file.Files.createTempDirectory("pipe-diffdb")
+    val dump = dir.resolve("dump.xml")
+    val sb = new StringBuilder("<mediawiki>\n")
+    val rnd = new scala.util.Random(11)
+    var revId = 0
+    for (p <- 1 to 200) {
+      sb.append(s"<page><title>Page $p</title><ns>0</ns><id>$p</id>\n")
+      var text = Array.fill(40)("w" + rnd.nextInt(500)).mkString(" ")
+      for (_ <- 1 to (1 + p % 7)) {
+        revId += 1
+        val words = text.split(" ")
+        val at = rnd.nextInt(words.length)
+        text = (words.take(at) ++ Array.fill(5)("w" + rnd.nextInt(500)) ++
+          words.drop(at + 3)).mkString(" ")
+        sb.append(s"<revision><id>$revId</id>" +
+          "<timestamp>2021-01-01T00:00:00Z</timestamp>" +
+          s"<contributor><username>u${revId % 9}</username><id>${revId % 9}</id></contributor>" +
+          s"<text xml:space=\"preserve\">$text</text></revision>\n")
+      }
+      sb.append("</page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    java.nio.file.Files.write(dump, sb.toString.getBytes("UTF-8"))
+    try {
+      val db = graft.functions.GraftFunctions.diffdb(
+        spark.read.format("mediawiki").load(dump.toString))
+      // per-record diff payload length — the DiffLength analog
+      val recs = db.select($"rev_id",
+          org.apache.spark.sql.functions.expr(
+            "aggregate(diffs, 0L, (a, d) -> a + length(coalesce(d.content, '')))")
+            .as("dlen"))
+        .repartition(8)
+      val expected = recs.agg(org.apache.spark.sql.functions.sum($"dlen"))
+        .as[Long].head()
+      val nRecs = recs.count()
+      assert(nRecs == revId.toLong && expected > 0)
+      val mapper = "while IFS=\"$(printf '\\t')\" read -r rid dlen; do " +
+        "echo \"reporter:counter:DiffLength,chars,$dlen\" >&2; " +
+        "echo \"reporter:counter:Revisions,seen,1\" >&2; " +
+        "printf '%s\\t%s\\n' \"$rid\" \"$dlen\"; done"
+      val (outCount, counters) = PipeMapper.pipeCounted(
+        recs, Seq("sh", "-c", mapper),
+        StructType(Seq(StructField("rev_id", LongType),
+          StructField("dlen", LongType))))(_.count())
+      assert(outCount == nRecs)
+      assert(counters((("DiffLength", "chars"))) == expected)
+      assert(counters((("Revisions", "seen"))) == nRecs)
+    } finally {
+      java.nio.file.Files.deleteIfExists(dump)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("abandoned-iterator child is killed at task end (no orphan process)") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
