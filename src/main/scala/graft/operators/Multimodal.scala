@@ -82,6 +82,120 @@ object Multimodal {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int) = decodeDims(kind, bytes)
   }
 
+  /** REAL pure-JVM decoder — the production-shaped [[MediaDecoder]]
+    * implementation (non-default: the oracled queries keep
+    * [[FakeDecoder]] so their VALUES arithmetic stays engine-portable).
+    * Containers the JDK itself decodes, no native libs:
+    *
+    *  - images: PNG/BMP/GIF/JPEG via `javax.imageio` — real pixel
+    *    dimensions and raster band count;
+    *  - video stand-in: multi-frame GIF via an `ImageReader` —
+    *    `frameCount` is the container's true frame count and
+    *    `frameSignature` hashes the DECODED pixels of that frame;
+    *  - audio: WAV/AIFF via `javax.sound.sampled` — `sampleCount` is
+    *    the track's real PCM frame count and `segmentSignature` hashes
+    *    the decoded PCM bytes of the segment's window;
+    *  - resize: a real `AffineTransform` resample into width×height,
+    *    signature over the resampled pixels.
+    *
+    * Anything the JDK cannot decode throws, which the operators'
+    * per-row error capture turns into an `error` row — exactly how a
+    * production codec reports an unreadable blob. */
+  object ImageIoDecoder extends MediaDecoder {
+    def contentHash(bytes: Array[Byte]): Long = FakeDecoder.contentHash(bytes)
+
+    private def hashInts(xs: Array[Int]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < xs.length) {
+        h ^= xs(i) & 0xffffffffL; h *= 0x100000001b3L; i += 1
+      }
+      h & Long.MaxValue
+    }
+
+    def decodeDims(kind: String, bytes: Array[Byte]): (Int, Int, Int) = kind match {
+      case "image" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) throw new IllegalArgumentException(
+          "undecodable image: no ImageIO reader claimed the byte stream")
+        (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+      case "audio" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          ((f.getSampleRate + 0.5f).toInt, 1, f.getChannels)
+        } finally in.close()
+      case other => throw new UnsupportedOperationException(
+        s"ImageIoDecoder: no JVM container decoder for kind '$other'")
+    }
+
+    /** GIF is the JDK's only multi-image container; its frame count is
+      * the real `getNumImages`. */
+    def frameCount(bytes: Array[Byte]): Long =
+      withGifReader(bytes)(_.getNumImages(true).toLong)
+
+    def frameSignature(bytes: Array[Byte], frameIdx: Long): Long =
+      withGifReader(bytes) { r =>
+        val img = r.read(frameIdx.toInt)
+        hashInts(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+      }
+
+    private def withGifReader[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) throw new IllegalArgumentException(
+          "undecodable container: no ImageIO reader")
+        val r = readers.next()
+        try { r.setInput(iis); f(r) } finally r.dispose()
+      } finally iis.close()
+    }
+
+    def sampleCount(bytes: Array[Byte]): Long = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.getFrameLength finally in.close()
+    }
+
+    def segmentSignature(bytes: Array[Byte], segStart: Long): Long = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val frameSize = in.getFormat.getFrameSize max 1
+        in.skip(segStart * frameSize)
+        val window = new Array[Byte](4096)
+        var read = 0
+        var off = 0
+        while (off < window.length && read >= 0) {
+          read = in.read(window, off, window.length - off)
+          if (read > 0) off += read
+        }
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < off) { h ^= window(i) & 0xff; h *= 0x100000001b3L; i += 1 }
+        h & Long.MaxValue
+      } finally in.close()
+    }
+
+    def resizeSignature(bytes: Array[Byte], width: Int, height: Int): Long = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) throw new IllegalArgumentException(
+        "undecodable image: no ImageIO reader claimed the byte stream")
+      val dst = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, width, height, null)
+      } finally g.dispose()
+      hashInts(dst.getRGB(0, 0, width, height, null, 0, width))
+    }
+  }
+
   /** Batch feature extraction: one decoder instance per partition (the
     * expensive-initialization shape real codecs need), one pass over the
     * partition's rows, per-row error capture so one bad blob never kills

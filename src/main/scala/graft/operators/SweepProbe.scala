@@ -39,6 +39,18 @@ object SweepProbe {
     val (tBlk, nBlk) = minOf2(
       JaccardPairs.blockSweepPairs(sh, 0.5, targetBlockBytes = blockBytes).count())
     println(f"[sweepprobe] dir=$dir blockBytes=$blockBytes")
+    // cross-round validity stamp: gen_scale.py writes
+    // BASE_FINGERPRINT.json with match=false when the base sf0.1
+    // corpus drifted from the committed fingerprint — probe rows from
+    // such a build must not be compared against prior rounds'
+    val fpFile = new java.io.File(dir, "BASE_FINGERPRINT.json")
+    if (fpFile.isFile) {
+      val fp = scala.io.Source.fromFile(fpFile)
+      val txt = try fp.mkString finally fp.close()
+      val ok = txt.contains("\"match\": true")
+      println(s"[sweepprobe] base fingerprint match=$ok" +
+        (if (ok) "" else "  <-- NOT comparable to prior rounds"))
+    } else println("[sweepprobe] base fingerprint: no stamp (pre-r11 corpus?)")
     println(f"[sweepprobe] driver-dispatch min=$tDrv%6.2f s pairs=$nDrv")
     println(f"[sweepprobe] block-sweep     min=$tBlk%6.2f s pairs=$nBlk")
     assert(nDrv == nBlk, s"pair counts diverge: $nDrv vs $nBlk")

@@ -159,6 +159,83 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(resized.nonEmpty && resized.forall(_.resized_sig == 300L))
   }
 
+  test("ImageIoDecoder: REAL planted media decode through the feature paths") {
+    import Multimodal.{ImageIoDecoder, MediaBlob}
+    // --- a real 37×21 RGB PNG, generated in-memory
+    def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // --- a real 3-frame GIF (the JDK's multi-image container)
+    def gifBytes(frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (i <- 0 until frames) {
+        val img = new java.awt.image.BufferedImage(8, 6,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 8; y <- 0 until 6)
+          img.setRGB(x, y, (i * 97 + x * 13 + y) & 0xffffff)
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence(); w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // --- a real 800-frame mono 8kHz PCM WAV
+    def wavBytes(nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = Array.tabulate[Byte](nFrames * 2)(i => (i * 7).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val blobs = spark.createDataset(Seq(
+      MediaBlob(1L, "image", pngBytes(37, 21, 5)),
+      MediaBlob(2L, "image", pngBytes(16, 16, 9)),
+      MediaBlob(3L, "audio", wavBytes(800)),
+      MediaBlob(4L, "video", gifBytes(3)),
+      MediaBlob(5L, "image", Array[Byte](1, 2, 3)) // undecodable
+    )).repartition(2)
+
+    // q26's feature path, real dimensions out of real pixels
+    val feats = Multimodal.extractFeatures(blobs, ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 37 && feats(1L).height == 21 &&
+      feats(1L).channels == 3 && feats(1L).error == null)
+    assert(feats(2L).width == 16 && feats(2L).height == 16)
+    assert(feats(3L).width == 8000 && feats(3L).channels == 1 &&
+      feats(3L).error == null) // sample rate + mono from the WAV header
+    assert(feats(5L).error != null) // bad blob -> error row, job survives
+    // real frame count + per-frame pixel signatures from the GIF
+    val frames = Multimodal.sampleFrames(blobs, everyK = 2,
+      decoder = ImageIoDecoder).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toList == List(0L, 2L))
+    assert(frames.forall(_.n_frames == 3L))
+    assert(frames(0).frame_sig != frames(1).frame_sig) // distinct pixels
+    // real PCM frame count drives segmentation
+    val segs = Multimodal.chunkAudio(blobs, windowSamples = 300,
+      strideSamples = 250, decoder = ImageIoDecoder).collect()
+    assert(segs.forall(_.n_samples == 800L))
+    assert(segs.map(_.seg_start).sorted.toList == List(0L, 250L, 500L))
+    assert(segs.map(_.seg_sig).distinct.length == 3) // distinct windows
+    // real resample: same image resized to different targets differs;
+    // deterministic for the same target
+    val r1 = ImageIoDecoder.resizeSignature(pngBytes(37, 21, 5), 8, 8)
+    val r2 = ImageIoDecoder.resizeSignature(pngBytes(37, 21, 5), 8, 8)
+    val r3 = ImageIoDecoder.resizeSignature(pngBytes(37, 21, 5), 9, 9)
+    assert(r1 == r2 && r1 != r3)
+  }
+
   test("rolling fingerprint: deterministic, content-sensitive") {
     val a = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")
     val b = GraftFunctions.rollingFingerprint("the quick brown fox jumps over the lazy dog")

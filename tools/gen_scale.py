@@ -92,6 +92,41 @@ tile("events", {"event_id": E_STRIDE, "user_id": U_STRIDE})
 # documents: tile with deterministic per-copy token perturbation
 tb = read("documents")
 texts = tb.column("text").to_pylist()
+
+# --- base-corpus fingerprint gate (round 11): cross-round 10x
+# comparisons are only valid when the BASE corpus is unchanged — the
+# driver regenerates testdata between rounds, and round-10 adjudication
+# found the pinned-10x bigram vocab DOUBLED r9->r10 purely from base
+# drift. Assert against the committed fingerprint; on mismatch, proceed
+# (the rehearsal is still useful within-round) but stamp the outdir so
+# SweepProbe/SCALING records carry the invalidation.
+import hashlib, json
+_h = hashlib.sha256()
+for _t in texts:
+    _h.update(_t.encode()); _h.update(b"\0")
+_fp = {"rows": tb.num_rows, "chars": sum(len(_t) for _t in texts),
+       "sha256_16": _h.hexdigest()[:16]}
+_fp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scale_fingerprint.json")
+try:
+    with open(_fp_path) as f:
+        _want = json.load(f)
+    _match = all(_fp[k] == _want[k] for k in ("rows", "chars", "sha256_16"))
+except FileNotFoundError:
+    _want, _match = None, False
+with open(os.path.join(OUT, "BASE_FINGERPRINT.json"), "w") as f:
+    json.dump({"base": _fp, "committed": _want, "match": _match}, f, indent=1)
+if not _match:
+    print("*" * 72)
+    print("* BASE CORPUS DRIFTED from the committed fingerprint:")
+    print(f"*   committed: {_want}")
+    print(f"*   actual:    {_fp}")
+    print("* 10x numbers from this build are NOT comparable to prior")
+    print("* rounds' SweepProbe/SCALING rows. Outdir stamped with")
+    print("* BASE_FINGERPRINT.json (match: false).")
+    print("*" * 72)
+else:
+    print(f"base corpus fingerprint OK: {_fp}")
 parts = []
 for i in range(K):
     if i == 0:
