@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real-micro-batch oracle rows for the stateful streaming operators
+  * that had only spec pins: each query runs the ACTUAL streaming op
+  * (file source, `maxFilesPerTrigger=1` so state must carry across
+  * micro-batches, `Trigger.AvailableNow`, parquet file sink — the
+  * q165/q168 pattern), reads the sink back, and reduces to a frame a
+  * pure-VALUES DuckDB oracle reproduces. */
+object StreamOracle {
+
+  // ---------------------------------------------------------------- q170
+  /** [[graft.streaming.StreamOps.pairRevisionsStream]] — the
+    * reference's prev/curr pairing (SURVEY W1, `README.rst:22-27`) in
+    * its STATEFUL STREAMING form — through the oracle gate. Three
+    * pages × four revisions split into two source files by rev_seq
+    * (0-1, then 2-3), one file per trigger: the pair at rev_seq 2 can
+    * only be right if batch 1's last revision was carried in the group
+    * state. File order is forced by explicit modification times (the
+    * file stream sorts by mtime) because pairing, unlike q168's exact
+    * dedup, is arrival-order-dependent. Oracle = `lag()` over the same
+    * VALUES. */
+  def q170PairStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val revs = for (p <- 1L to 3L; seq <- 0 to 3)
+      yield (p, seq, p * 100 + seq, s"p${p}t$seq")
+    val inDir = OracleTmp.fresh("graft_q170_in")
+    val ckpt = OracleTmp.fresh("graft_q170_ckpt")
+    val out = OracleTmp.fresh("graft_q170_out")
+    def frame(rs: Seq[(Long, Int, Long, String)]) =
+      s.createDataset(rs).toDF("page_id", "rev_seq", "rev_id", "text")
+    OracleTmp.writeOne(frame(revs.filter(_._2 <= 1)), inDir, "a_early.parquet")
+    OracleTmp.writeOne(frame(revs.filter(_._2 >= 2)), inDir, "b_late.parquet")
+    val t0 = System.currentTimeMillis()
+    inDir.resolve("a_early.parquet").toFile.setLastModified(t0 - 120000)
+    inDir.resolve("b_late.parquet").toFile.setLastModified(t0 - 60000)
+    val stream = s.readStream.schema(frame(revs.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      .as[graft.streaming.StreamOps.RevEvent]
+    val paired = graft.streaming.StreamOps.pairRevisionsStream(stream)
+    val q = paired.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q170: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"page_id", $"rev_seq".cast("long").as("rev_seq"), $"rev_id",
+        $"prev_rev_id", $"prev_text", $"text".as("curr_text"))
+      .orderBy($"page_id", $"rev_seq")
+  }
+
+  val q170Sql: String = {
+    val rows = (for (p <- 1L to 3L; seq <- 0 to 3)
+      yield s"($p, $seq, ${p * 100 + seq}, 'p${p}t$seq')").mkString(",\n  ")
+    s"""WITH r(page_id, rev_seq, rev_id, text) AS (VALUES
+       |  $rows)
+       |SELECT CAST(page_id AS BIGINT) AS page_id,
+       |  CAST(rev_seq AS BIGINT) AS rev_seq,
+       |  CAST(rev_id AS BIGINT) AS rev_id,
+       |  CAST(lag(rev_id) OVER w AS BIGINT) AS prev_rev_id,
+       |  lag(text) OVER w AS prev_text,
+       |  text AS curr_text
+       |FROM r
+       |WINDOW w AS (PARTITION BY page_id ORDER BY rev_seq)
+       |ORDER BY page_id, rev_seq""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** [[graft.streaming.StreamOps.heavyHittersStream]] — per-shard
+    * Misra-Gries state carried across micro-batches — through the
+    * oracle gate. Construction: 24 distinct items with multiplicities
+    * 1..7, each item's copies SPLIT across two source files (ceil in
+    * the first, floor in the second), one file per trigger, so every
+    * final counter is the sum of two batch updates against carried
+    * state. `k = 64` exceeds any shard's distinct-item count, so no MG
+    * decrements fire and the final per-item lower bound is the item's
+    * EXACT total — order-free and SQL-expressible (with decrements the
+    * bound depends on iterator order, which no oracle can reproduce).
+    * The Update-mode sink holds one snapshot row per (shard, batch);
+    * counters only grow, so `max(lower_bound)` per item is the final
+    * state. Exactness under k ≥ distinct is the same Misra-Gries
+    * property q55's batch operator relies on. */
+  def q171MgStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val copies = for {
+      i <- 0 until 24
+      n = i % 7 + 1
+      c <- 0 until n
+    } yield (s"item_$i", c)
+    val inDir = OracleTmp.fresh("graft_q171_in")
+    val ckpt = OracleTmp.fresh("graft_q171_ckpt")
+    val out = OracleTmp.fresh("graft_q171_out")
+    def frame(rs: Seq[(String, Int)]) =
+      s.createDataset(rs.map(_._1)).toDF("item")
+    OracleTmp.writeOne(frame(copies.filter { case (it, c) =>
+      c < (it.drop(5).toInt % 7 + 2) / 2 }), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(copies.filter { case (it, c) =>
+      c >= (it.drop(5).toInt % 7 + 2) / 2 }), inDir, "b_second.parquet")
+    val stream = s.readStream.schema(frame(copies.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val mg = graft.streaming.StreamOps.heavyHittersStream(
+      stream, "item", k = 64, shards = 8)
+    // Update-mode stateful output cannot feed the append-only parquet
+    // file sink; foreachBatch appends each micro-batch's snapshot rows
+    // instead. A replayed batch (retry) would only re-append rows the
+    // max() reduction below already absorbs — the reduction is
+    // idempotent, so the oracle stays exact without the file sink's
+    // metadata log.
+    val outPath = out.toString
+    val q = mg.toDF().writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", ckpt.toString).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q171: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .groupBy($"item")
+      .agg(max($"lower_bound").as("cnt"))
+      .orderBy($"item")
+  }
+
+  val q171Sql: String = {
+    val rows = (0 until 24)
+      .map(i => s"('item_$i', ${i % 7 + 1})").mkString(",\n  ")
+    s"""WITH exp(item, cnt) AS (VALUES
+       |  $rows)
+       |SELECT item, CAST(cnt AS BIGINT) AS cnt
+       |FROM exp ORDER BY item""".stripMargin
+  }
+}

@@ -3905,6 +3905,8 @@ object TextQueries {
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
     "q167_entry_pruned" -> EntryOracle.q167EntryPruned _,
     "q169_entry_deleted" -> EntryOracle.q169EntryDeleted _,
+    "q170_pair_stream" -> StreamOracle.q170PairStream _,
+    "q171_mg_stream" -> StreamOracle.q171MgStream _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4008,6 +4010,8 @@ object TextQueries {
     "q166_entry_noprev" -> EntryOracle.q166Sql,
     "q167_entry_pruned" -> EntryOracle.q167Sql,
     "q169_entry_deleted" -> EntryOracle.q169Sql,
+    "q170_pair_stream" -> StreamOracle.q170Sql,
+    "q171_mg_stream" -> StreamOracle.q171Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
