@@ -24,6 +24,14 @@ object Decontamination {
     * suites sit orders of magnitude below it. */
   val DefaultMaxBroadcastGrams = 10000000L
 
+  /** Bloom-prefilter budget: past the exact-broadcast budget, a Bloom
+    * filter over the bench grams still broadcasts at ~1.2 bytes/gram
+    * (1% fpp) — 256 MB covers ~200M grams. Past THIS, the full gram
+    * shuffle is the only exact option. */
+  val DefaultMaxBloomBytes = 256L * 1024 * 1024
+
+  private val BloomFpp = 0.01
+
   /** Per-document verdict against the benchmark set: (docIdCol,
     * n_hits, contaminated). `n_hits` counts DISTINCT shared n-grams
     * (both sides are distinct-by-construction); `contaminated` is
@@ -38,12 +46,20 @@ object Decontamination {
     * table — the same rows a broadcast join would have collected to
     * the driver anyway), so the benchmark side of the corpus is
     * shingled exactly once and nothing stays persisted after the call.
-    * Past the budget, the join falls back to a shuffle by gram key,
-    * which scales to an arbitrarily large "benchmark" (e.g.
-    * decontaminating against a whole prior training corpus). */
+    * Past the budget, a BLOOM FILTER over the bench grams (built
+    * distributed, broadcast at ~1.2 bytes/gram) prefilters the corpus
+    * shingles MAP-SIDE before the gram-key shuffle: no false
+    * negatives, so the join that follows sees every true hit and the
+    * RESULT is exact — the fpp only costs ~1% stray shingles in the
+    * shuffle, instead of shuffling the ENTIRE corpus's shingles (the
+    * 100 TB difference: shuffle volume ∝ hits, not corpus). Only past
+    * the bloom budget too (~200M grams) does the full gram shuffle
+    * remain — exact decontamination against a probe THAT large is a
+    * corpus-vs-corpus join by nature. */
   def verdicts(corpus: DataFrame, n: Int,
                docIdCol: String = "doc_id", textCol: String = "text",
-               maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+               maxBroadcastGrams: Long = DefaultMaxBroadcastGrams,
+               maxBloomBytes: Long = DefaultMaxBloomBytes): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sh = corpus.select(col(docIdCol), col("isBench"),
@@ -51,11 +67,28 @@ object Decontamination {
     val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
     val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
     val probed = bench.limit(cap).as[String].collect()
-    val probe =
+    val (probe, corpusSide) =
       if (probed.length <= maxBroadcastGrams)
-        broadcast(probed.toSeq.toDF("__g"))
-      else bench // oversized: discard the capped probe, shuffle by gram
-    val hits = sh.filter(!col("isBench"))
+        (broadcast(probed.toSeq.toDF("__g")), sh.filter(!col("isBench")))
+      else {
+        // oversized: discard the capped probe. Eager lineage cut so the
+        // bench subtree (corpus scan + shingle explode) executes once
+        // across the count, the bloom build, and the verifying join —
+        // RDD-level storage, no cacheManager residue (BlockGrid's
+        // pattern). nBench falls out of the materialization for free.
+        val benchSnap = bench.localCheckpoint()
+        val nBench = benchSnap.count()
+        val bloomBytes = math.ceil(
+          -nBench * math.log(BloomFpp) / (math.log(2) * math.log(2)) / 8).toLong
+        if (bloomBytes <= maxBloomBytes) {
+          val bf = benchSnap.stat.bloomFilter("__g", nBench, BloomFpp)
+          val bc = spark.sparkContext.broadcast(bf)
+          val mightContain = udf((g: String) => bc.value.mightContainString(g))
+          (benchSnap, sh.filter(!col("isBench")).filter(mightContain(col("__g"))))
+        } else
+          (benchSnap, sh.filter(!col("isBench"))) // full gram shuffle
+      }
+    val hits = corpusSide
       .join(probe, Seq("__g"))
       .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
     corpus.filter(!col("isBench")).select(col(docIdCol))

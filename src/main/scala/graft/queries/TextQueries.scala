@@ -606,6 +606,27 @@ object TextQueries {
       |LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** q47's decontamination FORCED down the Bloom-prefilter regime
+    * (`maxBroadcastGrams = 4` puts the bench's gram count far past the
+    * exact-broadcast budget): the bench grams build a distributed
+    * Bloom filter, the corpus shingles are prefiltered MAP-SIDE by
+    * `mightContain` before the gram-key shuffle, and the join verifies
+    * — no false negatives, so the result is EXACTLY q47's (the fpp
+    * only adds ~1% stray shingles to the shuffle). Same oracle as q47:
+    * the regimes must be indistinguishable in output, which is
+    * precisely what this row pins. At 100 TB this is the middle
+    * regime: shuffle volume ∝ candidate hits, not corpus shingles. */
+  def q172BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = docs(s, dir).withColumn("isBench", $"source" === "src0")
+    graft.operators.Decontamination.verdicts(corpus, n = 4,
+        maxBroadcastGrams = 4)
+      .orderBy($"doc_id")
+  }
+
+  val q172Sql: String = q47Sql
+
   // ---------------------------------------------------------------- q48
   /** Sequence packing (concat-and-chunk): assign every document its
     * global token offset and 2048-token training-chunk coordinates —
@@ -3907,6 +3928,7 @@ object TextQueries {
     "q169_entry_deleted" -> EntryOracle.q169EntryDeleted _,
     "q170_pair_stream" -> StreamOracle.q170PairStream _,
     "q171_mg_stream" -> StreamOracle.q171MgStream _,
+    "q172_bloom_decontam" -> q172BloomDecontaminate _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4012,6 +4034,7 @@ object TextQueries {
     "q169_entry_deleted" -> EntryOracle.q169Sql,
     "q170_pair_stream" -> StreamOracle.q170Sql,
     "q171_mg_stream" -> StreamOracle.q171Sql,
+    "q172_bloom_decontam" -> q172Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,

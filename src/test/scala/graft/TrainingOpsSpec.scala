@@ -315,16 +315,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       "size-gated localCheckpoint must not change the interleave")
   }
 
-  test("decontamination: shuffle-join path (over-budget bench) equals broadcast path") {
+  test("decontamination: bloom-prefilter and full-shuffle regimes equal broadcast") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("isBench", col("source") === "src0")
-    def rows(maxGrams: Long) =
-      graft.operators.Decontamination.verdicts(corpus, n = 4, maxBroadcastGrams = maxGrams)
+    def rows(maxGrams: Long, maxBloomBytes: Long = 256L << 20) =
+      graft.operators.Decontamination.verdicts(corpus, n = 4,
+          maxBroadcastGrams = maxGrams, maxBloomBytes = maxBloomBytes)
         .orderBy(col("doc_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     val broadcastPath = rows(graft.operators.Decontamination.DefaultMaxBroadcastGrams)
-    val shufflePath = rows(1) // budget of 1 gram forces the fallback
+    // budget of 1 gram forces past exact-broadcast; the bloom fits
+    val bloomPath = rows(1)
+    // bloom budget of 0 forces the full gram shuffle
+    val shufflePath = rows(1, maxBloomBytes = 0)
     assert(broadcastPath.nonEmpty)
+    assert(broadcastPath == bloomPath,
+      "bloom prefilter must be invisible in the result (no false negatives)")
     assert(broadcastPath == shufflePath)
   }
 
