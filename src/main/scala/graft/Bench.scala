@@ -187,7 +187,7 @@ object Bench {
     "q153_entry_diffdb", "q163_entry_diffdb_bz2", "q164_entry_excluded",
     "q165_entry_diffdb_stream", "q166_entry_noprev", "q167_entry_pruned",
     "q168_dedup_stream", "q169_entry_deleted", "q170_pair_stream",
-    "q171_mg_stream")
+    "q171_mg_stream", "q173_token_budget_stream")
 
   /** Mid-sweep probe: a tenth of the edge canary (3×10⁷ xorshift
     * steps, single pass, ~0.1s) — cheap enough to sample every ~30

@@ -133,4 +133,69 @@ object StreamOracle {
        |SELECT item, CAST(cnt AS BIGINT) AS cnt
        |FROM exp ORDER BY item""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q173
+  /** [[graft.streaming.StreamOps.tokenBudgetStream]] — per-source
+    * token-budget admission with ONE long of state per key — through a
+    * real two-batch run where the budget crossings STRADDLE the batch
+    * boundary: whether doc 7+ of a language is admitted depends
+    * entirely on the token total carried from batch 1. Within a batch
+    * the op admits in doc_id order (its documented contract), and the
+    * batch split is by doc_id with file order forced by mtimes, so the
+    * whole arrival order is (batch, doc_id) — reproducible in SQL as a
+    * running-sum window over that order: admitted iff the PRIOR sum is
+    * under the budget (fill-to-budget; the crossing doc is admitted). */
+  private val q173Docs: Seq[(String, Long, Int)] = {
+    // (lang, doc_id, ntok): token counts sized so lang "aa" crosses
+    // its budget inside batch 2 and "bb" crosses inside batch 1
+    val aa = Seq(1L -> 30, 3L -> 40, 5L -> 50, 7L -> 60, 9L -> 70, 11L -> 80)
+    val bb = Seq(2L -> 90, 4L -> 80, 6L -> 70, 8L -> 60, 10L -> 50, 12L -> 40)
+    aa.map { case (id, n) => ("aa", id, n) } ++
+      bb.map { case (id, n) => ("bb", id, n) }
+  }
+  private val Q173Budget = 180L
+
+  def q173TokenBudgetStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = OracleTmp.fresh("graft_q173_in")
+    val ckpt = OracleTmp.fresh("graft_q173_ckpt")
+    val out = OracleTmp.fresh("graft_q173_out")
+    def frame(rs: Seq[(String, Long, Int)]) =
+      s.createDataset(rs.map { case (l, id, n) =>
+        (l, id, Seq.fill(n)("w").mkString(" "))
+      }).toDF("lang", "doc_id", "text")
+    OracleTmp.writeOne(frame(q173Docs.filter(_._2 <= 6)), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(q173Docs.filter(_._2 > 6)), inDir, "b_second.parquet")
+    val t0 = System.currentTimeMillis()
+    inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000)
+    inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000)
+    val stream = s.readStream.schema(frame(q173Docs.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val admitted = graft.streaming.StreamOps.tokenBudgetStream(stream, Q173Budget)
+    val q = admitted.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q173: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"lang", $"doc_id", $"ntok")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q173Sql: String = {
+    val rows = q173Docs
+      .map { case (l, id, n) => s"('$l', $id, $n)" }.mkString(",\n  ")
+    s"""WITH d(lang, doc_id, ntok) AS (VALUES
+       |  $rows),
+       |r AS (SELECT lang, doc_id, ntok,
+       |        SUM(ntok) OVER (PARTITION BY lang
+       |          ORDER BY CASE WHEN doc_id <= 6 THEN 0 ELSE 1 END, doc_id)
+       |          - ntok AS prior
+       |      FROM d)
+       |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(ntok AS BIGINT) AS ntok
+       |FROM r WHERE prior < $Q173Budget
+       |ORDER BY lang, doc_id""".stripMargin
+  }
 }

@@ -3929,6 +3929,7 @@ object TextQueries {
     "q170_pair_stream" -> StreamOracle.q170PairStream _,
     "q171_mg_stream" -> StreamOracle.q171MgStream _,
     "q172_bloom_decontam" -> q172BloomDecontaminate _,
+    "q173_token_budget_stream" -> StreamOracle.q173TokenBudgetStream _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4035,6 +4036,7 @@ object TextQueries {
     "q170_pair_stream" -> StreamOracle.q170Sql,
     "q171_mg_stream" -> StreamOracle.q171Sql,
     "q172_bloom_decontam" -> q172Sql,
+    "q173_token_budget_stream" -> StreamOracle.q173Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
