@@ -178,16 +178,11 @@ object Bench {
     println(jsonShort)
   }
 
-  /** Queries whose runtime is dominated by per-invocation fixture
-    * setup (rendering a dump to /tmp, running a real streaming job
-    * against a file sink) rather than engine work over the sf tables.
-    * They stay in the driver total; the artifact's `engine_total`
-    * excludes them. */
-  private val FixtureQueries: Set[String] = Set(
-    "q153_entry_diffdb", "q163_entry_diffdb_bz2", "q164_entry_excluded",
-    "q165_entry_diffdb_stream", "q166_entry_noprev", "q167_entry_pruned",
-    "q168_dedup_stream", "q169_entry_deleted", "q170_pair_stream",
-    "q171_mg_stream", "q173_token_budget_stream")
+  /** Fixture-dominated queries — tagged beside the registry
+    * ([[SparkEntry.fixtureQueries]]) so registration and tagging are
+    * one edit. They stay in the driver total; the artifact's
+    * `engine_total` excludes them. */
+  private def FixtureQueries: Set[String] = SparkEntry.fixtureQueries
 
   /** Mid-sweep probe: a tenth of the edge canary (3×10⁷ xorshift
     * steps, single pass, ~0.1s) — cheap enough to sample every ~30

@@ -44,4 +44,18 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles
+
+  /** Queries whose runtime is dominated by per-invocation FIXTURE
+    * setup (rendering a dump to /tmp, driving a real streaming job
+    * against a file sink) rather than engine work over the sf tables.
+    * Lives HERE, beside the registry, so registering a new
+    * fixture-style oracle and tagging it are one edit — Bench's
+    * `engine_total` excludes these (the driver's total contract is
+    * unchanged). Keep in sync when adding q-rows that build their own
+    * input. */
+  val fixtureQueries: Set[String] = Set(
+    "q153_entry_diffdb", "q163_entry_diffdb_bz2", "q164_entry_excluded",
+    "q165_entry_diffdb_stream", "q166_entry_noprev", "q167_entry_pruned",
+    "q168_dedup_stream", "q169_entry_deleted", "q170_pair_stream",
+    "q171_mg_stream", "q173_token_budget_stream")
 }

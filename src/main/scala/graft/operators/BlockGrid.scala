@@ -106,7 +106,8 @@ private[operators] object BlockGrid {
       System.err.println(s"[blockgrid] grid capped at $MaxBlocks blocks " +
         s"(${nDocs} docs × $nWords words); per-task memory grows past " +
         s"2×$targetBlockBytes bytes (est ~${nDocs / MaxBlocks * nWords * 16} " +
-        "bytes/task); first task on each executor logs its block sizes")
+        "bytes/task — nWords is the PACKED 64-bit-word count per " +
+        "signature); first task on each executor logs its block sizes")
     val paired = sigs.flatMap { case (id, bits, cnt) =>
       val blk = blockOf(id, nBlocks)
       (0 until nBlocks).iterator.map { other =>
@@ -119,9 +120,9 @@ private[operators] object BlockGrid {
         val lo = (key / nBlocks).toInt; val hi = (key % nBlocks).toInt
         if (capped && CappedLog.once.compareAndSet(false, true))
           System.err.println(s"[blockgrid] CAPPED grid ($MaxBlocks blocks, " +
-            s"~${nDocs / MaxBlocks} sigs × $nWords words × 8 B per block, " +
-            s"2 blocks resident/task) — an OOM in this stage is the capped " +
-            "grid exceeding targetBlockBytes")
+            s"~${nDocs / MaxBlocks} sigs × $nWords packed 64-bit words × " +
+            s"8 B per block, 2 blocks resident/task) — an OOM in this " +
+            "stage is the capped grid exceeding targetBlockBytes")
         val left = ArrayBuffer.empty[(Long, Array[Long], Int)]
         val right = ArrayBuffer.empty[(Long, Array[Long], Int)]
         it.foreach { case (_, blk, id, bits, cnt) =>

@@ -165,7 +165,16 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val frameSize = in.getFormat.getFrameSize max 1
-        in.skip(segStart * frameSize)
+        // skip() may skip fewer bytes than asked (stream-dependent);
+        // loop to the exact offset or the window hashes the wrong PCM
+        var toSkip = segStart * frameSize
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) {
+            if (in.read() < 0) toSkip = 0 // EOF: nothing left to skip
+            else toSkip -= 1              // forced one byte forward
+          } else toSkip -= skipped
+        }
         val window = new Array[Byte](4096)
         var read = 0
         var off = 0

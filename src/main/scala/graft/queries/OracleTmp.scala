@@ -30,11 +30,38 @@ private[queries] object OracleTmp {
     all.foreach(java.nio.file.Files.delete)
   }
 
-  /** (Re)create `/tmp/<name>_<nsToken>` empty and return it. */
+  /** (Re)create `/tmp/<name>_<nsToken>` empty and return it. Also
+    * sweeps STALE siblings — same name + checkout hash, a DEAD pid —
+    * so the per-PID namespacing cannot leak one dir tree per finished
+    * JVM across repeated Verify/Bench/test runs on a host (a live
+    * sibling PID's dirs are never touched). */
   def fresh(name: String): java.nio.file.Path = {
+    sweepStale(name)
     val p = base.resolve(name + "_" + nsToken)
     if (java.nio.file.Files.exists(p)) deleteTree(p)
     java.nio.file.Files.createDirectory(p)
+  }
+
+  private def sweepStale(name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val hashPrefix = nsToken.takeWhile(_ != '_')
+    val prefix = s"${name}_${hashPrefix}_"
+    val self = ProcessHandle.current().pid()
+    try {
+      val ls = java.nio.file.Files.list(base)
+      val stale = try ls.iterator().asScala.filter { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith(prefix) && {
+          val pid = fn.substring(prefix.length).toLongOption
+          pid.exists(id => id != self &&
+            !ProcessHandle.of(id).map[Boolean](_.isAlive).orElse(false))
+        }
+      }.toSeq finally ls.close()
+      stale.foreach { p =>
+        try deleteTree(p)
+        catch { case _: java.io.IOException => /* concurrent sweep */ }
+      }
+    } catch { case _: java.io.IOException => /* listing raced; best-effort */ }
   }
 
   /** Write `df` as ONE parquet file named `name` inside `dir` (the

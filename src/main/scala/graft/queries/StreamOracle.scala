@@ -34,8 +34,11 @@ object StreamOracle {
     OracleTmp.writeOne(frame(revs.filter(_._2 <= 1)), inDir, "a_early.parquet")
     OracleTmp.writeOne(frame(revs.filter(_._2 >= 2)), inDir, "b_late.parquet")
     val t0 = System.currentTimeMillis()
-    inDir.resolve("a_early.parquet").toFile.setLastModified(t0 - 120000)
-    inDir.resolve("b_late.parquet").toFile.setLastModified(t0 - 60000)
+    // the oracle is arrival-order-DEPENDENT: a silently failed mtime
+    // set would invert batch order and present as an engine mismatch
+    require(inDir.resolve("a_early.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_late.parquet").toFile.setLastModified(t0 - 60000),
+      "q170: setLastModified failed — batch order would be undefined")
     val stream = s.readStream.schema(frame(revs.take(1)).schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       .as[graft.streaming.StreamOps.RevEvent]
@@ -72,10 +75,10 @@ object StreamOracle {
   /** [[graft.streaming.StreamOps.heavyHittersStream]] — per-shard
     * Misra-Gries state carried across micro-batches — through the
     * oracle gate. Construction: 24 distinct items with multiplicities
-    * 1..7, each item's copies SPLIT across two source files (ceil in
-    * the first, floor in the second), one file per trigger, so every
-    * final counter is the sum of two batch updates against carried
-    * state. `k = 64` exceeds any shard's distinct-item count, so no MG
+    * 2..8, each item's copies SPLIT across two source files (ceil in
+    * the first, floor in the second — both halves nonempty for every
+    * item), one file per trigger, so every final counter is the sum of
+    * two batch updates against carried state. `k = 64` exceeds any shard's distinct-item count, so no MG
     * decrements fire and the final per-item lower bound is the item's
     * EXACT total — order-free and SQL-expressible (with decrements the
     * bound depends on iterator order, which no oracle can reproduce).
@@ -87,7 +90,7 @@ object StreamOracle {
     import s.implicits._
     val copies = for {
       i <- 0 until 24
-      n = i % 7 + 1
+      n = i % 7 + 2
       c <- 0 until n
     } yield (s"item_$i", c)
     val inDir = OracleTmp.fresh("graft_q171_in")
@@ -96,9 +99,9 @@ object StreamOracle {
     def frame(rs: Seq[(String, Int)]) =
       s.createDataset(rs.map(_._1)).toDF("item")
     OracleTmp.writeOne(frame(copies.filter { case (it, c) =>
-      c < (it.drop(5).toInt % 7 + 2) / 2 }), inDir, "a_first.parquet")
+      c < (it.drop(5).toInt % 7 + 3) / 2 }), inDir, "a_first.parquet")
     OracleTmp.writeOne(frame(copies.filter { case (it, c) =>
-      c >= (it.drop(5).toInt % 7 + 2) / 2 }), inDir, "b_second.parquet")
+      c >= (it.drop(5).toInt % 7 + 3) / 2 }), inDir, "b_second.parquet")
     val stream = s.readStream.schema(frame(copies.take(1)).schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val mg = graft.streaming.StreamOps.heavyHittersStream(
@@ -127,7 +130,7 @@ object StreamOracle {
 
   val q171Sql: String = {
     val rows = (0 until 24)
-      .map(i => s"('item_$i', ${i % 7 + 1})").mkString(",\n  ")
+      .map(i => s"('item_$i', ${i % 7 + 2})").mkString(",\n  ")
     s"""WITH exp(item, cnt) AS (VALUES
        |  $rows)
        |SELECT item, CAST(cnt AS BIGINT) AS cnt
@@ -167,8 +170,9 @@ object StreamOracle {
     OracleTmp.writeOne(frame(q173Docs.filter(_._2 <= 6)), inDir, "a_first.parquet")
     OracleTmp.writeOne(frame(q173Docs.filter(_._2 > 6)), inDir, "b_second.parquet")
     val t0 = System.currentTimeMillis()
-    inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000)
-    inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000)
+    require(inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000),
+      "q173: setLastModified failed — batch order would be undefined")
     val stream = s.readStream.schema(frame(q173Docs.take(1)).schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val admitted = graft.streaming.StreamOps.tokenBudgetStream(stream, Q173Budget)
