@@ -202,4 +202,130 @@ object StreamOracle {
        |FROM r WHERE prior < $Q173Budget
        |ORDER BY lang, doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q174
+  /** [[graft.streaming.StreamOps.packStream]] — per-shard stateful
+    * sequence packing — through a real two-batch run where the PARTIAL
+    * CHUNK carries across the batch boundary (both shards' batch-1
+    * token totals are chosen ≢ 0 mod chunkTokens, so the carry is
+    * provably nonempty). Batch split is by doc_id and the op packs in
+    * doc_id order within a batch, so the global token stream equals
+    * the batch-free order and q161's SQL packing shape (running token
+    * sums → chunk index per piece → string_agg, full chunks only)
+    * reproduces it over VALUES. chunkTokens = 7 forces docs to
+    * straddle chunks. */
+  private val q174Docs: Seq[(Long, String)] = (1L to 10L).map { id =>
+    val n = (id % 5 + 3).toInt
+    (id, (0 until n).map(j => s"d${id}w$j").mkString(" "))
+  }
+
+  def q174PackStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = OracleTmp.fresh("graft_q174_in")
+    val ckpt = OracleTmp.fresh("graft_q174_ckpt")
+    val out = OracleTmp.fresh("graft_q174_out")
+    def frame(rs: Seq[(Long, String)]) =
+      s.createDataset(rs.map { case (id, t) => (s"s${id % 2}", id, t) })
+        .toDF("shard", "doc_id", "text")
+    OracleTmp.writeOne(frame(q174Docs.filter(_._1 <= 5)), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(q174Docs.filter(_._1 > 5)), inDir, "b_second.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000),
+      "q174: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(frame(q174Docs.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val packed = graft.streaming.StreamOps
+      .packStream(stream, "shard", "doc_id", "text", chunkTokens = 7)
+    val q = packed.toDF().writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q174: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"shard", $"chunk_seq", $"n_docs", $"chunk_text")
+      .orderBy($"shard", $"chunk_seq")
+  }
+
+  val q174Sql: String = {
+    val rows = q174Docs
+      .map { case (id, t) => s"('s${id % 2}', $id, '$t')" }.mkString(",\n  ")
+    s"""WITH d(shard, doc_id, text) AS (VALUES
+       |  $rows),
+       |t AS (SELECT shard, doc_id, text,
+       |        CAST(length(text) - length(replace(text,' ','')) + 1 AS BIGINT) AS nt
+       |      FROM d),
+       |c AS (SELECT shard, doc_id, text, nt,
+       |        CAST(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+       |      FROM t),
+       |s AS (SELECT shard, doc_id, text, e, e - nt AS st,
+       |        (e - nt)//7 AS fc, (e - 1)//7 AS lc FROM c),
+       |p AS (SELECT shard, doc_id, st, k AS chunk_id,
+       |        array_to_string(list_slice(string_split(text,' '),
+       |          CAST(greatest(k*7, st) - st + 1 AS BIGINT),
+       |          CAST(least((k+1)*7, e) - st AS BIGINT)), ' ') AS piece
+       |      FROM s, UNNEST(range(fc, lc+1)) u(k)),
+       |g AS (SELECT shard, chunk_id, COUNT(*) AS n_docs,
+       |        string_agg(piece, ' ' ORDER BY st) AS chunk_text
+       |      FROM p GROUP BY shard, chunk_id)
+       |SELECT shard, CAST(chunk_id AS BIGINT) AS chunk_seq, n_docs, chunk_text
+       |FROM g
+       |WHERE length(chunk_text) - length(replace(chunk_text,' ','')) + 1 = 7
+       |ORDER BY shard, chunk_seq""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q175
+  /** [[graft.streaming.StreamOps.quotaStream]] — per-key row-count
+    * admission, ONE counter of state per key — through a real
+    * two-batch run where lang "xx" fills its quota IN batch 2 (3 rows
+    * carried from batch 1) and lang "yy" fills it inside batch 1 (so
+    * batch 2 must admit nothing off carried state). Admission is in
+    * doc_id order within a batch and the split is by doc_id, so the
+    * oracle is a row_number over the total order. */
+  private val q175Docs: Seq[(String, Long)] =
+    (1L to 12L).map(id => (if (id % 2 == 1) "xx" else "yy", id))
+  private val Q175MaxPerKey = 4L
+
+  def q175QuotaStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = OracleTmp.fresh("graft_q175_in")
+    val ckpt = OracleTmp.fresh("graft_q175_ckpt")
+    val out = OracleTmp.fresh("graft_q175_out")
+    def frame(rs: Seq[(String, Long)]) =
+      s.createDataset(rs).toDF("lang", "doc_id")
+    OracleTmp.writeOne(frame(q175Docs.filter(_._2 <= 6)), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(q175Docs.filter(_._2 > 6)), inDir, "b_second.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000),
+      "q175: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(frame(q175Docs.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val admitted = graft.streaming.StreamOps.quotaStream(stream, Q175MaxPerKey)
+    val q = admitted.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q175: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val q175Sql: String = {
+    val rows = q175Docs.map { case (l, id) => s"('$l', $id)" }.mkString(",\n  ")
+    s"""WITH d(lang, doc_id) AS (VALUES
+       |  $rows),
+       |r AS (SELECT lang, doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY lang
+       |          ORDER BY CASE WHEN doc_id <= 6 THEN 0 ELSE 1 END, doc_id) AS rn
+       |      FROM d)
+       |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+       |FROM r WHERE rn <= $Q175MaxPerKey
+       |ORDER BY lang, doc_id""".stripMargin
+  }
 }

@@ -3930,6 +3930,8 @@ object TextQueries {
     "q171_mg_stream" -> StreamOracle.q171MgStream _,
     "q172_bloom_decontam" -> q172BloomDecontaminate _,
     "q173_token_budget_stream" -> StreamOracle.q173TokenBudgetStream _,
+    "q174_pack_stream_real" -> StreamOracle.q174PackStream _,
+    "q175_quota_stream_real" -> StreamOracle.q175QuotaStream _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4037,6 +4039,8 @@ object TextQueries {
     "q171_mg_stream" -> StreamOracle.q171Sql,
     "q172_bloom_decontam" -> q172Sql,
     "q173_token_budget_stream" -> StreamOracle.q173Sql,
+    "q174_pack_stream_real" -> StreamOracle.q174Sql,
+    "q175_quota_stream_real" -> StreamOracle.q175Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,

@@ -57,6 +57,11 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("fixtureQueries is a subset of queries keys (a typo here silently corrupts engine_total)") {
+    val ghosts = SparkEntry.fixtureQueries -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"fixture tag without a registered query: $ghosts")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
