@@ -58,5 +58,6 @@ object SparkEntry {
     "q165_entry_diffdb_stream", "q166_entry_noprev", "q167_entry_pruned",
     "q168_dedup_stream", "q169_entry_deleted", "q170_pair_stream",
     "q171_mg_stream", "q173_token_budget_stream", "q174_pack_stream_real",
-    "q175_quota_stream_real")
+    "q175_quota_stream_real", "q176_scene_stream_real",
+    "q177_revert_stream_real")
 }

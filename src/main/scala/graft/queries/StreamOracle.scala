@@ -328,4 +328,119 @@ object StreamOracle {
        |FROM r WHERE rn <= $Q175MaxPerKey
        |ORDER BY lang, doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q176
+  /** [[graft.streaming.StreamOps.sceneChangeStream]] — per-media LAG
+    * bucket carried as state — through a real two-batch run split
+    * MID-media (frames 0-3, then 4-7): media 1's ONLY change point is
+    * at the boundary (frame 4's bucket differs from frame 3's, known
+    * only from carried state); media 2 changes inside batch 1, at the
+    * boundary, and inside batch 2. Oracle = lag() over
+    * (media, frame_idx). */
+  private val q176Frames: Seq[(Long, Long, Long)] = {
+    val m1 = Seq(3L, 3L, 11L, 11L, 5L, 5L, 13L, 5L)  // buckets 3,3,3,3,5,5,5,5
+    val m2 = Seq(0L, 8L, 1L, 9L, 2L, 10L, 2L, 3L)    // buckets 0,0,1,1,2,2,2,3
+    m1.zipWithIndex.map { case (s, i) => (1L, i.toLong, s) } ++
+      m2.zipWithIndex.map { case (s, i) => (2L, i.toLong, s) }
+  }
+
+  def q176SceneStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = OracleTmp.fresh("graft_q176_in")
+    val ckpt = OracleTmp.fresh("graft_q176_ckpt")
+    val out = OracleTmp.fresh("graft_q176_out")
+    def frame(rs: Seq[(Long, Long, Long)]) =
+      s.createDataset(rs).toDF("media_id", "frame_idx", "frame_sig")
+    OracleTmp.writeOne(frame(q176Frames.filter(_._2 <= 3)), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(q176Frames.filter(_._2 > 3)), inDir, "b_second.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000),
+      "q176: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(frame(q176Frames.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val changes = graft.streaming.StreamOps.sceneChangeStream(stream, buckets = 8L)
+    val q = changes.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q176: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"media_id", $"frame_idx", $"prev_bucket", $"bucket")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  val q176Sql: String = {
+    val rows = q176Frames
+      .map { case (m, i, sg) => s"($m, $i, $sg)" }.mkString(",\n  ")
+    s"""WITH f(media_id, frame_idx, frame_sig) AS (VALUES
+       |  $rows),
+       |b AS (SELECT media_id, frame_idx, frame_sig % 8 AS bucket,
+       |        lag(frame_sig % 8) OVER (PARTITION BY media_id
+       |          ORDER BY frame_idx) AS prev_bucket
+       |      FROM f)
+       |SELECT CAST(media_id AS BIGINT) AS media_id,
+       |  CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(prev_bucket AS BIGINT) AS prev_bucket,
+       |  CAST(bucket AS BIGINT) AS bucket
+       |FROM b WHERE prev_bucket IS NOT NULL AND prev_bucket <> bucket
+       |ORDER BY media_id, frame_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q177
+  /** [[graft.streaming.StreamOps.revertStream]] — per-page (rev, hash)
+    * history carried as state — through a real two-batch run split
+    * mid-page: page 1's reverts at revs 4 and 6 both point at hashes
+    * seen ONLY in batch 1; page 2 covers a within-batch-1 revert, a
+    * cross-batch revert, and a within-batch-2 revert. Oracle: a
+    * rev-ordered self-join picking the SMALLEST earlier rev with the
+    * same hash (q145's batch rule). */
+  private val q177Revs: Seq[(Long, Long, String)] = Seq(
+    (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+    (1L, 4L, "a"), (1L, 5L, "d"), (1L, 6L, "c"),
+    (2L, 1L, "x"), (2L, 2L, "y"), (2L, 3L, "x"),
+    (2L, 4L, "y"), (2L, 5L, "z"), (2L, 6L, "z"))
+
+  def q177RevertStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = OracleTmp.fresh("graft_q177_in")
+    val ckpt = OracleTmp.fresh("graft_q177_ckpt")
+    val out = OracleTmp.fresh("graft_q177_out")
+    def frame(rs: Seq[(Long, Long, String)]) =
+      s.createDataset(rs).toDF("page_id", "rev", "h")
+    OracleTmp.writeOne(frame(q177Revs.filter(_._2 <= 3)), inDir, "a_first.parquet")
+    OracleTmp.writeOne(frame(q177Revs.filter(_._2 > 3)), inDir, "b_second.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_first.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_second.parquet").toFile.setLastModified(t0 - 60000),
+      "q177: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(frame(q177Revs.take(1)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val verdicts = graft.streaming.StreamOps.revertStream(stream)
+    val q = verdicts.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q177: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"page_id", $"rev", $"reverted_to", $"is_revert")
+      .orderBy($"page_id", $"rev")
+  }
+
+  val q177Sql: String = {
+    val rows = q177Revs
+      .map { case (p, r, h) => s"($p, $r, '$h')" }.mkString(",\n  ")
+    s"""WITH d(page_id, rev, h) AS (VALUES
+       |  $rows),
+       |r AS (SELECT a.page_id, a.rev, MIN(b.rev) AS rt
+       |      FROM d a LEFT JOIN d b
+       |        ON a.page_id = b.page_id AND a.h = b.h AND b.rev < a.rev
+       |      GROUP BY a.page_id, a.rev)
+       |SELECT CAST(page_id AS BIGINT) AS page_id, CAST(rev AS BIGINT) AS rev,
+       |  CAST(COALESCE(rt, -1) AS BIGINT) AS reverted_to,
+       |  CAST(CASE WHEN rt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_revert
+       |FROM r ORDER BY page_id, rev""".stripMargin
+  }
 }

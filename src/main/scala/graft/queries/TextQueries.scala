@@ -3932,6 +3932,8 @@ object TextQueries {
     "q173_token_budget_stream" -> StreamOracle.q173TokenBudgetStream _,
     "q174_pack_stream_real" -> StreamOracle.q174PackStream _,
     "q175_quota_stream_real" -> StreamOracle.q175QuotaStream _,
+    "q176_scene_stream_real" -> StreamOracle.q176SceneStream _,
+    "q177_revert_stream_real" -> StreamOracle.q177RevertStream _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4041,6 +4043,8 @@ object TextQueries {
     "q173_token_budget_stream" -> StreamOracle.q173Sql,
     "q174_pack_stream_real" -> StreamOracle.q174Sql,
     "q175_quota_stream_real" -> StreamOracle.q175Sql,
+    "q176_scene_stream_real" -> StreamOracle.q176Sql,
+    "q177_revert_stream_real" -> StreamOracle.q177Sql,
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
