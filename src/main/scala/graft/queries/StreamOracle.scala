@@ -443,4 +443,52 @@ object StreamOracle {
        |  CAST(CASE WHEN rt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_revert
        |FROM r ORDER BY page_id, rev""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q178
+  /** [[graft.streaming.StreamOps.minhashCandidatesStream]] — online
+    * LSH near-dup candidates with per-bucket membership carried as
+    * state — through a real two-batch run over the REAL documents
+    * table (even doc_ids, then odd): a cross-batch pair is emitted
+    * only if batch 1's bucket members were carried. The candidate SET
+    * is arrival-order-FREE by construction (pairs normalize to
+    * (min, max), arrivals dedup against known ids, no bucket trim, no
+    * TTL), so no mtime forcing is needed and the oracle is q154's
+    * band-level SQL with the same doc_id subset — this row pins
+    * streaming ≡ batch ≡ oracle on real corpus text. The 30% subset
+    * (doc_id % 10 < 3) keeps the fixture's bench cost near the
+    * streaming-job floor while still emitting thousands of
+    * cross-batch candidates. */
+  def q178LshStreamReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .filter(expr("doc_id % 10 < 3")).select($"doc_id", $"text")
+    val inDir = OracleTmp.fresh("graft_q178_in")
+    val ckpt = OracleTmp.fresh("graft_q178_ckpt")
+    val out = OracleTmp.fresh("graft_q178_out")
+    OracleTmp.writeOne(d.filter($"doc_id" % 2 === 0), inDir, "a_even.parquet")
+    OracleTmp.writeOne(d.filter($"doc_id" % 2 === 1), inDir, "b_odd.parquet")
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val cands = graft.streaming.StreamOps.minhashCandidatesStream(
+      stream, "doc_id", "text", minEst = 0.25, maxBucketDocs = Int.MaxValue)
+    val q = cands.toDF().writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q178: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"band".cast("long").as("band"), $"doc_a", $"doc_b",
+        $"est_jaccard")
+      .orderBy($"band", $"doc_a", $"doc_b")
+  }
+
+  /** q154's band-level SQL restricted to the same doc_id subset. */
+  def q178Sql(q154Sql: String): String = {
+    val needle = "AS ts FROM documents)"
+    require(q154Sql.contains(needle), "q154Sql shape changed")
+    q154Sql.replace(needle,
+      "AS ts FROM documents WHERE doc_id % 10 < 3)")
+  }
 }

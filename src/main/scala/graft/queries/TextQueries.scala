@@ -3934,6 +3934,7 @@ object TextQueries {
     "q175_quota_stream_real" -> StreamOracle.q175QuotaStream _,
     "q176_scene_stream_real" -> StreamOracle.q176SceneStream _,
     "q177_revert_stream_real" -> StreamOracle.q177RevertStream _,
+    "q178_lsh_stream_real" -> StreamOracle.q178LshStreamReal _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4045,6 +4046,7 @@ object TextQueries {
     "q175_quota_stream_real" -> StreamOracle.q175Sql,
     "q176_scene_stream_real" -> StreamOracle.q176Sql,
     "q177_revert_stream_real" -> StreamOracle.q177Sql,
+    "q178_lsh_stream_real" -> StreamOracle.q178Sql(q154Sql),
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
