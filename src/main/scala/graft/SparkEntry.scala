@@ -59,5 +59,7 @@ object SparkEntry {
     "q168_dedup_stream", "q169_entry_deleted", "q170_pair_stream",
     "q171_mg_stream", "q173_token_budget_stream", "q174_pack_stream_real",
     "q175_quota_stream_real", "q176_scene_stream_real",
-    "q177_revert_stream_real", "q178_lsh_stream_real")
+    "q177_revert_stream_real", "q178_lsh_stream_real",
+    "q179_window_stream_real", "q180_join_stream_real",
+    "q181_session_stream_real")
 }

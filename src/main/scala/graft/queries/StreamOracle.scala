@@ -491,4 +491,154 @@ object StreamOracle {
     q154Sql.replace(needle,
       "AS ts FROM documents WHERE doc_id % 10 < 3)")
   }
+
+  // ---------------------------------------------------------------- q179
+  /** [[graft.streaming.StreamOps.windowedEventCounts]] through a REAL
+    * two-batch append-mode run — gating the one semantic q156's batch
+    * twin cannot see: WATERMARK FINALIZATION. In append mode a window
+    * emits only once the event-time watermark (max seen ts − 2 h)
+    * passes its end; windows near the stream's tail never emit. The
+    * events table is split at its timestamp midpoint (batch 1 strictly
+    * earlier), so nothing is ever late and the emitted set is exactly
+    * the windows with `window_end <= max(ts) − 2 h` — which the oracle
+    * states as a plain scalar predicate over the same table. File
+    * order forced by mtimes (watermark progression is
+    * arrival-order-dependent). */
+  def q179WindowedStreamReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Relational.events(s, dir).select(
+      timestamp_micros($"ts_us").as("ts"), $"event_type", $"value")
+    val Array(minU, maxU) = ev
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+    val midU = minU + (maxU - minU) / 2
+    val inDir = OracleTmp.fresh("graft_q179_in")
+    val ckpt = OracleTmp.fresh("graft_q179_ckpt")
+    val out = OracleTmp.fresh("graft_q179_out")
+    OracleTmp.writeOne(ev.filter(unix_micros($"ts") < midU),
+      inDir, "a_early.parquet")
+    OracleTmp.writeOne(ev.filter(unix_micros($"ts") >= midU),
+      inDir, "b_late.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_early.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_late.parquet").toFile.setLastModified(t0 - 60000),
+      "q179: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val counts = graft.streaming.StreamOps.windowedEventCounts(stream)
+    val q = counts.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q179: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
+  val q179Sql: String =
+    """WITH ev AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |wm AS (SELECT MAX(ts_us) - 7200000000 AS w FROM ev)
+      |SELECT CAST((ts_us // 3600000000) * 3600000000 AS BIGINT) AS window_start_us,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ev GROUP BY 1, 2
+      |HAVING window_start_us + 3600000000 <= (SELECT w FROM wm)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** [[graft.streaming.StreamOps.attributeClicks]] — Spark's genuine
+    * STREAM-STREAM interval join, both sides buffered in watermarked
+    * state — through a real two-batch run over the events table. A
+    * far watermark (no state eviction on this bounded replay) makes
+    * the emitted pair SET complete and arrival-order-free: inner-join
+    * matches emit whenever both sides are present, so the oracle is
+    * q155's plain interval-join SQL verbatim. The real-run axis q155's
+    * batch twin cannot see: cross-batch matches — a batch-2 click
+    * joining a batch-1 view exists only if the view survived in join
+    * state. Split by event_id parity puts ~half of each pair's sides
+    * in different batches. */
+  def q180IntervalJoinStreamReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Relational.events(s, dir).select($"user_id", $"event_id",
+      timestamp_micros($"ts_us").as("ts"), $"event_type")
+      .filter($"event_type".isin("view", "click"))
+    val inDir = OracleTmp.fresh("graft_q180_in")
+    val ckpt = OracleTmp.fresh("graft_q180_ckpt")
+    val out = OracleTmp.fresh("graft_q180_out")
+    OracleTmp.writeOne(ev.filter($"event_id" % 2 === 0), inDir, "a_even.parquet")
+    OracleTmp.writeOne(ev.filter($"event_id" % 2 === 1), inDir, "b_odd.parquet")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val pairs = graft.streaming.StreamOps.attributeClicks(
+      stream.filter($"event_type" === "view"),
+      stream.filter($"event_type" === "click"),
+      watermark = "3650 days")
+    val q = pairs.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q180: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"user_id", $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_ts_us"),
+        unix_micros($"click_ts").as("click_ts_us"))
+      .orderBy($"user_id", $"view_id", $"click_id")
+  }
+
+  // ---------------------------------------------------------------- q181
+  /** Native `session_window` sessions
+    * ([[graft.streaming.StreamOps.sessionWindows]]) through a REAL
+    * two-batch run — the two semantics q103's batch twin cannot see:
+    * a batch-2 event EXTENDING a batch-1 in-flight session (state
+    * merge across the boundary; the split is the events table's time
+    * midpoint, so every session spanning it exercises this), and
+    * append-mode emission only for sessions whose END the final
+    * watermark passed. Oracle = q103's gaps-and-islands SQL with the
+    * same finalization predicate as a scalar HAVING. */
+  def q181SessionStreamReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Relational.events(s, dir).select($"user_id",
+      timestamp_micros($"ts_us").as("ts"), $"value")
+    val Array(minU, maxU) = ev
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+    val midU = minU + (maxU - minU) / 2
+    val inDir = OracleTmp.fresh("graft_q181_in")
+    val ckpt = OracleTmp.fresh("graft_q181_ckpt")
+    val out = OracleTmp.fresh("graft_q181_out")
+    OracleTmp.writeOne(ev.filter(unix_micros($"ts") < midU),
+      inDir, "a_early.parquet")
+    OracleTmp.writeOne(ev.filter(unix_micros($"ts") >= midU),
+      inDir, "b_late.parquet")
+    val t0 = System.currentTimeMillis()
+    require(inDir.resolve("a_early.parquet").toFile.setLastModified(t0 - 120000) &&
+      inDir.resolve("b_late.parquet").toFile.setLastModified(t0 - 60000),
+      "q181: setLastModified failed — batch order would be undefined")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val sessions = graft.streaming.StreamOps.sessionWindows(stream)
+    val q = sessions.writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q181: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  /** q103's islands SQL + the append-mode finalization predicate. */
+  def q181Sql(q103Sql: String): String = {
+    val needle = "FROM z GROUP BY user_id, sid"
+    require(q103Sql.contains(needle), "q103Sql shape changed")
+    q103Sql.replace(needle,
+      needle + "\nHAVING MAX(ts_us) + 1800000000 <= " +
+        "(SELECT MAX(ts_us) - 7200000000 FROM ev)")
+  }
 }

@@ -3935,6 +3935,9 @@ object TextQueries {
     "q176_scene_stream_real" -> StreamOracle.q176SceneStream _,
     "q177_revert_stream_real" -> StreamOracle.q177RevertStream _,
     "q178_lsh_stream_real" -> StreamOracle.q178LshStreamReal _,
+    "q179_window_stream_real" -> StreamOracle.q179WindowedStreamReal _,
+    "q180_join_stream_real" -> StreamOracle.q180IntervalJoinStreamReal _,
+    "q181_session_stream_real" -> StreamOracle.q181SessionStreamReal _,
     "q154_lsh_band_candidates" -> q154LshBandCandidates _,
     "q158_wikitext_strip" -> q158WikitextStrip _,
     "q161_pack_stream_batch" -> q161PackStreamBatch _,
@@ -4047,6 +4050,9 @@ object TextQueries {
     "q176_scene_stream_real" -> StreamOracle.q176Sql,
     "q177_revert_stream_real" -> StreamOracle.q177Sql,
     "q178_lsh_stream_real" -> StreamOracle.q178Sql(q154Sql),
+    "q179_window_stream_real" -> StreamOracle.q179Sql,
+    "q180_join_stream_real" -> Relational.q155Sql,
+    "q181_session_stream_real" -> StreamOracle.q181Sql(Relational.q103Sql),
     "q154_lsh_band_candidates" -> q154Sql,
     "q158_wikitext_strip" -> q158Sql,
     "q161_pack_stream_batch" -> q161Sql,
