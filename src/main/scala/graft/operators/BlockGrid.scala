@@ -66,12 +66,13 @@ private[operators] object BlockGrid {
   private[operators] def blockOf(id: Long, nBlocks: Int): Int =
     ((id % nBlocks + nBlocks) % nBlocks).toInt
 
-  /** Run the grid sweep. `emit(idA, cntA, idB, cntB, common, out)` is
-    * called once per unordered candidate pair with the popcount of the
-    * signature intersection, and appends any qualifying rows. */
+  /** Run the grid sweep. `emit` is called once per unordered candidate
+    * pair with the popcount of the signature intersection, and appends
+    * any qualifying rows. A [[DriverSweep.PairEmit]] (concrete trait),
+    * not a Function6, for the same no-boxing reason documented there;
+    * its `canSkip` count-prune short-circuits the word loop here too. */
   def sweep(sh: DataFrame, nDocsHint: Long, targetBlockBytes: Long,
-      emit: (Long, Int, Long, Int, Int, ArrayBuffer[(Long, Long, Double)]) => Unit)
-      : Dataset[(Long, Long, Double)] = {
+      emit: DriverSweep.PairEmit): Dataset[(Long, Long, Double)] = {
     val spark = sh.sparkSession
     import spark.implicits._
     val cached = sh.persist()
@@ -131,6 +132,7 @@ private[operators] object BlockGrid {
         }
         val out = ArrayBuffer.empty[(Long, Long, Double)]
         def pair(a: (Long, Array[Long], Int), b: (Long, Array[Long], Int)): Unit = {
+          if (emit.canSkip(a._3, b._3)) return
           var common = 0; var w = 0
           val ba = a._2; val bb = b._2
           while (w < ba.length) {

@@ -53,13 +53,23 @@ object Containment {
   def blockSweepPairs(sh: DataFrame, threshold: Double,
       nDocsHint: Long = -1L,
       targetBlockBytes: Long = JaccardPairs.DefaultBlockBytes): DataFrame =
-    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes,
-      (ia, ca, ib, cb, common, out) => {
-        val fa = common.toDouble / ca
-        val fb = common.toDouble / cb
-        if (fa >= threshold) out += ((ia, ib, fa))
-        if (fb >= threshold) out += ((ib, ia, fb))
-      }).toDF("doc_in", "doc_out", "containment")
+    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes, containmentEmit(threshold))
+      .toDF("doc_in", "doc_out", "containment")
+
+  /** The per-pair kernel both dense formulations share: up to two
+    * directed rows per unordered pair. No count prune — the smaller
+    * side's containment can always reach 1, so counts alone never rule
+    * a pair out. */
+  private def containmentEmit(threshold: Double): DriverSweep.PairEmit =
+    new DriverSweep.PairEmit {
+      def apply(idA: Long, na: Int, idB: Long, nb: Int, common: Int,
+          out: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val ca = common.toDouble / na
+        val cb = common.toDouble / nb
+        if (ca >= threshold) out += ((idA, idB, ca))
+        if (cb >= threshold) out += ((idB, idA, cb))
+      }
+    }
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime).
     * One candidate discovery (a < b), two directed emits. */
@@ -117,34 +127,10 @@ object Containment {
       b
     }
     val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
-    val bIds = spark.sparkContext.broadcast(ids)
-    val bBits = spark.sparkContext.broadcast(bits)
-    val bCounts = spark.sparkContext.broadcast(counts)
-    val slices = spark.sparkContext.defaultParallelism
-    spark.range(ids.length.toLong).as[Long]
-      .repartition(slices)
-      .mapPartitions { iter =>
-        val dIds = bIds.value; val dBits = bBits.value; val dCnt = bCounts.value
-        iter.flatMap { iL =>
-          val i = iL.toInt
-          val ba = dBits(i)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = i + 1
-          while (j < dIds.length) {
-            val bb = dBits(j)
-            var common = 0
-            var w = 0
-            while (w < ba.length) {
-              common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
-            }
-            val ca = common.toDouble / dCnt(i)
-            val cb = common.toDouble / dCnt(j)
-            if (ca >= threshold) out += ((dIds(i), dIds(j), ca))
-            if (cb >= threshold) out += ((dIds(j), dIds(i), cb))
-            j += 1
-          }
-          out.iterator
-        }
-      }.toDF("doc_in", "doc_out", "containment")
+    // j-major cache-tiled sweep (DriverSweep's Scaladoc has the
+    // memory-traffic argument); both directed rows of the unordered
+    // pair emit from the same comparison, as before
+    DriverSweep.sweep(spark, ids, bits, counts, containmentEmit(threshold))
+      .toDF("doc_in", "doc_out", "containment")
   }
 }

@@ -245,12 +245,23 @@ object JaccardPairs {
   def blockSweepPairs(sh: DataFrame, threshold: Double,
       nDocsHint: Long = -1L,
       targetBlockBytes: Long = DefaultBlockBytes): DataFrame =
-    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes,
-      (ia, ca, ib, cb, common, out) => {
-        val v = common.toDouble / (ca + cb - common)
-        if (v >= threshold)
-          out += ((math.min(ia, ib), math.max(ia, ib), v))
-      }).toDF("doc_a", "doc_b", "jaccard")
+    BlockGrid.sweep(sh, nDocsHint, targetBlockBytes, jaccardEmit(threshold))
+      .toDF("doc_a", "doc_b", "jaccard")
+
+  /** The per-pair kernel both dense formulations share (driver sweep +
+    * block grid): emit (min, max, jaccard) when qualifying; count-prune
+    * from `jaccard ≤ min(na,nb)/max(na,nb)`. */
+  private def jaccardEmit(threshold: Double): DriverSweep.PairEmit =
+    new DriverSweep.PairEmit {
+      def apply(idA: Long, na: Int, idB: Long, nb: Int, common: Int,
+          out: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val jac = common.toDouble / (na + nb - common)
+        if (jac >= threshold)
+          out += ((math.min(idA, idB), math.max(idA, idB), jac))
+      }
+      override def canSkip(na: Int, nb: Int): Boolean =
+        math.min(na, nb).toDouble < threshold * math.max(na, nb)
+    }
 
   /** Bitmap-encode the collected set rows and launch the distributed
     * triangular sweep (callers have already applied their guards). */
@@ -274,37 +285,10 @@ object JaccardPairs {
 
   private def buildSweep(spark: org.apache.spark.sql.SparkSession,
       ids: Array[Long], bits: Array[Array[Long]], counts: Array[Int],
-      threshold: Double): DataFrame = {
-    import spark.implicits._
-    val bIds = spark.sparkContext.broadcast(ids)
-    val bBits = spark.sparkContext.broadcast(bits)
-    val bCounts = spark.sparkContext.broadcast(counts)
-    val slices = spark.sparkContext.defaultParallelism
-    // round-robin over row indices so the triangular sweep (row i owns
-    // pairs (i, j > i)) load-balances across tasks
-    spark.range(ids.length.toLong).as[Long]
-      .repartition(slices)
-      .mapPartitions { iter =>
-        val dIds = bIds.value; val dBits = bBits.value; val dCnt = bCounts.value
-        iter.flatMap { iL =>
-          val i = iL.toInt
-          val ba = dBits(i)
-          val na = dCnt(i)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          var j = i + 1
-          while (j < dIds.length) {
-            val bb = dBits(j)
-            var common = 0
-            var w = 0
-            while (w < ba.length) {
-              common += java.lang.Long.bitCount(ba(w) & bb(w)); w += 1
-            }
-            val jac = common.toDouble / (na + dCnt(j) - common)
-            if (jac >= threshold) out += ((dIds(i), dIds(j), jac))
-            j += 1
-          }
-          out.iterator
-        }
-      }.toDF("doc_a", "doc_b", "jaccard")
-  }
+      threshold: Double): DataFrame =
+    // j-major cache-tiled sweep (DriverSweep's Scaladoc has the
+    // memory-traffic argument); idA is the lower stream index, so
+    // (doc_a, doc_b) ordering is unchanged
+    DriverSweep.sweep(spark, ids, bits, counts, jaccardEmit(threshold))
+      .toDF("doc_a", "doc_b", "jaccard")
 }
