@@ -42,15 +42,20 @@ private[operators] object BlockGrid {
     * only past ~256 GB of signature volume. */
   val MaxBlocks = 4096
 
-  /** One capped-grid attribution line per executor JVM: when the grid
-    * caps, per-task memory silently exceeds 2×targetBlockBytes, and a
-    * driver-stderr warning is invisible from an executor OOM. The
-    * first sweep task on each executor logs the grid shape and its own
-    * block sizes, so the executor's log carries the cause next to any
-    * OOM it produces. An `object` is JVM-static — never serialized
-    * into the closure, initialized fresh on each executor. */
+  /** One capped-grid attribution line per executor JVM per DISTINCT
+    * capped sweep: when the grid caps, per-task memory silently exceeds
+    * 2×targetBlockBytes, and a driver-stderr warning is invisible from
+    * an executor OOM. The first task of each capped sweep on each
+    * executor logs the grid shape, so the executor's log carries the
+    * cause next to any OOM it produces. Keyed by the sweep's
+    * (nDocs, nWords, nBlocks) identity — a later capped sweep over a
+    * DIFFERENT corpus logs again (an AtomicBoolean never reset did
+    * not); re-sweeping the SAME corpus in one JVM logs once, which is
+    * the intent. An `object` is JVM-static — never serialized into the
+    * closure, initialized fresh on each executor. */
   private object CappedLog {
-    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val last = new java.util.concurrent.atomic.AtomicReference[String]("")
+    def shouldLog(sweepKey: String): Boolean = last.getAndSet(sweepKey) != sweepKey
   }
 
   /** Grid sizing shared with the probes (SweepProbe's recorded grid
@@ -119,7 +124,7 @@ private[operators] object BlockGrid {
     paired.groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val lo = (key / nBlocks).toInt; val hi = (key % nBlocks).toInt
-        if (capped && CappedLog.once.compareAndSet(false, true))
+        if (capped && CappedLog.shouldLog(s"$nDocs/$nWords/$nBlocks"))
           System.err.println(s"[blockgrid] CAPPED grid ($MaxBlocks blocks, " +
             s"~${nDocs / MaxBlocks} sigs × $nWords packed 64-bit words × " +
             s"8 B per block, 2 blocks resident/task) — an OOM in this " +

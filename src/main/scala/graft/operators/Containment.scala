@@ -127,8 +127,8 @@ object Containment {
       b
     }
     val counts = bits.map(_.map(java.lang.Long.bitCount).sum)
-    // j-major cache-tiled sweep (DriverSweep's Scaladoc has the
-    // memory-traffic argument); both directed rows of the unordered
+    // shared i-major triangular sweep (DriverSweep's Scaladoc has the
+    // loop-order argument; j-major tiling was measured worse and rejected); both directed rows of the unordered
     // pair emit from the same comparison, as before
     DriverSweep.sweep(spark, ids, bits, counts, containmentEmit(threshold))
       .toDF("doc_in", "doc_out", "containment")

@@ -67,30 +67,44 @@ object Decontamination {
     val bench = sh.filter(col("isBench")).select(col("__g")).distinct()
     val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
     val probed = bench.limit(cap).as[String].collect()
-    val (probe, corpusSide) =
-      if (probed.length <= maxBroadcastGrams)
-        (broadcast(probed.toSeq.toDF("__g")), sh.filter(!col("isBench")))
-      else {
-        // oversized: discard the capped probe. Eager lineage cut so the
-        // bench subtree (corpus scan + shingle explode) executes once
-        // across the count, the bloom build, and the verifying join —
-        // RDD-level storage, no cacheManager residue (BlockGrid's
-        // pattern). nBench falls out of the materialization for free.
-        val benchSnap = bench.localCheckpoint()
-        val nBench = benchSnap.count()
-        val bloomBytes = math.ceil(
-          -nBench * math.log(BloomFpp) / (math.log(2) * math.log(2)) / 8).toLong
-        if (bloomBytes <= maxBloomBytes) {
-          val bf = benchSnap.stat.bloomFilter("__g", nBench, BloomFpp)
-          val bc = spark.sparkContext.broadcast(bf)
-          val mightContain = udf((g: String) => bc.value.mightContainString(g))
-          (benchSnap, sh.filter(!col("isBench")).filter(mightContain(col("__g"))))
-        } else
-          (benchSnap, sh.filter(!col("isBench"))) // full gram shuffle
+    val hits =
+      if (probed.length <= maxBroadcastGrams) {
+        sh.filter(!col("isBench"))
+          .join(broadcast(probed.toSeq.toDF("__g")), Seq("__g"))
+          .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
+      } else {
+        // oversized: discard the capped probe. Scoped persist (freeable,
+        // lineage intact) so the bench subtree (corpus scan + shingle
+        // explode) executes once across the count, the bloom build, and
+        // the verifying join; the join result is eagerly lineage-cut
+        // (localCheckpoint) while the cache is alive, then the gram set
+        // is unpersisted — the only storage outliving the call is the
+        // tiny per-doc hit table (rows ∝ contaminated docs, not grams),
+        // a bounded residue like BlockGrid's signature checkpoint.
+        val benchPersisted = bench.persist()
+        try {
+          val nBench = benchPersisted.count()
+          val bloomBytes = math.ceil(
+            -nBench * math.log(BloomFpp) / (math.log(2) * math.log(2)) / 8).toLong
+          val corpusSide =
+            if (bloomBytes <= maxBloomBytes) {
+              val bf = benchPersisted.stat.bloomFilter("__g", nBench, BloomFpp)
+              val bc = spark.sparkContext.broadcast(bf)
+              // codegen probe over the broadcast sketch — no false
+              // negatives, so the verifying join keeps the result exact
+              import org.apache.spark.sql.graft.ColumnBridge
+              val mightContain = ColumnBridge.column(
+                graft.functions.BloomMightContain(
+                  ColumnBridge.expression(col("__g")), bc))
+              sh.filter(!col("isBench")).filter(mightContain)
+            } else
+              sh.filter(!col("isBench")) // full gram shuffle
+          corpusSide
+            .join(benchPersisted, Seq("__g"))
+            .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
+            .localCheckpoint()
+        } finally benchPersisted.unpersist()
       }
-    val hits = corpusSide
-      .join(probe, Seq("__g"))
-      .groupBy(col(docIdCol)).agg(count(lit(1)).as("n_hits"))
     corpus.filter(!col("isBench")).select(col(docIdCol))
       .join(hits, Seq(docIdCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))

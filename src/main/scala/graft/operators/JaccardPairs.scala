@@ -286,8 +286,8 @@ object JaccardPairs {
   private def buildSweep(spark: org.apache.spark.sql.SparkSession,
       ids: Array[Long], bits: Array[Array[Long]], counts: Array[Int],
       threshold: Double): DataFrame =
-    // j-major cache-tiled sweep (DriverSweep's Scaladoc has the
-    // memory-traffic argument); idA is the lower stream index, so
+    // shared i-major triangular sweep (DriverSweep's Scaladoc has the
+    // loop-order argument; j-major tiling was measured worse and rejected); idA is the lower stream index, so
     // (doc_a, doc_b) ordering is unchanged
     DriverSweep.sweep(spark, ids, bits, counts, jaccardEmit(threshold))
       .toDF("doc_a", "doc_b", "jaccard")

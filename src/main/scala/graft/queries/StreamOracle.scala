@@ -487,7 +487,10 @@ object StreamOracle {
   /** q154's band-level SQL restricted to the same doc_id subset. */
   def q178Sql(q154Sql: String): String = {
     val needle = "AS ts FROM documents)"
-    require(q154Sql.contains(needle), "q154Sql shape changed")
+    require(q154Sql.indexOf(needle) == q154Sql.lastIndexOf(needle)
+      && q154Sql.contains(needle),
+      "q154Sql shape changed (needle must occur exactly once — " +
+        "replace substitutes ALL occurrences)")
     q154Sql.replace(needle,
       "AS ts FROM documents WHERE doc_id % 10 < 3)")
   }
@@ -636,7 +639,10 @@ object StreamOracle {
   /** q103's islands SQL + the append-mode finalization predicate. */
   def q181Sql(q103Sql: String): String = {
     val needle = "FROM z GROUP BY user_id, sid"
-    require(q103Sql.contains(needle), "q103Sql shape changed")
+    require(q103Sql.indexOf(needle) == q103Sql.lastIndexOf(needle)
+      && q103Sql.contains(needle),
+      "q103Sql shape changed (needle must occur exactly once — " +
+        "replace substitutes ALL occurrences)")
     q103Sql.replace(needle,
       needle + "\nHAVING MAX(ts_us) + 1800000000 <= " +
         "(SELECT MAX(ts_us) - 7200000000 FROM ev)")

@@ -334,6 +334,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(broadcastPath == shufflePath)
   }
 
+  test("bloom_might_contain expression ≡ mightContainString (incl. non-ASCII)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val items = Seq("alpha beta", "γάμμα δέλτα", "naïve café", "句読点 テスト", "")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    items.foreach(bf.putString)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probes = items ++ Seq("absent one", "ζ η θ", "naive cafe")
+    val df = probes.toDF("g")
+    val got = df.select(col("g"), ColumnBridge.column(
+        graft.functions.BloomMightContain(ColumnBridge.expression(col("g")), bc))
+        .as("native"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    probes.foreach { p =>
+      assert(got(p) == bf.mightContainString(p),
+        s"native expression disagrees with mightContainString on '$p'")
+    }
+    items.foreach(p => assert(got(p), s"inserted item '$p' must probe true"))
+    bc.destroy()
+  }
+
   test("bm25: hand-computed score on a tiny corpus; topDfTerms picks the df leader") {
     import spark.implicits._
     val docs = Seq(
