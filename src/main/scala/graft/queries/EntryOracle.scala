@@ -151,6 +151,27 @@ object EntryOracle {
     target.toString
   }
 
+  /** Write the same dump gzip-COMPRESSED (standard gzip container;
+    * Hadoop's GzipCodec recognizes the `.gz` extension) so the
+    * NON-SPLITTABLE-codec whole-file fallback — the reference's
+    * `StreamWikiDumpInputFormat.java:265-266` /
+    * `SeekableInputStream.java:58-66` path — also sits inside the
+    * correctness gate. Real users do hit gzipped exports. */
+  private[graft] def ensureDumpGz(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val target = dir.resolve("graft_entry_oracle_dump.xml.gz")
+    val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle", ".xml.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(tmp.toFile))
+    try { out.write(dumpXml.getBytes("UTF-8")); out.finish() }
+    finally out.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
   /** Expected diffdb rows, one per (revision, op) — computed purely
     * from the construction. `None` op fields model a revision whose
     * diff is empty (the identity edit shape, id % 5 == 0). */
@@ -220,6 +241,16 @@ object EntryOracle {
     * the correctness gate, not only the specs. */
   def q163EntryDiffdbBz2(s: SparkSession, dir: String): DataFrame =
     flatten(graft.SparkEntry.entryFor(s, ensureDumpBz2()))
+
+  // ---------------------------------------------------------------- q182
+  /** The same flagship oracle through a NON-SPLITTABLE codec (gzip):
+    * planning must fall back to ONE whole-file partition (asserted in
+    * MediaWikiSourceSpec) and the reader to the whole-stream
+    * decompression path — the reference's gzip fallback
+    * (`StreamWikiDumpInputFormat.java:265-266`), previously
+    * spec-only, now under the oracle gate with q153's VALUES. */
+  def q182EntryDiffdbGz(s: SparkSession, dir: String): DataFrame =
+    flatten(graft.SparkEntry.entryFor(s, ensureDumpGz()))
 
   // ---------------------------------------------------------------- q164
   /** The flagship pipeline with the reference's `excludePagesWith`
@@ -619,6 +650,9 @@ object EntryOracle {
 
   /** q163 reads the SAME construction through the compressed reader. */
   val q163Sql: String = q153Sql
+
+  /** q182 reads the SAME construction through the gzip whole-file path. */
+  val q182Sql: String = q153Sql
 
   /** q164 excludes the Category pages at the reader (id % 3 == 2). */
   val q164Sql: String = sqlFor(id => id % 3 != 2)

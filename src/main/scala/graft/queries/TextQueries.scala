@@ -3921,6 +3921,7 @@ object TextQueries {
     "q152_diff_multi" -> q152DiffMulti _,
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163EntryDiffdbBz2 _,
+    "q182_entry_diffdb_gz" -> EntryOracle.q182EntryDiffdbGz _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4036,6 +4037,7 @@ object TextQueries {
     "q152_diff_multi" -> q152Sql,
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163Sql,
+    "q182_entry_diffdb_gz" -> EntryOracle.q182Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

@@ -158,6 +158,38 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("gzip (non-splittable codec): single-partition plan, whole-file fallback") {
+    // the reference's gzip path: no split, one reader decompresses the
+    // whole file (StreamWikiDumpInputFormat.java:265-266,
+    // SeekableInputStream.java:58-66). Planning must yield exactly ONE
+    // partition no matter how small maxPartitionBytes is.
+    val nPages = 40
+    val dump = genDump(nPages, fillerLen = 4000)
+    val dir = Files.createTempDirectory("mwgz").toFile
+    val f = new File(dir, "dump.xml.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    out.write(dump.getBytes("UTF-8")); out.finish(); out.close()
+    val expected = expectedRevCount(nPages)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "20000")
+    try {
+      val df = spark.read.format("mediawiki").load(f.getAbsolutePath)
+      assert(df.rdd.getNumPartitions == 1,
+        s"non-splittable codec must plan ONE whole-file partition, got ${df.rdd.getNumPartitions}")
+      val ids = df.select($"curr.rev_id").as[Long].collect().toList
+      assert(ids.length == expected, s"count: got ${ids.length} expected $expected")
+      assert(ids.distinct.length == expected)
+      // pairing is identical to the uncompressed read of the same dump
+      val plain = new File(dir, "dump.xml")
+      Files.write(plain.toPath, dump.getBytes("UTF-8"))
+      def fp(p: String): List[(Long, Long, Any)] =
+        spark.read.format("mediawiki").load(p)
+          .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toList.sortBy(t => (t._1, t._2))
+      assert(fp(f.getAbsolutePath) == fp(plain.getAbsolutePath),
+        "gzip whole-file read must equal the uncompressed read")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
   test("multistream bz2 (concatenated streams — the -multistream dump layout)") {
     // Wikipedia's pages-articles-multistream dumps are MANY complete
     // bz2 streams back-to-back in one file (index file points at
