@@ -1,0 +1,65 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM steady re-timer, spawned by [[Bench]] after the sweep.
+  *
+  * Round 11 found the in-JVM "steady" third pass ANTI-adjudicates the
+  * heaviest rows: it ran after the full 180-query sweep in a JVM the
+  * project's own notes call ~2× degraded (codegen-cache churn, JIT
+  * deopt, GC debt) — q180 steady 15.84 s vs measured 7.95, q109 8.61
+  * vs 4.09 — so the field built to adjudicate spikes manufactured
+  * them. A canary probe can't fix that: the degradation is IN-JVM and
+  * a pure register loop doesn't see codegen-cache or GC state. The
+  * fix is a fresh process: same session config as Bench, same warm
+  * protocol (sf0.001 warm pass per query, then min-of-2 at the target
+  * SF), only the named queries.
+  *
+  * args: sfDir, then query names. Prints exactly one marker line
+  * `STEADYJSON\t{"steady":{...},"steady_canary_sec":[pre,post]}` for
+  * the parent to parse; mini-canaries on each edge keep host-steal
+  * adjudication for the steady window itself.
+  */
+object SteadyBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      names.foreach { name =>
+        try { SparkEntry.queries(name)(spark, warmDir).count() }
+        catch { case _: Throwable => }
+      }
+    }
+    val pre = Bench.miniCanary()
+    val steady = names.map { name =>
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val a = onePass()
+      val b = onePass()
+      // min of the two passes, but never mask a failure with a success
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val post = Bench.miniCanary()
+    def ms(v: Double): String = f"$v%.3f"
+    val steadyJson = steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}]}""")
+    spark.stop()
+  }
+}
