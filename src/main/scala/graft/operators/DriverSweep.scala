@@ -25,7 +25,19 @@ import scala.collection.mutable.ArrayBuffer
   * idA is always the lower stream index (callers decide direction).
   * The emit hook is a concrete trait, NOT a FunctionN: a Function6
   * boxes every argument at ~10⁹ calls (part of the measured
-  * regression); trait dispatch is bimorphic and primitive. */
+  * regression); trait dispatch is bimorphic and primitive.
+  *
+  * 100× BUDGET (exact-pair semantics scale quadratically BY DESIGN):
+  * the measured kernel rate is ~10⁹ pair-word-ops/s/core, so at the
+  * 10× pinned corpus (≈50k dense docs, ~1k signature words) the sweep
+  * is ~10-17 s on 32 threads; at 100× (≈500k dense docs) the same
+  * exact semantics are n²/2 ≈ 1.25×10¹¹ pairs ≈ 10³ s — correct,
+  * distributed (BlockGrid past the broadcast bound), but the COST IS
+  * THE CONTRACT. Callers who can accept candidate-generation
+  * semantics above ~10⁵ dense docs should use the banded MinHash-LSH
+  * path ([[MinHashLsh]], q20's shape — measured scaling exponent
+  * e≈0.35 vs the sweep family's designed e≈1.0-1.5, SCALING.md) and
+  * verify candidates exactly; that is the 100 TB recipe. */
 private[operators] object DriverSweep {
 
   trait PairEmit extends Serializable {

@@ -225,6 +225,17 @@ object MediaWikiScan {
     val minSplit = props.get("minSplitBytes").map(_.toLong)
       .getOrElse(if (codec == null) 1L else 4L * 900 * 1024)
     val effMax = math.max(maxBytes, if (codec == null) 0L else minSplit)
+    // -multistream layout with a published index: partition at exact
+    // stream boundaries and skip streams the pushed filters prove dead
+    // BEFORE decompressing a byte of them (MultistreamIndex's Scaladoc
+    // has the trust argument; any validation failure falls through to
+    // size-based planning below).
+    if (splittable && codec != null) {
+      MultistreamIndex.plan(fs, codecs, f, len, effMax, props) match {
+        case Some(parts) => return parts
+        case None =>
+      }
+    }
     if (!splittable || len <= effMax) {
       Seq(MediaWikiInputPartition(f.toString, 0, len, len, codec != null))
     } else {

@@ -228,6 +228,144 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  /** Real -multistream layout: header stream (siteinfo, no pages),
+    * page streams of `pagesPerStream` complete pages, footer stream
+    * (`</mediawiki>`), plus the published index (`offset:page_id:title`
+    * per page). Returns (dump, index, expected stream count). */
+  def writeMultistreamWithIndex(dir: File, nPages: Int, fillerLen: Int,
+      pagesPerStream: Int): (File, File, Int) = {
+    val xml = genDump(nPages, fillerLen)
+    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
+      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
+    val footerStart = xml.indexOf("</mediawiki>")
+    val cuts = (0 +: starts.grouped(pagesPerStream).map(_.head).toVector
+      :+ footerStart :+ xml.length).distinct
+    val f = new File(dir, "dump-multistream.xml.bz2")
+    val bytes = xml.getBytes("UTF-8")
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    val fos = new java.io.FileOutputStream(f)
+    try {
+      for ((from, to) <- cuts.init.zip(cuts.tail)) {
+        offsets += fos.getChannel.position()
+        fos.write('B'); fos.write('Z')
+        val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+        out.write(bytes, from, to - from)
+        out.finish()
+      }
+    } finally fos.close()
+    // offsets(0) = header stream, offsets(1..) = page streams, last = footer
+    val idx = new File(dir, "dump-multistream-index.txt")
+    val pw = new java.io.PrintWriter(idx, "UTF-8")
+    try {
+      starts.zipWithIndex.foreach { case (_, i) =>
+        val p = i + 1
+        val stream = offsets(1 + i / pagesPerStream)
+        pw.println(s"$stream:$p:Page $p")
+      }
+    } finally pw.close()
+    (f, idx, cuts.length - 1)
+  }
+
+  test("multistream index: stream-aligned planning equals indexless read") {
+    val dir = Files.createTempDirectory("mwmsidx").toFile
+    val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
+      fillerLen = 4000, pagesPerStream = 5)
+    val expected = expectedRevCount(40)
+    def fp(opts: Map[String, String]): List[(Long, Long, Any)] = {
+      var r = spark.read.format("mediawiki")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(f.getAbsolutePath)
+        .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.get(2))).toList
+        .sortBy(t => (t._1, t._2))
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val indexed = spark.read.format("mediawiki")
+        .option("minSplitBytes", "2000").load(f.getAbsolutePath)
+      // one partition per page stream (header merges into the first,
+      // the footer rides the last page stream's range)
+      assert(indexed.rdd.getNumPartitions == 8,
+        s"expected 8 stream partitions, got ${indexed.rdd.getNumPartitions}")
+      val viaIndex = fp(Map("minSplitBytes" -> "2000"))
+      assert(viaIndex.length == expected,
+        s"indexed read: got ${viaIndex.length} expected $expected")
+      assert(viaIndex == fp(Map("minSplitBytes" -> "200000", "multistreamIndex" -> "off")),
+        "index-aligned boundaries changed the result")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("multistream index: pushed title filter skips dead streams before decompression") {
+    val dir = Files.createTempDirectory("mwmsskip").toFile
+    val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
+      fillerLen = 4000, pagesPerStream = 5)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      // Page 6 sits at the HEAD of the second page stream, and its
+      // predecessor stream (pages 1-5) is dead under this filter — the
+      // sharp case: a gap-following partition must own its first page.
+      for (probe <- Seq("Page 6", "Page 7", "Page 23", "Page 40")) {
+        val df = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+          .load(f.getAbsolutePath).where($"title" === probe)
+        assert(df.rdd.getNumPartitions == 1,
+          s"$probe: filter must leave ONE live stream, got ${df.rdd.getNumPartitions}")
+        val got = df.selectExpr("page_id", "curr.rev_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+        val want = spark.read.format("mediawiki")
+          .option("minSplitBytes", "200000").option("multistreamIndex", "off")
+          .load(f.getAbsolutePath).where($"title" === probe)
+          .selectExpr("page_id", "curr.rev_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+        assert(got.nonEmpty && got == want, s"$probe: skip-planned read diverged")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("multistream index: excludePagesWith <title>prefix skips all-excluded streams") {
+    val dir = Files.createTempDirectory("mwmsexcl").toFile
+    val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
+      fillerLen = 4000, pagesPerStream = 5)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      // "<title>Page 1" excludes pages 1 and 10-19: stream 11-15 is
+      // ALL-excluded → skipped; every other stream keeps a survivor
+      // (incl. 16-20 via Page 20)
+      def read(opts: Map[String, String]) = {
+        var r = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+          .option("excludePagesWith", "<title>Page 1")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load(f.getAbsolutePath).selectExpr("page_id", "curr.rev_id")
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toList.sorted
+      }
+      val indexed = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+        .option("excludePagesWith", "<title>Page 1").load(f.getAbsolutePath)
+      assert(indexed.rdd.getNumPartitions == 7,
+        s"the all-excluded stream must be skipped, got ${indexed.rdd.getNumPartitions}")
+      val got = read(Map.empty)
+      assert(got == read(Map("multistreamIndex" -> "off")),
+        "exclusion skip-planning diverged from the reader-only path")
+      assert(!got.exists { case (pid, _) => pid == 1L || (pid >= 10L && pid <= 19L) })
+      assert(got.map(_._1).distinct.length == 29)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("multistream index: malformed or mismatched index falls back to size planning") {
+    val dir = Files.createTempDirectory("mwmsbad").toFile
+    val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 20,
+      fillerLen = 4000, pagesPerStream = 5)
+    val expected = expectedRevCount(20)
+    // malformed line
+    val pw = new java.io.PrintWriter(new java.io.FileWriter(idx, true))
+    try pw.println("not-an-offset-line") finally pw.close()
+    val n = spark.read.format("mediawiki").load(f.getAbsolutePath).count()
+    assert(n == expected, "malformed index must not change the result")
+    // offsets that don't point at bz2 magic (index for a different dump)
+    val pw2 = new java.io.PrintWriter(idx, "UTF-8")
+    try { pw2.println("7:1:Page 1"); pw2.println("9999:2:Page 2") } finally pw2.close()
+    val n2 = spark.read.format("mediawiki").load(f.getAbsolutePath).count()
+    assert(n2 == expected, "mismatched index must not change the result")
+  }
+
   test("bz2 randomized small-block split property: block sizes 1/5/9, random splits") {
     // the reference's testSplitCompressed fuzz (block sizes 1/5/9 ×
     // randomized splits over ~90k revisions, asserting only >= counts);
