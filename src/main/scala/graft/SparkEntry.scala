@@ -61,5 +61,6 @@ object SparkEntry {
     "q175_quota_stream_real", "q176_scene_stream_real",
     "q177_revert_stream_real", "q178_lsh_stream_real",
     "q179_window_stream_real", "q180_join_stream_real",
-    "q181_session_stream_real", "q182_entry_diffdb_gz")
+    "q181_session_stream_real", "q182_entry_diffdb_gz",
+    "q183_entry_multistream", "q184_entry_ms_excluded")
 }

@@ -151,6 +151,51 @@ object EntryOracle {
     target.toString
   }
 
+  /** Write the same dump in the -MULTISTREAM layout (header stream with
+    * the siteinfo, one complete bz2 stream PER PAGE, footer stream) plus
+    * the published index sibling (`offset:page_id:title`, raw titles) —
+    * so [[graft.sources.MultistreamIndex]]'s stream-aligned planning and
+    * filter skip-planning sit under the oracle gate, not only the specs. */
+  private[graft] def ensureDumpMultistream(): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val target = dir.resolve("graft_entry_oracle_multistream.xml.bz2")
+    val idxTarget = dir.resolve("graft_entry_oracle_multistream-index.txt")
+    val xml = dumpXml
+    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
+      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
+    val footer = xml.indexOf("</mediawiki>")
+    val cuts = (0 +: starts :+ footer :+ xml.length).distinct
+    val bytes = xml.getBytes("UTF-8")
+    // the construction is pure ASCII outside xml-escaped entities, so
+    // char indices == byte offsets; guard that invariant
+    require(bytes.length == xml.length, "construction must stay ASCII")
+    val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle_ms", ".xml.bz2")
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    val fos = new java.io.FileOutputStream(tmp.toFile)
+    try {
+      for ((from, to) <- cuts.init.zip(cuts.tail)) {
+        offsets += fos.getChannel.position()
+        fos.write('B'); fos.write('Z')
+        val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+        out.write(bytes, from, to - from)
+        out.finish()
+      }
+    } finally fos.close()
+    val idxTmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle_ms", ".txt")
+    val pw = new java.io.PrintWriter(idxTmp.toFile, "UTF-8")
+    try pages.zipWithIndex.foreach { case (p, i) =>
+      pw.println(s"${offsets(1 + i)}:${p.pageId}:${p.title}")
+    } finally pw.close()
+    java.nio.file.Files.move(idxTmp, idxTarget,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    target.toString
+  }
+
   /** Write the same dump gzip-COMPRESSED (standard gzip container;
     * Hadoop's GzipCodec recognizes the `.gz` extension) so the
     * NON-SPLITTABLE-codec whole-file fallback — the reference's
@@ -241,6 +286,47 @@ object EntryOracle {
     * the correctness gate, not only the specs. */
   def q163EntryDiffdbBz2(s: SparkSession, dir: String): DataFrame =
     flatten(graft.SparkEntry.entryFor(s, ensureDumpBz2()))
+
+  // ---------------------------------------------------------------- q183
+  /** The flagship oracle through the -MULTISTREAM layout WITH its
+    * published index: stream-aligned planning (one partition per page
+    * stream, asserted — index planning provably engaged, not the
+    * size-based fallback), identical VALUES to q153. */
+  def q183EntryMultistream(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDumpMultistream()
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(path)
+    require(src.rdd.getNumPartitions == NumPlants,
+      s"index planning must yield one partition per page stream, got ${src.rdd.getNumPartitions}")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
+
+  // ---------------------------------------------------------------- q184
+  /** q164's exclusion through the index SKIP-planner: the literal
+    * `<title>Category:` excludePagesWith is proven dead per stream AT
+    * PLANNING (the three Category streams are never decompressed —
+    * partition count asserted), and the output still matches q164's
+    * VALUES exactly. */
+  def q184EntryMultistreamExcluded(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDumpMultistream()
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .option("excludePagesWith", "<title>Category:")
+      .load(path)
+    val nLive = NumPlants - (0 until NumPlants).count(_ % 3 == 2)
+    require(src.rdd.getNumPartitions == nLive,
+      s"skip planning must drop the Category streams, got ${src.rdd.getNumPartitions} (want $nLive)")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
 
   // ---------------------------------------------------------------- q182
   /** The same flagship oracle through a NON-SPLITTABLE codec (gzip):
@@ -654,8 +740,14 @@ object EntryOracle {
   /** q182 reads the SAME construction through the gzip whole-file path. */
   val q182Sql: String = q153Sql
 
+  /** q183 reads the SAME construction through index-planned multistream. */
+  val q183Sql: String = q153Sql
+
   /** q164 excludes the Category pages at the reader (id % 3 == 2). */
   val q164Sql: String = sqlFor(id => id % 3 != 2)
+
+  /** q184 = q164's exclusion, enforced by the index skip-planner. */
+  val q184Sql: String = q164Sql
 
   /** q165 reads the SAME construction through the streaming source. */
   val q165Sql: String = q153Sql

@@ -3922,6 +3922,8 @@ object TextQueries {
     "q153_entry_diffdb" -> EntryOracle.q153EntryDiffdb _,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163EntryDiffdbBz2 _,
     "q182_entry_diffdb_gz" -> EntryOracle.q182EntryDiffdbGz _,
+    "q183_entry_multistream" -> EntryOracle.q183EntryMultistream _,
+    "q184_entry_ms_excluded" -> EntryOracle.q184EntryMultistreamExcluded _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4038,6 +4040,8 @@ object TextQueries {
     "q153_entry_diffdb" -> EntryOracle.q153Sql,
     "q163_entry_diffdb_bz2" -> EntryOracle.q163Sql,
     "q182_entry_diffdb_gz" -> EntryOracle.q182Sql,
+    "q183_entry_multistream" -> EntryOracle.q183Sql,
+    "q184_entry_ms_excluded" -> EntryOracle.q184Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

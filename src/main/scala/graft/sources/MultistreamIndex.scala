@@ -146,12 +146,15 @@ object MultistreamIndex {
         }
       } finally probe.close()
     } catch { case scala.util.control.NonFatal(_) => return None }
-    // group CONSECUTIVE live streams into ~maxBytes partitions; a dead
-    // stream (or the size budget) closes the open group. The header
+    // group CONSECUTIVE live streams into ~maxBytes partitions (the
+    // `multistreamTargetBytes` option overrides the size-based budget —
+    // stream-aligned granularity without touching the session conf); a
+    // dead stream (or the size budget) closes the open group. The header
     // stream [0, first offset) holds siteinfo and no pages — merged
     // into the first partition when stream 1 is live, skippable with it
     // otherwise (dropping it never drops pages, by the contract).
-    val effMax = math.max(maxBytes, 1L)
+    val effMax = math.max(
+      props.get("multistreamTargetBytes").map(_.toLong).getOrElse(maxBytes), 1L)
     val bounds = offsets.toIndexedSeq :+ fileLen
     val parts = scala.collection.mutable.ArrayBuffer[MediaWikiInputPartition]()
     var groupStart = -1L
