@@ -349,6 +349,66 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("multistream index randomized cross-check: random stream cuts × filters") {
+    // random page-aligned stream groupings × several filter shapes must
+    // always equal the indexless read — pins skip-planning and boundary
+    // ownership beyond the fixed constructions above
+    val nPages = 30
+    val xml = genDump(nPages, fillerLen = 2000)
+    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
+      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
+    val footerStart = xml.indexOf("</mediawiki>")
+    val bytes = xml.getBytes("UTF-8")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // each page boundary starts a new stream with prob 0.4
+      val groupHeads = starts.indices.filter(i => i == 0 || rnd.nextDouble() < 0.4)
+      val cuts = (0 +: groupHeads.map(starts(_)).toVector :+ footerStart :+ xml.length).distinct
+      val dir = Files.createTempDirectory(s"mwmsfuzz$seed").toFile
+      val f = new File(dir, "fuzz-multistream.xml.bz2")
+      val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+      val fos = new java.io.FileOutputStream(f)
+      try {
+        for ((from, to) <- cuts.init.zip(cuts.tail)) {
+          offsets += fos.getChannel.position()
+          fos.write('B'); fos.write('Z')
+          val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+          out.write(bytes, from, to - from)
+          out.finish()
+        }
+      } finally fos.close()
+      val idx = new File(dir, "fuzz-multistream-index.txt")
+      val pw = new java.io.PrintWriter(idx, "UTF-8")
+      try {
+        // page i (0-based) lives in the group whose head is the largest
+        // groupHead index ≤ i; stream offset index = 1 + group ordinal
+        starts.indices.foreach { i =>
+          val g = groupHeads.lastIndexWhere(_ <= i)
+          pw.println(s"${offsets(1 + g)}:${i + 1}:Page ${i + 1}")
+        }
+      } finally pw.close()
+      val eqTitle = s"Page ${1 + rnd.nextInt(nPages)}"
+      val filters: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+        df => df,
+        df => df.where($"title" === eqTitle),
+        df => df.where($"title".contains("Page 1")),
+        df => df.where($"title".startsWith("Page 2")))
+      for ((flt, fi) <- filters.zipWithIndex) {
+        def fp(off: Boolean): List[(Long, Long, Any)] = {
+          var r = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+          if (off) r = r.option("multistreamIndex", "off").option("minSplitBytes", "100000")
+          flt(r.load(f.getAbsolutePath))
+            .selectExpr("page_id", "curr.rev_id", "prev.rev_id")
+            .collect().map(x => (x.getLong(0), x.getLong(1), x.get(2))).toList
+            .sortBy(t => (t._1, t._2))
+        }
+        val a = fp(off = false); val b = fp(off = true)
+        assert(a == b, s"seed=$seed filter=$fi: indexed read diverged (${a.length} vs ${b.length})")
+      }
+    }
+  }
+
   test("multistream index: malformed or mismatched index falls back to size planning") {
     val dir = Files.createTempDirectory("mwmsbad").toFile
     val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 20,
