@@ -46,8 +46,10 @@ object MultistreamIndex {
     props.get("multistreamIndex").map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("off") || v.equalsIgnoreCase("false") => None
       case Some(v) if v.nonEmpty =>
+        // an explicit path must exist — silent fallback would mask a typo
         val p = new Path(v)
-        if (fs.exists(p)) Some(p) else None
+        require(fs.exists(p), s"multistreamIndex path does not exist: $v")
+        Some(p)
       case _ =>
         val name = dump.getName
         if (!name.endsWith(".xml.bz2")) None

@@ -424,6 +424,14 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     try { pw2.println("7:1:Page 1"); pw2.println("9999:2:Page 2") } finally pw2.close()
     val n2 = spark.read.format("mediawiki").load(f.getAbsolutePath).count()
     assert(n2 == expected, "mismatched index must not change the result")
+    // an EXPLICIT index path that doesn't exist must fail loudly — a
+    // silent fallback would mask a typo'd option
+    val ex = intercept[Exception] {
+      spark.read.format("mediawiki")
+        .option("multistreamIndex", "/nonexistent/idx.txt")
+        .load(f.getAbsolutePath).count()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("bz2 randomized small-block split property: block sizes 1/5/9, random splits") {
