@@ -62,5 +62,6 @@ object SparkEntry {
     "q177_revert_stream_real", "q178_lsh_stream_real",
     "q179_window_stream_real", "q180_join_stream_real",
     "q181_session_stream_real", "q182_entry_diffdb_gz",
-    "q183_entry_multistream", "q184_entry_ms_excluded")
+    "q183_entry_multistream", "q184_entry_ms_excluded",
+    "q185_decontam_stream_real")
 }

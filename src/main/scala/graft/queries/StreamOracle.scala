@@ -495,6 +495,39 @@ object StreamOracle {
       "AS ts FROM documents WHERE doc_id % 10 < 3)")
   }
 
+  // ---------------------------------------------------------------- q185
+  /** [[graft.streaming.StreamOps.decontaminateStream]] — map-only
+    * streaming decontamination against a broadcast bench gram set —
+    * through a real two-batch run over the REAL documents table (even
+    * doc_ids, then odd). Verdicts are per-document and stateless, so
+    * the output set is arrival-order-FREE (no mtime forcing) and the
+    * oracle is q47's SQL VERBATIM: streaming ≡ the batch operator's
+    * broadcast regime ≡ DuckDB, on real corpus text. */
+  def q185DecontamStreamReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = s.read.parquet(s"$dir/documents.parquet")
+    val bench = all.filter($"source" === "src0").select($"text")
+    val corpus = all.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val inDir = OracleTmp.fresh("graft_q185_in")
+    val ckpt = OracleTmp.fresh("graft_q185_ckpt")
+    val out = OracleTmp.fresh("graft_q185_out")
+    OracleTmp.writeOne(corpus.filter($"doc_id" % 2 === 0), inDir, "a_even.parquet")
+    OracleTmp.writeOne(corpus.filter($"doc_id" % 2 === 1), inDir, "b_odd.parquet")
+    val stream = s.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val flagged = graft.streaming.StreamOps.decontaminateStream(stream, bench, n = 4)
+    val q = flagged.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q185: streaming query did not terminate within 300 s")
+    s.read.parquet(out.toString)
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- q179
   /** [[graft.streaming.StreamOps.windowedEventCounts]] through a REAL
     * two-batch append-mode run — gating the one semantic q156's batch

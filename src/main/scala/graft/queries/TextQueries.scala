@@ -3938,6 +3938,7 @@ object TextQueries {
     "q176_scene_stream_real" -> StreamOracle.q176SceneStream _,
     "q177_revert_stream_real" -> StreamOracle.q177RevertStream _,
     "q178_lsh_stream_real" -> StreamOracle.q178LshStreamReal _,
+    "q185_decontam_stream_real" -> StreamOracle.q185DecontamStreamReal _,
     "q179_window_stream_real" -> StreamOracle.q179WindowedStreamReal _,
     "q180_join_stream_real" -> StreamOracle.q180IntervalJoinStreamReal _,
     "q181_session_stream_real" -> StreamOracle.q181SessionStreamReal _,
@@ -4056,6 +4057,7 @@ object TextQueries {
     "q176_scene_stream_real" -> StreamOracle.q176Sql,
     "q177_revert_stream_real" -> StreamOracle.q177Sql,
     "q178_lsh_stream_real" -> StreamOracle.q178Sql(q154Sql),
+    "q185_decontam_stream_real" -> q47Sql,
     "q179_window_stream_real" -> StreamOracle.q179Sql,
     "q180_join_stream_real" -> Relational.q155Sql,
     "q181_session_stream_real" -> StreamOracle.q181Sql(Relational.q103Sql),

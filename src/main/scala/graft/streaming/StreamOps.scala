@@ -305,6 +305,45 @@ object StreamOps {
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming decontamination: flag documents sharing an n-gram with a
+    * held-out benchmark set, MAP-ONLY — the missing member of the
+    * streaming curation family (curate/redact/classify/dedup/quota/
+    * budget already stream; contamination checks belong in the same
+    * online pipeline). The benchmark's distinct grams are collected
+    * once under the same budget [[graft.operators.Decontamination]]
+    * uses for its broadcast regime (eval suites are tiny next to a
+    * corpus) and broadcast as owned-UTF8String keys; each stream row
+    * gets `n_hits` = DISTINCT shared grams (the native
+    * `shingles` array is per-doc-distinct; [[graft.functions.SetHits]]
+    * counts membership allocation-free) and `contaminated` = any hit.
+    * No joins, no state, no watermark — verdicts are per-document, so
+    * batch boundaries cannot change them, and the SAME code runs on a
+    * batch frame (spec pins ≡ the batch operator's broadcast regime).
+    * Streams larger-than-broadcast bench sets are out of scope by the
+    * same argument as the batch budget: require under the cap. */
+  def decontaminateStream(docs: DataFrame, bench: DataFrame, n: Int,
+      textCol: String = "text",
+      maxBroadcastGrams: Long = graft.operators.Decontamination.DefaultMaxBroadcastGrams): DataFrame = {
+    val spark = bench.sparkSession
+    import org.apache.spark.unsafe.types.UTF8String
+    val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
+    val grams = bench
+      .select(explode(expr(s"shingles(`$textCol`, $n)")).as("__g"))
+      .distinct().limit(cap)
+      .collect().map(_.getString(0))
+    require(grams.length <= maxBroadcastGrams,
+      s"bench gram set exceeds the broadcast budget ($maxBroadcastGrams); " +
+        "streaming decontamination needs the broadcast regime")
+    val set = new java.util.HashSet[UTF8String](grams.length * 2)
+    grams.foreach(g => set.add(UTF8String.fromString(g)))
+    val bc = spark.sparkContext.broadcast(set)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hits = ColumnBridge.column(graft.functions.SetHits(
+      ColumnBridge.expression(expr(s"shingles(`$textCol`, $n)")), bc))
+    docs.withColumn("n_hits", hits)
+      .withColumn("contaminated", col("n_hits") >= 1)
+  }
+
   case class MgState(counters: Map[String, Long], streamed: Long)
   case class MgCandidate(shard: Int, item: String, lower_bound: Long, shard_total: Long)
 

@@ -85,6 +85,37 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Double]("quality_score") == q14Scores(r.getLong(0))))
   }
 
+  test("stateless decontamination: stream ≡ batch operator's broadcast regime") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = all.filter($"source" === "src0").select($"text")
+    val corpus = all.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val dir = Files.createTempDirectory("stream-decontam").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = StreamOps.decontaminateStream(stream, bench, n = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("decontam")
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val batch = graft.operators.Decontamination.verdicts(
+        all.withColumn("isBench", $"source" === "src0"), n = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming verdicts must equal the batch operator's")
+    assert(streamed.exists(_._3) && streamed.exists(!_._3),
+      "fixture must exercise both verdicts")
+    // oversized bench must refuse the stream form, not silently shuffle
+    val ex = intercept[IllegalArgumentException] {
+      StreamOps.decontaminateStream(stream, bench, n = 4, maxBroadcastGrams = 1)
+    }
+    assert(ex.getMessage.contains("broadcast budget"))
+  }
+
   test("stream-stream interval join: click attribution equals batch join") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
