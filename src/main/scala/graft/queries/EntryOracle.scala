@@ -328,6 +328,27 @@ object EntryOracle {
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
   }
 
+  // ---------------------------------------------------------------- q186
+  /** Random access to ONE page's history — the multistream index's
+    * original purpose: a pushed `page_id = 103` predicate reaches the
+    * index SKIP-planner (exactly one stream decompressed, asserted)
+    * and the reader, and the diffdb output matches q153's VALUES
+    * restricted to that page (construction id 3). */
+  def q186EntryMsPageLookup(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDumpMultistream()
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(path)
+      .where(col("page_id") === 103L)
+    require(src.rdd.getNumPartitions == 1,
+      s"page_id lookup must decompress ONE stream, got ${src.rdd.getNumPartitions}")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
+
   // ---------------------------------------------------------------- q182
   /** The same flagship oracle through a NON-SPLITTABLE codec (gzip):
     * planning must fall back to ONE whole-file partition (asserted in
@@ -748,6 +769,10 @@ object EntryOracle {
 
   /** q184 = q164's exclusion, enforced by the index skip-planner. */
   val q184Sql: String = q164Sql
+
+  /** q186 = q153 restricted to the looked-up page (construction id 3 →
+    * page_id 103). */
+  val q186Sql: String = sqlFor(id => id == 3)
 
   /** q165 reads the SAME construction through the streaming source. */
   val q165Sql: String = q153Sql

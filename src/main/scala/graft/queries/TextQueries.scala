@@ -3924,6 +3924,7 @@ object TextQueries {
     "q182_entry_diffdb_gz" -> EntryOracle.q182EntryDiffdbGz _,
     "q183_entry_multistream" -> EntryOracle.q183EntryMultistream _,
     "q184_entry_ms_excluded" -> EntryOracle.q184EntryMultistreamExcluded _,
+    "q186_entry_ms_page_lookup" -> EntryOracle.q186EntryMsPageLookup _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4043,6 +4044,7 @@ object TextQueries {
     "q182_entry_diffdb_gz" -> EntryOracle.q182Sql,
     "q183_entry_multistream" -> EntryOracle.q183Sql,
     "q184_entry_ms_excluded" -> EntryOracle.q184Sql,
+    "q186_entry_ms_page_lookup" -> EntryOracle.q186Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

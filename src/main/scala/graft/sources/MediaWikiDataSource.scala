@@ -144,6 +144,16 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
       case sources.StringContains("title", _) => true
       case sources.StringStartsWith("title", _) => true
       case sources.StringEndsWith("title", _) => true
+      // page-id predicates: skipped at the reader before any revision
+      // is parsed, and — with a multistream index — whole streams are
+      // skipped BEFORE decompression (the index's original purpose:
+      // random access to a page's history)
+      case sources.EqualTo("page_id", _: Long) => true
+      case sources.In("page_id", vs) => vs.forall(_.isInstanceOf[Long])
+      case sources.GreaterThan("page_id", _: Long) => true
+      case sources.GreaterThanOrEqual("page_id", _: Long) => true
+      case sources.LessThan("page_id", _: Long) => true
+      case sources.LessThanOrEqual("page_id", _: Long) => true
       case _ => false
     }
     pushed = accepted
@@ -157,6 +167,13 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
       case (sources.StringContains("title", v), i) => s"__titleFilter$i" -> s"contains:$v"
       case (sources.StringStartsWith("title", v), i) => s"__titleFilter$i" -> s"starts:$v"
       case (sources.StringEndsWith("title", v), i) => s"__titleFilter$i" -> s"ends:$v"
+      case (sources.EqualTo("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"eq:$v"
+      case (sources.In("page_id", vs), i) =>
+        s"__pageIdFilter$i" -> s"in:${vs.map(_.asInstanceOf[Long]).mkString(",")}"
+      case (sources.GreaterThan("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"gt:$v"
+      case (sources.GreaterThanOrEqual("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"ge:$v"
+      case (sources.LessThan("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"lt:$v"
+      case (sources.LessThanOrEqual("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"le:$v"
       case (f, _) => throw new IllegalStateException(s"unexpected pushed filter $f")
     }.toMap
     new MediaWikiScan(required, props ++ filterProps)
@@ -505,7 +522,8 @@ class MediaWikiPartitionReader(
 
   private val iter = new PageRecordIterator(
     source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw,
-    titleFilter = titleFilter, needText = needText, meta = metaFields)
+    titleFilter = titleFilter, pageIdFilter = PageIdFilter.fromProps(props),
+    needText = needText, meta = metaFields)
 
   private var current: RevisionPair = _
 

@@ -25,8 +25,10 @@ import org.apache.hadoop.io.compress.CompressionCodecFactory
   *     unchanged — correctness never depends on the index being right,
   *     only boundary QUALITY does);
   *  2. SKIPS whole streams that provably produce no output BEFORE any
-  *     byte of them is decompressed: streams where no page title passes
-  *     the pushed-down title predicates, and streams where every page
+  *     byte of them is decompressed: streams where no page passes the
+  *     pushed-down title or page-id predicates (page-id equality over
+  *     an indexed dump is the index's original purpose — random access
+  *     to one page's history), and streams where every page
   *     is excluded by a literal `<title>PREFIX`-shaped
   *     `excludePagesWith` (the reference's header filter,
   *     `StreamWikiDumpInputFormat.java:124` — evaluated at the reader
@@ -99,9 +101,10 @@ object MultistreamIndex {
       props: Map[String, String]): Option[Seq[MediaWikiInputPartition]] = {
     val idx = locate(fs, dump, props).getOrElse(return None)
     val preds = titlePreds(props)
+    val idPred = PageIdFilter.fromProps(props)
     val excludePrefix = props.get("excludePagesWith").filter(_.nonEmpty)
       .flatMap(excludeAsTitlePrefix)
-    val canFilter = preds.nonEmpty || excludePrefix.isDefined
+    val canFilter = preds.nonEmpty || idPred.isDefined || excludePrefix.isDefined
     // one pass: distinct offsets in file order + per-stream liveness
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     val live = scala.collection.mutable.ArrayBuffer[Boolean]()
@@ -119,6 +122,7 @@ object MultistreamIndex {
             if (parts.length != 3) return None
             val off = try parts(0).toLong catch { case _: NumberFormatException => return None }
             if (off < 0 || off >= fileLen) return None
+            val pageId = try parts(1).toLong catch { case _: NumberFormatException => return None }
             val title = parts(2)
             if (offsets.isEmpty || offsets.last != off) {
               if (offsets.nonEmpty && off < offsets.last) return None // unsorted
@@ -127,6 +131,7 @@ object MultistreamIndex {
             }
             if (canFilter && !live(live.length - 1)) {
               val passes = preds.forall(_(title)) &&
+                idPred.forall(_(pageId)) &&
                 !excludePrefix.exists(title.startsWith)
               if (passes) live(live.length - 1) = true
             }

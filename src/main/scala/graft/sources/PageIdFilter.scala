@@ -1,0 +1,26 @@
+package graft.sources
+
+/** Shared decoder for the pushed-down page-id predicates (the
+  * `__pageIdFilter*` props MediaWikiScanBuilder emits) — used by the
+  * partition reader (skip a page before parsing any revision) and by
+  * [[MultistreamIndex]] (skip whole streams before decompression).
+  * Conjunction semantics, exactly like the title predicates. */
+private[sources] object PageIdFilter {
+  def fromProps(props: Map[String, String]): Option[Long => Boolean] = {
+    val preds = props.collect {
+      case (k, v) if k.startsWith("__pageIdFilter") =>
+        val Array(kind, arg) = v.split(":", 2)
+        kind match {
+          case "eq" => val x = arg.toLong; (p: Long) => p == x
+          case "in" =>
+            val s = arg.split(",").filter(_.nonEmpty).map(_.toLong).toSet
+            (p: Long) => s(p)
+          case "gt" => val x = arg.toLong; (p: Long) => p > x
+          case "ge" => val x = arg.toLong; (p: Long) => p >= x
+          case "lt" => val x = arg.toLong; (p: Long) => p < x
+          case "le" => val x = arg.toLong; (p: Long) => p <= x
+        }
+    }.toSeq
+    if (preds.isEmpty) None else Some(p => preds.forall(f => f(p)))
+  }
+}

@@ -560,6 +560,7 @@ final class PageRecordIterator(
     excludePagesWith: Option[Pattern] = None,
     keepRaw: Boolean = false,
     titleFilter: Option[String => Boolean] = None,
+    pageIdFilter: Option[Long => Boolean] = None,
     needText: Boolean = true,
     meta: RevMetaFields = RevMetaFields.All)
   extends Iterator[RevisionPair] with AutoCloseable {
@@ -613,7 +614,8 @@ final class PageRecordIterator(
           val excluded = excludePagesWith.exists(p => p.matcher(header).find())
           val parsed = if (excluded) null else XmlFields.parsePageHeader(header)
           val titleDrop = parsed != null && titleFilter.exists(f => !f(parsed.title))
-          if (!excluded && !titleDrop) {
+          val idDrop = parsed != null && pageIdFilter.exists(f => !f(parsed.pageId))
+          if (!excluded && !titleDrop && !idDrop) {
             page = parsed
             prev = None
             revSeqNo = 0

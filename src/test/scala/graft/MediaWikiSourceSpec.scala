@@ -321,6 +321,55 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
+  test("page_id filter pushdown: reader-exact on a plain dump") {
+    // no index involved: the pushed predicate must be fully honored by
+    // the reader (pushFilters returns it as handled — Spark does not
+    // re-evaluate)
+    val dump = genDump(nPages = 30, fillerLen = 500)
+    val dir = Files.createTempDirectory("mwpid").toFile
+    val f = new File(dir, "dump.xml")
+    Files.write(f.toPath, dump.getBytes("UTF-8"))
+    val df = spark.read.format("mediawiki").load(f.getAbsolutePath)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.selectExpr("page_id", "curr.rev_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(ids(df.where($"page_id" === 7L)) ==
+      ids(df).filter(_._1 == 7L))
+    assert(ids(df.where($"page_id".isin(3L, 19L, 28L))) ==
+      ids(df).filter(t => Set(3L, 19L, 28L)(t._1)))
+    assert(ids(df.where($"page_id" >= 10L && $"page_id" < 13L)) ==
+      ids(df).filter(t => t._1 >= 10L && t._1 < 13L))
+    assert(ids(df.where($"page_id" === 7L)).nonEmpty)
+  }
+
+  test("multistream index: page_id filter skips streams before decompression") {
+    val dir = Files.createTempDirectory("mwmspid").toFile
+    val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
+      fillerLen = 4000, pagesPerStream = 5)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      // page 23 lives in the 5th stream alone → one live partition
+      val one = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+        .load(f.getAbsolutePath).where($"page_id" === 23L)
+      assert(one.rdd.getNumPartitions == 1,
+        s"eq filter must leave ONE live stream, got ${one.rdd.getNumPartitions}")
+      assert(one.select($"curr.rev_id").count() == (1 + 23 % 5))
+      // an IN spanning two streams → two live partitions
+      val two = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+        .load(f.getAbsolutePath).where($"page_id".isin(3L, 37L))
+      assert(two.rdd.getNumPartitions == 2,
+        s"IN(3,37) must leave TWO live streams, got ${two.rdd.getNumPartitions}")
+      val got = two.selectExpr("page_id", "curr.rev_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      val want = spark.read.format("mediawiki").option("minSplitBytes", "200000")
+        .option("multistreamIndex", "off").load(f.getAbsolutePath)
+        .where($"page_id".isin(3L, 37L))
+        .selectExpr("page_id", "curr.rev_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      assert(got.nonEmpty && got == want)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
   test("multistream index: excludePagesWith <title>prefix skips all-excluded streams") {
     val dir = Files.createTempDirectory("mwmsexcl").toFile
     val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
@@ -389,11 +438,15 @@ class MediaWikiSourceSpec extends AnyFunSuite {
         }
       } finally pw.close()
       val eqTitle = s"Page ${1 + rnd.nextInt(nPages)}"
+      val eqId = (1 + rnd.nextInt(nPages)).toLong
+      val loId = (1 + rnd.nextInt(nPages)).toLong
       val filters: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
         df => df,
         df => df.where($"title" === eqTitle),
         df => df.where($"title".contains("Page 1")),
-        df => df.where($"title".startsWith("Page 2")))
+        df => df.where($"title".startsWith("Page 2")),
+        df => df.where($"page_id" === eqId),
+        df => df.where($"page_id" >= loId && $"page_id" < loId + 4L))
       for ((flt, fi) <- filters.zipWithIndex) {
         def fp(off: Boolean): List[(Long, Long, Any)] = {
           var r = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
