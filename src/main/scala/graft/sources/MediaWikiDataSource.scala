@@ -150,6 +150,11 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
       // random access to a page's history)
       case sources.EqualTo("page_id", _: Long) => true
       case sources.In("page_id", vs) => vs.forall(_.isInstanceOf[Long])
+      // ns predicates (articles-only reads): a page whose dump omits
+      // <ns> carries a NULL ns, which no equality matches — the reader
+      // drops it, exactly Spark's null semantics
+      case sources.EqualTo("ns", _: Int) => true
+      case sources.In("ns", vs) => vs.forall(_.isInstanceOf[Int])
       case sources.GreaterThan("page_id", _: Long) => true
       case sources.GreaterThanOrEqual("page_id", _: Long) => true
       case sources.LessThan("page_id", _: Long) => true
@@ -170,6 +175,9 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
       case (sources.EqualTo("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"eq:$v"
       case (sources.In("page_id", vs), i) =>
         s"__pageIdFilter$i" -> s"in:${vs.map(_.asInstanceOf[Long]).mkString(",")}"
+      case (sources.EqualTo("ns", v: Int), i) => s"__nsFilter$i" -> s"eq:$v"
+      case (sources.In("ns", vs), i) =>
+        s"__nsFilter$i" -> s"in:${vs.map(_.asInstanceOf[Int]).mkString(",")}"
       case (sources.GreaterThan("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"gt:$v"
       case (sources.GreaterThanOrEqual("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"ge:$v"
       case (sources.LessThan("page_id", v: Long), i) => s"__pageIdFilter$i" -> s"lt:$v"
@@ -523,6 +531,7 @@ class MediaWikiPartitionReader(
   private val iter = new PageRecordIterator(
     source, ownStart, ownEnd, exclusive, exclude, keepRaw = wantRaw,
     titleFilter = titleFilter, pageIdFilter = PageIdFilter.fromProps(props),
+    nsFilter = PageIdFilter.nsFromProps(props),
     needText = needText, meta = metaFields)
 
   private var current: RevisionPair = _

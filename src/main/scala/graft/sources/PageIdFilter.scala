@@ -23,4 +23,22 @@ private[sources] object PageIdFilter {
     }.toSeq
     if (preds.isEmpty) None else Some(p => preds.forall(f => f(p)))
   }
+
+  /** The `__nsFilter*` conjunction (eq/in only). Applied to the PARSED
+    * `<ns>` value; an absent element is NULL and fails every predicate
+    * (Spark's own equality semantics — the reader must mirror them
+    * because pushed filters are not re-evaluated). */
+  def nsFromProps(props: Map[String, String]): Option[Int => Boolean] = {
+    val preds = props.collect {
+      case (k, v) if k.startsWith("__nsFilter") =>
+        val Array(kind, arg) = v.split(":", 2)
+        kind match {
+          case "eq" => val x = arg.toInt; (n: Int) => n == x
+          case "in" =>
+            val s = arg.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+            (n: Int) => s(n)
+        }
+    }.toSeq
+    if (preds.isEmpty) None else Some(n => preds.forall(f => f(n)))
+  }
 }

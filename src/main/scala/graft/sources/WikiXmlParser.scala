@@ -561,6 +561,7 @@ final class PageRecordIterator(
     keepRaw: Boolean = false,
     titleFilter: Option[String => Boolean] = None,
     pageIdFilter: Option[Long => Boolean] = None,
+    nsFilter: Option[Int => Boolean] = None,
     needText: Boolean = true,
     meta: RevMetaFields = RevMetaFields.All)
   extends Iterator[RevisionPair] with AutoCloseable {
@@ -615,7 +616,9 @@ final class PageRecordIterator(
           val parsed = if (excluded) null else XmlFields.parsePageHeader(header)
           val titleDrop = parsed != null && titleFilter.exists(f => !f(parsed.title))
           val idDrop = parsed != null && pageIdFilter.exists(f => !f(parsed.pageId))
-          if (!excluded && !titleDrop && !idDrop) {
+          // absent <ns> = NULL ns: fails every pushed predicate
+          val nsDrop = parsed != null && nsFilter.exists(f => !parsed.ns.exists(f))
+          if (!excluded && !titleDrop && !idDrop && !nsDrop) {
             page = parsed
             prev = None
             revSeqNo = 0

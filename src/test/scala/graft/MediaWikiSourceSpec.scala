@@ -342,6 +342,42 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(ids(df.where($"page_id" === 7L)).nonEmpty)
   }
 
+  test("ns filter pushdown: eq and IN; absent <ns> is NULL and never matches") {
+    val xml =
+      """<mediawiki>
+        |  <page><title>A</title><ns>0</ns><id>1</id>
+        |    <revision><id>11</id><timestamp>2021-01-01T00:00:00Z</timestamp>
+        |    <contributor><username>u</username><id>1</id></contributor>
+        |    <text xml:space="preserve">a</text></revision></page>
+        |  <page><title>Talk:A</title><ns>1</ns><id>2</id>
+        |    <revision><id>22</id><timestamp>2021-01-01T00:00:00Z</timestamp>
+        |    <contributor><username>u</username><id>1</id></contributor>
+        |    <text xml:space="preserve">b</text></revision></page>
+        |  <page><title>Category:A</title><ns>14</ns><id>3</id>
+        |    <revision><id>33</id><timestamp>2021-01-01T00:00:00Z</timestamp>
+        |    <contributor><username>u</username><id>1</id></contributor>
+        |    <text xml:space="preserve">c</text></revision></page>
+        |  <page><title>NoNs</title><id>4</id>
+        |    <revision><id>44</id><timestamp>2021-01-01T00:00:00Z</timestamp>
+        |    <contributor><username>u</username><id>1</id></contributor>
+        |    <text xml:space="preserve">d</text></revision></page>
+        |</mediawiki>
+        |""".stripMargin
+    val dir = Files.createTempDirectory("mwns").toFile
+    val f = new File(dir, "ns.xml")
+    Files.write(f.toPath, xml.getBytes("UTF-8"))
+    val df = spark.read.format("mediawiki").load(f.getAbsolutePath)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"page_id").as[Long].collect().toList.sorted
+    assert(ids(df) == List(1L, 2L, 3L, 4L))
+    assert(ids(df.where($"ns" === 0)) == List(1L))
+    assert(ids(df.where($"ns".isin(0, 14))) == List(1L, 3L))
+    // the NULL-ns page never matches a pushed equality…
+    assert(ids(df.where($"ns" === 0 || $"ns" === 1)) == List(1L, 2L))
+    // …and IsNull (not pushed) still sees it post-scan
+    assert(ids(df.where($"ns".isNull)) == List(4L))
+  }
+
   test("multistream index: page_id filter skips streams before decompression") {
     val dir = Files.createTempDirectory("mwmspid").toFile
     val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
