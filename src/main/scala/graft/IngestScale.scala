@@ -75,9 +75,12 @@ object IngestScale {
       if (!giantWritten && written >= giantAt) {
         giantWritten = true
         writeCounted(s"<page><title>Giant page</title><ns>0</ns><id>$page</id>\n")
-        // 64 revisions, each ~3MB, evolving by whole-chunk append so
-        // diffs stay non-trivial but bounded
-        val chunk = Array.fill(60000)("g" + rnd.nextInt(5000)).mkString(" ")
+        // 64 revisions, each ~3MB (520k tokens × ~5.8 B), evolving by
+        // whole-chunk append so diffs stay non-trivial but bounded.
+        // (The first cut of this generator used 60k tokens ≈ 350 KB/rev
+        // ≈ 22 MB total — 9× smaller than the skew case SCALING.md
+        // claimed; caught in review, re-measured.)
+        val chunk = Array.fill(520000)("g" + rnd.nextInt(5000)).mkString(" ")
         val sb = new StringBuilder(chunk)
         for (r <- 1 to 64) {
           revId += 1

@@ -161,32 +161,12 @@ object EntryOracle {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val target = dir.resolve("graft_entry_oracle_multistream.xml.bz2")
     val idxTarget = dir.resolve("graft_entry_oracle_multistream-index.txt")
-    val xml = dumpXml
-    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
-      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
-    val footer = xml.indexOf("</mediawiki>")
-    val cuts = (0 +: starts :+ footer :+ xml.length).distinct
-    val bytes = xml.getBytes("UTF-8")
-    // the construction is pure ASCII outside xml-escaped entities, so
-    // char indices == byte offsets; guard that invariant
-    require(bytes.length == xml.length, "construction must stay ASCII")
     val tmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle_ms", ".xml.bz2")
-    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
-    val fos = new java.io.FileOutputStream(tmp.toFile)
-    try {
-      for ((from, to) <- cuts.init.zip(cuts.tail)) {
-        offsets += fos.getChannel.position()
-        fos.write('B'); fos.write('Z')
-        val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
-        out.write(bytes, from, to - from)
-        out.finish()
-      }
-    } finally fos.close()
     val idxTmp = java.nio.file.Files.createTempFile(dir, "graft_entry_oracle_ms", ".txt")
-    val pw = new java.io.PrintWriter(idxTmp.toFile, "UTF-8")
-    try pages.zipWithIndex.foreach { case (p, i) =>
-      pw.println(s"${offsets(1 + i)}:${p.pageId}:${p.title}")
-    } finally pw.close()
+    val ps = pages
+    graft.sources.MultistreamWriter.writeGrouped(dumpXml, tmp.toFile,
+      idxTmp.toFile, pagesPerStream = 1,
+      pageIdOf = i => ps(i).pageId, titleOf = i => ps(i).title)
     java.nio.file.Files.move(idxTmp, idxTarget,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

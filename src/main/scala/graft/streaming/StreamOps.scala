@@ -340,7 +340,11 @@ object StreamOps {
     import org.apache.spark.sql.graft.ColumnBridge
     val hits = ColumnBridge.column(graft.functions.SetHits(
       ColumnBridge.expression(expr(s"shingles(`$textCol`, $n)")), bc))
-    docs.withColumn("n_hits", hits)
+    // NULL text null-propagates through shingles → SetHits; the batch
+    // operator's left join + coalesce yields (0, false) for the same
+    // row — mirror it or the stream ≡ batch claim breaks on the first
+    // corpus with a NULL document
+    docs.withColumn("n_hits", coalesce(hits, lit(0L)))
       .withColumn("contaminated", col("n_hits") >= 1)
   }
 

@@ -235,35 +235,13 @@ class MediaWikiSourceSpec extends AnyFunSuite {
   def writeMultistreamWithIndex(dir: File, nPages: Int, fillerLen: Int,
       pagesPerStream: Int): (File, File, Int) = {
     val xml = genDump(nPages, fillerLen)
-    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
-      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
-    val footerStart = xml.indexOf("</mediawiki>")
-    val cuts = (0 +: starts.grouped(pagesPerStream).map(_.head).toVector
-      :+ footerStart :+ xml.length).distinct
     val f = new File(dir, "dump-multistream.xml.bz2")
-    val bytes = xml.getBytes("UTF-8")
-    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
-    val fos = new java.io.FileOutputStream(f)
-    try {
-      for ((from, to) <- cuts.init.zip(cuts.tail)) {
-        offsets += fos.getChannel.position()
-        fos.write('B'); fos.write('Z')
-        val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
-        out.write(bytes, from, to - from)
-        out.finish()
-      }
-    } finally fos.close()
-    // offsets(0) = header stream, offsets(1..) = page streams, last = footer
     val idx = new File(dir, "dump-multistream-index.txt")
-    val pw = new java.io.PrintWriter(idx, "UTF-8")
-    try {
-      starts.zipWithIndex.foreach { case (_, i) =>
-        val p = i + 1
-        val stream = offsets(1 + i / pagesPerStream)
-        pw.println(s"$stream:$p:Page $p")
-      }
-    } finally pw.close()
-    (f, idx, cuts.length - 1)
+    graft.sources.MultistreamWriter.writeGrouped(xml, f, idx, pagesPerStream,
+      pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
+    val nStreams = graft.sources.MultistreamWriter.pageStarts(xml)
+      .indices.grouped(pagesPerStream).size + 2 // + header + footer
+    (f, idx, nStreams)
   }
 
   test("multistream index: stream-aligned planning equals indexless read") {
@@ -440,39 +418,17 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     // ownership beyond the fixed constructions above
     val nPages = 30
     val xml = genDump(nPages, fillerLen = 2000)
-    val starts = Iterator.iterate(xml.indexOf("  <page>"))(i =>
-      xml.indexOf("  <page>", i + 1)).takeWhile(_ >= 0).toVector
-    val footerStart = xml.indexOf("</mediawiki>")
-    val bytes = xml.getBytes("UTF-8")
+    val starts = graft.sources.MultistreamWriter.pageStarts(xml)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
     for (seed <- Seq(11, 23, 47)) {
       val rnd = new scala.util.Random(seed)
       // each page boundary starts a new stream with prob 0.4
       val groupHeads = starts.indices.filter(i => i == 0 || rnd.nextDouble() < 0.4)
-      val cuts = (0 +: groupHeads.map(starts(_)).toVector :+ footerStart :+ xml.length).distinct
       val dir = Files.createTempDirectory(s"mwmsfuzz$seed").toFile
       val f = new File(dir, "fuzz-multistream.xml.bz2")
-      val offsets = scala.collection.mutable.ArrayBuffer[Long]()
-      val fos = new java.io.FileOutputStream(f)
-      try {
-        for ((from, to) <- cuts.init.zip(cuts.tail)) {
-          offsets += fos.getChannel.position()
-          fos.write('B'); fos.write('Z')
-          val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
-          out.write(bytes, from, to - from)
-          out.finish()
-        }
-      } finally fos.close()
       val idx = new File(dir, "fuzz-multistream-index.txt")
-      val pw = new java.io.PrintWriter(idx, "UTF-8")
-      try {
-        // page i (0-based) lives in the group whose head is the largest
-        // groupHead index ≤ i; stream offset index = 1 + group ordinal
-        starts.indices.foreach { i =>
-          val g = groupHeads.lastIndexWhere(_ <= i)
-          pw.println(s"${offsets(1 + g)}:${i + 1}:Page ${i + 1}")
-        }
-      } finally pw.close()
+      graft.sources.MultistreamWriter.write(xml, f, idx, groupHeads,
+        pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
       val eqTitle = s"Page ${1 + rnd.nextInt(nPages)}"
       val eqId = (1 + rnd.nextInt(nPages)).toLong
       val loId = (1 + rnd.nextInt(nPages)).toLong

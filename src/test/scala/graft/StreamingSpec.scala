@@ -114,6 +114,16 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.decontaminateStream(stream, bench, n = 4, maxBroadcastGrams = 1)
     }
     assert(ex.getMessage.contains("broadcast budget"))
+    // NULL text must verdict (0, false) like the batch operator's
+    // left-join coalesce — not null-propagate
+    val withNull = Seq((9001L, null: String), (9002L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val nullRows = StreamOps.decontaminateStream(withNull, bench, n = 4)
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(nullRows.head == ((9001L, 0L, false)),
+      s"NULL text must verdict clean, got ${nullRows.head}")
   }
 
   test("stream-stream interval join: click attribution equals batch join") {
