@@ -123,9 +123,9 @@ object Bench {
     // (tagged "inherited") if the spawn fails, so the field never
     // silently disappears.
     val steadyNames = results.toSeq.sortBy(-_._2).take(15).map(_._1)
-    val (steadyJson, steadyCanaryJson, steadyJvm) =
+    val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb) =
       freshJvmSteady(sfDir, steadyNames) match {
-        case Some((sj, scj)) => (sj, scj, "fresh")
+        case Some((sj, scj, mem)) => (sj, scj, "fresh", mem)
         case None =>
           val steady = steadyNames.map { name =>
             val t0 = System.nanoTime()
@@ -134,7 +134,7 @@ object Bench {
             name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }
           (steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-            .mkString("{", ",", "}"), "[]", "inherited")
+            .mkString("{", ",", "}"), "[]", "inherited", "-1")
       }
     // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
     // byte-identical kernel and could not be adjudicated from the
@@ -156,7 +156,7 @@ object Bench {
       case (k, v) if !fixtures(k) => v }.sum
     val sweepCanaryJson = sweepCanary.map(t => f"$t%.3f")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"sweep_canary_sec":$sweepCanaryJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"steady_mem_avail_gb":$steadyMemGb,"sweep_canary_sec":$sweepCanaryJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
     // a file copy makes the artifact recoverable even if the driver's
     // stdout tail capture truncates (it did, twice: r4/r5 recorded
     // "parsed": null); cwd is the repo when sbt runs
@@ -196,11 +196,12 @@ object Bench {
 
   /** Spawn [[SteadyBench]] in a fresh JVM (same classpath, same fork
     * opts, same env) and parse its marker line. Returns the steady map
-    * JSON and the child's edge-canary pair, or None if the spawn
-    * failed in any way (missing java, non-zero exit, timeout, no
-    * marker line) — the caller falls back to the in-JVM pass. */
+    * JSON, the child's edge-canary pair, and the child's MemAvailable
+    * at start (GiB; "-1" when absent) — or None if the spawn failed in
+    * any way (missing java, non-zero exit, timeout, no marker line);
+    * the caller falls back to the in-JVM pass. */
   private def freshJvmSteady(sfDir: String,
-      names: Seq[String]): Option[(String, String)] =
+      names: Seq[String]): Option[(String, String, String)] =
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java")
@@ -239,14 +240,20 @@ object Bench {
       Option(marker.get).map { line =>
         val body = line.substring("STEADYJSON\t".length)
         // tiny shape-bound extraction (no JSON lib on the classpath):
-        // {"steady":{...},"steady_canary_sec":[...]}
+        // {"steady":{...},"steady_canary_sec":[...],"steady_mem_avail_gb":N}
         val sIdx = body.indexOf("\"steady\":{")
         val sEnd = body.indexOf("}", sIdx)
         val cIdx = body.indexOf("\"steady_canary_sec\":[")
         val cEnd = body.indexOf("]", cIdx)
         if (sIdx < 0 || sEnd < 0 || cIdx < 0 || cEnd < 0) return None
+        val mTag = "\"steady_mem_avail_gb\":"
+        val mIdx = body.indexOf(mTag)
+        val mem = if (mIdx < 0) "-1"
+          else body.substring(mIdx + mTag.length)
+            .takeWhile(c => c.isDigit || c == '.' || c == '-')
         (body.substring(sIdx + "\"steady\":".length, sEnd + 1),
-          body.substring(cIdx + "\"steady_canary_sec\":".length, cEnd + 1))
+          body.substring(cIdx + "\"steady_canary_sec\":".length, cEnd + 1),
+          if (mem.nonEmpty) mem else "-1")
       }
     } catch { case _: Throwable => None }
 

@@ -55,15 +55,7 @@ object MediaWiki {
         }
       }
       val head = new String(buf, 0, len, "UTF-8")
-      val m = java.util.regex.Pattern
-        .compile("<namespace key=\"(-?\\d+)\"[^>]*(?:/>|>([^<]*)</namespace>)")
-        .matcher(head)
-      val out = scala.collection.mutable.Map.empty[Int, String]
-      while (m.find()) {
-        out(m.group(1).toInt) =
-          Option(m.group(2)).map(graft.sources.XmlFields.unescape).getOrElse("")
-      }
-      out.toMap
+      graft.sources.XmlFields.siteinfoNamespacesFromHead(head)
     } finally in.close()
   }
 

@@ -63,5 +63,6 @@ object SparkEntry {
     "q179_window_stream_real", "q180_join_stream_real",
     "q181_session_stream_real", "q182_entry_diffdb_gz",
     "q183_entry_multistream", "q184_entry_ms_excluded",
-    "q185_decontam_stream_real", "q186_entry_ms_page_lookup")
+    "q185_decontam_stream_real", "q186_entry_ms_page_lookup",
+    "q187_entry_ms_stream", "q188_entry_ms_articles")
 }

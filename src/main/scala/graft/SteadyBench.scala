@@ -15,15 +15,33 @@ import org.apache.spark.sql.SparkSession
   * SF), only the named queries.
   *
   * args: sfDir, then query names. Prints exactly one marker line
-  * `STEADYJSON\t{"steady":{...},"steady_canary_sec":[pre,post]}` for
-  * the parent to parse; mini-canaries on each edge keep host-steal
-  * adjudication for the steady window itself.
+  * `STEADYJSON\t{"steady":{...},"steady_canary_sec":[pre,post],
+  * "steady_mem_avail_gb":N}` for the parent to parse; mini-canaries on
+  * each edge keep host-steal adjudication for the steady window itself,
+  * and the child's own MemAvailable at start makes memory-pressure
+  * confounds self-adjudicating (the parent keeps its committed heap
+  * and live session while the child runs — two ~16 GB JVMs; a register
+  * canary sees CPU steal but not paging, ADVICE r12).
   */
 object SteadyBench {
+
+  /** Host MemAvailable in GiB (one decimal), or -1 if unreadable. */
+  private[graft] def memAvailGb(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      val line = try src.getLines().find(_.startsWith("MemAvailable:"))
+      finally src.close()
+      line.map { l =>
+        val kb = l.split("\\s+")(1).toLong
+        math.round(kb / 1048576.0 * 10.0) / 10.0
+      }.getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val memAtStart = memAvailGb()
     val spark = SparkSession.builder()
       .withExtensions(graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -34,6 +52,19 @@ object SteadyBench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // STEADY_TRACE=1: per-pass wall times + per-micro-batch durations to
+    // stderr — the adjudication hook the r12 q179 steady anomaly needed
+    // (a min-of-2 artifact number alone cannot say WHERE the time went)
+    val trace = sys.env.contains("STEADY_TRACE")
+    if (trace) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          System.err.println(s"[steady-trace] batch=${e.progress.batchId} " +
+            s"rows=${e.progress.numInputRows} durationMs=${e.progress.durationMs}")
+      })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -51,7 +82,9 @@ object SteadyBench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val a = onePass()
+      if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f")
       val b = onePass()
+      if (trace) System.err.println(f"[steady-trace] $name pass2=$b%.3f")
       // min of the two passes, but never mask a failure with a success
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
@@ -59,7 +92,7 @@ object SteadyBench {
     def ms(v: Double): String = f"$v%.3f"
     val steadyJson = steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}]}""")
+    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}],"steady_mem_avail_gb":$memAtStart}""")
     spark.stop()
   }
 }

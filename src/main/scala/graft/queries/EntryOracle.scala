@@ -291,7 +291,10 @@ object EntryOracle {
     * `<title>Category:` excludePagesWith is proven dead per stream AT
     * PLANNING (the three Category streams are never decompressed —
     * partition count asserted), and the output still matches q164's
-    * VALUES exactly. */
+    * VALUES exactly. Exclusion skipping is OPT-IN
+    * (`multistreamSkipExcluded` — the raw-regex vs decoded-index
+    * equivalence needs the standard-escaper contract, ADVICE r12;
+    * this construction's writer IS the standard escaper). */
   def q184EntryMultistreamExcluded(s: SparkSession, dir: String): DataFrame = {
     val path = ensureDumpMultistream()
     val fromDump =
@@ -301,6 +304,7 @@ object EntryOracle {
     val src = s.read.format("mediawiki")
       .option("multistreamTargetBytes", "1")
       .option("excludePagesWith", "<title>Category:")
+      .option("multistreamSkipExcluded", "true")
       .load(path)
     val nLive = NumPlants - (0 until NumPlants).count(_ % 3 == 2)
     require(src.rdd.getNumPartitions == nLive,
@@ -327,6 +331,97 @@ object EntryOracle {
     require(src.rdd.getNumPartitions == 1,
       s"page_id lookup must decompress ONE stream, got ${src.rdd.getNumPartitions}")
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
+
+  // ---------------------------------------------------------------- q188
+  /** The reference's canonical exclude — namespace exclusion
+    * (`README.rst:225-230`) — as an articles-only read through the ns
+    * SKIP-planner: a pushed `ns = 0` predicate is answered from the
+    * indexed titles' siteinfo namespace prefixes (Talk:/Category:
+    * streams are never decompressed — partition count asserted), the
+    * reader re-applies the same predicate to the parsed `<ns>`, and the
+    * output matches q153's VALUES restricted to the main-namespace
+    * pages. The construction's Category pages OMIT `<ns>` — the planner
+    * classifies them ns 14 and skips them, which is provably safe: the
+    * reader drops absent-`<ns>` pages under any pushed ns predicate
+    * regardless (NULL matches nothing). */
+  def q188EntryMsArticlesOnly(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDumpMultistream()
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(
+        graft.MediaWiki.siteinfoNamespaces(s, path))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(path)
+      .where(col("ns") === 0)
+    val nMain = (0 until NumPlants).count(_ % 3 == 0)
+    require(src.rdd.getNumPartitions == nMain,
+      s"ns skip-planning must leave only the $nMain main-ns streams, got ${src.rdd.getNumPartitions}")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
+  }
+
+  // ---------------------------------------------------------------- q187
+  /** The multistream+index layout through the STREAMING source gate:
+    * the q183 construction split into TWO multistream archives (each
+    * with its published index sibling) read via
+    * `readStream.format("mediawiki")` with `maxFilesPerTrigger=1` +
+    * `Trigger.AvailableNow` — two micro-batches through q165's
+    * file-sink harness. `partitionsForFile` is shared between batch and
+    * micro-batch planning, and the require below pins that the STREAM's
+    * props drive index planning to one partition per page stream for
+    * each archive; the directory listing must also skip the index
+    * siblings as dumps (ADVICE r12) or the output would gain zero-page
+    * file scans. Output order across batches is free (each archive is a
+    * self-contained dump; pairing is within-page), so no mtime forcing
+    * is needed — the VALUES oracle is q153's. */
+  def q187EntryMsStream(s: SparkSession, dir: String): DataFrame = {
+    import OracleTmp.fresh
+    val dumpDir = fresh("graft_q187_dump")
+    val partsOf = Seq(pages.take(NumPlants / 2), pages.drop(NumPlants / 2))
+    partsOf.zipWithIndex.foreach { case (ps, i) =>
+      graft.sources.MultistreamWriter.writeGrouped(
+        renderDump(ps),
+        dumpDir.resolve(s"part$i.xml.bz2").toFile,
+        dumpDir.resolve(s"part$i-index.txt").toFile,
+        pagesPerStream = 1,
+        pageIdOf = j => ps(j).pageId, titleOf = j => ps(j).title)
+    }
+    // the micro-batch planner delegates to this exact call per file
+    val conf = s.sessionState.newHadoopConf()
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    partsOf.indices.foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(
+        dumpDir.resolve(s"part$i.xml.bz2").toString)
+      val planned = graft.sources.MediaWikiScan.partitionsForFile(
+        p.getFileSystem(conf), codecs, p, 128L * 1024 * 1024,
+        Map("multistreamTargetBytes" -> "1"))
+      require(planned.length == partsOf(i).length,
+        s"part$i: stream planning must yield one partition per page stream, got ${planned.length}")
+    }
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(graft.MediaWiki.siteinfoNamespaces(
+        s, dumpDir.resolve("part0.xml.bz2").toString))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val ns = if (fromDump.nonEmpty) fromDump
+             else Map("talk" -> 1, "user" -> 2, "category" -> 14)
+    val ckpt = fresh("graft_q187_ckpt")
+    val out = fresh("graft_q187_out")
+    val stream = graft.functions.GraftFunctions.diffdb(
+      s.readStream.format("mediawiki")
+        .option("maxFilesPerTrigger", "1")
+        .option("multistreamTargetBytes", "1")
+        .load(dumpDir.toString), nsByName = ns)
+    val q = stream.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q187: streaming query did not terminate within 300 s")
+    flatten(s.read.parquet(out.toString))
   }
 
   // ---------------------------------------------------------------- q182
@@ -756,4 +851,12 @@ object EntryOracle {
 
   /** q165 reads the SAME construction through the streaming source. */
   val q165Sql: String = q153Sql
+
+  /** q187 reads the SAME construction through the STREAMING source over
+    * the multistream+index layout (two archives, two micro-batches). */
+  val q187Sql: String = q153Sql
+
+  /** q188 = q153 restricted to the main-namespace pages (id % 3 == 0),
+    * enforced by the ns skip-planner + the reader's pushed ns filter. */
+  val q188Sql: String = sqlFor(id => id % 3 == 0)
 }

@@ -3925,6 +3925,8 @@ object TextQueries {
     "q183_entry_multistream" -> EntryOracle.q183EntryMultistream _,
     "q184_entry_ms_excluded" -> EntryOracle.q184EntryMultistreamExcluded _,
     "q186_entry_ms_page_lookup" -> EntryOracle.q186EntryMsPageLookup _,
+    "q187_entry_ms_stream" -> EntryOracle.q187EntryMsStream _,
+    "q188_entry_ms_articles" -> EntryOracle.q188EntryMsArticlesOnly _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4045,6 +4047,8 @@ object TextQueries {
     "q183_entry_multistream" -> EntryOracle.q183Sql,
     "q184_entry_ms_excluded" -> EntryOracle.q184Sql,
     "q186_entry_ms_page_lookup" -> EntryOracle.q186Sql,
+    "q187_entry_ms_stream" -> EntryOracle.q187Sql,
+    "q188_entry_ms_articles" -> EntryOracle.q188Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

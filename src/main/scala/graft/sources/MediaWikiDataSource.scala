@@ -216,9 +216,14 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
     MediaWikiTable.resolvePaths(props).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val files = if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).filter(_.isFile).map(_.getPath).toSeq
-      else Seq(path)
+      val files = if (fs.getFileStatus(path).isDirectory) {
+        // a '-index.txt(.bz2)' whose dump sibling is also listed is the
+        // multistream planning metadata, not a dump — scanning it wastes
+        // a decompression pass and pollutes the page metrics (ADVICE r12)
+        val listed = fs.listStatus(path).filter(_.isFile).map(_.getPath)
+        val names = listed.map(_.getName).toSet
+        listed.filterNot(f => MultistreamIndex.isIndexSibling(f.getName, names)).toSeq
+      } else Seq(path)
       files.flatMap(f =>
         MediaWikiScan.partitionsForFile(fs, codecs, f, maxBytes, props))
     }.toArray
@@ -355,10 +360,16 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) Seq.empty
-      else if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).filter(_.isFile)
+      else if (fs.getFileStatus(path).isDirectory) {
+        // same index-sibling skip as the batch listing; only NEW files
+        // are filtered — an index that was logged before its dump
+        // landed stays committed (offsets never move)
+        val listed = fs.listStatus(path).filter(_.isFile)
+        val names = listed.map(_.getPath.getName).toSet
+        listed
+          .filterNot(s => MultistreamIndex.isIndexSibling(s.getPath.getName, names))
           .map(s => (s.getModificationTime, s.getPath))
-      else Seq((fs.getFileStatus(path).getModificationTime, path))
+      } else Seq((fs.getFileStatus(path).getModificationTime, path))
     }
     val fresh = listed.filter { case (_, p) => !knownFiles.contains(p.toString) }
       .sortBy { case (t, p) => (t, p.toString) }

@@ -18,26 +18,53 @@ import org.apache.hadoop.io.compress.CompressionCodecFactory
   * naming-convention sibling; `multistreamIndex=off` disables), planning
   * reads it in ONE driver pass (O(#streams) memory — offsets and one
   * boolean each, never the titles; enwiki's ~240 MB index is a few
-  * seconds of driver I/O against hours of cluster decompression) and:
+  * seconds of driver I/O against hours of cluster decompression,
+  * memoized per file state so repeated actions pay it once) and:
   *
   *  1. places partition boundaries at exact stream starts (block
   *     boundaries by construction, so the BYBLOCK ownership rule is
   *     unchanged — correctness never depends on the index being right,
   *     only boundary QUALITY does);
   *  2. SKIPS whole streams that provably produce no output BEFORE any
-  *     byte of them is decompressed: streams where no page passes the
-  *     pushed-down title or page-id predicates (page-id equality over
-  *     an indexed dump is the index's original purpose — random access
-  *     to one page's history), and streams where every page
-  *     is excluded by a literal `<title>PREFIX`-shaped
-  *     `excludePagesWith` (the reference's header filter,
-  *     `StreamWikiDumpInputFormat.java:124` — evaluated at the reader
-  *     there, here already at planning). Skipping is the one decision
-  *     that trusts the contract that all pages are indexed.
+  *     byte of them is decompressed. The skip decisions form a trust
+  *     ladder, weakest assumption first:
+  *
+  *     - **title / page_id predicates**: trusts only the layout
+  *       contract (all pages indexed, true ids/titles). Both sides
+  *       compare DECODED titles — the reader's parse unescapes the five
+  *       named entities AND numeric character references
+  *       ([[XmlFields.unescape]]), so no escaping choice can make the
+  *       planner and the reader disagree.
+  *     - **ns predicates** (eq/IN): additionally trusts the MediaWiki
+  *       layout invariant that a present `<ns>` agrees with the title's
+  *       siteinfo namespace prefix (both derive from the same page row
+  *       in every MediaWiki-produced dump). Pages with an ABSENT `<ns>`
+  *       are safe under ANY classification: the reader drops them under
+  *       every pushed ns predicate regardless (NULL matches nothing).
+  *       Only engages when the dump's complete `<siteinfo>` head parses
+  *       (namespace names come from the header stream); a dump whose
+  *       `<ns>` contradicts its title prefixes must be read with
+  *       `multistreamIndex=off`.
+  *     - **`excludePagesWith` literal `<title>PREFIX` patterns**:
+  *       OPT-IN via `multistreamSkipExcluded=true`. The reader's
+  *       exclude regex runs on the RAW header bytes (reference
+  *       semantics, `StreamWikiDumpInputFormat.java:124`), so
+  *       equivalence with the index's decoded titles additionally
+  *       requires the dump to use the standard XML escaper — a legal
+  *       dump spelling a title with numeric character references
+  *       (`&#67;ategory:X`) is kept by the reader but decoded-excluded
+  *       by the index (ADVICE r12). Wikimedia dumps satisfy the
+  *       contract; by default exclusions no longer skip streams (the
+  *       reader still applies the regex, so results are identical,
+  *       just without the pre-decompression skip).
   *
   * Any malformed index line, unsorted offset, or failed stream-magic
   * probe abandons the index entirely (size-based planning takes over) —
-  * a half-trusted index could silently drop pages.
+  * a half-trusted index could silently drop pages. Malformed USER
+  * options (`multistreamTargetBytes`) and malformed INTERNAL filter
+  * props fail loudly instead: the reader parses the same props, so a
+  * silent fallback could not save the query and would only hide the
+  * bug (ADVICE r12).
   */
 object MultistreamIndex {
 
@@ -63,29 +90,53 @@ object MultistreamIndex {
         }
     }
 
+  /** Is `name` the `-index.txt(.bz2)` naming-convention sibling of a
+    * dump that is ALSO present (per `present`)? Directory listings skip
+    * such files — the index is planning metadata, not a dump; scanning
+    * it yields zero pages but costs a full decompression pass and
+    * pollutes the pagesRead/pagesSkipped metrics (ADVICE r12). */
+  def isIndexSibling(name: String, present: String => Boolean): Boolean = {
+    val stem =
+      if (name.endsWith("-index.txt")) Some(name.dropRight("-index.txt".length))
+      else if (name.endsWith("-index.txt.bz2")) Some(name.dropRight("-index.txt.bz2".length))
+      else None
+    stem.exists(s => s.nonEmpty && present(s + ".xml.bz2"))
+  }
+
   /** The reader's pushed-title-predicate parse, mirrored for planning
-    * (same `kind:arg` encoding, same conjunction). */
+    * (same `kind:arg` encoding, same conjunction). A malformed prop is
+    * a planner/reader contract bug — fail loudly, never fall back
+    * (the reader would throw on the same prop anyway). */
   private def titlePreds(props: Map[String, String]): Seq[String => Boolean] =
     props.collect {
       case (k, v) if k.startsWith("__titleFilter") =>
-        val Array(kind, arg) = v.split(":", 2)
+        val sep = v.indexOf(':')
+        require(sep > 0, s"malformed internal title-filter prop '$v' (want kind:arg)")
+        val kind = v.substring(0, sep)
+        val arg = v.substring(sep + 1)
         kind match {
           case "eq" => (t: String) => t == arg
           case "contains" => (t: String) => t.contains(arg)
           case "starts" => (t: String) => t.startsWith(arg)
           case "ends" => (t: String) => t.endsWith(arg)
+          case other => throw new IllegalArgumentException(
+            s"malformed internal title-filter prop '$v' (unknown kind '$other')")
         }
     }.toSeq
 
   /** Map `excludePagesWith` to a title-prefix test when (and only when)
-    * that is provably equivalent: pattern is literally `<title>PREFIX`
-    * with PREFIX free of regex metacharacters AND of XML-escapable
-    * characters. The raw header contains `<title>ESCAPED</title>`; for
-    * an escape-free prefix, `escaped.startsWith(prefix)` ≡
+    * that is provably equivalent FOR STANDARD-ESCAPED DUMPS: pattern is
+    * literally `<title>PREFIX` with PREFIX free of regex metacharacters
+    * AND of XML-escapable characters. The raw header contains
+    * `<title>ESCAPED</title>`; for an escape-free prefix under the
+    * standard escaper, `escaped.startsWith(prefix)` ≡
     * `unescaped.startsWith(prefix)` (escaping only rewrites characters
     * the prefix cannot contain), and `<` occurs nowhere else unescaped,
     * so a find-anywhere match of `<title>PREFIX` ≡ the title prefix
-    * test the index can answer. Anything else → None (no
+    * test the index can answer. A NON-standard escaper (numeric
+    * character references in the title) breaks the equivalence — which
+    * is why callers additionally gate this on `multistreamSkipExcluded`
+    * (see the object Scaladoc). Anything else → None (no
     * exclusion-based skipping; the reader still applies the regex). */
   private[sources] def excludeAsTitlePrefix(pattern: String): Option[String] = {
     if (!pattern.startsWith("<title>")) return None
@@ -94,17 +145,120 @@ object MultistreamIndex {
     if (prefix.isEmpty || prefix.exists(unsafe.contains(_))) None else Some(prefix)
   }
 
+  /** Decompressed dump head up to (and including) `</siteinfo>`, or
+    * None if the marker doesn't appear within the cap — a truncated
+    * namespaces block must NOT drive ns classification (a missing
+    * entry would misclassify its pages as main-ns and could skip a
+    * live stream). */
+  private def readSiteinfoHead(fs: FileSystem, codecs: CompressionCodecFactory,
+      dump: Path): Option[String] = {
+    try {
+      val raw = fs.open(dump)
+      val in = Option(codecs.getCodec(dump))
+        .map(c => c.createInputStream(raw): java.io.InputStream).getOrElse(raw)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var len = 0
+        var found = false
+        var eof = false
+        while (!found && !eof && len < buf.length) {
+          val n = in.read(buf, len, buf.length - len)
+          if (n < 0) eof = true
+          else {
+            len += n
+            if (new String(buf, 0, len, "UTF-8").contains("</siteinfo>")) found = true
+          }
+        }
+        if (found) Some(new String(buf, 0, len, "UTF-8")) else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Memoized plan results (ADVICE r12: plan() used to re-read the
+    * whole index on EVERY action — seconds of driver I/O per action at
+    * enwiki scale). Keyed by the full file state of dump AND index
+    * (path, modTime, length) plus every prop the plan depends on, so a
+    * rewritten file or a different filter set misses. Negative results
+    * (index invalid → size-based planning) are memoized too: a
+    * transient I/O failure then sticks to size planning until the file
+    * state changes — slower, never wrong. */
+  private final case class PlanKey(dump: String, dumpMod: Long, dumpLen: Long,
+      idx: String, idxMod: Long, idxLen: Long, maxBytes: Long, filters: String)
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[PlanKey, Option[Seq[MediaWikiInputPartition]]]()
+
+  private def relevantProps(props: Map[String, String]): String =
+    props.iterator.filter { case (k, _) =>
+      k.startsWith("__") || k == "excludePagesWith" || k == "multistreamSkipExcluded"
+    }.toSeq.sorted.mkString(" ")
+
   /** Plan partitions for `dump` from its index, or None if the index is
-    * absent, disabled, or fails validation. */
+    * absent, disabled, or fails validation (size-based planning takes
+    * over). See the object Scaladoc for the skip-decision trust ladder
+    * and the loud-failure contract for malformed props. */
   def plan(fs: FileSystem, codecs: CompressionCodecFactory, dump: Path,
       fileLen: Long, maxBytes: Long,
       props: Map[String, String]): Option[Seq[MediaWikiInputPartition]] = {
     val idx = locate(fs, dump, props).getOrElse(return None)
+    // user options parse BEFORE the index read: a malformed value fails
+    // fast and loudly (the documented fallback is for INDEX validation)
+    val effMax = math.max(props.get("multistreamTargetBytes").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"multistreamTargetBytes must be a long, got '$v'")
+      }
+    }.getOrElse(maxBytes), 1L)
+    val key = try {
+      val ds = fs.getFileStatus(dump)
+      val is = fs.getFileStatus(idx)
+      PlanKey(dump.toString, ds.getModificationTime, ds.getLen,
+        idx.toString, is.getModificationTime, is.getLen, effMax,
+        relevantProps(props))
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (key != null) {
+      val hit = memo.get(key)
+      if (hit != null) return hit
+    }
+    val result = computePlan(fs, codecs, dump, idx, fileLen, effMax, props)
+    if (key != null) {
+      if (memo.size > 64) memo.clear()
+      memo.put(key, result)
+    }
+    result
+  }
+
+  private def computePlan(fs: FileSystem, codecs: CompressionCodecFactory,
+      dump: Path, idx: Path, fileLen: Long, effMax: Long,
+      props: Map[String, String]): Option[Seq[MediaWikiInputPartition]] = {
     val preds = titlePreds(props)
     val idPred = PageIdFilter.fromProps(props)
-    val excludePrefix = props.get("excludePagesWith").filter(_.nonEmpty)
-      .flatMap(excludeAsTitlePrefix)
-    val canFilter = preds.nonEmpty || idPred.isDefined || excludePrefix.isDefined
+    val nsPred = PageIdFilter.nsFromProps(props)
+    // ns classification from the indexed title's namespace prefix —
+    // names from the header stream's siteinfo; None (no ns skipping)
+    // when the complete head is unavailable. See the trust ladder.
+    val nsTest: Option[String => Boolean] = nsPred.flatMap { p =>
+      readSiteinfoHead(fs, codecs, dump).map { head =>
+        val byName = XmlFields.siteinfoNamespacesFromHead(head).collect {
+          case (k, v) if v.nonEmpty =>
+            v.toLowerCase(java.util.Locale.ROOT) -> k
+        }
+        (t: String) => {
+          val c = t.indexOf(':')
+          val ns = if (c <= 0) 0
+            else byName.getOrElse(
+              t.substring(0, c).toLowerCase(java.util.Locale.ROOT), 0)
+          p(ns)
+        }
+      }
+    }
+    val skipExcluded =
+      props.get("multistreamSkipExcluded").exists(_.equalsIgnoreCase("true"))
+    val excludePrefix =
+      if (!skipExcluded) None
+      else props.get("excludePagesWith").filter(_.nonEmpty)
+        .flatMap(excludeAsTitlePrefix)
+    val canFilter = preds.nonEmpty || idPred.isDefined || nsTest.isDefined ||
+      excludePrefix.isDefined
     // one pass: distinct offsets in file order + per-stream liveness
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
     val live = scala.collection.mutable.ArrayBuffer[Boolean]()
@@ -132,6 +286,7 @@ object MultistreamIndex {
             if (canFilter && !live(live.length - 1)) {
               val passes = preds.forall(_(title)) &&
                 idPred.forall(_(pageId)) &&
+                nsTest.forall(_(title)) &&
                 !excludePrefix.exists(title.startsWith)
               if (passes) live(live.length - 1) = true
             }
@@ -153,15 +308,13 @@ object MultistreamIndex {
         }
       } finally probe.close()
     } catch { case scala.util.control.NonFatal(_) => return None }
-    // group CONSECUTIVE live streams into ~maxBytes partitions (the
+    // group CONSECUTIVE live streams into ~effMax partitions (the
     // `multistreamTargetBytes` option overrides the size-based budget —
     // stream-aligned granularity without touching the session conf); a
     // dead stream (or the size budget) closes the open group. The header
     // stream [0, first offset) holds siteinfo and no pages — merged
     // into the first partition when stream 1 is live, skippable with it
     // otherwise (dropping it never drops pages, by the contract).
-    val effMax = math.max(
-      props.get("multistreamTargetBytes").map(_.toLong).getOrElse(maxBytes), 1L)
     val bounds = offsets.toIndexedSeq :+ fileLen
     val parts = scala.collection.mutable.ArrayBuffer[MediaWikiInputPartition]()
     var groupStart = -1L

@@ -4,12 +4,22 @@ package graft.sources
   * `__pageIdFilter*` props MediaWikiScanBuilder emits) — used by the
   * partition reader (skip a page before parsing any revision) and by
   * [[MultistreamIndex]] (skip whole streams before decompression).
-  * Conjunction semantics, exactly like the title predicates. */
+  * Conjunction semantics, exactly like the title predicates.
+  *
+  * A malformed prop is a planner/reader contract bug and fails loudly
+  * with the offending value (ADVICE r12) — falling back silently would
+  * only mask the bug, since reader and planner parse the same props. */
 private[sources] object PageIdFilter {
+  private def split(v: String, what: String): (String, String) = {
+    val sep = v.indexOf(':')
+    require(sep > 0, s"malformed internal $what prop '$v' (want kind:arg)")
+    (v.substring(0, sep), v.substring(sep + 1))
+  }
+
   def fromProps(props: Map[String, String]): Option[Long => Boolean] = {
     val preds = props.collect {
       case (k, v) if k.startsWith("__pageIdFilter") =>
-        val Array(kind, arg) = v.split(":", 2)
+        val (kind, arg) = split(v, "page-id filter")
         kind match {
           case "eq" => val x = arg.toLong; (p: Long) => p == x
           case "in" =>
@@ -19,6 +29,8 @@ private[sources] object PageIdFilter {
           case "ge" => val x = arg.toLong; (p: Long) => p >= x
           case "lt" => val x = arg.toLong; (p: Long) => p < x
           case "le" => val x = arg.toLong; (p: Long) => p <= x
+          case other => throw new IllegalArgumentException(
+            s"malformed internal page-id filter prop '$v' (unknown kind '$other')")
         }
     }.toSeq
     if (preds.isEmpty) None else Some(p => preds.forall(f => f(p)))
@@ -31,12 +43,14 @@ private[sources] object PageIdFilter {
   def nsFromProps(props: Map[String, String]): Option[Int => Boolean] = {
     val preds = props.collect {
       case (k, v) if k.startsWith("__nsFilter") =>
-        val Array(kind, arg) = v.split(":", 2)
+        val (kind, arg) = split(v, "ns filter")
         kind match {
           case "eq" => val x = arg.toInt; (n: Int) => n == x
           case "in" =>
             val s = arg.split(",").filter(_.nonEmpty).map(_.toInt).toSet
             (n: Int) => s(n)
+          case other => throw new IllegalArgumentException(
+            s"malformed internal ns filter prop '$v' (unknown kind '$other')")
         }
     }.toSeq
     if (preds.isEmpty) None else Some(n => preds.forall(f => f(n)))

@@ -212,6 +212,24 @@ final class StreamScanner(src: PosByteSource) {
   * the reference's consumer `python/revision_differ.py:131-160`). */
 object XmlFields {
 
+  /** Parse `<namespace key="K" ...>Name</namespace>` entries from a
+    * dump head (everything up to `</siteinfo>`): key → unescaped name
+    * (the main namespace key 0 is the self-closing empty-name form).
+    * Shared by [[graft.MediaWiki.siteinfoNamespaces]] and
+    * [[MultistreamIndex]]'s ns skip-planner so the two can never
+    * disagree on what a namespace prefix means. */
+  def siteinfoNamespacesFromHead(head: String): Map[Int, String] = {
+    val m = java.util.regex.Pattern
+      .compile("<namespace key=\"(-?\\d+)\"[^>]*(?:/>|>([^<]*)</namespace>)")
+      .matcher(head)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    while (m.find()) {
+      out(m.group(1).toInt) =
+        Option(m.group(2)).map(unescape).getOrElse("")
+    }
+    out.toMap
+  }
+
   /** Decode the five named XML entities plus numeric character refs. */
   def unescape(s: String): String = {
     if (s.indexOf('&') < 0) return s

@@ -384,15 +384,15 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
-  test("multistream index: excludePagesWith <title>prefix skips all-excluded streams") {
+  test("multistream index: excludePagesWith <title>prefix skips all-excluded streams (opt-in)") {
     val dir = Files.createTempDirectory("mwmsexcl").toFile
     val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 40,
       fillerLen = 4000, pagesPerStream = 5)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
     try {
       // "<title>Page 1" excludes pages 1 and 10-19: stream 11-15 is
-      // ALL-excluded → skipped; every other stream keeps a survivor
-      // (incl. 16-20 via Page 20)
+      // ALL-excluded → skipped UNDER THE OPT-IN; every other stream
+      // keeps a survivor (incl. 16-20 via Page 20)
       def read(opts: Map[String, String]) = {
         var r = spark.read.format("mediawiki").option("minSplitBytes", "2000")
           .option("excludePagesWith", "<title>Page 1")
@@ -401,15 +401,172 @@ class MediaWikiSourceSpec extends AnyFunSuite {
           .collect().map(x => (x.getLong(0), x.getLong(1))).toList.sorted
       }
       val indexed = spark.read.format("mediawiki").option("minSplitBytes", "2000")
-        .option("excludePagesWith", "<title>Page 1").load(f.getAbsolutePath)
+        .option("excludePagesWith", "<title>Page 1")
+        .option("multistreamSkipExcluded", "true").load(f.getAbsolutePath)
       assert(indexed.rdd.getNumPartitions == 7,
         s"the all-excluded stream must be skipped, got ${indexed.rdd.getNumPartitions}")
-      val got = read(Map.empty)
+      // DEFAULT (no opt-in): exclusions never skip streams — the
+      // raw-regex / decoded-index equivalence needs the standard-escaper
+      // contract (ADVICE r12) — but the reader still applies the regex,
+      // so the result set is identical
+      val conservative = spark.read.format("mediawiki").option("minSplitBytes", "2000")
+        .option("excludePagesWith", "<title>Page 1").load(f.getAbsolutePath)
+      assert(conservative.rdd.getNumPartitions == 8,
+        s"default must NOT skip on exclusions, got ${conservative.rdd.getNumPartitions}")
+      val got = read(Map("multistreamSkipExcluded" -> "true"))
       assert(got == read(Map("multistreamIndex" -> "off")),
         "exclusion skip-planning diverged from the reader-only path")
+      assert(got == read(Map.empty),
+        "default (no skip) diverged from the reader-only path")
       assert(!got.exists { case (pid, _) => pid == 1L || (pid >= 10L && pid <= 19L) })
       assert(got.map(_._1).distinct.length == 29)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+  }
+
+  test("multistream index: char-ref titles — default exclusion planning stays reader-exact") {
+    // Legal XML the standard escaper never emits: '<title>&#80;age 3'
+    // decodes to 'Page 3'. The reader's exclude regex runs on the RAW
+    // header (no match → page kept); the index's decoded title IS
+    // prefix-excluded. The DEFAULT must therefore not skip on
+    // exclusions (ADVICE r12); the opt-in documents the contract
+    // boundary by diverging exactly here.
+    val nPages = 12
+    val xml = genDump(nPages, fillerLen = 1500)
+      .replace("<title>Page 3</title>", "<title>&#80;age 3</title>")
+    val dir = Files.createTempDirectory("mwmscref").toFile
+    val f = new File(dir, "cref-multistream.xml.bz2")
+    val idx = new File(dir, "cref-multistream-index.txt")
+    graft.sources.MultistreamWriter.writeGrouped(xml, f, idx, 1,
+      pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
+    def pids(opts: Map[String, String]): List[Long] = {
+      var r = spark.read.format("mediawiki")
+        .option("multistreamTargetBytes", "1")
+        .option("excludePagesWith", "<title>Page 3")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(f.getAbsolutePath).select($"page_id").as[Long]
+        .collect().toList.distinct.sorted
+    }
+    val indexless = pids(Map("multistreamIndex" -> "off", "minSplitBytes" -> "100000"))
+    assert(indexless.contains(3L),
+      "raw-regex exclude must keep the char-ref page (no raw match)")
+    assert(pids(Map.empty) == indexless,
+      "default index planning must equal the reader-only read on char-ref titles")
+    // the opt-in asserts the standard-escaper contract this dump breaks:
+    // the decoded-title prefix test drops the stream the reader would keep
+    assert(pids(Map("multistreamSkipExcluded" -> "true")) ==
+      indexless.filterNot(_ == 3L),
+      "opt-in skip must follow the decoded index titles (the documented contract)")
+  }
+
+  /** Mixed-namespace multistream construction: `nMain` main pages
+    * (`Page i`, `<ns>0</ns>`), `nTalk` talk pages (`Talk:Page i`,
+    * `<ns>1</ns>`), one `Category:NoNs` page with the `<ns>` element
+    * ABSENT. One bz2 stream per page + index sibling. */
+  def writeNsMultistream(dir: File, nMain: Int, nTalk: Int): (File, Seq[String]) = {
+    val sb = new StringBuilder
+    sb.append("<mediawiki>\n  <siteinfo>\n    <namespaces>\n")
+    sb.append("      <namespace key=\"0\" />\n")
+    sb.append("      <namespace key=\"1\">Talk</namespace>\n")
+    sb.append("      <namespace key=\"14\">Category</namespace>\n")
+    sb.append("    </namespaces>\n  </siteinfo>\n")
+    val titles = scala.collection.mutable.ArrayBuffer[String]()
+    var id = 0
+    def page(title: String, ns: Option[Int]): Unit = {
+      id += 1
+      titles += title
+      sb.append(s"  <page>\n    <title>$title</title>\n")
+      ns.foreach(n => sb.append(s"    <ns>$n</ns>\n"))
+      sb.append(s"    <id>$id</id>\n")
+      sb.append(s"    <revision>\n      <id>${1000 + id}</id>\n")
+      sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+      sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+      sb.append(s"      <text xml:space=\"preserve\">text of $title</text>\n")
+      sb.append("    </revision>\n  </page>\n")
+    }
+    (1 to nMain).foreach(i => page(s"Page $i", Some(0)))
+    (1 to nTalk).foreach(i => page(s"Talk:Page $i", Some(1)))
+    page("Category:NoNs", None)
+    sb.append("</mediawiki>\n")
+    val xml = sb.toString
+    val f = new File(dir, "ns-multistream.xml.bz2")
+    val idx = new File(dir, "ns-multistream-index.txt")
+    val ts = titles.toVector
+    graft.sources.MultistreamWriter.writeGrouped(xml, f, idx, 1,
+      pageIdOf = i => i + 1L, titleOf = i => ts(i))
+    (f, ts)
+  }
+
+  test("multistream index: pushed ns filter skips non-main streams before decompression") {
+    val dir = Files.createTempDirectory("mwmsns").toFile
+    val (f, _) = writeNsMultistream(dir, nMain = 4, nTalk = 3)
+    def read(flt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        off: Boolean): (Int, List[Long]) = {
+      var r = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+      if (off) r = r.option("multistreamIndex", "off").option("minSplitBytes", "100000")
+      val df = flt(r.load(f.getAbsolutePath))
+      (df.rdd.getNumPartitions,
+        df.select($"page_id").as[Long].collect().toList.sorted)
+    }
+    // articles-only: Talk and Category streams are never decompressed
+    val (pMain, mainIds) = read(_.where($"ns" === 0), off = false)
+    assert(pMain == 4, s"ns=0 must leave the 4 main streams, got $pMain")
+    assert(mainIds == read(_.where($"ns" === 0), off = true)._2 &&
+      mainIds == List(1L, 2L, 3L, 4L))
+    // IN over two namespaces
+    val (pIn, inIds) = read(_.where($"ns".isin(0, 1)), off = false)
+    assert(pIn == 7, s"ns IN (0,1) must leave 7 streams, got $pIn")
+    assert(inIds == read(_.where($"ns".isin(0, 1)), off = true)._2)
+    // the absent-<ns> Category page: the planner classifies it ns 14 by
+    // title and keeps its stream for ns=14, but the reader drops it
+    // (NULL matches nothing) — exactly the indexless semantics
+    val (pCat, catIds) = read(_.where($"ns" === 14), off = false)
+    assert(pCat == 1, s"ns=14 must keep the one Category-titled stream, got $pCat")
+    assert(catIds.isEmpty && catIds == read(_.where($"ns" === 14), off = true)._2)
+  }
+
+  test("directory read skips the -index.txt sibling of a present dump") {
+    val dir = Files.createTempDirectory("mwmsdir").toFile
+    val (f, _, _) = writeMultistreamWithIndex(dir, nPages = 10,
+      fillerLen = 1000, pagesPerStream = 5)
+    val viaDir = spark.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1").load(dir.getAbsolutePath)
+    val viaFile = spark.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1").load(f.getAbsolutePath)
+    // the index sibling must contribute ZERO partitions (it used to be
+    // planned and decompressed as a dump, ADVICE r12)
+    assert(viaDir.rdd.getNumPartitions == viaFile.rdd.getNumPartitions,
+      s"index sibling planned as a dump: ${viaDir.rdd.getNumPartitions} vs ${viaFile.rdd.getNumPartitions}")
+    assert(viaDir.count() == viaFile.count())
+    // …but an index WITHOUT its dump sibling is still read as a file
+    // (no guessing about intent)
+    val lonely = Files.createTempDirectory("mwmslonely").toFile
+    val li = new File(lonely, "orphan-index.txt")
+    Files.write(li.toPath, "<mediawiki></mediawiki>\n".getBytes("UTF-8"))
+    assert(spark.read.format("mediawiki").load(lonely.getAbsolutePath).count() == 0)
+  }
+
+  test("multistream index: plan() is memoized per file state and filter props") {
+    val dir = Files.createTempDirectory("mwmsmemo").toFile
+    val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 10,
+      fillerLen = 1000, pagesPerStream = 5)
+    val conf = new Configuration()
+    val fs = new Path(f.getAbsolutePath).getFileSystem(conf)
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    def plan(props: Map[String, String]) = graft.sources.MultistreamIndex.plan(
+      fs, codecs, new Path(f.getAbsolutePath), f.length(), 1L, props)
+    val a = plan(Map.empty)
+    val b = plan(Map.empty)
+    assert(a.nonEmpty && (a eq b),
+      "identical (file state, props) must return the memoized instance")
+    // different filter props must not share a memo entry
+    val filtered = plan(Map("__pageIdFilter0" -> "eq:7"))
+    assert(filtered.nonEmpty && filtered.get.length < a.get.length)
+    // rewriting the index invalidates (length changes)
+    val lines = scala.io.Source.fromFile(idx).getLines().toList
+    val pw = new java.io.PrintWriter(idx, "UTF-8")
+    try lines.take(5).foreach(pw.println) finally pw.close()
+    val c = plan(Map.empty)
+    assert(!(a eq c), "rewritten index must miss the memo")
   }
 
   test("multistream index randomized cross-check: random stream cuts × filters") {

@@ -230,4 +230,63 @@ class MediaWikiStreamSpec extends AnyFunSuite {
     assert(counts.count(_ > 0) == 2, s"expected 2 non-empty batches, got $counts")
     assert(counts.filter(_ > 0) == Seq(4L, 4L)) // 2 pages × 2 revs per file
   }
+
+  test("micro-batch planning over multistream+index: per-stream partitions, sibling skipped") {
+    // the STREAMING planner (planInputPartitions of the micro-batch
+    // stream itself, not the batch scan) must engage index-assisted
+    // planning — one partition per page stream under
+    // multistreamTargetBytes=1 — and must not have logged the
+    // '-index.txt' siblings as dumps (ADVICE r12)
+    import graft.sources.{MediaWikiInputPartition, MediaWikiMicroBatchStream, MediaWikiTable}
+    val dir = Files.createTempDirectory("mw-stream-ms").toFile
+    val nPages = 6
+    val xml = {
+      val sb = new StringBuilder("<mediawiki>\n  <siteinfo>\n  </siteinfo>\n")
+      for (p <- 1 to nPages) {
+        sb.append(s"  <page>\n    <title>Page $p</title>\n    <ns>0</ns>\n    <id>$p</id>\n")
+        sb.append(s"    <revision>\n      <id>${p * 10}</id>\n")
+        sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+        sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+        sb.append(s"      <text xml:space=\"preserve\">t $p</text>\n    </revision>\n  </page>\n")
+      }
+      sb.append("</mediawiki>\n").toString
+    }
+    for (part <- Seq("a", "b")) {
+      graft.sources.MultistreamWriter.writeGrouped(xml,
+        new java.io.File(dir, s"$part.xml.bz2"),
+        new java.io.File(dir, s"$part-index.txt"),
+        pagesPerStream = 1, pageIdOf = i => i + 1L,
+        titleOf = i => s"Page ${i + 1}")
+    }
+    spark.sparkContext // force session init: the stream ctor reads SparkSession.active
+    val ckpt = Files.createTempDirectory("mw-ckpt-ms").toString
+    val mbs = new MediaWikiMicroBatchStream(
+      MediaWikiTable.schemaFor(prevEnabled = true, raw = false),
+      Map("path" -> dir.getAbsolutePath, "multistreamTargetBytes" -> "1"),
+      ckpt)
+    mbs.prepareForTriggerAvailableNow()
+    val parts = mbs.planInputPartitions(mbs.initialOffset(), mbs.reportLatestOffset())
+      .map(_.asInstanceOf[MediaWikiInputPartition])
+    val byFile = parts.groupBy(_.path)
+    assert(byFile.keySet.forall(_.endsWith(".xml.bz2")),
+      s"index sibling logged as a dump: ${byFile.keySet}")
+    assert(byFile.size == 2 && byFile.values.forall(_.length == nPages),
+      s"expected $nPages per-stream partitions per archive, got ${byFile.view.mapValues(_.length).toMap}")
+    // and the stream's OUTPUT equals the batch read of the same dir
+    val streamed = {
+      val out = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.format("mediawiki")
+        .option("multistreamTargetBytes", "1").load(dir.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", Files.createTempDirectory("mw-ckpt-ms2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      out.get()
+    }
+    assert(streamed == 2L * nPages,
+      s"streamed $streamed rows, want ${2 * nPages} (index siblings must add none)")
+  }
 }
