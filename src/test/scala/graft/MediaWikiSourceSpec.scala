@@ -572,9 +572,24 @@ class MediaWikiSourceSpec extends AnyFunSuite {
   test("multistream index randomized cross-check: random stream cuts × filters") {
     // random page-aligned stream groupings × several filter shapes must
     // always equal the indexless read — pins skip-planning and boundary
-    // ownership beyond the fixed constructions above
+    // ownership beyond the fixed constructions above. A third of the
+    // pages carry <ns>1</ns> + a Talk: title (declared in siteinfo) so
+    // the ns-filter shapes exercise the ns skip-planner too.
     val nPages = 30
-    val xml = genDump(nPages, fillerLen = 2000)
+    val xml = {
+      val base = genDump(nPages, fillerLen = 2000)
+      val talked = (1 to nPages).filter(_ % 3 == 0).foldLeft(base) { (x, p) =>
+        x.replace(s"<title>Page $p</title>\n    <ns>0</ns>",
+          s"<title>Talk:Page $p</title>\n    <ns>1</ns>")
+      }
+      talked.replaceFirst("<mediawiki>",
+        "<mediawiki>\n  <siteinfo>\n    <namespaces>\n" +
+          "      <namespace key=\"0\" />\n" +
+          "      <namespace key=\"1\">Talk</namespace>\n" +
+          "    </namespaces>\n  </siteinfo>")
+    }
+    def titleOf(i: Int): String =
+      if ((i + 1) % 3 == 0) s"Talk:Page ${i + 1}" else s"Page ${i + 1}"
     val starts = graft.sources.MultistreamWriter.pageStarts(xml)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
     for (seed <- Seq(11, 23, 47)) {
@@ -585,8 +600,8 @@ class MediaWikiSourceSpec extends AnyFunSuite {
       val f = new File(dir, "fuzz-multistream.xml.bz2")
       val idx = new File(dir, "fuzz-multistream-index.txt")
       graft.sources.MultistreamWriter.write(xml, f, idx, groupHeads,
-        pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
-      val eqTitle = s"Page ${1 + rnd.nextInt(nPages)}"
+        pageIdOf = i => i + 1L, titleOf = titleOf)
+      val eqTitle = titleOf(rnd.nextInt(nPages))
       val eqId = (1 + rnd.nextInt(nPages)).toLong
       val loId = (1 + rnd.nextInt(nPages)).toLong
       val filters: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
@@ -595,7 +610,10 @@ class MediaWikiSourceSpec extends AnyFunSuite {
         df => df.where($"title".contains("Page 1")),
         df => df.where($"title".startsWith("Page 2")),
         df => df.where($"page_id" === eqId),
-        df => df.where($"page_id" >= loId && $"page_id" < loId + 4L))
+        df => df.where($"page_id" >= loId && $"page_id" < loId + 4L),
+        df => df.where($"ns" === 0),
+        df => df.where($"ns" === 1),
+        df => df.where($"ns".isin(0, 1)))
       for ((flt, fi) <- filters.zipWithIndex) {
         def fp(off: Boolean): List[(Long, Long, Any)] = {
           var r = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
