@@ -64,5 +64,6 @@ object SparkEntry {
     "q181_session_stream_real", "q182_entry_diffdb_gz",
     "q183_entry_multistream", "q184_entry_ms_excluded",
     "q185_decontam_stream_real", "q186_entry_ms_page_lookup",
-    "q187_entry_ms_stream", "q188_entry_ms_articles")
+    "q187_entry_ms_stream", "q188_entry_ms_articles",
+    "q189_entry_ms_stream_articles")
 }

@@ -424,6 +424,70 @@ object EntryOracle {
     flatten(s.read.parquet(out.toString))
   }
 
+  // ---------------------------------------------------------------- q189
+  /** Articles-only STREAMING read of the multistream layout — the
+    * combination Catalyst cannot serve: V2 filter pushdown only covers
+    * batch relations (a `.where` above `readStream` is evaluated
+    * post-scan, every stream decompressed — measured), so the `nsIn`
+    * source option carries the predicate instead, with exactly the
+    * pushed-form semantics: the reader drops non-matching pages before
+    * parsing AND the index planner skips non-main streams before
+    * decompression, inside each micro-batch. q187's two-archive
+    * construction; per-archive planning asserted through the same
+    * option-translation + partitionsForFile path the micro-batch
+    * planner uses; VALUES = q188's (q153 restricted to main ns). */
+  def q189EntryMsStreamArticles(s: SparkSession, dir: String): DataFrame = {
+    import OracleTmp.fresh
+    val dumpDir = fresh("graft_q189_dump")
+    val partsOf = Seq(pages.take(NumPlants / 2), pages.drop(NumPlants / 2))
+    partsOf.zipWithIndex.foreach { case (ps, i) =>
+      graft.sources.MultistreamWriter.writeGrouped(
+        renderDump(ps),
+        dumpDir.resolve(s"part$i.xml.bz2").toFile,
+        dumpDir.resolve(s"part$i-index.txt").toFile,
+        pagesPerStream = 1,
+        pageIdOf = j => ps(j).pageId, titleOf = j => ps(j).title)
+    }
+    val conf = s.sessionState.newHadoopConf()
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val streamProps = Map("multistreamTargetBytes" -> "1", "nsIn" -> "0")
+    val planProps = streamProps ++
+      graft.sources.MediaWikiTable.optionFilterProps(streamProps)
+    partsOf.zipWithIndex.foreach { case (ps, i) =>
+      val p = new org.apache.hadoop.fs.Path(
+        dumpDir.resolve(s"part$i.xml.bz2").toString)
+      val planned = graft.sources.MediaWikiScan.partitionsForFile(
+        p.getFileSystem(conf), codecs, p, 128L * 1024 * 1024, planProps)
+      val nMain = ps.count(pg => (pg.pageId - 100L) % 3 == 0)
+      require(planned.length == nMain,
+        s"part$i: ns skip must leave the $nMain main-ns streams, got ${planned.length}")
+    }
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(graft.MediaWiki.siteinfoNamespaces(
+        s, dumpDir.resolve("part0.xml.bz2").toString))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val ns = if (fromDump.nonEmpty) fromDump
+             else Map("talk" -> 1, "user" -> 2, "category" -> 14)
+    val ckpt = fresh("graft_q189_ckpt")
+    val out = fresh("graft_q189_out")
+    val stream = graft.functions.GraftFunctions.diffdb(
+      s.readStream.format("mediawiki")
+        .option("maxFilesPerTrigger", "1")
+        .option("multistreamTargetBytes", "1")
+        .option("nsIn", "0")
+        .load(dumpDir.toString), nsByName = ns)
+    val q = stream.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q189: streaming query did not terminate within 300 s")
+    flatten(s.read.parquet(out.toString))
+  }
+
   // ---------------------------------------------------------------- q182
   /** The same flagship oracle through a NON-SPLITTABLE codec (gzip):
     * planning must fall back to ONE whole-file partition (asserted in
@@ -859,4 +923,8 @@ object EntryOracle {
   /** q188 = q153 restricted to the main-namespace pages (id % 3 == 0),
     * enforced by the ns skip-planner + the reader's pushed ns filter. */
   val q188Sql: String = sqlFor(id => id % 3 == 0)
+
+  /** q189 = q188's restriction through the STREAMING source via the
+    * `nsIn` option (streaming has no Catalyst filter pushdown). */
+  val q189Sql: String = sqlFor(id => id % 3 == 0)
 }

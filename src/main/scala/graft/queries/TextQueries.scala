@@ -3927,6 +3927,7 @@ object TextQueries {
     "q186_entry_ms_page_lookup" -> EntryOracle.q186EntryMsPageLookup _,
     "q187_entry_ms_stream" -> EntryOracle.q187EntryMsStream _,
     "q188_entry_ms_articles" -> EntryOracle.q188EntryMsArticlesOnly _,
+    "q189_entry_ms_stream_articles" -> EntryOracle.q189EntryMsStreamArticles _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4049,6 +4050,7 @@ object TextQueries {
     "q186_entry_ms_page_lookup" -> EntryOracle.q186Sql,
     "q187_entry_ms_stream" -> EntryOracle.q187Sql,
     "q188_entry_ms_articles" -> EntryOracle.q188Sql,
+    "q189_entry_ms_stream_articles" -> EntryOracle.q189Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

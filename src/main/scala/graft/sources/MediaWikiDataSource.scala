@@ -38,6 +38,15 @@ import graft.{Revision, RevisionPair}
   *    `org.wikimedia.wikihadoop.excludePagesWith`, `:124`).
   *  - `raw` (default false): add a `raw_xml` column reproducing the
   *    reference's page-like record element byte format (`:412-420`).
+  *  - `nsIn` / `pageIdIn` (comma lists): explicit source-level filters
+  *    with exactly the pushed-predicate semantics (pages skipped before
+  *    parsing; multistream index streams skipped before decompression).
+  *    Catalyst pushes `.where` predicates down on BATCH reads only — on
+  *    `readStream` a filter is evaluated post-scan — so these options
+  *    are the streaming route to filtered sources.
+  *  - multistream layout options (`multistreamIndex`,
+  *    `multistreamTargetBytes`, `multistreamSkipExcluded`): see
+  *    [[MultistreamIndex]].
   *
   * Scale design: no driver-side data pre-scan (the reference's
   * `getSplits` decompresses whole files on the driver, `:183-272`, and
@@ -96,6 +105,33 @@ object MediaWikiTable {
     StructType(fields)
   }
 
+  /** Translate the EXPLICIT filter options (`nsIn`, `pageIdIn`) into
+    * the same internal props Catalyst pushdown emits, so the reader
+    * skips pages and the multistream index planner skips streams for
+    * BOTH routes. Catalyst's V2 filter pushdown only serves BATCH
+    * relations — a `.where` above `readStream` is evaluated post-scan
+    * (measured: every stream decompressed, every row emitted) — so
+    * these options are the streaming route to source-level filtering;
+    * on batch reads they simply conjoin with any pushed predicates.
+    * Same NULL semantics as the pushed forms: a page with an absent
+    * `<ns>` matches no `nsIn`. Malformed values fail loudly. */
+  def optionFilterProps(props: Map[String, String]): Map[String, String] = {
+    def parse(key: String, toNum: String => Unit): Option[String] =
+      props.get(key).map(_.trim).filter(_.nonEmpty).map { v =>
+        val items = v.split(",").map(_.trim).filter(_.nonEmpty)
+        require(items.nonEmpty, s"$key must list at least one value, got '$v'")
+        items.foreach { x =>
+          try toNum(x) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$key must be a comma-separated number list, got '$v'")
+          }
+        }
+        "in:" + items.mkString(",")
+      }
+    parse("nsIn", _.toInt).map("__nsFilterOpt" -> _).toMap ++
+      parse("pageIdIn", _.toLong).map("__pageIdFilterOpt" -> _).toMap
+  }
+
   /** Resolve input paths from DSv2 properties ("path" or "paths" JSON
     * array — parsed with Jackson so commas/quotes in paths survive). */
   def resolvePaths(props: Map[String, String]): Seq[String] = {
@@ -114,8 +150,11 @@ class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MediaWikiScanBuilder(tableSchema, props ++ options.asScala)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala
+    new MediaWikiScanBuilder(tableSchema,
+      merged ++ MediaWikiTable.optionFilterProps(merged))
+  }
 }
 
 class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])

@@ -289,4 +289,77 @@ class MediaWikiStreamSpec extends AnyFunSuite {
     assert(streamed == 2L * nPages,
       s"streamed $streamed rows, want ${2 * nPages} (index siblings must add none)")
   }
+
+  test("nsIn/pageIdIn options filter at the STREAMING source (reader-level, not post-scan)") {
+    // Catalyst's V2 filter pushdown serves batch relations only: a
+    // .where above readStream is applied post-scan (measured while
+    // building this test: every row emitted by the source). The
+    // explicit options must instead reach the READER inside the
+    // micro-batch — observable as the source's own numInputRows, which
+    // counts rows the source EMITS, not rows surviving a downstream
+    // filter.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-optfilter").toFile
+    val xml = {
+      val sb = new StringBuilder("<mediawiki>\n  <siteinfo>\n    <namespaces>\n")
+      sb.append("      <namespace key=\"0\" />\n")
+      sb.append("      <namespace key=\"1\">Talk</namespace>\n")
+      sb.append("    </namespaces>\n  </siteinfo>\n")
+      for (p <- 1 to 6) {
+        val (title, ns) = if (p > 4) (s"Talk:Page $p", 1) else (s"Page $p", 0)
+        sb.append(s"  <page>\n    <title>$title</title>\n    <ns>$ns</ns>\n    <id>$p</id>\n")
+        sb.append(s"    <revision>\n      <id>${p * 10}</id>\n")
+        sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+        sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+        sb.append(s"      <text xml:space=\"preserve\">t $p</text>\n    </revision>\n  </page>\n")
+      }
+      sb.append("</mediawiki>\n").toString
+    }
+    graft.sources.MultistreamWriter.writeGrouped(xml,
+      new java.io.File(dir, "d.xml.bz2"), new java.io.File(dir, "d-index.txt"),
+      pagesPerStream = 1, pageIdOf = i => i + 1L,
+      titleOf = i => if (i >= 4) s"Talk:Page ${i + 1}" else s"Page ${i + 1}")
+    def run(opts: Map[String, String]): (Long, Long, List[Long]) = {
+      val got = scala.collection.mutable.ListBuffer[Long]()
+      var rdr = spark.readStream.format("mediawiki")
+        .option("multistreamTargetBytes", "1")
+      opts.foreach { case (k, v) => rdr = rdr.option(k, v) }
+      val q = rdr.load(dir.getAbsolutePath)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select($"page_id").as[Long].collect(): Unit
+        }
+        .option("checkpointLocation", Files.createTempDirectory("mw-optf-ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val sourceRows = q.recentProgress.map(_.numInputRows).sum
+      (sourceRows, got.size.toLong, got.toList.sorted)
+    }
+    // nsIn=0: the two Talk streams are dropped at the source — the
+    // source emits exactly the 4 main-ns rows
+    val (srcNs, _, idsNs) = run(Map("nsIn" -> "0"))
+    assert(idsNs == List(1L, 2L, 3L, 4L))
+    assert(srcNs == 4L, s"nsIn must filter AT the source, numInputRows=$srcNs")
+    // pageIdIn: one page from each namespace
+    val (srcPid, _, idsPid) = run(Map("pageIdIn" -> "2,5"))
+    assert(idsPid == List(2L, 5L))
+    assert(srcPid == 2L, s"pageIdIn must filter AT the source, numInputRows=$srcPid")
+    // control: a post-scan .where CANNOT do this (documents the gap the
+    // options close) — and the BATCH option form equals batch pushdown
+    val (srcAll, _, idsAll) = run(Map.empty)
+    assert(idsAll == (1L to 6L).toList && srcAll == 6L)
+    val viaOption = spark.read.format("mediawiki").option("nsIn", "0")
+      .load(new java.io.File(dir, "d.xml.bz2").getAbsolutePath)
+      .select($"page_id").as[Long].collect().toList.sorted
+    val viaPushdown = spark.read.format("mediawiki")
+      .load(new java.io.File(dir, "d.xml.bz2").getAbsolutePath)
+      .where($"ns" === 0)
+      .select($"page_id").as[Long].collect().toList.sorted
+    assert(viaOption == viaPushdown && viaOption == List(1L, 2L, 3L, 4L))
+    // malformed option fails loudly
+    intercept[Exception] {
+      spark.read.format("mediawiki").option("nsIn", "0,x")
+        .load(new java.io.File(dir, "d.xml.bz2").getAbsolutePath).count()
+    }
+  }
 }
