@@ -43,25 +43,22 @@ object MediaWiki {
     val in = if (codec == null) raw: java.io.InputStream
              else codec.createInputStream(raw)
     try {
-      val buf = new Array[Byte](256 * 1024)
-      var len = 0
-      var done = false
-      while (!done && len < buf.length) {
-        val n = in.read(buf, len, buf.length - len)
-        if (n < 0) done = true
-        else {
-          len += n
-          if (new String(buf, 0, len, "UTF-8").contains("</siteinfo>")) done = true
-        }
-      }
-      val head = new String(buf, 0, len, "UTF-8")
+      // lenient: a truncated head still yields whatever parsed (the
+      // caller treats the map as best-effort dimension data); the skip
+      // planner uses the strict/complete form instead
+      val (head, _) = graft.sources.XmlFields.readHeadUntil(
+        in, "</siteinfo>", 256 * 1024)
       graft.sources.XmlFields.siteinfoNamespacesFromHead(head)
     } finally in.close()
   }
 
-  /** Inverse lookup (lowercased name → key) for normalizeTitle. */
+  /** Inverse lookup (lowercased name → key) for normalizeTitle.
+    * Locale.ROOT on BOTH build and lookup sides (normalizeTitle, the
+    * multistream ns skip-planner) — a default-locale lowercase here
+    * with ROOT there would split the map under locales like tr_TR. */
   def namespacesByName(ns: Map[Int, String]): Map[String, Int] =
-    ns.collect { case (k, v) if v.nonEmpty => v.toLowerCase -> k }
+    ns.collect { case (k, v) if v.nonEmpty =>
+      v.toLowerCase(java.util.Locale.ROOT) -> k }
 
   /** Typed diffdb row. */
   case class DiffRow(rev_id: Long, page_id: Long, namespace: Int, title: String,

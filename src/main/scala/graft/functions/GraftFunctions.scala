@@ -73,7 +73,7 @@ object GraftFunctions {
     val t = title.replace('_', ' ')
     val idx = t.indexOf(':')
     if (idx > 0) {
-      val prefix = t.substring(0, idx).trim.toLowerCase
+      val prefix = t.substring(0, idx).trim.toLowerCase(java.util.Locale.ROOT)
       nsByName.get(prefix) match {
         case Some(ns) => (ns, t.substring(idx + 1).trim)
         case None => (0, t)

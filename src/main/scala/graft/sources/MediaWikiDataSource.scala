@@ -105,6 +105,30 @@ object MediaWikiTable {
     StructType(fields)
   }
 
+  /** Every option this source reads by exact camelCase key somewhere
+    * downstream. DSv2 options are case-insensitive
+    * (CaseInsensitiveStringMap lowercases what flows through it), so a
+    * user-typed `nsin`/`NSIN` arrives under a different key than the
+    * lookup — silently ignored before round 13 (review r13: an ignored
+    * nsIn means every namespace is emitted where articles-only was
+    * asked). [[canonicalizeOptions]] rewrites any casing of these onto
+    * the canonical key once, at the scan builder, so every downstream
+    * exact-case `props.get` sees them. */
+  private val CanonicalOptionKeys = Seq(
+    "excludePagesWith", "previousRevision", "raw", "minSplitBytes",
+    "multistreamIndex", "multistreamTargetBytes", "multistreamSkipExcluded",
+    "nsIn", "pageIdIn", "maxFilesPerTrigger")
+
+  def canonicalizeOptions(props: Map[String, String]): Map[String, String] =
+    props ++ CanonicalOptionKeys.flatMap { k =>
+      props.get(k).orElse {
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        props.collectFirst {
+          case (pk, v) if pk.toLowerCase(java.util.Locale.ROOT) == lk => v
+        }
+      }.map(k -> _)
+    }
+
   /** Translate the EXPLICIT filter options (`nsIn`, `pageIdIn`) into
     * the same internal props Catalyst pushdown emits, so the reader
     * skips pages and the multistream index planner skips streams for
@@ -151,7 +175,7 @@ class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val merged = props ++ options.asScala
+    val merged = MediaWikiTable.canonicalizeOptions(props ++ options.asScala)
     new MediaWikiScanBuilder(tableSchema,
       merged ++ MediaWikiTable.optionFilterProps(merged))
   }

@@ -145,31 +145,23 @@ object MultistreamIndex {
     if (prefix.isEmpty || prefix.exists(unsafe.contains(_))) None else Some(prefix)
   }
 
-  /** Decompressed dump head up to (and including) `</siteinfo>`, or
-    * None if the marker doesn't appear within the cap — a truncated
-    * namespaces block must NOT drive ns classification (a missing
-    * entry would misclassify its pages as main-ns and could skip a
-    * live stream). */
-  private def readSiteinfoHead(fs: FileSystem, codecs: CompressionCodecFactory,
-      dump: Path): Option[String] = {
+  /** Namespace map for SKIP decisions, or None unless the head parse
+    * is provably complete: the `</siteinfo>` marker must appear within
+    * the cap (a truncated namespaces block is missing entries) AND
+    * every `<namespace` element must parse (strict — a skipped entry
+    * would misclassify its pages as main-ns and could drop a live
+    * stream). Shares [[XmlFields.readHeadUntil]] (linear tail-window
+    * marker search) and the attribute-order/quote-robust element parse
+    * with [[graft.MediaWiki.siteinfoNamespaces]]. */
+  private def siteinfoNamespacesForSkip(fs: FileSystem,
+      codecs: CompressionCodecFactory, dump: Path): Option[Map[Int, String]] = {
     try {
       val raw = fs.open(dump)
       val in = Option(codecs.getCodec(dump))
         .map(c => c.createInputStream(raw): java.io.InputStream).getOrElse(raw)
       try {
-        val buf = new Array[Byte](1 << 20)
-        var len = 0
-        var found = false
-        var eof = false
-        while (!found && !eof && len < buf.length) {
-          val n = in.read(buf, len, buf.length - len)
-          if (n < 0) eof = true
-          else {
-            len += n
-            if (new String(buf, 0, len, "UTF-8").contains("</siteinfo>")) found = true
-          }
-        }
-        if (found) Some(new String(buf, 0, len, "UTF-8")) else None
+        val (head, found) = XmlFields.readHeadUntil(in, "</siteinfo>", 1 << 20)
+        if (!found) None else XmlFields.siteinfoNamespacesStrict(head)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -177,20 +169,30 @@ object MultistreamIndex {
   /** Memoized plan results (ADVICE r12: plan() used to re-read the
     * whole index on EVERY action — seconds of driver I/O per action at
     * enwiki scale). Keyed by the full file state of dump AND index
-    * (path, modTime, length) plus every prop the plan depends on, so a
-    * rewritten file or a different filter set misses. Negative results
-    * (index invalid → size-based planning) are memoized too: a
-    * transient I/O failure then sticks to size planning until the file
-    * state changes — slower, never wrong. */
+    * (path, modTime, length) plus every prop the plan depends on (as a
+    * STRUCTURAL Seq — a concatenated-string key would let a filter
+    * value containing the separator collide with a different filter
+    * set; review r13), so a rewritten file or a different filter set
+    * misses. Negative results (index invalid → size-based planning)
+    * are memoized too: a transient I/O failure then sticks to size
+    * planning until the file state changes — slower, never wrong.
+    * Entries whose newest modTime is within MemoSettleMs of now are
+    * computed but NOT stored: modTime granularity is 1 ms (1 s on some
+    * filesystems), so a same-length in-place rewrite inside one tick
+    * would otherwise serve the OLD file's skip decisions — and skipped
+    * ranges are never read, so that stale hit would be wrong, not
+    * slow. */
   private final case class PlanKey(dump: String, dumpMod: Long, dumpLen: Long,
-      idx: String, idxMod: Long, idxLen: Long, maxBytes: Long, filters: String)
+      idx: String, idxMod: Long, idxLen: Long, maxBytes: Long,
+      filters: Seq[(String, String)])
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[PlanKey, Option[Seq[MediaWikiInputPartition]]]()
+  private val MemoSettleMs = 2000L
 
-  private def relevantProps(props: Map[String, String]): String =
+  private def relevantProps(props: Map[String, String]): Seq[(String, String)] =
     props.iterator.filter { case (k, _) =>
       k.startsWith("__") || k == "excludePagesWith" || k == "multistreamSkipExcluded"
-    }.toSeq.sorted.mkString(" ")
+    }.toSeq.sorted
 
   /** Plan partitions for `dump` from its index, or None if the index is
     * absent, disabled, or fails validation (size-based planning takes
@@ -220,7 +222,13 @@ object MultistreamIndex {
       if (hit != null) return hit
     }
     val result = computePlan(fs, codecs, dump, idx, fileLen, effMax, props)
-    if (key != null) {
+    // settle guard: never CACHE a plan for files modified within the
+    // modTime tick window — see the PlanKey Scaladoc's stale-positive
+    // argument (compute-always is the safe direction; production dumps
+    // are old files, so they always memoize)
+    val settled = key != null &&
+      System.currentTimeMillis() - math.max(key.dumpMod, key.idxMod) > MemoSettleMs
+    if (settled) {
       if (memo.size > 64) memo.clear()
       memo.put(key, result)
     }
@@ -235,13 +243,10 @@ object MultistreamIndex {
     val nsPred = PageIdFilter.nsFromProps(props)
     // ns classification from the indexed title's namespace prefix —
     // names from the header stream's siteinfo; None (no ns skipping)
-    // when the complete head is unavailable. See the trust ladder.
+    // unless the COMPLETE head parses strictly. See the trust ladder.
     val nsTest: Option[String => Boolean] = nsPred.flatMap { p =>
-      readSiteinfoHead(fs, codecs, dump).map { head =>
-        val byName = XmlFields.siteinfoNamespacesFromHead(head).collect {
-          case (k, v) if v.nonEmpty =>
-            v.toLowerCase(java.util.Locale.ROOT) -> k
-        }
+      siteinfoNamespacesForSkip(fs, codecs, dump).map { nsMap =>
+        val byName = graft.MediaWiki.namespacesByName(nsMap)
         (t: String) => {
           val c = t.indexOf(':')
           val ns = if (c <= 0) 0

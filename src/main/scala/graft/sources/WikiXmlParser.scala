@@ -212,22 +212,82 @@ final class StreamScanner(src: PosByteSource) {
   * the reference's consumer `python/revision_differ.py:131-160`). */
 object XmlFields {
 
-  /** Parse `<namespace key="K" ...>Name</namespace>` entries from a
+  /** Read a dump's decompressed head through `in` until `marker`
+    * appears (or `cap` bytes). Linear: only the tail window that could
+    * complete the marker is re-scanned per chunk (the first cut decoded
+    * and re-searched the WHOLE buffer per read — quadratic on a large
+    * head). Returns (head-so-far, markerFound). The marker and the
+    * scanned XML structure are ASCII, so byte search is exact. */
+  def readHeadUntil(in: java.io.InputStream, marker: String,
+      cap: Int): (String, Boolean) = {
+    val mb = marker.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val buf = new Array[Byte](cap)
+    var len = 0
+    var found = false
+    var eof = false
+    while (!found && !eof && len < buf.length) {
+      val n = in.read(buf, len, buf.length - len)
+      if (n < 0) eof = true
+      else {
+        // search only the window that can contain a NEW marker match
+        val from = math.max(0, len - (mb.length - 1))
+        len += n
+        var i = from
+        while (!found && i + mb.length <= len) {
+          var j = 0
+          while (j < mb.length && buf(i + j) == mb(j)) j += 1
+          if (j == mb.length) { found = true; len = i + mb.length }
+          else i += 1
+        }
+      }
+    }
+    (new String(buf, 0, len, "UTF-8"), found)
+  }
+
+  private val NamespaceElem = java.util.regex.Pattern.compile(
+    "<namespace\\b([^>]*?)(?:/>|>([^<]*)</namespace>)")
+  private val KeyAttr = java.util.regex.Pattern.compile(
+    "\\bkey\\s*=\\s*(?:\"(-?\\d+)\"|'(-?\\d+)')")
+
+  /** Parse `<namespace ... key="K" ...>Name</namespace>` entries from a
     * dump head (everything up to `</siteinfo>`): key → unescaped name
     * (the main namespace key 0 is the self-closing empty-name form).
-    * Shared by [[graft.MediaWiki.siteinfoNamespaces]] and
-    * [[MultistreamIndex]]'s ns skip-planner so the two can never
-    * disagree on what a namespace prefix means. */
+    * Attribute ORDER and quote style are insignificant in XML, so the
+    * key is extracted from anywhere in the attribute list (the first
+    * cut required `key` to be the leading double-quoted attribute — a
+    * legal reordering silently dropped entries; review r13). Shared by
+    * [[graft.MediaWiki.siteinfoNamespaces]] and [[MultistreamIndex]]'s
+    * ns skip-planner so the two can never disagree on what a namespace
+    * prefix means. Lenient: elements without a parseable key are
+    * skipped (use [[siteinfoNamespacesStrict]] when a skipped entry
+    * must abort instead). */
   def siteinfoNamespacesFromHead(head: String): Map[Int, String] = {
-    val m = java.util.regex.Pattern
-      .compile("<namespace key=\"(-?\\d+)\"[^>]*(?:/>|>([^<]*)</namespace>)")
-      .matcher(head)
+    val m = NamespaceElem.matcher(head)
     val out = scala.collection.mutable.Map.empty[Int, String]
     while (m.find()) {
-      out(m.group(1).toInt) =
-        Option(m.group(2)).map(unescape).getOrElse("")
+      val k = KeyAttr.matcher(m.group(1))
+      if (k.find()) {
+        val key = Option(k.group(1)).getOrElse(k.group(2)).toInt
+        out(key) = Option(m.group(2)).map(unescape).getOrElse("")
+      }
     }
     out.toMap
+  }
+
+  /** Strict variant for SKIP decisions: None if ANY `<namespace`
+    * element lacks a parseable key — a partially-understood namespaces
+    * block must not drive stream skipping (a missed entry would
+    * misclassify its pages as main-ns and could drop a live stream). */
+  def siteinfoNamespacesStrict(head: String): Option[Map[Int, String]] = {
+    val m = NamespaceElem.matcher(head)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    while (m.find()) {
+      val k = KeyAttr.matcher(m.group(1))
+      if (!k.find()) return None
+      val key = Option(k.group(1)).getOrElse(k.group(2)).toInt
+      out(key) = Option(m.group(2)).map(unescape).getOrElse("")
+    }
+    Some(out.toMap)
   }
 
   /** Decode the five named XML entities plus numeric character refs. */

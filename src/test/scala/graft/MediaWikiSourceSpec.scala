@@ -549,6 +549,12 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("mwmsmemo").toFile
     val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 10,
       fillerLen = 1000, pagesPerStream = 5)
+    // the settle guard refuses to CACHE plans for files modified within
+    // the modTime tick window (a same-length in-place rewrite inside
+    // one tick would otherwise serve stale skip decisions) — age the
+    // files so this test exercises the memoized path production sees
+    val past = System.currentTimeMillis() - 60000
+    assert(f.setLastModified(past) && idx.setLastModified(past))
     val conf = new Configuration()
     val fs = new Path(f.getAbsolutePath).getFileSystem(conf)
     val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
@@ -561,12 +567,97 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     // different filter props must not share a memo entry
     val filtered = plan(Map("__pageIdFilter0" -> "eq:7"))
     assert(filtered.nonEmpty && filtered.get.length < a.get.length)
+    // ...and a filter VALUE crafted to render like two props must not
+    // collide with the two-prop key (structural Seq key, review r13)
+    val sneaky = plan(Map("__titleFilter0" -> "eq:x), (__titleFilter1,eq:Page 2"))
+    val twoProps = plan(Map("__titleFilter0" -> "eq:x",
+      "__titleFilter1" -> "eq:Page 2"))
+    assert(!(sneaky eq twoProps),
+      "distinct filter sets must not share a memo entry")
+    assert(sneaky.get.isEmpty && twoProps.get.isEmpty)
+    // a FRESH (just-written) file must not be served from the memo even
+    // when (mtime, length) collide: rewrite in place with same-length
+    // different content — liveness for page 7 flips stream
+    val lines0 = scala.io.Source.fromFile(idx).getLines().toList
     // rewriting the index invalidates (length changes)
-    val lines = scala.io.Source.fromFile(idx).getLines().toList
     val pw = new java.io.PrintWriter(idx, "UTF-8")
-    try lines.take(5).foreach(pw.println) finally pw.close()
+    try lines0.take(5).foreach(pw.println) finally pw.close()
     val c = plan(Map.empty)
     assert(!(a eq c), "rewritten index must miss the memo")
+    // the fresh rewrite above was NOT cached (settle guard): a second
+    // plan recomputes rather than returning the same instance
+    val c2 = plan(Map.empty)
+    assert(!(c eq c2), "files inside the settle window must not be cached")
+  }
+
+  test("siteinfo namespace parse: attribute order/quotes; strict None on unparseable") {
+    import graft.sources.XmlFields
+    // attribute order and quote style are insignificant in XML
+    val head =
+      """<siteinfo><namespaces>
+        |  <namespace case="first-letter" key="0" />
+        |  <namespace case='first-letter' key='1'>Talk</namespace>
+        |  <namespace key = "14">Category</namespace>
+        |</namespaces></siteinfo>""".stripMargin
+    val m = XmlFields.siteinfoNamespacesFromHead(head)
+    assert(m == Map(0 -> "", 1 -> "Talk", 14 -> "Category"))
+    assert(XmlFields.siteinfoNamespacesStrict(head).contains(m))
+    // an element whose key cannot be parsed: lenient skips it, strict
+    // refuses the whole map (skip decisions must not run on a
+    // partially-understood namespaces block)
+    val bad = head.replace("key = \"14\"", "kee=\"14\"")
+    assert(XmlFields.siteinfoNamespacesFromHead(bad) == Map(0 -> "", 1 -> "Talk"))
+    assert(XmlFields.siteinfoNamespacesStrict(bad).isEmpty)
+  }
+
+  test("ns skip-planning disengages (keeps all streams) when siteinfo is unparseable") {
+    // a namespace element whose key the parser cannot read: the planner
+    // must keep every stream for an ns predicate (the reader still
+    // filters exactly), never misclassify-and-drop
+    val dir = Files.createTempDirectory("mwmsnsbad").toFile
+    val sb = new StringBuilder
+    sb.append("<mediawiki>\n  <siteinfo>\n    <namespaces>\n")
+    sb.append("      <namespace key=\"0\" />\n")
+    sb.append("      <namespace kee=\"1\">Talk</namespace>\n")
+    sb.append("    </namespaces>\n  </siteinfo>\n")
+    var id = 0
+    def page(title: String, ns: Int): Unit = {
+      id += 1
+      sb.append(s"  <page>\n    <title>$title</title>\n    <ns>$ns</ns>\n    <id>$id</id>\n")
+      sb.append(s"    <revision>\n      <id>${1000 + id}</id>\n")
+      sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+      sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+      sb.append(s"      <text xml:space=\"preserve\">text of $title</text>\n    </revision>\n  </page>\n")
+    }
+    (1 to 3).foreach(i => page(s"Page $i", 0))
+    (1 to 2).foreach(i => page(s"Talk:Page $i", 1))
+    sb.append("</mediawiki>\n")
+    val f2 = new File(dir, "badns-multistream.xml.bz2")
+    val idx2 = new File(dir, "badns-multistream-index.txt")
+    val ts = Vector("Page 1", "Page 2", "Page 3", "Talk:Page 1", "Talk:Page 2")
+    graft.sources.MultistreamWriter.writeGrouped(sb.toString, f2, idx2, 1,
+      pageIdOf = i => i + 1L, titleOf = i => ts(i))
+    val df = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+      .load(f2.getAbsolutePath).where($"ns" === 1)
+    // unparseable siteinfo → ns contributes nothing to skip-planning:
+    // ALL 5 page streams stay live…
+    assert(df.rdd.getNumPartitions == 5,
+      s"ns skip must disengage on a bad siteinfo, got ${df.rdd.getNumPartitions}")
+    // …and the reader still filters exactly
+    assert(df.select($"page_id").as[Long].collect().toList.sorted == List(4L, 5L))
+  }
+
+  test("options are case-insensitive: NSIN / pageidin reach the source") {
+    val dir = Files.createTempDirectory("mwoptci").toFile
+    val (f, _) = writeNsMultistream(dir, nMain = 3, nTalk = 2)
+    val viaUpper = spark.read.format("mediawiki").option("NSIN", "0")
+      .load(f.getAbsolutePath).select($"page_id").as[Long].collect().toList.sorted
+    assert(viaUpper == List(1L, 2L, 3L),
+      s"mis-cased nsIn must still filter, got $viaUpper")
+    val viaLower = spark.read.format("mediawiki").option("pageidin", "2,4")
+      .load(f.getAbsolutePath).select($"page_id").as[Long].collect().toList.sorted
+    assert(viaLower == List(2L, 4L),
+      s"mis-cased pageIdIn must still filter, got $viaLower")
   }
 
   test("multistream index randomized cross-check: random stream cuts × filters") {
