@@ -590,6 +590,40 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(!(c eq c2), "files inside the settle window must not be cached")
   }
 
+  test("multistream index: bz2-compressed index sibling (the published Wikipedia form)") {
+    // wikipedia publishes X-multistream-index.txt.bz2 next to the dump;
+    // locate() must find it and plan() must read it through the codec
+    val dir = Files.createTempDirectory("mwmsidxbz2").toFile
+    val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 20,
+      fillerLen = 1500, pagesPerStream = 4)
+    val idxBz2 = new File(dir, idx.getName + ".bz2")
+    val fos = new java.io.FileOutputStream(idxBz2)
+    try {
+      fos.write('B'); fos.write('Z')
+      val out = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(fos, 1)
+      out.write(java.nio.file.Files.readAllBytes(idx.toPath))
+      out.finish()
+    } finally fos.close()
+    assert(idx.delete()) // only the compressed form remains
+    val indexed = spark.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1").load(f.getAbsolutePath)
+    assert(indexed.rdd.getNumPartitions == 5, // 20 pages / 4 per stream
+      s"bz2 index must drive stream-aligned planning, got ${indexed.rdd.getNumPartitions}")
+    val got = indexed.selectExpr("page_id", "curr.rev_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    val want = spark.read.format("mediawiki").option("multistreamIndex", "off")
+      .option("minSplitBytes", "100000").load(f.getAbsolutePath)
+      .selectExpr("page_id", "curr.rev_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+    assert(got == want && got.nonEmpty)
+    // skip-planning through the compressed index too
+    val one = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+      .load(f.getAbsolutePath).where($"page_id" === 10L)
+    assert(one.rdd.getNumPartitions == 1,
+      s"page_id skip through the bz2 index, got ${one.rdd.getNumPartitions}")
+    assert(one.select($"curr.rev_id").count() == (1 + 10 % 5))
+  }
+
   test("siteinfo namespace parse: attribute order/quotes; strict None on unparseable") {
     import graft.sources.XmlFields
     // attribute order and quote style are insignificant in XML
