@@ -252,7 +252,7 @@ class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
 }
 
 case class MediaWikiInputPartition(
-    path: String, start: Long, end: Long, fileLen: Long, blockMode: Boolean)
+    path: String, start: Long, end: Long, fileLen: Long)
   extends InputPartition
 
 class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
@@ -282,8 +282,11 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
       val files = if (fs.getFileStatus(path).isDirectory) {
         // a '-index.txt(.bz2)' whose dump sibling is also listed is the
         // multistream planning metadata, not a dump — scanning it wastes
-        // a decompression pass and pollutes the page metrics (ADVICE r12)
+        // a decompression pass and pollutes the page metrics (ADVICE
+        // r12); hidden/temp/marker files and an explicit index path are
+        // filtered for the same reason (review r13)
         val listed = fs.listStatus(path).filter(_.isFile).map(_.getPath)
+          .filter(f => MediaWikiScan.isDataFile(fs, f, props))
         val names = listed.map(_.getName).toSet
         listed.filterNot(f => MultistreamIndex.isIndexSibling(f.getName, names)).toSeq
       } else Seq(path)
@@ -305,6 +308,24 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
 }
 
 object MediaWikiScan {
+  /** Directory-listing filter shared by the batch scan and the
+    * streaming source: hidden/temp and marker files ("."/"_" prefixes —
+    * rsync/FileOutputCommitter in-flight names, _SUCCESS; the same
+    * convention Spark's file sources use) are never dumps, and an
+    * in-flight copy read as a dump yields truncated rows now and a
+    * duplicate (renamed) file later. An explicitly-optioned
+    * `multistreamIndex` file living inside the watched directory is
+    * planning metadata, not a dump, even when its name misses the
+    * `-index.txt` convention (review r13). */
+  def isDataFile(fs: FileSystem, f: Path, props: Map[String, String]): Boolean = {
+    val name = f.getName
+    if (name.startsWith(".") || name.startsWith("_")) return false
+    val explicitIdx = props.get("multistreamIndex").map(_.trim)
+      .filter(v => v.nonEmpty && !v.equalsIgnoreCase("off") && !v.equalsIgnoreCase("false"))
+    !explicitIdx.exists(v =>
+      fs.makeQualified(new Path(v)) == fs.makeQualified(f))
+  }
+
   /** Size-based split planning for one dump file — shared by the batch
     * scan and the streaming source so both read identically. */
   def partitionsForFile(fs: FileSystem, codecs: CompressionCodecFactory,
@@ -330,12 +351,12 @@ object MediaWikiScan {
       }
     }
     if (!splittable || len <= effMax) {
-      Seq(MediaWikiInputPartition(f.toString, 0, len, len, codec != null))
+      Seq(MediaWikiInputPartition(f.toString, 0, len, len))
     } else {
       val n = math.ceil(len.toDouble / effMax).toInt
       val sz = math.ceil(len.toDouble / n).toLong
       (0 until n).map { i =>
-        MediaWikiInputPartition(f.toString, i * sz, math.min((i + 1) * sz, len), len, codec != null)
+        MediaWikiInputPartition(f.toString, i * sz, math.min((i + 1) * sz, len), len)
       }
     }
   }
@@ -411,8 +432,22 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
     val out = logFs.create(tmp, true)
     try out.write(fileLog.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (logFs.exists(logPath)) logFs.delete(logPath, false)
-    logFs.rename(tmp, logPath)
+    // ATOMIC replace: the log pins committed batch→file order, and a
+    // crash between a delete and a rename would lose it — a restart
+    // would then re-derive order from the directory's mtimes, which a
+    // late file with an earlier mtime has already permuted, replaying
+    // a committed batch against the WRONG file (review r13).
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(logPath.toUri, conf)
+      fc.rename(tmp, logPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext for this scheme: fall back, but never ignore a
+        // failed rename (a stale log is as wrong as a lost one)
+        if (logFs.exists(logPath)) logFs.delete(logPath, false)
+        require(logFs.rename(tmp, logPath),
+          s"failed to persist the streaming file log at $logPath")
+    }
   }
 
   /** List the watched paths and append any new files to the log (new
@@ -424,10 +459,15 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) Seq.empty
       else if (fs.getFileStatus(path).isDirectory) {
-        // same index-sibling skip as the batch listing; only NEW files
-        // are filtered — an index that was logged before its dump
-        // landed stays committed (offsets never move)
+        // same filters as the batch listing (hidden/temp/marker files,
+        // explicit index path, '-index.txt(.bz2)' siblings); only NEW
+        // files are filtered — an index that was logged before its dump
+        // landed stays committed (offsets never move). The hidden-file
+        // rule matters MOST here: committing an in-flight ".tmp" copy
+        // to the offset log reads it truncated now and — after the
+        // rename — as a duplicate file (review r13).
         val listed = fs.listStatus(path).filter(_.isFile)
+          .filter(s => MediaWikiScan.isDataFile(fs, s.getPath, props))
         val names = listed.map(_.getPath.getName).toSet
         listed
           .filterNot(s => MultistreamIndex.isIndexSibling(s.getPath.getName, names))

@@ -103,27 +103,6 @@ object MultistreamIndex {
     stem.exists(s => s.nonEmpty && present(s + ".xml.bz2"))
   }
 
-  /** The reader's pushed-title-predicate parse, mirrored for planning
-    * (same `kind:arg` encoding, same conjunction). A malformed prop is
-    * a planner/reader contract bug — fail loudly, never fall back
-    * (the reader would throw on the same prop anyway). */
-  private def titlePreds(props: Map[String, String]): Seq[String => Boolean] =
-    props.collect {
-      case (k, v) if k.startsWith("__titleFilter") =>
-        val sep = v.indexOf(':')
-        require(sep > 0, s"malformed internal title-filter prop '$v' (want kind:arg)")
-        val kind = v.substring(0, sep)
-        val arg = v.substring(sep + 1)
-        kind match {
-          case "eq" => (t: String) => t == arg
-          case "contains" => (t: String) => t.contains(arg)
-          case "starts" => (t: String) => t.startsWith(arg)
-          case "ends" => (t: String) => t.endsWith(arg)
-          case other => throw new IllegalArgumentException(
-            s"malformed internal title-filter prop '$v' (unknown kind '$other')")
-        }
-    }.toSeq
-
   /** Map `excludePagesWith` to a title-prefix test when (and only when)
     * that is provably equivalent FOR STANDARD-ESCAPED DUMPS: pattern is
     * literally `<title>PREFIX` with PREFIX free of regex metacharacters
@@ -238,21 +217,29 @@ object MultistreamIndex {
   private def computePlan(fs: FileSystem, codecs: CompressionCodecFactory,
       dump: Path, idx: Path, fileLen: Long, effMax: Long,
       props: Map[String, String]): Option[Seq[MediaWikiInputPartition]] = {
-    val preds = titlePreds(props)
+    val preds = PageIdFilter.titlePredsFromProps(props)
     val idPred = PageIdFilter.fromProps(props)
     val nsPred = PageIdFilter.nsFromProps(props)
     // ns classification from the indexed title's namespace prefix —
     // names from the header stream's siteinfo; None (no ns skipping)
-    // unless the COMPLETE head parses strictly. See the trust ladder.
+    // unless the COMPLETE head parses strictly AND every ns key the
+    // pushed conjunction can accept is classifiable (k == 0 or a
+    // declared namespace): a key the classifier can never produce
+    // would mark every stream dead (review r13). See the trust ladder.
     val nsTest: Option[String => Boolean] = nsPred.flatMap { p =>
-      siteinfoNamespacesForSkip(fs, codecs, dump).map { nsMap =>
-        val byName = graft.MediaWiki.namespacesByName(nsMap)
-        (t: String) => {
-          val c = t.indexOf(':')
-          val ns = if (c <= 0) 0
-            else byName.getOrElse(
-              t.substring(0, c).toLowerCase(java.util.Locale.ROOT), 0)
-          p(ns)
+      siteinfoNamespacesForSkip(fs, codecs, dump).flatMap { nsMap =>
+        val classifiable = PageIdFilter.nsAcceptKeys(props)
+          .forall(_.forall(k => k == 0 || nsMap.contains(k)))
+        if (!classifiable) None
+        else {
+          val byName = graft.MediaWiki.namespacesByName(nsMap)
+          Some { (t: String) =>
+            val c = t.indexOf(':')
+            val ns = if (c <= 0) 0
+              else byName.getOrElse(
+                t.substring(0, c).toLowerCase(java.util.Locale.ROOT), 0)
+            p(ns)
+          }
         }
       }
     }
@@ -326,7 +313,7 @@ object MultistreamIndex {
     var groupBytes = 0L
     def close(end: Long): Unit = {
       if (groupStart >= 0)
-        parts += MediaWikiInputPartition(dump.toString, groupStart, end, fileLen, blockMode = true)
+        parts += MediaWikiInputPartition(dump.toString, groupStart, end, fileLen)
       groupStart = -1L; groupBytes = 0L
     }
     var i = 0

@@ -36,6 +36,44 @@ private[sources] object PageIdFilter {
     if (preds.isEmpty) None else Some(p => preds.forall(f => f(p)))
   }
 
+  /** The `__titleFilter*` conjunction — ONE decoder for the reader and
+    * the multistream skip-planner (the two copies had already diverged
+    * once in error behavior; review r13). Same loud-failure contract
+    * as the other prop decoders. */
+  def titlePredsFromProps(props: Map[String, String]): Seq[String => Boolean] =
+    props.collect {
+      case (k, v) if k.startsWith("__titleFilter") =>
+        val (kind, arg) = split(v, "title filter")
+        kind match {
+          case "eq" => (t: String) => t == arg
+          case "contains" => (t: String) => t.contains(arg)
+          case "starts" => (t: String) => t.startsWith(arg)
+          case "ends" => (t: String) => t.endsWith(arg)
+          case other => throw new IllegalArgumentException(
+            s"malformed internal title-filter prop '$v' (unknown kind '$other')")
+        }
+    }.toSeq
+
+  /** The exact set of ns values the pushed conjunction can ACCEPT
+    * (intersection of the eq/in sets), or None when no ns filter is
+    * pushed. The skip-planner uses it to verify every acceptable key
+    * is classifiable from the siteinfo prefixes before engaging —
+    * a key the classifier can never produce would otherwise mark
+    * every stream dead (review r13). */
+  def nsAcceptKeys(props: Map[String, String]): Option[Set[Int]] = {
+    val sets = props.collect {
+      case (k, v) if k.startsWith("__nsFilter") =>
+        val (kind, arg) = split(v, "ns filter")
+        kind match {
+          case "eq" => Set(arg.toInt)
+          case "in" => arg.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+          case other => throw new IllegalArgumentException(
+            s"malformed internal ns filter prop '$v' (unknown kind '$other')")
+        }
+    }.toSeq
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   /** The `__nsFilter*` conjunction (eq/in only). Applied to the PARSED
     * `<ns>` value; an absent element is NULL and fails every predicate
     * (Spark's own equality semantics — the reader must mirror them

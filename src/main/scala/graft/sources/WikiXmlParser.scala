@@ -438,15 +438,33 @@ object XmlFields {
     None
   }
 
+  /** Attribute lookup tolerant of either quote style and whitespace
+    * around `=` — both legal XML (the r13 namespace-key parse was
+    * generalized for the same reason; a single-quoted
+    * `<text deleted='deleted'/>` previously read as NOT deleted, a
+    * silent semantic skew). The name must start the attribute (be
+    * preceded by whitespace or the string start) so `title` never
+    * matches inside `xtitle`. */
   def attr(attrs: String, name: String): Option[String] = {
-    val k = name + "=\""
-    val i = attrs.indexOf(k)
-    if (i < 0) None
-    else {
-      val start = i + k.length
-      val end = attrs.indexOf('"', start)
-      if (end < 0) None else Some(unescape(attrs.substring(start, end)))
+    var i = attrs.indexOf(name)
+    while (i >= 0) {
+      val standalone = i == 0 || Character.isWhitespace(attrs.charAt(i - 1))
+      var j = i + name.length
+      while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+      if (standalone && j < attrs.length && attrs.charAt(j) == '=') {
+        j += 1
+        while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+        if (j < attrs.length && (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
+          val q = attrs.charAt(j)
+          val end = attrs.indexOf(q, j + 1)
+          return if (end < 0) None
+            else Some(unescape(attrs.substring(j + 1, end)))
+        }
+        return None // name= without a quoted value: malformed, absent
+      }
+      i = attrs.indexOf(name, i + 1)
     }
+    None
   }
 
   def tagText(s: String, tag: String, from: Int = 0): Option[String] =

@@ -681,6 +681,110 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(df.select($"page_id").as[Long].collect().toList.sorted == List(4L, 5L))
   }
 
+  test("single-quoted attributes: deleted/bytes/redirect parse like double-quoted") {
+    // both quote styles are legal XML; a single-quoted deleted attr
+    // previously read as NOT deleted (silent skew, review r13)
+    val xml =
+      """<mediawiki>
+        |  <page><title>A</title><ns>0</ns><id>1</id>
+        |    <redirect title='Else Where' />
+        |    <revision><id>11</id><timestamp>2021-01-01T00:00:00Z</timestamp>
+        |    <contributor deleted='deleted' />
+        |    <comment deleted='deleted' />
+        |    <text deleted='deleted' /></revision>
+        |    <revision><id>12</id><timestamp>2021-01-01T01:00:00Z</timestamp>
+        |    <contributor><username>u</username><id>1</id></contributor>
+        |    <text xml:space='preserve' bytes='5'>hello</text></revision>
+        |  </page>
+        |</mediawiki>
+        |""".stripMargin
+    val dir = Files.createTempDirectory("mwsq").toFile
+    val f = new File(dir, "sq.xml")
+    Files.write(f.toPath, xml.getBytes("UTF-8"))
+    val rows = spark.read.format("mediawiki").load(f.getAbsolutePath)
+      .orderBy($"curr.rev_id").collect()
+    assert(rows.length == 2)
+    val r11 = rows(0).getAs[org.apache.spark.sql.Row]("curr")
+    assert(r11.getAs[String]("text") == null, "single-quoted deleted text must be NULL")
+    assert(r11.getAs[String]("comment") == null)
+    assert(r11.getAs[org.apache.spark.sql.Row]("contributor").getAs[Boolean]("deleted"))
+    assert(rows(0).getAs[String]("redirect") == "Else Where")
+    val r12 = rows(1).getAs[org.apache.spark.sql.Row]("curr")
+    assert(r12.getAs[String]("text") == "hello")
+    assert(r12.getAs[Long]("bytes") == 5L)
+  }
+
+  test("directory listings skip hidden/temp/marker files and the explicit index path") {
+    val dir = Files.createTempDirectory("mwhidden").toFile
+    val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 10,
+      fillerLen = 800, pagesPerStream = 5)
+    // in-flight copies and job markers must never be read as dumps
+    Files.write(new File(dir, ".part.xml.tmp").toPath,
+      "<mediawiki><page><title>T</title><ns>0</ns><id>99</id>".getBytes("UTF-8"))
+    Files.write(new File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+    val viaDir = spark.read.format("mediawiki").load(dir.getAbsolutePath)
+      .select($"page_id").as[Long].collect().toList.sorted
+    val viaFile = spark.read.format("mediawiki").load(f.getAbsolutePath)
+      .select($"page_id").as[Long].collect().toList.sorted
+    assert(viaDir == viaFile, "hidden/marker files must not contribute rows")
+    // an explicitly-optioned index with a NON-convention name inside the
+    // directory is planning metadata, not a dump
+    val oddIdx = new File(dir, "lookup.txt")
+    Files.copy(idx.toPath, oddIdx.toPath)
+    val viaOpt = spark.read.format("mediawiki")
+      .option("multistreamIndex", oddIdx.getAbsolutePath)
+      .option("multistreamTargetBytes", "1")
+      .load(dir.getAbsolutePath)
+    // 10 pages / 5 per stream = 2 partitions; the oddly-named index and
+    // the convention sibling contribute none
+    assert(viaOpt.rdd.getNumPartitions == 2,
+      s"explicit index must not be scanned as a dump, got ${viaOpt.rdd.getNumPartitions}")
+    assert(viaOpt.select($"page_id").as[Long].collect().toList.sorted == viaFile)
+  }
+
+  test("ns skip disengages when a queried ns key is not declared in siteinfo") {
+    // out-of-contract dump: pages carry <ns>14</ns> but siteinfo never
+    // declares ns 14 — the classifier can never produce 14, so engaging
+    // would mark EVERY stream dead; the guard must disengage and leave
+    // the rows to the reader (indexless equality)
+    val dir = Files.createTempDirectory("mwnskey").toFile
+    val sb = new StringBuilder
+    sb.append("<mediawiki>\n  <siteinfo>\n    <namespaces>\n")
+    sb.append("      <namespace key=\"0\" />\n")
+    sb.append("    </namespaces>\n  </siteinfo>\n")
+    var id = 0
+    def page(title: String, ns: Int): Unit = {
+      id += 1
+      sb.append(s"  <page>\n    <title>$title</title>\n    <ns>$ns</ns>\n    <id>$id</id>\n")
+      sb.append(s"    <revision>\n      <id>${1000 + id}</id>\n")
+      sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+      sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+      sb.append(s"      <text xml:space=\"preserve\">text of $title</text>\n    </revision>\n  </page>\n")
+    }
+    (1 to 3).foreach(i => page(s"Page $i", 0))
+    (1 to 2).foreach(i => page(s"Category:Page $i", 14))
+    sb.append("</mediawiki>\n")
+    val f = new File(dir, "nskey-multistream.xml.bz2")
+    val idx = new File(dir, "nskey-multistream-index.txt")
+    val ts = Vector("Page 1", "Page 2", "Page 3", "Category:Page 1", "Category:Page 2")
+    graft.sources.MultistreamWriter.writeGrouped(sb.toString, f, idx, 1,
+      pageIdOf = i => i + 1L, titleOf = i => ts(i))
+    val df = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+      .load(f.getAbsolutePath).where($"ns" === 14)
+    assert(df.rdd.getNumPartitions == 5,
+      s"undeclared queried ns must disengage skip, got ${df.rdd.getNumPartitions}")
+    assert(df.select($"page_id").as[Long].collect().toList.sorted == List(4L, 5L))
+    // ns=0 (declared) engages — but with ns 14 undeclared, "Category:"
+    // is not a namespace per THIS siteinfo, so those titles classify as
+    // main and their streams stay live (the safe direction: the reader
+    // drops the out-of-contract <ns>14</ns> pages post-decompression)
+    val main = spark.read.format("mediawiki").option("multistreamTargetBytes", "1")
+      .load(f.getAbsolutePath).where($"ns" === 0)
+    assert(main.rdd.getNumPartitions == 5,
+      s"undeclared-prefix titles classify main and stay live, got ${main.rdd.getNumPartitions}")
+    assert(main.select($"page_id").as[Long].collect().toList.sorted == List(1L, 2L, 3L))
+  }
+
   test("options are case-insensitive: NSIN / pageidin reach the source") {
     val dir = Files.createTempDirectory("mwoptci").toFile
     val (f, _) = writeNsMultistream(dir, nMain = 3, nTalk = 2)
