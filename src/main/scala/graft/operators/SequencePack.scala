@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
+  /** Whitespace token count as length arithmetic — the PARITY-CRITICAL
+    * expression shared by the batch packer, q114's token-budget frame,
+    * and `StreamOps.tokenBudgetStream` (one source of truth; the
+    * stream side carried a verbatim copy until review r13). NULL text
+    * → NULL (callers decide: the window sum skips it, the stream
+    * admits it at zero cost). Literal replace, not regexp_replace:
+    * same count, no regex engine pass over the full text. */
+  private[graft] def ntokCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
   /** One row per training chunk: `(chunk_id, n_docs, chunk_text)` —
     * `chunk_text` is the corpus's tokens `[chunk_id·chunkTokens,
     * (chunk_id+1)·chunkTokens)` in `orderCol` order, space-joined.
@@ -40,10 +50,7 @@ object SequencePack {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
     val text = col(textCol)
     val t = docs.select(col(orderCol), text.as("__text"),
-      // literal replace, not regexp_replace: same count, no regex
-      // engine pass over the full text
-      (length(text) - length(replace(text, lit(" "), lit(""))) + 1)
-        .cast("long").as("__nt"))
+      ntokCol(text).as("__nt"))
     val offs = PrefixSum.withRunningTotal(t, orderCol, "__nt", "__end")
       .withColumn("__start", col("__end") - col("__nt"))
       .withColumn("__fc", expr(s"__start div $chunkTokens"))
@@ -91,8 +98,7 @@ object SequencePack {
     import org.apache.spark.sql.expressions.Window
     val text = col(textCol)
     val t = docs.select(col(shardCol), col(orderCol), text.as("__text"),
-      (length(text) - length(replace(text, lit(" "), lit(""))) + 1)
-        .cast("long").as("__nt"))
+      ntokCol(text).as("__nt"))
     val offs = t
       .withColumn("__end", sum(col("__nt")).over(
         Window.partitionBy(col(shardCol)).orderBy(col(orderCol))

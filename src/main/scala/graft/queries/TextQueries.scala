@@ -3755,8 +3755,8 @@ object TextQueries {
   def q114TokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
-      .withColumn("ntok", expr(
-        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+      .withColumn("ntok",
+        graft.operators.SequencePack.ntokCol($"text"))
       .withColumn("cum_before", coalesce(
         sum($"ntok").over(Window.partitionBy($"lang").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -11,6 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** [[decontaminateStream]]'s gram-broadcast memo — see the Scaladoc
+    * there for the key/verification/lifecycle contract. */
+  private val benchGramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int, Int, String, Long),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])]()
+
   /** Tumbling-window event aggregation with a watermark for late data.
     * Works identically on a batch or streaming DataFrame with a
     * TimestampType `ts` column. */
@@ -100,7 +107,10 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (lang, it, state: GroupState[Long]) =>
           val used = state.getOption.getOrElse(0L)
-          val room = math.max(0L, maxPerKey - used).toInt
+          // clamp BEFORE the Int narrowing: maxPerKey - used past
+          // Int.MaxValue overflowed .toInt to a negative room and
+          // silently admitted nothing, forever (review r13)
+          val room = math.min(math.max(0L, maxPerKey - used), Int.MaxValue.toLong).toInt
           val take = it.map(_._2).toArray.sorted.take(room)
           if (take.nonEmpty) state.update(used + take.length)
           take.iterator.map(id => (lang, id))
@@ -117,17 +127,23 @@ object StreamOps {
     * closes stream ≡ batch ≡ oracle on a single-batch replay. */
   def tokenBudgetStream(docs: DataFrame, tokenBudget: Long): DataFrame = {
     import docs.sparkSession.implicits._
+    // ntok stays NULLABLE end to end: the batch twin q114 admits a
+    // NULL-text document (its window sum skips the NULL, admission
+    // depends only on cum_before) — decoding into a primitive Long
+    // crashed the whole stream on the first NULL document instead
+    // (review r13). The expression is the shared parity-critical
+    // helper, one source of truth with q114 and SequencePack.
     docs.select(col("lang"), col("doc_id"),
-        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("ntok"))
-      .as[(String, Long, Long)]
+        graft.operators.SequencePack.ntokCol(col("text")).as("ntok"))
+      .as[(String, Long, Option[Long])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (String, Long, Long)](
+      .flatMapGroupsWithState[Long, (String, Long, Option[Long])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (lang, it, state: GroupState[Long]) =>
           var used = state.getOption.getOrElse(0L)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Option[Long])]
           it.toArray.sortBy(_._2).foreach { case (_, id, ntok) =>
-            if (used < tokenBudget) { out += ((lang, id, ntok)); used += ntok }
+            if (used < tokenBudget) { out += ((lang, id, ntok)); used += ntok.getOrElse(0L) }
           }
           state.update(used)
           out.iterator
@@ -197,16 +213,26 @@ object StreamOps {
           var hashesSeen = h0.hashes
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           it.toArray.sortBy(_._2).foreach { case (_, rev, h) =>
+            // NULL hashes (RevisionDelete-suppressed text) never match:
+            // the batch rule's SQL join (q145, a.h === e.h) rejects
+            // NULLs, while Scala == is null-safe — two deleted-text
+            // revisions read as a phantom revert (review r13). A null
+            // hash is also never STORED: it can never be a revert
+            // target, and storing it would burn a history slot.
             var rt = -1L
-            var i = 0
-            while (i < revsSeen.length) {
-              if (hashesSeen(i) == h && revsSeen(i) < rev &&
-                  (rt < 0 || revsSeen(i) < rt)) rt = revsSeen(i)
-              i += 1
+            if (h != null) {
+              var i = 0
+              while (i < revsSeen.length) {
+                if (hashesSeen(i) == h && revsSeen(i) < rev &&
+                    (rt < 0 || revsSeen(i) < rt)) rt = revsSeen(i)
+                i += 1
+              }
             }
             out += ((page, rev, rt, if (rt >= 0) 1L else 0L))
-            revsSeen = (revsSeen :+ rev).takeRight(maxHistory)
-            hashesSeen = (hashesSeen :+ h).takeRight(maxHistory)
+            if (h != null) {
+              revsSeen = (revsSeen :+ rev).takeRight(maxHistory)
+              hashesSeen = (hashesSeen :+ h).takeRight(maxHistory)
+            }
           }
           state.update(RevertHist(revsSeen, hashesSeen))
           out.iterator
@@ -326,17 +352,35 @@ object StreamOps {
       maxBroadcastGrams: Long = graft.operators.Decontamination.DefaultMaxBroadcastGrams): DataFrame = {
     val spark = bench.sparkSession
     import org.apache.spark.unsafe.types.UTF8String
-    val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
-    val grams = bench
-      .select(explode(expr(s"shingles(`$textCol`, $n)")).as("__g"))
-      .distinct().limit(cap)
-      .collect().map(_.getString(0))
-    require(grams.length <= maxBroadcastGrams,
-      s"bench gram set exceeds the broadcast budget ($maxBroadcastGrams); " +
-        "streaming decontamination needs the broadcast regime")
-    val set = new java.util.HashSet[UTF8String](grams.length * 2)
-    grams.foreach(g => set.add(UTF8String.fromString(g)))
-    val bc = spark.sparkContext.broadcast(set)
+    // the gram broadcast is MEMOIZED per (session, canonical bench
+    // plan, n, textCol, budget): every call used to collect + broadcast
+    // a fresh copy and never destroy it — Bench invokes each query >=3x
+    // and a long-lived session restarting streams leaked one gram-set
+    // broadcast per restart (review r13). Hash hits verify the
+    // CANONICAL PLAN by equality before reuse (a hash collision must
+    // never serve another bench set's grams). Contract, same as
+    // TextQueries.shingleStats' probe memo: the content behind an
+    // identical plan is stable within a session.
+    val canonical = bench.queryExecution.analyzed.canonicalized
+    val memoKey = (spark, canonical.semanticHash(), n, textCol, maxBroadcastGrams)
+    val cached = Option(StreamOps.benchGramMemo.get(memoKey))
+      .filter(_._1 == canonical).map(_._2)
+    val bc = cached.getOrElse {
+      val cap = (maxBroadcastGrams + 1).min(Int.MaxValue.toLong - 1).toInt
+      val grams = bench
+        .select(explode(expr(s"shingles(`$textCol`, $n)")).as("__g"))
+        .distinct().limit(cap)
+        .collect().map(_.getString(0))
+      require(grams.length <= maxBroadcastGrams,
+        s"bench gram set exceeds the broadcast budget ($maxBroadcastGrams); " +
+          "streaming decontamination needs the broadcast regime")
+      val set = new java.util.HashSet[UTF8String](grams.length * 2)
+      grams.foreach(g => set.add(UTF8String.fromString(g)))
+      val fresh = spark.sparkContext.broadcast(set)
+      if (StreamOps.benchGramMemo.size > 16) StreamOps.benchGramMemo.clear()
+      StreamOps.benchGramMemo.put(memoKey, (canonical, fresh))
+      fresh
+    }
     import org.apache.spark.sql.graft.ColumnBridge
     val hits = ColumnBridge.column(graft.functions.SetHits(
       ColumnBridge.expression(expr(s"shingles(`$textCol`, $n)")), bc))
@@ -414,10 +458,22 @@ object StreamOps {
     val ts = text.split(" ", -1)
     if (ts.length < 2) return null
     val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(b: Array[Byte]): String = {
-      val sb = new java.lang.StringBuilder(32)
-      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
-      sb.toString
+    // each slice value = one big-endian unsigned 4-byte group of the
+    // digest, read DIRECTLY: 8 hex digits parse to exactly
+    // (b[4k]<<24 | b[4k+1]<<16 | b[4k+2]<<8 | b[4k+3]) unsigned, so
+    // this is bit-identical to the previous hex-format + parseLong
+    // round-trip while skipping two string builds and eight substring
+    // parses per shingle (the per-document hot path; review r13).
+    // StreamingSpec's parity pin against q20's string mins still holds
+    // by the fixed-width-hex == unsigned-numeric ordering argument.
+    def foldMins(b: Array[Byte], mins: Array[Long], base: Int): Unit = {
+      var k = 0
+      while (k < 4) {
+        val v = ((b(k * 4) & 0xffL) << 24) | ((b(k * 4 + 1) & 0xffL) << 16) |
+          ((b(k * 4 + 2) & 0xffL) << 8) | (b(k * 4 + 3) & 0xffL)
+        if (v < mins(base + k)) mins(base + k) = v
+        k += 1
+      }
     }
     val mins = Array.fill(8)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
@@ -425,16 +481,8 @@ object StreamOps {
     while (i < ts.length - 1) {
       val sh = ts(i) + " " + ts(i + 1)
       if (seen.add(sh)) {
-        val m1 = hex(md.digest(sh.getBytes("UTF-8")))
-        val m2 = hex(md.digest(("x" + sh).getBytes("UTF-8")))
-        var k = 0
-        while (k < 4) {
-          val v1 = java.lang.Long.parseLong(m1.substring(k * 8, k * 8 + 8), 16)
-          if (v1 < mins(k)) mins(k) = v1
-          val v2 = java.lang.Long.parseLong(m2.substring(k * 8, k * 8 + 8), 16)
-          if (v2 < mins(k + 4)) mins(k + 4) = v2
-          k += 1
-        }
+        foldMins(md.digest(sh.getBytes("UTF-8")), mins, 0)
+        foldMins(md.digest(("x" + sh).getBytes("UTF-8")), mins, 4)
       }
       i += 1
     }
@@ -502,10 +550,14 @@ object StreamOps {
           val st = state.getOption.getOrElse(BucketState(Nil, Nil))
           val ids = scala.collection.mutable.ArrayBuffer[Long](st.ids: _*)
           val sigsB = scala.collection.mutable.ArrayBuffer[Seq[Long]](st.sigs: _*)
-          val known = ids.toSet
+          // LIVE known-set: a pre-batch snapshot admitted the same
+          // doc_id twice within one micro-batch (replayed ingestion),
+          // duplicating state entries, burning maxBucketDocs capacity
+          // and double-emitting every future pair (review r13)
+          val known = scala.collection.mutable.HashSet[Long](st.ids: _*)
           val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
           batch.toSeq.sortBy(_._3).foreach { case (_, b, id, sig) =>
-            if (!known.contains(id)) {
+            if (known.add(id)) {
               var j = 0
               while (j < ids.length) {
                 if (ids(j) != id) {
@@ -565,8 +617,12 @@ object StreamOps {
             else st.carry.split(" ", -1)
           var carryDocs = st.carryDocs
           var seq = st.chunkSeq
-          batch.toSeq.sortBy(_._2).foreach { case (_, _, text) =>
-            val toks = if (text == null) Array("") else text.split(" ", -1)
+          // a NULL-text doc VANISHES, exactly like the batch twin
+          // (packedChunksBy: NULL __nt -> no pieces, window sum skips
+          // it) — the old one-empty-token stand-in shifted every later
+          // chunk boundary in the shard (review r13)
+          batch.toSeq.sortBy(_._2).filter(_._3 != null).foreach { case (_, _, text) =>
+            val toks = text.split(" ", -1)
             var merged = if (carry.isEmpty) toks else carry ++ toks
             carryDocs += 1
             var off = 0

@@ -750,4 +750,84 @@ class StreamingSpec extends AnyFunSuite {
       assert(g.n_docs == nDocs, s"chunk $cid n_docs diverges")
     }
   }
+
+  test("NULL-input and overflow semantics of the stateful ops (review r13)") {
+    // flatMapGroupsWithState ops run on batch frames (one group call,
+    // empty state) — the cheap way to pin per-batch semantics. Every
+    // "stream ≡ batch" claim needs a NULL-input row (round-12 lesson);
+    // these were missing for revert/token-budget/pack.
+
+    // revertStream: NULL hashes never match (q145's SQL join rejects
+    // NULLs; Scala == is null-safe and read two deleted-text revisions
+    // as a phantom revert) and never burn a history slot
+    val revs = Seq(
+      (1L, 0L, null.asInstanceOf[String]),
+      (1L, 1L, null.asInstanceOf[String]),  // NULL==NULL must NOT revert
+      (1L, 2L, "h-a"),
+      (1L, 3L, "h-b"),
+      (1L, 4L, "h-a")                        // real revert to rev 2
+    ).toDF("page_id", "rev", "h")
+    val rOut = StreamOps.revertStream(revs).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rOut(1L) == (-1L, 0L), s"NULL hashes matched: ${rOut(1L)}")
+    assert(rOut(4L) == (2L, 1L))
+    // NULL-h rows must not consume maxHistory capacity: with a
+    // 2-entry horizon and two leading NULLs, rev 4 still sees rev 2
+    val rB = StreamOps.revertStream(revs, maxHistory = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rB(4L) == 2L, "NULL hashes burned history slots")
+
+    // tokenBudgetStream: a NULL-text doc is admitted at zero token
+    // cost with NULL ntok — q114's window semantics (the old primitive
+    // decode crashed the query instead)
+    val docs = Seq(
+      ("en", 1L, "a b c"),
+      ("en", 2L, null.asInstanceOf[String]),
+      ("en", 3L, "d e"),
+      ("en", 4L, "f g h i j")
+    ).toDF("lang", "doc_id", "text")
+    val tOut = StreamOps.tokenBudgetStream(docs, tokenBudget = 5L).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    // budget 5: doc1 (3 toks, used 3) + doc2 (NULL, used 3) + doc3
+    // (2, used 5) admitted; doc4 rejected (used == budget)
+    assert(tOut == Map(1L -> 3L, 2L -> -1L, 3L -> 2L))
+
+    // packStream: a NULL-text doc VANISHES like the batch twin — no
+    // empty-token boundary shift
+    val pdocs = Seq(
+      ("s", 1L, "t1 t2 t3"),
+      ("s", 2L, null.asInstanceOf[String]),
+      ("s", 3L, "t4 t5 t6")
+    ).toDF("shard", "doc_id", "text")
+    val pOut = StreamOps.packStream(pdocs, "shard", "doc_id", "text", chunkTokens = 2)
+      .collect().map(c => (c.chunk_seq, c.chunk_text)).toList.sortBy(_._1)
+    val pBatch = graft.operators.SequencePack
+      .packedChunksBy(pdocs, "shard", "doc_id", "text", 2)
+      .select(col("chunk_id"), col("chunk_text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList.sortBy(_._1)
+    assert(pOut.map(_._2) == pBatch.map(_._2),
+      s"NULL-text doc shifted chunk boundaries: $pOut vs $pBatch")
+
+    // quotaStream: an effectively-unlimited quota must not overflow the
+    // Int narrowing into admitting nothing
+    val qdocs = Seq(("en", 1L), ("en", 2L), ("en", 3L)).toDF("lang", "doc_id")
+    val qOut = StreamOps.quotaStream(qdocs, maxPerKey = Long.MaxValue)
+      .collect().map(_.getLong(1)).toList.sorted
+    assert(qOut == List(1L, 2L, 3L), s"quota overflow admitted: $qOut")
+
+    // minhashCandidatesStream: the same doc_id twice in ONE batch is
+    // admitted once (pre-batch known-set snapshots double-admitted it)
+    val text = "w1 w2 w3 w4 w5 w6"
+    val mdocs = Seq((1L, text), (1L, text), (2L, text))
+      .toDF("doc_id", "text")
+    val mOut = StreamOps.minhashCandidatesStream(mdocs, "doc_id", "text",
+        minEst = 0.5).collect()
+      .map(c => (c.doc_a, c.doc_b)).distinct
+    val mAll = StreamOps.minhashCandidatesStream(mdocs, "doc_id", "text",
+        minEst = 0.5).collect()
+    assert(mOut.toList == List((1L, 2L)))
+    // 8 bands × one (1,2) pair; a double-admitted doc 1 would emit 16
+    assert(mAll.length == 8, s"duplicate admission inflated pairs: ${mAll.length}")
+  }
 }
