@@ -90,10 +90,16 @@ object Bench {
     // the host's effective speed across the measurement window itself
     // (bench_last.json only), so future drift self-adjudicates: flat
     // series + slower queries = build; elevated series = host.
+    // ... and an MT twin: r13's artifact had FLAT single-thread sweep
+    // canaries (0.065-0.071) while load_avg sat at 7-8.6 and the quiet-
+    // window rerun of the same build was uniformly ~12% faster — multi-
+    // thread core steal is invisible to a single-thread probe (the r7
+    // lesson). One ~0.1s all-core probe per sample closes that gap.
     val sweepCanary = scala.collection.mutable.ArrayBuffer[Double]()
+    val sweepCanaryMt = scala.collection.mutable.ArrayBuffer[Double]()
     var qIdx = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
-      if (qIdx % 30 == 0) sweepCanary += miniCanary()
+      if (qIdx % 30 == 0) { sweepCanary += miniCanary(); sweepCanaryMt += miniCanaryMt() }
       qIdx += 1
       def onePass(): Double = {
         val t0 = System.nanoTime()
@@ -102,7 +108,7 @@ object Bench {
       }
       name -> math.min(onePass(), onePass())
     }
-    sweepCanary += miniCanary()
+    sweepCanary += miniCanary(); sweepCanaryMt += miniCanaryMt()
     // millisecond precision: 9-fractional-digit doubles bloated the
     // line ~40% and the driver's tail capture truncated mid-JSON,
     // losing 15 of 70 per-query numbers in r5
@@ -123,9 +129,9 @@ object Bench {
     // (tagged "inherited") if the spawn fails, so the field never
     // silently disappears.
     val steadyNames = results.toSeq.sortBy(-_._2).take(15).map(_._1)
-    val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb) =
+    val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb, steadyDetail) =
       freshJvmSteady(sfDir, steadyNames) match {
-        case Some((sj, scj, mem)) => (sj, scj, "fresh", mem)
+        case Some((sj, scj, mem, body)) => (sj, scj, "fresh", mem, body)
         case None =>
           val steady = steadyNames.map { name =>
             val t0 = System.nanoTime()
@@ -134,7 +140,7 @@ object Bench {
             name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           }
           (steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-            .mkString("{", ",", "}"), "[]", "inherited", "-1")
+            .mkString("{", ",", "}"), "[]", "inherited", "-1", "{}")
       }
     // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
     // byte-identical kernel and could not be adjudicated from the
@@ -156,7 +162,14 @@ object Bench {
       case (k, v) if !fixtures(k) => v }.sum
     val sweepCanaryJson = sweepCanary.map(t => f"$t%.3f")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"steady_mem_avail_gb":$steadyMemGb,"sweep_canary_sec":$sweepCanaryJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val sweepCanaryMtJson = sweepCanaryMt.map(t => f"$t%.3f")
+      .mkString("[", ",", "]")
+    // steady_detail: the child's FULL marker body, verbatim — per-query
+    // pass walls, per-micro-batch durations, per-query canaries, MT edge
+    // canaries, child load averages. bench_last.json only (unbounded
+    // file, not the stdout line); makes steady outliers self-adjudicating
+    // without a rerun (r13 verdict #1).
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"steady_mem_avail_gb":$steadyMemGb,"steady_detail":$steadyDetail,"sweep_canary_sec":$sweepCanaryJson,"sweep_canary_mt_sec":$sweepCanaryMtJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
     // a file copy makes the artifact recoverable even if the driver's
     // stdout tail capture truncates (it did, twice: r4/r5 recorded
     // "parsed": null); cwd is the repo when sbt runs
@@ -196,12 +209,14 @@ object Bench {
 
   /** Spawn [[SteadyBench]] in a fresh JVM (same classpath, same fork
     * opts, same env) and parse its marker line. Returns the steady map
-    * JSON, the child's edge-canary pair, and the child's MemAvailable
-    * at start (GiB; "-1" when absent) — or None if the spawn failed in
-    * any way (missing java, non-zero exit, timeout, no marker line);
-    * the caller falls back to the in-JVM pass. */
+    * JSON, the child's edge-canary pair, the child's MemAvailable
+    * at start (GiB; "-1" when absent), and the FULL marker body (the
+    * always-on trace evidence, embedded verbatim as `steady_detail`) —
+    * or None if the spawn failed in any way (missing java, non-zero
+    * exit, timeout, no marker line); the caller falls back to the
+    * in-JVM pass. */
   private def freshJvmSteady(sfDir: String,
-      names: Seq[String]): Option[(String, String, String)] =
+      names: Seq[String]): Option[(String, String, String, String)] =
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java")
@@ -253,7 +268,8 @@ object Bench {
             .takeWhile(c => c.isDigit || c == '.' || c == '-')
         (body.substring(sIdx + "\"steady\":".length, sEnd + 1),
           body.substring(cIdx + "\"steady_canary_sec\":".length, cEnd + 1),
-          if (mem.nonEmpty) mem else "-1")
+          if (mem.nonEmpty) mem else "-1",
+          body)
       }
     } catch { case _: Throwable => None }
 
@@ -333,7 +349,30 @@ object Bench {
       }.mkString("{", ",", "}")
   }
 
-  private def systemLoad(): Double = {
+  /** Mini MT probe: the mini canary's loop on every core at once (wall
+    * for all to finish) — ~0.1s, sees multi-thread core steal the
+    * single-thread probe can't (r7/r13 adjudications). */
+  private[graft] def miniCanaryMt(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var k = 0
+        while (k < 30000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          k += 1
+        }
+        if (x == 42L) System.err.println("canary") // defeat DCE
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val s = (System.nanoTime() - t0) / 1e9
+    math.round(s * 1000.0) / 1000.0
+  }
+
+  private[graft] def systemLoad(): Double = {
     val l = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     math.round(l * 100.0) / 100.0

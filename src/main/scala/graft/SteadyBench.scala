@@ -15,13 +15,21 @@ import org.apache.spark.sql.SparkSession
   * SF), only the named queries.
   *
   * args: sfDir, then query names. Prints exactly one marker line
-  * `STEADYJSON\t{"steady":{...},"steady_canary_sec":[pre,post],
-  * "steady_mem_avail_gb":N}` for the parent to parse; mini-canaries on
-  * each edge keep host-steal adjudication for the steady window itself,
-  * and the child's own MemAvailable at start makes memory-pressure
-  * confounds self-adjudicating (the parent keeps its committed heap
-  * and live session while the child runs — two ~16 GB JVMs; a register
-  * canary sees CPU steal but not paging, ADVICE r12).
+  * `STEADYJSON\t{...}` for the parent to parse and embed verbatim in
+  * `bench_last.json` (`steady_detail`).
+  *
+  * Evidence carried UNCONDITIONALLY since round 14 (the r13 q179/q84
+  * steady outliers recurred in the driver's round-end artifact with
+  * FLAT single-thread canaries while `load_avg` sat at 7-8.6 — the
+  * single-thread probe cannot see multi-thread core steal, the r7
+  * lesson re-hit): per-query pass1/pass2 walls, per-micro-batch
+  * `triggerExecution` durations for each pass (streaming rows), a
+  * ~0.1 s single-thread mini-canary before every query, MULTI-thread
+  * mini-canaries + host load average on both edges, and the child's
+  * MemAvailable at start. A future steady outlier adjudicates from
+  * the artifact alone: elevated MT canary / load = host; slow batches
+  * with flat canaries = engine; pass1 ≫ pass2 = warmup state.
+  * `STEADY_TRACE=1` additionally mirrors the trace to stderr live.
   */
 object SteadyBench {
 
@@ -52,18 +60,25 @@ object SteadyBench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // STEADY_TRACE=1: per-pass wall times + per-micro-batch durations to
-    // stderr — the adjudication hook the r12 q179 steady anomaly needed
-    // (a min-of-2 artifact number alone cannot say WHERE the time went)
     val trace = sys.env.contains("STEADY_TRACE")
-    if (trace) spark.streams.addListener(
+    // always-on micro-batch recorder: streaming rows run real multi-
+    // batch jobs; per-batch triggerExecution is the only way to say
+    // WHERE a slow pass spent its time (r13 verdict #1)
+    val batchMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit =
-          System.err.println(s"[steady-trace] batch=${e.progress.batchId} " +
-            s"rows=${e.progress.numInputRows} durationMs=${e.progress.durationMs}")
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val d = e.progress.durationMs
+          val ms = if (d != null && d.containsKey("triggerExecution"))
+            d.get("triggerExecution").longValue else -1L
+          batchMs.add(ms)
+          if (trace) System.err.println(
+            s"[steady-trace] batch=${e.progress.batchId} " +
+              s"rows=${e.progress.numInputRows} durationMs=$d")
+        }
       })
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warmDir = "/root/testdata/sf0.001"
@@ -73,26 +88,49 @@ object SteadyBench {
         catch { case _: Throwable => }
       }
     }
+    val loadStart = Bench.systemLoad()
     val pre = Bench.miniCanary()
+    val preMt = Bench.miniCanaryMt()
+    def ms(v: Double): String = f"$v%.3f"
+    val detail = new StringBuilder
     val steady = names.map { name =>
-      def onePass(): Double = {
+      val qCanary = Bench.miniCanary()
+      def onePass(): (Double, String) = {
+        batchMs.clear()
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val batches = {
+          val it = batchMs.iterator(); val b = new StringBuilder("[")
+          var first = true
+          while (it.hasNext) {
+            if (!first) b.append(','); first = false
+            b.append(it.next())
+          }
+          b.append(']').toString
+        }
+        (sec, batches)
       }
-      val a = onePass()
-      if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f")
-      val b = onePass()
-      if (trace) System.err.println(f"[steady-trace] $name pass2=$b%.3f")
+      val (a, b1) = onePass()
+      if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f batches=$b1")
+      val (b, b2) = onePass()
+      if (trace) System.err.println(f"[steady-trace] $name pass2=$b%.3f batches=$b2")
+      if (detail.nonEmpty) detail.append(',')
+      detail.append("\"").append(name).append("\":{\"passes\":[")
+        .append(ms(a)).append(',').append(ms(b))
+        .append("],\"canary\":").append(ms(qCanary))
+        .append(",\"batches\":[").append(b1).append(',').append(b2)
+        .append("]}")
       // min of the two passes, but never mask a failure with a success
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val post = Bench.miniCanary()
-    def ms(v: Double): String = f"$v%.3f"
+    val postMt = Bench.miniCanaryMt()
+    val loadEnd = Bench.systemLoad()
     val steadyJson = steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}],"steady_mem_avail_gb":$memAtStart}""")
+    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}],"steady_canary_mt_sec":[${ms(preMt)},${ms(postMt)}],"steady_load_avg":[$loadStart,$loadEnd],"steady_mem_avail_gb":$memAtStart,"trace":{${detail.toString}}}""")
     spark.stop()
   }
 }

@@ -34,7 +34,19 @@ object Containment {
     * [[JaccardPairs.pairsFromStats]]: sweep word-ops vs exact Σ df²
     * inverted-index join rows, bounded by broadcast memory rather than
     * a hard vocabulary cap). The dense path builds its sweep from the
-    * already-collected rows — no second collect of the corpus. */
+    * already-collected rows — no second collect of the corpus.
+    *
+    * Deliberately NO banded-LSH third regime here (unlike
+    * [[JaccardPairs.pairsFromStats]] past its exact-ops budget):
+    * MinHash band collisions fire with probability s^r in the pair's
+    * JACCARD s, and the pairs containment exists to find — a short
+    * quote inside a long page — have high containment but Jaccard
+    * ≈ |A|/|B| ≈ 0, so the banded generator would systematically miss
+    * exactly the asymmetric pairs this operator is for. Past the
+    * block grid the honest options are the exact grid (unbounded
+    * here, cost documented in SCALING.md) or a prefix/partition-
+    * filtered candidate scheme keyed on the SMALL side — not a
+    * Jaccard-curve sampler. */
   def pairsFromStats(sh: DataFrame, stats: JaccardPairs.DispatchStats,
       threshold: Double,
       maxBitmapVocab: Int = JaccardPairs.DefaultMaxBitmapVocab,

@@ -33,11 +33,13 @@ import scala.collection.mutable.ArrayBuffer
   * is ~10-17 s on 32 threads; at 100× (≈500k dense docs) the same
   * exact semantics are n²/2 ≈ 1.25×10¹¹ pairs ≈ 10³ s — correct,
   * distributed (BlockGrid past the broadcast bound), but the COST IS
-  * THE CONTRACT. Callers who can accept candidate-generation
-  * semantics above ~10⁵ dense docs should use the banded MinHash-LSH
-  * path ([[MinHashLsh]], q20's shape — measured scaling exponent
-  * e≈0.35 vs the sweep family's designed e≈1.0-1.5, SCALING.md) and
-  * verify candidates exactly; that is the 100 TB recipe. */
+  * THE CONTRACT. Since round 14 the dispatch takes the crossover
+  * ITSELF: past [[JaccardPairs.DefaultMaxExactSweepOps]] (≈10⁵ dense
+  * docs at a 4096-bit vocabulary) [[JaccardPairs.pairsFromStats]]
+  * routes to [[JaccardPairs.bandedVerifiedPairs]] — banded MinHash
+  * candidates (q20's shape, measured e≈0.35 vs the sweep family's
+  * designed e≈1.0-1.5, SCALING.md) verified exactly; that is the
+  * 100 TB recipe, no longer a footnote a caller must remember. */
 private[operators] object DriverSweep {
 
   trait PairEmit extends Serializable {

@@ -82,6 +82,19 @@ object JaccardPairs {
     * distributed join is recoverable; the reverse risks a broadcast). */
   val InvRowCostWordOps = 256L
 
+  /** Exact-sweep word-op budget past which the DENSE regime switches
+    * semantics to banded MinHash + exact verification
+    * ([[bandedVerifiedPairs]]). 3.2e11 word-ops ≈ 10⁵ dense docs at a
+    * 4096-bit vocabulary — the crossover SCALING.md (round 12)
+    * documented as a manual caller switch; since round 14 the dispatch
+    * takes it itself (the r8 lesson says a human forgetting a footnote
+    * at 100× is a quadratic blow-up). Exact all-pairs Jaccard below
+    * the budget; above it, candidates come from deterministic banded
+    * LSH and every emitted pair is still EXACT (verified), but recall
+    * is 1-(1-s^r)^b per the LSH curve — the documented contract of the
+    * scale regime. */
+  val DefaultMaxExactSweepOps: Double = 3.2e11
+
   /** Regime-dispatch statistics, computed once per shingle frame and
     * shareable across every pair operator that consumes it
     * ([[JaccardPairs.pairsFromStats]], [[Containment.pairsFromStats]]).
@@ -127,16 +140,23 @@ object JaccardPairs {
         (classicDense || sweepOps <= invCost)
     }
 
+    /** Dense regime: the exact sweep is the cheaper formulation by the
+      * cross-regime cost model (sweep word-ops vs Σ df² joined rows at
+      * the measured row cost). Which dense PLAN runs is then a second
+      * decision: driver sweep → block grid → banded-verified, by
+      * budget. */
+    val dense: Boolean = nDocs > 0 && vocabN > 0 && sweepOps <= invCost
+
     /** Distributed block-sweep eligibility: the dense regime PAST the
-      * driver sweep's collect/broadcast bounds. Chosen when the sweep
-      * is still the cheaper formulation (sweepOps ≤ invCost — the same
-      * cross-regime cost model) and the vocabulary index fits a
-      * broadcast. No absolute op cap: past this point the inverted
-      * index is quadratically worse by the same arithmetic (the r8
-      * lesson — a cap here would force the catastrophic path). */
+      * driver sweep's collect/broadcast bounds, while the vocabulary
+      * index still fits a broadcast. The EXACT-ops budget
+      * ([[DefaultMaxExactSweepOps]]) is applied by the dispatch, not
+      * here — past it the dense regime switches semantics to
+      * [[bandedVerifiedPairs]] rather than falling back to the
+      * quadratically-worse inverted index (the r8 lesson — a cap that
+      * forces the catastrophic path is worse than no cap). */
     def useBlockSweep: Boolean =
-      nDocs > 0 && vocabN > 0 && vocabN <= MaxBlockSweepVocab &&
-        sweepOps <= invCost
+      dense && vocabN <= MaxBlockSweepVocab
   }
 
   /** One probe per shingle frame: LIMIT-bounded count, then either a
@@ -169,25 +189,43 @@ object JaccardPairs {
   def pairs(sh: DataFrame, threshold: Double,
             maxBitmapVocab: Int = DefaultMaxBitmapVocab,
             maxBitmapDocs: Long = DefaultMaxBitmapDocs,
-            maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame =
+            maxSweepPairOps: Long = DefaultMaxSweepPairOps,
+            maxExactSweepOps: Double = DefaultMaxExactSweepOps): DataFrame =
     pairsFromStats(sh, probe(sh), threshold, maxBitmapVocab,
-      maxBitmapDocs, maxSweepPairOps)
+      maxBitmapDocs, maxSweepPairOps, maxExactSweepOps)
 
   /** As [[pairs]], but with a precomputed [[DispatchStats]] (no probe,
     * no persist — the decision and the sweep's input both come from
     * the stats; only the inverted-index path touches `sh`). Callers
     * that KNOW the corpus is large can call invertedIndexPairs
-    * directly and skip even the stats. */
+    * directly and skip even the stats.
+    *
+    * Dense-regime ladder: driver sweep (fits one broadcast) → block
+    * grid (distributed, exact) → [[bandedVerifiedPairs]] (past
+    * `maxExactSweepOps` — exact values, LSH-curve recall; also the
+    * dense fallback when the vocabulary outgrows the block grid's
+    * index broadcast, where the old dispatch fell back to the
+    * quadratically-worse inverted index). */
   def pairsFromStats(sh: DataFrame, stats: DispatchStats,
       threshold: Double,
       maxBitmapVocab: Int = DefaultMaxBitmapVocab,
       maxBitmapDocs: Long = DefaultMaxBitmapDocs,
-      maxSweepPairOps: Long = DefaultMaxSweepPairOps): DataFrame =
-    if (stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
+      maxSweepPairOps: Long = DefaultMaxSweepPairOps,
+      maxExactSweepOps: Double = DefaultMaxExactSweepOps): DataFrame = {
+    // the exact-ops budget gates BOTH exact dense plans (driver sweep
+    // and block grid): the crossover is about the n²/2·words work
+    // product, not which plan carries it — a 500k-doc corpus is ~10³ s
+    // of exact sweep wherever it runs (SCALING.md r12)
+    val exactAffordable = stats.sweepOps <= maxExactSweepOps
+    if (exactAffordable &&
+        stats.useSweep(maxBitmapVocab, maxBitmapDocs, maxSweepPairOps))
       sweepFromRaw(sh.sparkSession, stats.raw, threshold)
-    else if (stats.useBlockSweep)
+    else if (exactAffordable && stats.useBlockSweep)
       blockSweepPairs(sh, threshold, stats.nDocs)
+    else if (stats.dense)
+      bandedVerifiedPairs(sh, threshold)
     else invertedIndexPairs(sh, threshold)
+  }
 
   /** Shuffle-by-shingle inverted-index formulation (sparse regime). */
   def invertedIndexPairs(sh: DataFrame, threshold: Double): DataFrame = {
@@ -201,6 +239,73 @@ object JaccardPairs {
     p.join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .withColumn("jaccard", $"common" / ($"sa.n" + $"sb.n" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Banded MinHash candidates + EXACT verification — the dense
+    * regime's scale semantics past [[DefaultMaxExactSweepOps]] (the
+    * q108/q113 arc, promoted from a SCALING.md footnote to the
+    * dispatch itself in round 14). Fully distributed, nothing
+    * corpus-quadratic:
+    *
+    *  1. per-doc distinct shingle sets materialize once (eager
+    *     `localCheckpoint` — the lazy result plan consumes them from
+    *     three branches: signature build + both verify sides; a
+    *     re-executed upstream would be slow, and per the round-10
+    *     lesson column pruning can defeat ReuseExchange);
+    *  2. `k` MinHash slices per doc (32-bit lexicographic mins of
+    *     salted md5 — the q20 family's portable, DETERMINISTIC hash:
+    *     same corpus → same candidates, every run, any cluster);
+    *  3. bands of `r` rows (threshold-adaptive: r=3 above 0.75, r=2
+    *     above 0.4, else r=1); candidate ⇔ some band collides whole.
+    *     Shuffle key = band value — candidate volume is governed by
+    *     real similarity structure, not vocabulary density;
+    *  4. every candidate is verified EXACTLY (set intersection), so
+    *     emitted rows are identical in value to the exact paths; the
+    *     divergence from them is RECALL only: a qualifying pair is
+    *     missed with probability (1-s^r)^b (s = its true Jaccard,
+    *     b = k/r) — at k=24, t=0.8 (r=3, b=8) a pair at s=0.8 is
+    *     found with p≈0.997 and at s=0.9 with p≈0.9998.
+    *
+    * This is the standard web-scale near-dup shape; the exact sweep
+    * below the budget exists because exact all-pairs is affordable
+    * there and recall=1 is strictly better. */
+  def bandedVerifiedPairs(sh: DataFrame, threshold: Double,
+      k: Int = 24): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sets = sh.groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("set"))
+      .select($"doc_id".cast("long").as("doc_id"), $"set",
+        size($"set").as("n"))
+      .localCheckpoint()
+    val r = if (threshold >= 0.75) 3 else if (threshold >= 0.4) 2 else 1
+    val b = k / r
+    val ex = sets.select($"doc_id", explode($"set").as("shingle"))
+    val mds = (0 until (k + 3) / 4).map(i =>
+      md5(concat(lit("s" + i), $"shingle")))
+    val sliceCols = (0 until k).map { j =>
+      min(substring(mds(j / 4), (j % 4) * 8 + 1, 8)).as(s"h$j")
+    }
+    val sigWide = ex.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+    val stackArgs = (0 until b).map { j =>
+      val v = (0 until r).map(t => s"h${j * r + t}")
+        .mkString("concat(", ", ", ")")
+      s"$j, $v"
+    }.mkString(", ")
+    val bands = sigWide.selectExpr("doc_id",
+      s"stack($b, $stackArgs) AS (band, bv)")
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    cand.join(sets.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sets.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("common", size(array_intersect($"sa.set", $"sb.set")))
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"sa.n" + $"sb.n" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"jaccard")
   }

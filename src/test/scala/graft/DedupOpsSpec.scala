@@ -244,6 +244,42 @@ class DedupOpsSpec extends AnyFunSuite {
            b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("JaccardPairs: banded-verified pairs equal inverted join (forced + auto)") {
+    import spark.implicits._
+    val sh = shingles
+    // the third dense regime (past the exact-sweep ops budget): banded
+    // MinHash candidates + exact verification. On this corpus every
+    // qualifying pair collides in some band (deterministic salted-md5
+    // minhash — same corpus, same candidates, every run), so the
+    // output is value-identical to the exact join; in general the
+    // contract is exact VALUES with LSH-curve recall.
+    for (t <- Seq(0.5, 0.8)) { // r=2 and r=3 banding branches
+      val a = graft.operators.JaccardPairs.bandedVerifiedPairs(sh, t)
+        .orderBy($"doc_a", $"doc_b").collect().toSeq
+      val b = graft.operators.JaccardPairs.invertedIndexPairs(sh, t)
+        .orderBy($"doc_a", $"doc_b").collect().toSeq
+      assert(a.nonEmpty, s"threshold $t")
+      assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+             b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))), s"threshold $t")
+    }
+    // auto-dispatch contract (the r12 footnote promoted to code): on a
+    // dense corpus with the exact-sweep budget exhausted and the driver
+    // sweep ineligible, pairsFromStats must route to the banded path
+    // itself — never the inverted index the cost model rejected, and
+    // never an un-budgeted exact sweep
+    val st = graft.operators.JaccardPairs.probe(sh)
+    assert(st.dense && st.useBlockSweep)
+    val dispatched = graft.operators.JaccardPairs
+      .pairsFromStats(sh, st, 0.5, maxBitmapDocs = 1L, maxExactSweepOps = 0.0)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    val inv = graft.operators.JaccardPairs.invertedIndexPairs(sh, 0.5)
+      .orderBy($"doc_a", $"doc_b").collect().toSeq
+    assert(dispatched.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+           inv.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // with the default budget the same stats stay on the exact path
+    assert(st.sweepOps <= graft.operators.JaccardPairs.DefaultMaxExactSweepOps)
+  }
+
   test("Containment: distributed block sweep equals inverted join (multi-block)") {
     import spark.implicits._
     val sh = shingles
