@@ -361,6 +361,41 @@ object EntryOracle {
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromDump))
   }
 
+  // ---------------------------------------------------------------- q190
+  /** The WRITE side closes the loop: the flagship construction is read
+    * from the plain dump, written through `df.write.format("mediawiki")`
+    * (multistream layout, one page per stream, the original siteinfo
+    * header preserved), and the ENGINE-WRITTEN archive is read back via
+    * per-stream index planning (partition count asserted — the written
+    * index drives the planner, not the size fallback) into the same
+    * diffdb flatten. VALUES are q153's verbatim: writer escaping,
+    * timestamp rendering, contributor/minor/comment/parentid forms, and
+    * the index side-file all sit inside the correctness gate. */
+  def q190EntryWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDump()
+    val outDir = OracleTmp.fresh("q190_ms_write").toString
+    val header = dumpXml.substring(0, dumpXml.indexOf("  <page>"))
+    s.read.format("mediawiki").option("previousRevision", "false").load(path)
+      .write.format("mediawiki")
+      .option("assumeGrouped", "true") // reader output is page-contiguous
+      .option("multistreamPagesPerStream", "1")
+      .option("multistreamHeader", header)
+      .mode("append").save(outDir)
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(outDir)
+    require(src.rdd.getNumPartitions == NumPlants,
+      s"the written index must drive per-stream planning, got ${src.rdd.getNumPartitions}")
+    // namespaces parse from the WRITTEN archive's own header — the
+    // header option must preserve siteinfo end-to-end
+    val part = new java.io.File(outDir).listFiles()
+      .find(_.getName.endsWith(".xml.bz2")).get
+    val fromWritten = graft.MediaWiki.namespacesByName(
+      graft.MediaWiki.siteinfoNamespaces(s, part.getAbsolutePath))
+    require(fromWritten.nonEmpty, "written archive lost the siteinfo header")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromWritten))
+  }
+
   // ---------------------------------------------------------------- q187
   /** The multistream+index layout through the STREAMING source gate:
     * the q183 construction split into TWO multistream archives (each
@@ -902,6 +937,11 @@ object EntryOracle {
 
   /** q183 reads the SAME construction through index-planned multistream. */
   val q183Sql: String = q153Sql
+
+  /** q190 round-trips the SAME construction through the WRITE sink
+    * (engine-written multistream archive + index, read back via its own
+    * index planning). Below q153Sql by the r12 init-order rule. */
+  val q190Sql: String = q153Sql
 
   /** q164 excludes the Category pages at the reader (id % 3 == 2). */
   val q164Sql: String = sqlFor(id => id % 3 != 2)

@@ -117,7 +117,10 @@ object MediaWikiTable {
   private val CanonicalOptionKeys = Seq(
     "excludePagesWith", "previousRevision", "raw", "minSplitBytes",
     "multistreamIndex", "multistreamTargetBytes", "multistreamSkipExcluded",
-    "nsIn", "pageIdIn", "maxFilesPerTrigger")
+    "nsIn", "pageIdIn", "maxFilesPerTrigger",
+    // write-side (MediaWikiWrite)
+    "multistreamPagesPerStream", "multistreamStreamBytes", "multistreamHeader",
+    "assumeGrouped", "bz2BlockSize")
 
   def canonicalizeOptions(props: Map[String, String]): Map[String, String] =
     props ++ CanonicalOptionKeys.flatMap { k =>
@@ -169,16 +172,23 @@ object MediaWikiTable {
 }
 
 class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"mediawiki(${MediaWikiTable.resolvePaths(props).mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = MediaWikiTable.canonicalizeOptions(props ++ options.asScala)
     new MediaWikiScanBuilder(tableSchema,
       merged ++ MediaWikiTable.optionFilterProps(merged))
   }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new MediaWikiWriteBuilder(info,
+      MediaWikiTable.canonicalizeOptions(props ++ info.options().asScala))
 }
 
 class MediaWikiScanBuilder(fullSchema: StructType, props: Map[String, String])
@@ -276,10 +286,10 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
     val conf = spark.sessionState.newHadoopConf()
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val codecs = new CompressionCodecFactory(conf)
-    MediaWikiTable.resolvePaths(props).flatMap { p =>
+    val files: Seq[(FileSystem, Path)] = MediaWikiTable.resolvePaths(props).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      val files = if (fs.getFileStatus(path).isDirectory) {
+      val fsFiles = if (fs.getFileStatus(path).isDirectory) {
         // a '-index.txt(.bz2)' whose dump sibling is also listed is the
         // multistream planning metadata, not a dump — scanning it wastes
         // a decompression pass and pollutes the page metrics (ADVICE
@@ -290,9 +300,9 @@ class MediaWikiScan(requiredSchema: StructType, props: Map[String, String])
         val names = listed.map(_.getName).toSet
         listed.filterNot(f => MultistreamIndex.isIndexSibling(f.getName, names)).toSeq
       } else Seq(path)
-      files.flatMap(f =>
-        MediaWikiScan.partitionsForFile(fs, codecs, f, maxBytes, props))
-    }.toArray
+      fsFiles.map(f => (fs, f))
+    }
+    MediaWikiScan.partitionsForFiles(codecs, files, maxBytes, props).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -324,6 +334,42 @@ object MediaWikiScan {
       .filter(v => v.nonEmpty && !v.equalsIgnoreCase("off") && !v.equalsIgnoreCase("false"))
     !explicitIdx.exists(v =>
       fs.makeQualified(new Path(v)) == fs.makeQualified(f))
+  }
+
+  /** Bounded parallelism for multi-file planning: a COLD multistream
+    * index plan is single-threaded driver I/O (~2-12 s per enwiki-scale
+    * index, r13 probe), and a directory of dozens of dumps would pay it
+    * serially before the first task launches. Per-file plans are
+    * independent and memoized, so they parallelize safely. */
+  private val PlanParallelism = 8
+
+  /** Plan partitions for many files with a bounded driver pool.
+    * Order-preserving: the result concatenates per-file plans in input
+    * order, byte-identical to the serial loop (spec-pinned). A planning
+    * failure in any file rethrows its ORIGINAL exception (the loud-
+    * failure contract must not get wrapped into ExecutionException). */
+  def partitionsForFiles(codecs: CompressionCodecFactory,
+      files: Seq[(FileSystem, Path)], maxBytes: Long,
+      props: Map[String, String]): Seq[MediaWikiInputPartition] = {
+    if (files.lengthCompare(2) < 0)
+      files.flatMap { case (fs, f) => partitionsForFile(fs, codecs, f, maxBytes, props) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.size, PlanParallelism),
+        (r: Runnable) => { val t = new Thread(r, "graft-plan"); t.setDaemon(true); t })
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Seq[MediaWikiInputPartition]]] =
+          files.map { case (fs, f) =>
+            () => partitionsForFile(fs, codecs, f, maxBytes, props)
+          }
+        // invokeAll preserves input order in the returned futures
+        pool.invokeAll(tasks.asJava).asScala.toSeq.flatMap { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
   }
 
   /** Size-based split planning for one dump file — shared by the batch
@@ -535,11 +581,9 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       s"file log has ${fileLog.size} entries but batch [$s,$e) was committed — " +
         "checkpoint and watched directory disagree (were files deleted?)")
     val codecs = new CompressionCodecFactory(conf)
-    files.flatMap { f =>
-      val path = new Path(f)
-      val fs = path.getFileSystem(conf)
-      MediaWikiScan.partitionsForFile(fs, codecs, path, maxBytes, props)
-    }.toArray
+    MediaWikiScan.partitionsForFiles(codecs,
+      files.map { f => val p = new Path(f); (p.getFileSystem(conf), p) },
+      maxBytes, props).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -604,18 +648,12 @@ class MediaWikiPartitionReader(
   private val exclude = props.get("excludePagesWith").filter(_.nonEmpty).map(Pattern.compile)
   private val wantRaw = schema.fieldNames.contains("raw_xml")
 
-  /** Conjunction of pushed-down title predicates (exact semantics). */
+  /** Conjunction of pushed-down title predicates (exact semantics).
+    * Decoded via [[PageIdFilter.titlePredsFromProps]] — the ONE decoder
+    * shared with the multistream skip-planner, so a new pushed kind can
+    * never be handled by the planner but MatchError here (ADVICE r13). */
   private val titleFilter: Option[String => Boolean] = {
-    val preds = props.collect {
-      case (k, v) if k.startsWith("__titleFilter") =>
-        val Array(kind, arg) = v.split(":", 2)
-        kind match {
-          case "eq" => (t: String) => t == arg
-          case "contains" => (t: String) => t.contains(arg)
-          case "starts" => (t: String) => t.startsWith(arg)
-          case "ends" => (t: String) => t.endsWith(arg)
-        }
-    }.toSeq
+    val preds = PageIdFilter.titlePredsFromProps(props)
     if (preds.isEmpty) None else Some(t => preds.forall(p => p(t)))
   }
 

@@ -1,0 +1,407 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** `df.write.format("mediawiki")` — the write side of the source: pages
+  * serialized as MediaWiki export XML in the `-multistream` layout (one
+  * complete bz2 stream per page group, header stream before the first
+  * page, footer stream after the last) with the `offset:page_id:title`
+  * index sibling. An engine-written archive is therefore readable AND
+  * skip-plannable by this source's own reader/planner (round-trip
+  * oracle q190; the reference has no write side at all — its output is
+  * the diffdb TSV, which [[graft.functions.GraftFunctions]] covers).
+  *
+  * Scale design: each input partition writes one
+  * `part-NNNNN-<uuid>.xml.bz2` + `part-NNNNN-<uuid>-index.txt` pair —
+  * no driver funnel, no global sort. A page's revisions must be
+  * CONTIGUOUS and ordered within one partition; the Write declares
+  * `RequiresDistributionAndOrdering` (clustered by `page_id`, ordered
+  * by `(page_id, rev_seq)`) so Catalyst inserts the shuffle+sort —
+  * callers whose frames are already page-contiguous (anything straight
+  * out of this source's reader) set `assumeGrouped=true` to skip it;
+  * the writer still verifies the invariant per task and fails loudly
+  * on a violation (a silently split page would drop revisions from
+  * every prev/curr pairing downstream).
+  *
+  * Input schema: the source's OWN read schema (`previousRevision=false`
+  * form; a `prev`/`raw_xml` column is accepted and ignored) — so
+  * read → transform → write round-trips without projection. NULL
+  * semantics mirror the reader exactly: NULL `text` writes the
+  * RevisionDelete `deleted="deleted"` marker, NULL `ns`/`redirect`/
+  * `comment`/`model`/`format`/`parent_id` omit their elements, a NULL
+  * `contributor` struct omits the element and `deleted=true` writes
+  * the attribute form.
+  *
+  * Commit protocol: tasks write dot-prefixed temp names (invisible to
+  * the directory listing's hidden-file rule), the job commit renames
+  * dump FIRST, index second — the transient states are an unrenamed
+  * temp (invisible) or a dump without its index (size-planned read,
+  * correct); an index ever appearing without its dump would be LISTED
+  * as a dump and read as garbage, which the rename order forbids.
+  *
+  * Options: `multistreamPagesPerStream` (default 100, the published
+  * Wikipedia grouping), `multistreamStreamBytes` (uncompressed-byte
+  * budget that cuts a stream early; 0 = off), `multistreamHeader`
+  * (full XML before the first page — pass the original dump's head to
+  * preserve siteinfo so ns skip-planning engages on the written
+  * archive; default a minimal `<mediawiki>`), `assumeGrouped`,
+  * `bz2BlockSize` (1-9, default 9).
+  */
+object MediaWikiWrite {
+  val DefaultPagesPerStream = 100
+
+  /** Element-content escape — exact inverse of the reader's
+    * [[XmlFields.unescape]] named-entity subset for the characters the
+    * escaper rewrites (&, <, >; a body free of bare `<` is what bounds
+    * the reader's metadata scans). */
+  def esc(s: String): String = {
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) return s
+    val out = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => out.append("&amp;")
+        case '<' => out.append("&lt;")
+        case '>' => out.append("&gt;")
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Attribute-value escape (double-quoted attributes add `"`). */
+  def escAttr(s: String): String = {
+    val e = esc(s)
+    if (e.indexOf('"') < 0) e else e.replace("\"", "&quot;")
+  }
+
+  /** Epoch micros → the dump's ISO-8601 UTC form; ISO_INSTANT prints
+    * the fraction only when nonzero, matching the reader's fixed-width
+    * fast path for second-resolution stamps. */
+  def isoTimestamp(us: Long): String =
+    java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+}
+
+class MediaWikiWriteBuilder(info: LogicalWriteInfo, props: Map[String, String])
+  extends WriteBuilder {
+  override def build(): Write = new MediaWikiWrite(info.schema(), props)
+}
+
+class MediaWikiWrite(schema: StructType, props: Map[String, String])
+  extends Write with RequiresDistributionAndOrdering {
+  private val assumeGrouped =
+    props.get("assumeGrouped").exists(_.equalsIgnoreCase("true"))
+
+  override def requiredDistribution(): Distribution =
+    if (assumeGrouped) Distributions.unspecified()
+    else Distributions.clustered(Array(Expressions.identity("page_id")))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (assumeGrouped) Array.empty
+    else {
+      val keys = Seq("page_id") ++
+        (if (schema.fieldNames.contains("rev_seq")) Seq("rev_seq") else Nil)
+      keys.map(k => Expressions.sort(Expressions.identity(k),
+        SortDirection.ASCENDING)).toArray
+    }
+
+  override def toBatch: BatchWrite = new MediaWikiBatchWrite(schema, props)
+}
+
+case class MediaWikiCommitMessage(tmpDump: String, dump: String,
+    tmpIdx: String, idx: String) extends WriterCommitMessage
+
+class MediaWikiBatchWrite(schema: StructType, props: Map[String, String])
+  extends BatchWrite {
+
+  private val dir: String = {
+    val paths = MediaWikiTable.resolvePaths(props)
+    require(paths.size == 1, s"mediawiki write needs exactly one target path, got $paths")
+    paths.head
+  }
+
+  // fail on schema problems at PLANNING time, not per task
+  MediaWikiWriterFactory.resolveOrdinals(schema)
+
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val c = conf
+    val p = new Path(dir)
+    p.getFileSystem(c).mkdirs(p)
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    new MediaWikiWriterFactory(schema, props, dir, b.result())
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val c = conf
+    messages.collect { case m: MediaWikiCommitMessage if m.tmpDump != null =>
+      val fs = new Path(m.tmpDump).getFileSystem(c)
+      // dump BEFORE index (see the class Scaladoc's ordering argument)
+      require(fs.rename(new Path(m.tmpDump), new Path(m.dump)),
+        s"failed to commit ${m.dump}")
+      require(fs.rename(new Path(m.tmpIdx), new Path(m.idx)),
+        s"failed to commit ${m.idx}")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val c = conf
+    messages.collect { case m: MediaWikiCommitMessage if m.tmpDump != null =>
+      val fs = new Path(m.tmpDump).getFileSystem(c)
+      Seq(m.tmpDump, m.tmpIdx).foreach { t =>
+        try fs.delete(new Path(t), false) catch { case _: java.io.IOException => }
+      }
+    }
+  }
+}
+
+object MediaWikiWriterFactory {
+  /** Field ordinals the writer reads; loud on a missing/mistyped
+    * required column. Optional curr subfields resolve to -1 (absent →
+    * element omitted). */
+  case class Ordinals(pageId: Int, title: Int, ns: Int, redirect: Int,
+      curr: Int, currFields: Map[String, Int], nCurr: Int,
+      contribFields: Map[String, Int], nContrib: Int)
+
+  def resolveOrdinals(schema: StructType): Ordinals = {
+    def req(name: String, tpe: DataType): Int = {
+      val i = schema.fieldNames.indexOf(name)
+      require(i >= 0 && schema.fields(i).dataType == tpe,
+        s"mediawiki write needs column `$name: ${tpe.simpleString}` " +
+          s"(the source's own read schema); got ${schema.simpleString}")
+      i
+    }
+    def opt(name: String): Int = schema.fieldNames.indexOf(name)
+    val currOrd = schema.fieldNames.indexOf("curr")
+    require(currOrd >= 0 && schema.fields(currOrd).dataType.isInstanceOf[StructType],
+      s"mediawiki write needs the `curr` revision struct; got ${schema.simpleString}")
+    val currType = schema.fields(currOrd).dataType.asInstanceOf[StructType]
+    require(currType.fieldNames.contains("rev_id"),
+      "mediawiki write needs `curr.rev_id`")
+    val contribType = currType.fieldNames.indexOf("contributor") match {
+      case -1 => new StructType()
+      case i => currType.fields(i).dataType.asInstanceOf[StructType]
+    }
+    Ordinals(
+      req("page_id", LongType), req("title", StringType),
+      opt("ns"), opt("redirect"),
+      currOrd, currType.fieldNames.zipWithIndex.toMap, currType.length,
+      contribType.fieldNames.zipWithIndex.toMap, contribType.length)
+  }
+}
+
+class MediaWikiWriterFactory(schema: StructType, props: Map[String, String],
+    dir: String, hadoopConf: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MediaWikiDataWriter(schema, props, dir, hadoopConf, partitionId, taskId)
+}
+
+class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
+    dir: String, hadoopConf: Map[String, String], partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  import MediaWikiWrite._
+
+  private val ord = MediaWikiWriterFactory.resolveOrdinals(schema)
+  private val pagesPerStream = math.max(1,
+    props.get("multistreamPagesPerStream").map(_.trim.toInt)
+      .getOrElse(MediaWikiWrite.DefaultPagesPerStream))
+  private val streamBytes =
+    props.get("multistreamStreamBytes").map(_.trim.toLong).getOrElse(0L)
+  private val header = props.getOrElse("multistreamHeader", "<mediawiki>\n")
+  require(header.contains("<mediawiki"),
+    "multistreamHeader must open the <mediawiki> document element")
+  private val blockSize = {
+    val b = props.get("bz2BlockSize").map(_.trim.toInt).getOrElse(9)
+    require(b >= 1 && b <= 9, s"bz2BlockSize must be 1-9, got $b")
+    b
+  }
+
+  private val conf = {
+    val c = new Configuration(false)
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    if (hadoopConf.isEmpty) new Configuration() else c
+  }
+
+  // %05d partition in the name keeps directory listings in write order;
+  // the uuid keeps speculative attempts from colliding on the temp name
+  private val stem = f"part-$partitionId%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+  private val finalDump = new Path(dir, stem + ".xml.bz2")
+  private val finalIdx = new Path(dir, stem + "-index.txt")
+  private val tmpDump = new Path(dir, "." + stem + ".xml.bz2.tmp")
+  private val tmpIdx = new Path(dir, "." + stem + "-index.txt.tmp")
+
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private val pending = new java.lang.StringBuilder() // pages awaiting their stream
+  private var pendingPages = 0
+  private val indexLines = scala.collection.mutable.ArrayBuffer[(Long, String)]() // (pageId, title) per page in order
+  private val streamOffsets = scala.collection.mutable.ArrayBuffer[Long]() // offset per FLUSHED stream
+  private val pagesPerFlushedStream = scala.collection.mutable.ArrayBuffer[Int]()
+  private val page = new java.lang.StringBuilder()
+  private var curPageId = Long.MinValue
+  private var pageOpen = false
+  private val seenPages = new java.util.HashSet[java.lang.Long]()
+
+  private def openFile(): Unit = {
+    out = tmpDump.getFileSystem(conf).create(tmpDump, true)
+    writeStream(header)
+  }
+
+  /** One COMPLETE bz2 stream from `xml` (Hadoop's CBZip2OutputStream
+    * expects the caller to write the two-byte magic; the codec strips
+    * it on read — same contract as [[MultistreamWriter]]). */
+  private def writeStream(xml: CharSequence): Long = {
+    val off = out.getPos
+    out.write('B'); out.write('Z')
+    val z = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(out, blockSize)
+    z.write(xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    z.finish()
+    off
+  }
+
+  private def flushPending(): Unit = if (pendingPages > 0) {
+    streamOffsets += writeStream(pending)
+    pagesPerFlushedStream += pendingPages
+    pending.setLength(0)
+    pendingPages = 0
+  }
+
+  private def closePage(): Unit = if (pageOpen) {
+    page.append("  </page>\n")
+    pending.append(page)
+    page.setLength(0)
+    pendingPages += 1
+    pageOpen = false
+    if (pendingPages >= pagesPerStream ||
+      (streamBytes > 0 && pending.length >= streamBytes)) flushPending()
+  }
+
+  private def startPage(row: InternalRow): Unit = {
+    val pid = row.getLong(ord.pageId)
+    require(seenPages.add(pid),
+      s"page $pid is not contiguous in partition $partitionId — write with the " +
+        "default distribution (drop assumeGrouped) or group the input by page_id")
+    require(!row.isNullAt(ord.title), s"NULL title for page $pid")
+    val title = row.getUTF8String(ord.title).toString
+    require(title.indexOf('\n') < 0, s"title of page $pid contains a newline")
+    if (out == null) openFile()
+    curPageId = pid
+    pageOpen = true
+    indexLines += ((pid, title))
+    page.append("  <page>\n    <title>").append(esc(title)).append("</title>\n")
+    if (ord.ns >= 0 && !row.isNullAt(ord.ns))
+      page.append("    <ns>").append(row.getInt(ord.ns)).append("</ns>\n")
+    page.append("    <id>").append(pid).append("</id>\n")
+    if (ord.redirect >= 0 && !row.isNullAt(ord.redirect))
+      page.append("    <redirect title=\"")
+        .append(escAttr(row.getUTF8String(ord.redirect).toString)).append("\" />\n")
+  }
+
+  private def appendRevision(row: InternalRow): Unit = {
+    require(!row.isNullAt(ord.curr), s"NULL curr revision on page $curPageId")
+    val r = row.getStruct(ord.curr, ord.nCurr)
+    val f = ord.currFields
+    def has(name: String): Boolean = f.get(name).exists(i => !r.isNullAt(i))
+    page.append("    <revision>\n")
+    page.append("      <id>").append(r.getLong(f("rev_id"))).append("</id>\n")
+    if (has("parent_id"))
+      page.append("      <parentid>").append(r.getLong(f("parent_id"))).append("</parentid>\n")
+    if (has("timestamp"))
+      page.append("      <timestamp>").append(isoTimestamp(r.getLong(f("timestamp")))).append("</timestamp>\n")
+    if (has("contributor")) {
+      val c = r.getStruct(f("contributor"), ord.nContrib)
+      val cf = ord.contribFields
+      def chas(n: String): Boolean = cf.get(n).exists(i => !c.isNullAt(i))
+      if (cf.get("deleted").exists(i => !c.isNullAt(i) && c.getBoolean(i)))
+        page.append("      <contributor deleted=\"deleted\" />\n")
+      else {
+        page.append("      <contributor>")
+        if (chas("username"))
+          page.append("<username>").append(esc(c.getUTF8String(cf("username")).toString)).append("</username>")
+        if (chas("id"))
+          page.append("<id>").append(c.getLong(cf("id"))).append("</id>")
+        if (chas("ip"))
+          page.append("<ip>").append(esc(c.getUTF8String(cf("ip")).toString)).append("</ip>")
+        page.append("</contributor>\n")
+      }
+    }
+    if (f.get("minor").exists(i => !r.isNullAt(i) && r.getBoolean(i)))
+      page.append("      <minor />\n")
+    if (has("comment"))
+      page.append("      <comment>").append(esc(r.getUTF8String(f("comment")).toString)).append("</comment>\n")
+    if (has("model"))
+      page.append("      <model>").append(esc(r.getUTF8String(f("model")).toString)).append("</model>\n")
+    if (has("format"))
+      page.append("      <format>").append(esc(r.getUTF8String(f("format")).toString)).append("</format>\n")
+    val bytesAttr = if (has("bytes")) s" bytes=\"${r.getLong(f("bytes"))}\"" else ""
+    if (has("text"))
+      page.append("      <text").append(bytesAttr).append(" xml:space=\"preserve\">")
+        .append(esc(r.getUTF8String(f("text")).toString)).append("</text>\n")
+    else
+      // NULL text is the RevisionDelete marker — exactly what the
+      // reader turns back into a NULL text column (q169 semantics)
+      page.append("      <text").append(bytesAttr).append(" deleted=\"deleted\" />\n")
+    if (has("sha1"))
+      page.append("      <sha1>").append(esc(r.getUTF8String(f("sha1")).toString)).append("</sha1>\n")
+    page.append("    </revision>\n")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(ord.pageId), "NULL page_id")
+    val pid = row.getLong(ord.pageId)
+    if (!pageOpen || pid != curPageId) {
+      closePage()
+      startPage(row)
+    }
+    appendRevision(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) { // empty partition: no file at all
+      return MediaWikiCommitMessage(null, null, null, null)
+    }
+    closePage()
+    flushPending()
+    writeStream("</mediawiki>\n")
+    out.close()
+    out = null
+    // index: one line per page, offset = the stream holding its group
+    val fs = tmpIdx.getFileSystem(conf)
+    val iout = fs.create(tmpIdx, true)
+    try {
+      val sb = new java.lang.StringBuilder()
+      var pageIdx = 0
+      for (s <- streamOffsets.indices; _ <- 0 until pagesPerFlushedStream(s)) {
+        val (pid, title) = indexLines(pageIdx)
+        sb.append(streamOffsets(s)).append(':').append(pid).append(':')
+          .append(title).append('\n')
+        pageIdx += 1
+      }
+      iout.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally iout.close()
+    MediaWikiCommitMessage(tmpDump.toString, finalDump.toString,
+      tmpIdx.toString, finalIdx.toString)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val fs = tmpDump.getFileSystem(conf)
+    Seq(tmpDump, tmpIdx).foreach { t =>
+      try fs.delete(t, false) catch { case _: java.io.IOException => }
+    }
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}

@@ -80,15 +80,23 @@ object MultistreamIndex {
         require(fs.exists(p), s"multistreamIndex path does not exist: $v")
         Some(p)
       case _ =>
-        val name = dump.getName
-        if (!name.endsWith(".xml.bz2")) None
-        else {
-          val stem = name.dropRight(".xml.bz2".length)
+        dumpStem(dump.getName).flatMap { stem =>
           Seq(s"$stem-index.txt.bz2", s"$stem-index.txt")
             .map(new Path(dump.getParent, _))
             .find(fs.exists)
         }
     }
+
+  /** The naming-convention stem of a bz2 dump name (`X.xml.bz2` → `X`,
+    * `X.bz2` → `X`), or None for non-bz2 names. ONE definition shared
+    * by `locate` and `isIndexSibling` so auto-discovery and the listing
+    * skip can never disagree about which dumps have index siblings
+    * (ADVICE r13: a dump named `dump.bz2` had its `dump-index.txt`
+    * sibling scanned as a dump because the skip only knew `.xml.bz2`). */
+  private def dumpStem(name: String): Option[String] =
+    if (name.endsWith(".xml.bz2")) Some(name.dropRight(".xml.bz2".length))
+    else if (name.endsWith(".bz2")) Some(name.dropRight(".bz2".length))
+    else None
 
   /** Is `name` the `-index.txt(.bz2)` naming-convention sibling of a
     * dump that is ALSO present (per `present`)? Directory listings skip
@@ -100,7 +108,8 @@ object MultistreamIndex {
       if (name.endsWith("-index.txt")) Some(name.dropRight("-index.txt".length))
       else if (name.endsWith("-index.txt.bz2")) Some(name.dropRight("-index.txt.bz2".length))
       else None
-    stem.exists(s => s.nonEmpty && present(s + ".xml.bz2"))
+    // mirror of dumpStem: any bz2 extension the source accepts counts
+    stem.exists(s => s.nonEmpty && (present(s + ".xml.bz2") || present(s + ".bz2")))
   }
 
   /** Map `excludePagesWith` to a title-prefix test when (and only when)
@@ -164,8 +173,25 @@ object MultistreamIndex {
   private final case class PlanKey(dump: String, dumpMod: Long, dumpLen: Long,
       idx: String, idxMod: Long, idxLen: Long, maxBytes: Long,
       filters: Seq[(String, String)])
+  /** Access-ordered LRU, NOT a clear-on-overflow map: a directory of
+    * N dumps × M filter-sets with N·M > capacity used to thrash —
+    * every overflowing plan re-read EVERY index (~2-12 s each at
+    * enwiki scale, r13 probe). Eviction now drops only the
+    * least-recently-used entry. Guarded by its own lock because
+    * `plan()` runs under MediaWikiScan's bounded planning pool. */
+  private val MemoMax = 256
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[PlanKey, Option[Seq[MediaWikiInputPartition]]]()
+    new java.util.LinkedHashMap[PlanKey, Option[Seq[MediaWikiInputPartition]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[PlanKey, Option[Seq[MediaWikiInputPartition]]]): Boolean =
+        size() > MemoMax
+    }
+  private def memoGet(k: PlanKey): Option[Seq[MediaWikiInputPartition]] =
+    memo.synchronized(memo.get(k))
+  private def memoPut(k: PlanKey, v: Option[Seq[MediaWikiInputPartition]]): Unit =
+    memo.synchronized { memo.put(k, v); () }
+  /** Test hook: current number of live memo entries. */
+  private[graft] def memoSize: Int = memo.synchronized(memo.size)
   private val MemoSettleMs = 2000L
 
   private def relevantProps(props: Map[String, String]): Seq[(String, String)] =
@@ -197,7 +223,7 @@ object MultistreamIndex {
         relevantProps(props))
     } catch { case scala.util.control.NonFatal(_) => null }
     if (key != null) {
-      val hit = memo.get(key)
+      val hit = memoGet(key)
       if (hit != null) return hit
     }
     val result = computePlan(fs, codecs, dump, idx, fileLen, effMax, props)
@@ -207,10 +233,7 @@ object MultistreamIndex {
     // are old files, so they always memoize)
     val settled = key != null &&
       System.currentTimeMillis() - math.max(key.dumpMod, key.idxMod) > MemoSettleMs
-    if (settled) {
-      if (memo.size > 64) memo.clear()
-      memo.put(key, result)
-    }
+    if (settled) memoPut(key, result)
     result
   }
 

@@ -442,27 +442,39 @@ object XmlFields {
     * around `=` — both legal XML (the r13 namespace-key parse was
     * generalized for the same reason; a single-quoted
     * `<text deleted='deleted'/>` previously read as NOT deleted, a
-    * silent semantic skew). The name must start the attribute (be
-    * preceded by whitespace or the string start) so `title` never
-    * matches inside `xtitle`. */
+    * silent semantic skew). Scans attribute-by-attribute with quote
+    * state, so the name can never match INSIDE a preceding attribute's
+    * quoted value (values legally contain spaces, `=`, and the other
+    * quote style, e.g. `alt="use title = 'x'" title="real"` —
+    * ADVICE r13). */
   def attr(attrs: String, name: String): Option[String] = {
-    var i = attrs.indexOf(name)
-    while (i >= 0) {
-      val standalone = i == 0 || Character.isWhitespace(attrs.charAt(i - 1))
-      var j = i + name.length
-      while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
-      if (standalone && j < attrs.length && attrs.charAt(j) == '=') {
-        j += 1
-        while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
-        if (j < attrs.length && (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
-          val q = attrs.charAt(j)
-          val end = attrs.indexOf(q, j + 1)
-          return if (end < 0) None
-            else Some(unescape(attrs.substring(j + 1, end)))
+    val n = attrs.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+      if (i >= n) return None
+      val nameStart = i
+      while (i < n && !Character.isWhitespace(attrs.charAt(i)) && attrs.charAt(i) != '=') i += 1
+      val isTarget = i - nameStart == name.length &&
+        attrs.regionMatches(nameStart, name, 0, name.length)
+      while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+      if (i < n && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < n && Character.isWhitespace(attrs.charAt(i))) i += 1
+        if (i < n && (attrs.charAt(i) == '"' || attrs.charAt(i) == '\'')) {
+          val q = attrs.charAt(i)
+          val end = attrs.indexOf(q, i + 1)
+          if (end < 0) return None // unterminated quote: malformed, absent
+          if (isTarget) return Some(unescape(attrs.substring(i + 1, end)))
+          i = end + 1
+        } else {
+          if (isTarget) return None // name= without a quoted value: malformed
+          // skip the unquoted token so scanning stays aligned
+          while (i < n && !Character.isWhitespace(attrs.charAt(i))) i += 1
         }
-        return None // name= without a quoted value: malformed, absent
+      } else if (isTarget) {
+        return None // bare name, no value: malformed, absent
       }
-      i = attrs.indexOf(name, i + 1)
     }
     None
   }

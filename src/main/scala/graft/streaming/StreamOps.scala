@@ -14,7 +14,7 @@ object StreamOps {
   /** [[decontaminateStream]]'s gram-broadcast memo — see the Scaladoc
     * there for the key/verification/lifecycle contract. */
   private val benchGramMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, String, Long),
+    (org.apache.spark.sql.SparkSession, Int, Int, String, Long, Seq[(String, Long, Long)]),
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
      org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])]()
 
@@ -362,7 +362,19 @@ object StreamOps {
     // TextQueries.shingleStats' probe memo: the content behind an
     // identical plan is stable within a session.
     val canonical = bench.queryExecution.analyzed.canonicalized
-    val memoKey = (spark, canonical.semanticHash(), n, textCol, maxBroadcastGrams)
+    // a FILE-backed bench set rewritten in place keeps the same
+    // canonical plan, so the key also carries (path, modTime, length)
+    // of each input file — stale grams would be WRONG verdicts, not
+    // just slow (ADVICE r13). Bench sets are tiny by the broadcast-
+    // budget contract, so the per-call stat cost is bounded.
+    val fileState: Seq[(String, Long, Long)] = bench.inputFiles.sorted.toSeq.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+        (f, st.getModificationTime, st.getLen)
+      } catch { case _: java.io.IOException => (f, -1L, -1L) }
+    }
+    val memoKey = (spark, canonical.semanticHash(), n, textCol, maxBroadcastGrams, fileState)
     val cached = Option(StreamOps.benchGramMemo.get(memoKey))
       .filter(_._1 == canonical).map(_._2)
     val bc = cached.getOrElse {
@@ -377,7 +389,13 @@ object StreamOps {
       val set = new java.util.HashSet[UTF8String](grams.length * 2)
       grams.foreach(g => set.add(UTF8String.fromString(g)))
       val fresh = spark.sparkContext.broadcast(set)
-      if (StreamOps.benchGramMemo.size > 16) StreamOps.benchGramMemo.clear()
+      if (StreamOps.benchGramMemo.size > 16) {
+        // reclaim executor memory eagerly; unpersist (not destroy) —
+        // a still-running stream may hold an evicted broadcast, and an
+        // unpersisted one is lazily re-shipped on next read
+        StreamOps.benchGramMemo.values.forEach(v => v._2.unpersist(false))
+        StreamOps.benchGramMemo.clear()
+      }
       StreamOps.benchGramMemo.put(memoKey, (canonical, fresh))
       fresh
     }

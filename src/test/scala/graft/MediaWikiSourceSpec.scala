@@ -543,6 +543,15 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     val li = new File(lonely, "orphan-index.txt")
     Files.write(li.toPath, "<mediawiki></mediawiki>\n".getBytes("UTF-8"))
     assert(spark.read.format("mediawiki").load(lonely.getAbsolutePath).count() == 0)
+    // sibling-ness recognizes every bz2 extension the source accepts —
+    // a dump named `dump.bz2` (no .xml) still claims dump-index.txt
+    // (ADVICE r13); unrelated names never do
+    import graft.sources.MultistreamIndex.isIndexSibling
+    assert(isIndexSibling("dump-index.txt", Set("dump.bz2")))
+    assert(isIndexSibling("dump-index.txt.bz2", Set("dump.xml.bz2")))
+    assert(!isIndexSibling("dump-index.txt", Set("dump.xml")))
+    assert(!isIndexSibling("other-index.txt", Set("dump.bz2")))
+    assert(!isIndexSibling("-index.txt", Set(".bz2", ".xml.bz2")))
   }
 
   test("multistream index: plan() is memoized per file state and filter props") {
@@ -588,6 +597,52 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     // plan recomputes rather than returning the same instance
     val c2 = plan(Map.empty)
     assert(!(c eq c2), "files inside the settle window must not be cached")
+  }
+
+  test("multistream index: memo evicts LRU, never clears (and bounded parallel planning ≡ serial)") {
+    val dir = Files.createTempDirectory("mwmslru").toFile
+    val (f, idx, _) = writeMultistreamWithIndex(dir, nPages = 10,
+      fillerLen = 1000, pagesPerStream = 5)
+    val past = System.currentTimeMillis() - 60000
+    assert(f.setLastModified(past) && idx.setLastModified(past))
+    val conf = new Configuration()
+    val fs = new Path(f.getAbsolutePath).getFileSystem(conf)
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    def plan(props: Map[String, String]) = graft.sources.MultistreamIndex.plan(
+      fs, codecs, new Path(f.getAbsolutePath), f.length(), 1L, props)
+    val base = plan(Map.empty) // warm the entry under observation
+    // churn PAST the memo capacity with distinct filter sets — the old
+    // clear-on-overflow map dropped EVERYTHING at the 65th plan, so the
+    // base entry (touched throughout, most-recently-used) would re-read
+    // its index; access-ordered LRU must keep it live
+    for (i <- 1 to 300) {
+      plan(Map("__pageIdFilter0" -> s"eq:${1000 + i}"))
+      if (i % 50 == 0) assert(plan(Map.empty) eq base,
+        s"recently-used entry evicted after $i churn inserts (memoSize=" +
+          s"${graft.sources.MultistreamIndex.memoSize})")
+    }
+    assert(graft.sources.MultistreamIndex.memoSize <= 256,
+      "memo must stay bounded under churn")
+    assert(plan(Map.empty) eq base)
+    // bounded-pool multi-file planning concatenates per-file plans in
+    // input order, identical to the serial loop
+    val dir2 = Files.createTempDirectory("mwmspar").toFile
+    val dumps = (1 to 5).map { i =>
+      val sub = new File(dir2, s"d$i"); sub.mkdirs()
+      val (fi, ii, _) = writeMultistreamWithIndex(sub, nPages = 6,
+        fillerLen = 500, pagesPerStream = 3)
+      assert(fi.setLastModified(past) && ii.setLastModified(past))
+      (new Path(fi.getAbsolutePath).getFileSystem(conf), new Path(fi.getAbsolutePath))
+    }
+    val par = graft.sources.MediaWikiScan.partitionsForFiles(codecs, dumps, 1L, Map.empty)
+    val ser = dumps.flatMap { case (dfs, p) =>
+      graft.sources.MediaWikiScan.partitionsForFile(dfs, codecs, p, 1L, Map.empty) }
+    assert(par == ser, "parallel planning must equal the serial loop, in order")
+    // the loud-failure contract survives the pool (original exception type)
+    intercept[IllegalArgumentException] {
+      graft.sources.MediaWikiScan.partitionsForFiles(codecs, dumps, 1L,
+        Map("multistreamTargetBytes" -> "not-a-long"))
+    }
   }
 
   test("multistream index: bz2-compressed index sibling (the published Wikipedia form)") {

@@ -1,0 +1,142 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The write side (`df.write.format("mediawiki")`): multistream layout
+  * + index sibling, round-trip exactness against the source's own
+  * reader, skip-plannability of the written archive, and the grouping
+  * invariant's loud failure. */
+class MediaWikiWriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val fixture = "src/test/resources/fixtures/sample_dump.xml"
+
+  private def noPrev(path: String): DataFrame =
+    spark.read.format("mediawiki").option("previousRevision", "false").load(path)
+
+  /** Order-free canonical view of a no-prev frame for equality. */
+  private def canon(df: DataFrame): Set[String] =
+    df.selectExpr("page_id", "title", "ns", "redirect", "rev_seq",
+      "to_json(curr) AS c").collect()
+      .map(_.mkString("")).toSet
+
+  test("round-trip: read → write multistream → read back is exact (incl. NULL semantics)") {
+    // the fixture carries the interesting cases: deleted contributor/
+    // comment/text (RevisionDelete), redirect, minor, absent ns
+    val src = noPrev(fixture)
+    val out = Files.createTempDirectory("mwwrt").toFile
+    src.write.format("mediawiki")
+      .option("assumeGrouped", "true") // straight out of the reader
+      .option("multistreamPagesPerStream", "2")
+      .mode("append").save(out.getAbsolutePath)
+    val files = out.listFiles().map(_.getName).sorted
+    assert(files.exists(_.endsWith(".xml.bz2")), files.mkString(","))
+    assert(files.exists(_.endsWith("-index.txt")), files.mkString(","))
+    // dot-names must be gone except ChecksumFileSystem's own .crc siblings
+    assert(!files.exists(f => f.startsWith(".") && !f.endsWith(".crc")),
+      s"temp files left behind: ${files.mkString(",")}")
+    val back = noPrev(out.getAbsolutePath)
+    assert(canon(back) == canon(src))
+  }
+
+  test("written archive is skip-plannable by its own index (q183's partition pattern)") {
+    val out = Files.createTempDirectory("mwwsp").toFile
+    noPrev(fixture).write.format("mediawiki")
+      .option("assumeGrouped", "true")
+      .option("multistreamPagesPerStream", "1") // one stream per page
+      .mode("append").save(out.getAbsolutePath)
+    // age past the planner's settle window so the plan memoizes/engages
+    val past = System.currentTimeMillis() - 60000
+    out.listFiles().foreach(f => f.setLastModified(past))
+    val nPages = noPrev(fixture).select("page_id").distinct().count()
+    // per-stream planning: targetBytes=1 → one partition per live stream
+    val all = spark.read.format("mediawiki")
+      .option("previousRevision", "false")
+      .option("multistreamTargetBytes", "1").load(out.getAbsolutePath)
+    assert(all.rdd.getNumPartitions >= nPages,
+      s"expected ≥$nPages per-stream partitions, got ${all.rdd.getNumPartitions}")
+    // a pushed page_id filter must skip dead streams BEFORE decompression
+    val wantPid = noPrev(fixture).agg(min($"page_id")).as[Long].head()
+    val one = spark.read.format("mediawiki")
+      .option("previousRevision", "false")
+      .option("multistreamTargetBytes", "1").load(out.getAbsolutePath)
+      .where($"page_id" === wantPid)
+    assert(one.rdd.getNumPartitions < all.rdd.getNumPartitions,
+      "pushed page_id filter did not shrink the partition count — index skip not engaged")
+    assert(one.select("page_id").as[Long].collect().toSet == Set(wantPid))
+  }
+
+  test("default distribution groups an ungrouped frame; assumeGrouped fails loudly on violation") {
+    // interleave two pages' revisions: (p1,r1),(p2,r1),(p1,r2),(p2,r2)
+    val src = noPrev(fixture)
+    val shuffled = src.orderBy($"rev_seq", $"page_id") // pages interleave
+    val ok = Files.createTempDirectory("mwwg1").toFile
+    // the declared clustered distribution + (page_id, rev_seq) ordering
+    // lets Spark regroup — the write must succeed and round-trip
+    shuffled.write.format("mediawiki")
+      .mode("append").save(ok.getAbsolutePath)
+    assert(canon(noPrev(ok.getAbsolutePath)) == canon(src))
+    // with assumeGrouped the caller lied — the writer must throw, not
+    // silently split the page across streams
+    val bad = Files.createTempDirectory("mwwg2").toFile
+    val e = intercept[Exception] {
+      shuffled.coalesce(1).write.format("mediawiki")
+        .option("assumeGrouped", "true")
+        .mode("append").save(bad.getAbsolutePath)
+    }
+    assert(e.getMessage != null)
+    assert(bad.listFiles().forall(f => !f.getName.endsWith(".xml.bz2")),
+      "aborted write left committed files")
+  }
+
+  test("escaping round-trips hostile titles/text/comments") {
+    val hostile = Seq(
+      (1L, "A&B <title> \"q\" 'a'", Some(0), None, 0, "text with </text> & <page> markers", Some("c&c <x>")),
+      (2L, "Plain", None, Some("A&B <title> \"q\" 'a'"), 0, "", None)
+    ).toDF("page_id", "title", "ns", "redirect", "rev_seq", "txt", "comment")
+      .select($"page_id", $"title", $"ns", $"redirect", $"rev_seq",
+        struct($"rev_seq".cast("long").as("rev_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit("2021-01-01 00:00:00").cast("timestamp").as("timestamp"),
+          struct(lit(5L).as("id"), lit("u<&>").as("username"),
+            lit(null).cast("string").as("ip"), lit(false).as("deleted")).as("contributor"),
+          lit(true).as("minor"), $"comment",
+          lit("wikitext").as("model"), lit(null).cast("string").as("format"),
+          $"txt".as("text"), lit(null).cast("string").as("sha1"),
+          length($"txt").cast("long").as("bytes")).as("curr"))
+    val out = Files.createTempDirectory("mwwesc").toFile
+    hostile.write.format("mediawiki").mode("append").save(out.getAbsolutePath)
+    val back = noPrev(out.getAbsolutePath)
+    assert(canon(back) == canon(hostile))
+    // and the written index carries the RAW (unescaped) title, so the
+    // planner's predicates see what the reader's unescape produces
+    val idx = out.listFiles().find(_.getName.endsWith("-index.txt")).get
+    val lines = scala.io.Source.fromFile(idx, "UTF-8").getLines().toList
+    assert(lines.exists(_.endsWith(":A&B <title> \"q\" 'a'")), lines.mkString("|"))
+  }
+
+  test("stream byte budget cuts early; header option is honored") {
+    val src = noPrev(fixture)
+    val out = Files.createTempDirectory("mwwbytes").toFile
+    src.write.format("mediawiki")
+      .option("assumeGrouped", "true")
+      .option("multistreamPagesPerStream", "1000000")
+      .option("multistreamStreamBytes", "1") // every page its own stream
+      .option("multistreamHeader", "<mediawiki>\n  <siteinfo><namespaces>" +
+        "<namespace key=\"0\" /></namespaces></siteinfo>\n")
+      .mode("append").save(out.getAbsolutePath)
+    val idx = out.listFiles().find(_.getName.endsWith("-index.txt")).get
+    val offsets = scala.io.Source.fromFile(idx, "UTF-8").getLines()
+      .map(_.split(":", 3)(0).toLong).toList
+    assert(offsets.distinct.size == offsets.size,
+      s"byte budget of 1 must cut per page, got offsets $offsets")
+    assert(offsets.head > 0, "header stream must precede the first page stream")
+    assert(canon(noPrev(out.getAbsolutePath)) == canon(src))
+  }
+}

@@ -178,6 +178,23 @@ class WikiXmlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("attr never matches a name embedded in a preceding attribute's value") {
+    // values legally contain spaces, '=', and the other quote style —
+    // a plain indexOf scan returned the embedded pseudo-value (ADVICE r13)
+    assert(XmlFields.attr("""alt="use title = 'x'" title="real"""", "title") == Some("real"))
+    assert(XmlFields.attr("""alt='t = "deleted" here' deleted="deleted"""", "deleted") == Some("deleted"))
+    // embedded-only occurrence: absent, not the embedded value
+    assert(XmlFields.attr("""alt="title = 'fake'"""", "title").isEmpty)
+    // quote-style + whitespace tolerance unchanged
+    assert(XmlFields.attr("title = 'Else Where'", "title") == Some("Else Where"))
+    assert(XmlFields.attr("""bytes="5" xml:space="preserve"""", "bytes") == Some("5"))
+    // prefix names never match (title vs xtitle) and malformed is absent
+    assert(XmlFields.attr("""xtitle="no"""", "title").isEmpty)
+    assert(XmlFields.attr("title=", "title").isEmpty)
+    assert(XmlFields.attr("""title="unterminated""", "title").isEmpty)
+    assert(XmlFields.attr("standalone title=\"t\"", "title") == Some("t"))
+  }
+
   test("unescape handles named and numeric entities") {
     assert(XmlFields.unescape("a &amp; b &lt;c&gt; &quot;d&quot; &#65; &#x42;") == "a & b <c> \"d\" A B")
     assert(XmlFields.unescape("no entities") == "no entities")
