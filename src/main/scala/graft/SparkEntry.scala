@@ -65,5 +65,6 @@ object SparkEntry {
     "q183_entry_multistream", "q184_entry_ms_excluded",
     "q185_decontam_stream_real", "q186_entry_ms_page_lookup",
     "q187_entry_ms_stream", "q188_entry_ms_articles",
-    "q189_entry_ms_stream_articles", "q190_entry_ms_write")
+    "q189_entry_ms_stream_articles", "q190_entry_ms_write",
+    "q191_entry_ms_rate_limited")
 }

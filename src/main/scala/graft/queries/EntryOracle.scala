@@ -523,6 +523,72 @@ object EntryOracle {
     flatten(s.read.parquet(out.toString))
   }
 
+  // ---------------------------------------------------------------- q191
+  /** Intra-file rate limiting (`maxPartitionsPerTrigger`): ONE
+    * multistream archive (10 single-page streams, indexed) whose plan is
+    * 10 partitions must drain across ≥3 micro-batches when the option
+    * caps each trigger at 4 planned partitions — the capability
+    * `maxFilesPerTrigger` cannot provide (a 30 GB archive is one file
+    * unit). Batch boundaries are asserted from the checkpoint's own
+    * offset log: exactly ceil(10/4)=3 committed offsets, the first two
+    * MID-FILE (`part` 4 then 8 of fileIndex 0), the last at the
+    * file-complete position (fileIndex 1, part 0). Output order across
+    * batches is free (each planned partition is a self-contained page
+    * stream; pairing is within-page), so the VALUES oracle is q153's
+    * verbatim; exactly-once via the parquet sink's metadata log. */
+  def q191EntryMsRateLimited(s: SparkSession, dir: String): DataFrame = {
+    import OracleTmp.fresh
+    val dumpDir = fresh("graft_q191_dump")
+    val ps = pages
+    graft.sources.MultistreamWriter.writeGrouped(
+      renderDump(ps),
+      dumpDir.resolve("dump.xml.bz2").toFile,
+      dumpDir.resolve("dump-index.txt").toFile,
+      pagesPerStream = 1,
+      pageIdOf = j => ps(j).pageId, titleOf = j => ps(j).title)
+    val fromDump =
+      try graft.MediaWiki.namespacesByName(graft.MediaWiki.siteinfoNamespaces(
+        s, dumpDir.resolve("dump.xml.bz2").toString))
+      catch { case scala.util.control.NonFatal(_) => Map.empty[String, Int] }
+    val ns = if (fromDump.nonEmpty) fromDump
+             else Map("talk" -> 1, "user" -> 2, "category" -> 14)
+    val ckpt = fresh("graft_q191_ckpt")
+    val out = fresh("graft_q191_out")
+    val stream = graft.functions.GraftFunctions.diffdb(
+      s.readStream.format("mediawiki")
+        .option("multistreamTargetBytes", "1")
+        .option("maxPartitionsPerTrigger", "4")
+        .load(dumpDir.toString), nsByName = ns)
+    val q = stream.writeStream
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q191: streaming query did not terminate within 300 s")
+    // the offset log is the proof the single file was rate-limited:
+    // each offsets/<batchId> entry's last line is the source offset json
+    val offDir = ckpt.resolve("offsets").toFile
+    val offs = offDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .sortBy(_.getName.toInt)
+      .map { f =>
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .split("\n").filter(_.contains("fileIndex"))
+        require(lines.length == 1, s"q191: offset entry ${f.getName} " +
+          s"should carry one source offset, got ${lines.length}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(lines.head)
+        (node.get("fileIndex").asLong(),
+          Option(node.get("part")).map(_.asLong()).getOrElse(0L))
+      }.toSeq
+    require(offs == Seq((0L, 4L), (0L, 8L), (1L, 0L)),
+      s"q191: expected three rate-limited batches (0,4)(0,8)(1,0), got $offs")
+    flatten(s.read.parquet(out.toString))
+  }
+
   // ---------------------------------------------------------------- q182
   /** The same flagship oracle through a NON-SPLITTABLE codec (gzip):
     * planning must fall back to ONE whole-file partition (asserted in
@@ -959,6 +1025,10 @@ object EntryOracle {
   /** q187 reads the SAME construction through the STREAMING source over
     * the multistream+index layout (two archives, two micro-batches). */
   val q187Sql: String = q153Sql
+
+  /** q191 rate-limits WITHIN the single archive; the union of its
+    * micro-batches is the whole dump, so q153's VALUES verbatim. */
+  val q191Sql: String = q153Sql
 
   /** q188 = q153 restricted to the main-namespace pages (id % 3 == 0),
     * enforced by the ns skip-planner + the reader's pushed ns filter. */

@@ -117,7 +117,7 @@ object MediaWikiTable {
   private val CanonicalOptionKeys = Seq(
     "excludePagesWith", "previousRevision", "raw", "minSplitBytes",
     "multistreamIndex", "multistreamTargetBytes", "multistreamSkipExcluded",
-    "nsIn", "pageIdIn", "maxFilesPerTrigger",
+    "nsIn", "pageIdIn", "maxFilesPerTrigger", "maxPartitionsPerTrigger",
     // write-side (MediaWikiWrite)
     "multistreamPagesPerStream", "multistreamStreamBytes", "multistreamHeader",
     "assumeGrouped", "bz2BlockSize")
@@ -423,7 +423,10 @@ object MediaWikiScan {
   * the same reason Spark's FileStreamSource keeps a seen-files log
   * instead of re-deriving order from the directory listing.)
   *
-  * Options: `maxFilesPerTrigger` (default unbounded) caps each batch.
+  * Options: `maxFilesPerTrigger` (default unbounded) caps each batch
+  * by files; `maxPartitionsPerTrigger` caps it by PLANNED PARTITIONS,
+  * rate-limiting WITHIN a single archive-scale file (offsets then
+  * carry a `part` cursor into the file's deterministic plan).
   * Per-page prev/curr pairing is in-reader (zero state); downstream
   * stateful logic (watermarks, windows) composes via normal Structured
   * Streaming operators.
@@ -437,9 +440,13 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
   import java.nio.charset.StandardCharsets
 
-  private case class MediaWikiOffset(fileIndex: Long)
+  /** Stream position: `fileIndex` files fully processed, plus `part`
+    * planned partitions consumed of file `fileIndex` (0 except mid-file
+    * under `maxPartitionsPerTrigger`). Old checkpoints carry only
+    * `fileIndex` and deserialize with `part = 0` — identical position. */
+  private case class MediaWikiOffset(fileIndex: Long, part: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-    override def json(): String = s"""{"fileIndex":$fileIndex}"""
+    override def json(): String = s"""{"fileIndex":$fileIndex,"part":$part}"""
   }
 
   private val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -452,9 +459,34 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   }
   private val maxFilesPerTrigger: Int =
     props.get("maxFilesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue)
+  /** Intra-file rate limiting: cap the PLANNED PARTITIONS admitted per
+    * micro-batch, so one archive-scale dump (a 30 GB multistream file
+    * is one `maxFilesPerTrigger` unit) no longer forces a single
+    * monolithic batch. Offsets then address (file, partition) — the
+    * plan for a given file must be stable across restarts, which holds
+    * when the planning options (`multistreamTargetBytes`,
+    * `spark.sql.files.maxPartitionBytes`) are unchanged; a drifted
+    * re-plan fails loudly in `planInputPartitions` rather than
+    * replaying a committed batch against different byte ranges. */
+  private val maxPartsPerTrigger: Int =
+    props.get("maxPartitionsPerTrigger").map(_.toInt).getOrElse(Int.MaxValue)
+  require(maxPartsPerTrigger > 0, "maxPartitionsPerTrigger must be positive")
   // set by prepareForTriggerAvailableNow: the fixed end target so
   // Trigger.AvailableNow drains files present at start, batch by batch
   private var availableNowTarget: Option[Long] = None
+
+  // per-file plan cache (append-only log, immutable files by contract;
+  // multistream plans are additionally memoized in MultistreamIndex)
+  private val planCache = scala.collection.mutable.HashMap.empty[String, IndexedSeq[MediaWikiInputPartition]]
+  private def plannedFor(file: String): IndexedSeq[MediaWikiInputPartition] =
+    synchronized {
+      planCache.getOrElseUpdate(file, {
+        val p = new Path(file)
+        val codecs = new CompressionCodecFactory(conf)
+        MediaWikiScan.partitionsForFile(p.getFileSystem(conf), codecs, p,
+          maxBytes, props).toIndexedSeq
+      })
+    }
 
   private val logPath = new Path(checkpointLocation, "mediawiki-files.log")
   private val logFs = logPath.getFileSystem(conf)
@@ -535,7 +567,8 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   override def deserializeOffset(json: String):
       org.apache.spark.sql.connector.read.streaming.Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    MediaWikiOffset(node.get("fileIndex").asLong())
+    MediaWikiOffset(node.get("fileIndex").asLong(),
+      Option(node.get("part")).map(_.asLong()).getOrElse(0L))
   }
 
   override def latestOffset():
@@ -557,33 +590,70 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
-    val from = start.asInstanceOf[MediaWikiOffset].fileIndex
+    val from = start.asInstanceOf[MediaWikiOffset]
     val avail = availableNowTarget.getOrElse(refresh())
-    val capped = limit match {
-      case mf: ReadMaxFiles => math.min(avail, from + mf.maxFiles())
+    val fileCap = limit match {
+      // a partially-consumed file still counts against the file cap
+      case mf: ReadMaxFiles =>
+        math.min(avail, from.fileIndex + mf.maxFiles() + (if (from.part > 0) 1 else 0))
       case _ => avail
     }
-    MediaWikiOffset(math.max(from, capped))
+    if (maxPartsPerTrigger == Int.MaxValue) {
+      // whole-file offsets: no per-trigger planning on the driver
+      MediaWikiOffset(math.max(from.fileIndex, fileCap))
+    } else {
+      val files = synchronized { fileLog.toIndexedSeq }
+      var fi = from.fileIndex
+      var part = from.part
+      var budget = maxPartsPerTrigger.toLong
+      while (budget > 0 && fi < fileCap && fi < files.length) {
+        val total = plannedFor(files(fi.toInt)).length.toLong
+        val remaining = total - part
+        if (remaining <= budget) { budget -= remaining; fi += 1; part = 0L }
+        else { part += budget; budget = 0L }
+      }
+      MediaWikiOffset(fi, part)
+    }
   }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MediaWikiOffset].fileIndex.toInt
-    val e = end.asInstanceOf[MediaWikiOffset].fileIndex.toInt
+    val so = start.asInstanceOf[MediaWikiOffset]
+    val eo = end.asInstanceOf[MediaWikiOffset]
+    val s = so.fileIndex.toInt
+    val e = eo.fileIndex.toInt
+    // files the batch touches: [s, e) fully (minus s's consumed head),
+    // plus e's first eo.part partitions when the end is mid-file
+    val needed = e + (if (eo.part > 0) 1 else 0)
     val files = synchronized {
       // a restarted stream may plan a batch recorded before this
       // instance existed; the log (loaded + refreshed) covers it
-      if (fileLog.size < e) refresh()
-      fileLog.slice(s, e).toIndexedSeq
+      if (fileLog.size < needed) refresh()
+      fileLog.slice(s, needed).toIndexedSeq
     }
-    require(files.size == e - s,
-      s"file log has ${fileLog.size} entries but batch [$s,$e) was committed — " +
+    require(files.size == needed - s,
+      s"file log has ${fileLog.size} entries but batch [$so,$eo) was committed — " +
         "checkpoint and watched directory disagree (were files deleted?)")
-    val codecs = new CompressionCodecFactory(conf)
-    MediaWikiScan.partitionsForFiles(codecs,
-      files.map { f => val p = new Path(f); (p.getFileSystem(conf), p) },
-      maxBytes, props).toArray
+    if (so.part == 0 && eo.part == 0 && maxPartsPerTrigger == Int.MaxValue) {
+      // whole-file fast path (bounded parallel planning, no slicing)
+      MediaWikiScan.partitionsForFiles(new CompressionCodecFactory(conf),
+        files.map { f => val p = new Path(f); (p.getFileSystem(conf), p) },
+        maxBytes, props).toArray
+    } else {
+      def sliceOf(i: Int): IndexedSeq[MediaWikiInputPartition] = {
+        val planned = plannedFor(files(i - s))
+        val fromPart = if (i == s) so.part.toInt else 0
+        val toPart = if (i == e) eo.part.toInt else planned.length
+        require(fromPart <= planned.length && toPart <= planned.length,
+          s"committed batch [$so,$eo) addresses ${math.max(fromPart, toPart)} " +
+            s"partitions of ${files(i - s)} but the plan now has ${planned.length} — " +
+            "planning options changed across a restart (multistreamTargetBytes / " +
+            "spark.sql.files.maxPartitionBytes must stay fixed while a file is in flight)")
+        planned.slice(fromPart, toPart)
+      }
+      (s until needed).flatMap(sliceOf).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

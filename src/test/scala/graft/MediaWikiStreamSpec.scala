@@ -290,6 +290,78 @@ class MediaWikiStreamSpec extends AnyFunSuite {
       s"streamed $streamed rows, want ${2 * nPages} (index siblings must add none)")
   }
 
+  test("maxPartitionsPerTrigger rate-limits WITHIN one file; mid-file restart resumes exactly") {
+    // ONE multistream archive (6 single-page streams → 6 planned
+    // partitions under multistreamTargetBytes=1) with the per-trigger
+    // cap at 2 planned partitions: the single `maxFilesPerTrigger`
+    // unit must drain across 3 micro-batches of exactly 2 partitions
+    // each. Then the real failure mode the part-cursor offsets exist
+    // for: kill the query after batch 0 commits (mid-FILE, not
+    // mid-directory), restart from the checkpoint, and require the
+    // union to be exact — the failed batch replays from (0,2), nothing
+    // before it is re-read, nothing after it is skipped.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mw-ratelimit").toFile
+    val xml = {
+      val sb = new StringBuilder("<mediawiki>\n  <siteinfo>\n  </siteinfo>\n")
+      for (p <- 1 to 6) {
+        sb.append(s"  <page>\n    <title>Page $p</title>\n    <ns>0</ns>\n    <id>$p</id>\n")
+        sb.append(s"    <revision>\n      <id>${p * 10}</id>\n")
+        sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+        sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+        sb.append(s"      <text xml:space=\"preserve\">t $p</text>\n    </revision>\n  </page>\n")
+      }
+      sb.append("</mediawiki>\n").toString
+    }
+    graft.sources.MultistreamWriter.writeGrouped(xml,
+      new java.io.File(dir, "d.xml.bz2"), new java.io.File(dir, "d-index.txt"),
+      pagesPerStream = 1, pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
+
+    def reader = spark.readStream.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .option("maxPartitionsPerTrigger", "2")
+      .load(dir.getAbsolutePath)
+
+    // full drain: 3 batches × 2 planned partitions × 1 page each
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val q = reader.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch.add((b.rdd.getNumPartitions, b.count())): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mw-rl-ck1").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val shape = perBatch.toArray(Array.empty[(Int, Long)]).toSeq
+    assert(shape == Seq((2, 2L), (2, 2L), (2, 2L)),
+      s"expected 3 batches of 2 partitions / 2 pages, got $shape")
+
+    // mid-file kill + resume: exactly-once across the part cursor
+    val ckpt = Files.createTempDirectory("mw-rl-ck2").toString
+    val outDir = Files.createTempDirectory("mw-rl-out").toString
+    val q1 = reader.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id >= 1) throw new RuntimeException("planted mid-file kill")
+        b.select($"page_id").write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "batch 0 must have committed exactly the first 2 page streams")
+    val q2 = reader.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select($"page_id").write.mode("append").parquet(outDir): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val ids = spark.read.parquet(outDir).as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 6L),
+      s"mid-file resume must be exactly-once, got $ids")
+  }
+
   test("nsIn/pageIdIn options filter at the STREAMING source (reader-level, not post-scan)") {
     // Catalyst's V2 filter pushdown serves batch relations only: a
     // .where above readStream is applied post-scan (measured while
