@@ -128,7 +128,15 @@ object Bench {
     // the steady window. Falls back to the old in-JVM third pass
     // (tagged "inherited") if the spawn fails, so the field never
     // silently disappears.
-    val steadyNames = results.toSeq.sortBy(-_._2).take(15).map(_._1)
+    // watch list: queries flagged by a past round's verdict ride along
+    // in the fresh steady JVM even when they are nowhere near the 15
+    // slowest, so a flagged one-off always has a second same-round
+    // sample in the artifact (r13: q1's 5× break had none — the quiet
+    // rerun that adjudicated it as host load lived in a different
+    // commit). Costs their own runtime only (~0.2 s for q1).
+    val watchNames = Seq("q1_pricing_summary").filter(results.contains)
+    val steadyNames = (results.toSeq.sortBy(-_._2).take(15).map(_._1) ++
+      watchNames).distinct
     val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb, steadyDetail) =
       freshJvmSteady(sfDir, steadyNames) match {
         case Some((sj, scj, mem, body)) => (sj, scj, "fresh", mem, body)
