@@ -832,7 +832,8 @@ object Relational {
     * parquet sink, read back. Duplicates are exact row copies, so the
     * kept set is deterministic regardless of arrival/batch order; the
     * oracle is SELECT DISTINCT over the same union. */
-  def q168DedupStream(s: SparkSession, dir: String): DataFrame = {
+  def q168DedupStream(s: SparkSession, dir: String): DataFrame =
+    StreamOracle.withFixtureShuffle(s) {
     import s.implicits._
     val ev = events(s, dir).select($"event_id",
       timestamp_micros($"ts_us").as("ts"), $"user_id", $"event_type")

@@ -11,6 +11,26 @@ import org.apache.spark.sql.functions._
   * pure-VALUES DuckDB oracle reproduces. */
 object StreamOracle {
 
+  /** Scope `spark.sql.shuffle.partitions` down for a REAL-run
+    * streaming fixture and restore it after. Stateful streaming plans
+    * materialize one state store PER shuffle partition PER store
+    * instance PER micro-batch (a stream-stream join keeps four stores
+    * per partition): at the session's 32 partitions a two-batch
+    * fixture commits hundreds of KB-scale delta files whose fsync/CRC
+    * round-trips dominate the wall clock — fixed cost, not engine
+    * work. The fixture's state volume is bounded by its constructed
+    * input (one sf-table split in two), so 8 partitions keeps tasks
+    * small while cutting the per-batch store commits 4×. Scoped here
+    * (fixtures build their own bounded input by definition); a real
+    * deployment sizes the session conf to its volume — this helper
+    * must never wrap a query over the raw sf tables. */
+  private[queries] def withFixtureShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   // ---------------------------------------------------------------- q170
   /** [[graft.streaming.StreamOps.pairRevisionsStream]] — the
     * reference's prev/curr pairing (SURVEY W1, `README.rst:22-27`) in
@@ -22,7 +42,7 @@ object StreamOracle {
     * file stream sorts by mtime) because pairing, unlike q168's exact
     * dedup, is arrival-order-dependent. Oracle = `lag()` over the same
     * VALUES. */
-  def q170PairStream(s: SparkSession, dir: String): DataFrame = {
+  def q170PairStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val revs = for (p <- 1L to 3L; seq <- 0 to 3)
       yield (p, seq, p * 100 + seq, s"p${p}t$seq")
@@ -86,7 +106,7 @@ object StreamOracle {
     * counters only grow, so `max(lower_bound)` per item is the final
     * state. Exactness under k ≥ distinct is the same Misra-Gries
     * property q55's batch operator relies on. */
-  def q171MgStream(s: SparkSession, dir: String): DataFrame = {
+  def q171MgStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val copies = for {
       i <- 0 until 24
@@ -158,7 +178,7 @@ object StreamOracle {
   }
   private val Q173Budget = 180L
 
-  def q173TokenBudgetStream(s: SparkSession, dir: String): DataFrame = {
+  def q173TokenBudgetStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val inDir = OracleTmp.fresh("graft_q173_in")
     val ckpt = OracleTmp.fresh("graft_q173_ckpt")
@@ -219,7 +239,7 @@ object StreamOracle {
     (id, (0 until n).map(j => s"d${id}w$j").mkString(" "))
   }
 
-  def q174PackStream(s: SparkSession, dir: String): DataFrame = {
+  def q174PackStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val inDir = OracleTmp.fresh("graft_q174_in")
     val ckpt = OracleTmp.fresh("graft_q174_ckpt")
@@ -289,7 +309,7 @@ object StreamOracle {
     (1L to 12L).map(id => (if (id % 2 == 1) "xx" else "yy", id))
   private val Q175MaxPerKey = 4L
 
-  def q175QuotaStream(s: SparkSession, dir: String): DataFrame = {
+  def q175QuotaStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val inDir = OracleTmp.fresh("graft_q175_in")
     val ckpt = OracleTmp.fresh("graft_q175_ckpt")
@@ -344,7 +364,7 @@ object StreamOracle {
       m2.zipWithIndex.map { case (s, i) => (2L, i.toLong, s) }
   }
 
-  def q176SceneStream(s: SparkSession, dir: String): DataFrame = {
+  def q176SceneStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val inDir = OracleTmp.fresh("graft_q176_in")
     val ckpt = OracleTmp.fresh("graft_q176_ckpt")
@@ -402,7 +422,7 @@ object StreamOracle {
     (2L, 1L, "x"), (2L, 2L, "y"), (2L, 3L, "x"),
     (2L, 4L, "y"), (2L, 5L, "z"), (2L, 6L, "z"))
 
-  def q177RevertStream(s: SparkSession, dir: String): DataFrame = {
+  def q177RevertStream(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val inDir = OracleTmp.fresh("graft_q177_in")
     val ckpt = OracleTmp.fresh("graft_q177_ckpt")
@@ -458,7 +478,7 @@ object StreamOracle {
     * (doc_id % 10 < 3) keeps the fixture's bench cost near the
     * streaming-job floor while still emitting thousands of
     * cross-batch candidates. */
-  def q178LshStreamReal(s: SparkSession, dir: String): DataFrame = {
+  def q178LshStreamReal(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val d = s.read.parquet(s"$dir/documents.parquet")
       .filter(expr("doc_id % 10 < 3")).select($"doc_id", $"text")
@@ -503,7 +523,7 @@ object StreamOracle {
     * the output set is arrival-order-FREE (no mtime forcing) and the
     * oracle is q47's SQL VERBATIM: streaming ≡ the batch operator's
     * broadcast regime ≡ DuckDB, on real corpus text. */
-  def q185DecontamStreamReal(s: SparkSession, dir: String): DataFrame = {
+  def q185DecontamStreamReal(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val all = s.read.parquet(s"$dir/documents.parquet")
     val bench = all.filter($"source" === "src0").select($"text")
@@ -540,7 +560,7 @@ object StreamOracle {
     * states as a plain scalar predicate over the same table. File
     * order forced by mtimes (watermark progression is
     * arrival-order-dependent). */
-  def q179WindowedStreamReal(s: SparkSession, dir: String): DataFrame = {
+  def q179WindowedStreamReal(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val ev = Relational.events(s, dir).select(
       timestamp_micros($"ts_us").as("ts"), $"event_type", $"value")
@@ -596,7 +616,10 @@ object StreamOracle {
     * joining a batch-1 view exists only if the view survived in join
     * state. Split by event_id parity puts ~half of each pair's sides
     * in different batches. */
-  def q180IntervalJoinStreamReal(s: SparkSession, dir: String): DataFrame = {
+  def q180IntervalJoinStreamReal(s: SparkSession, dir: String): DataFrame =
+    withFixtureShuffle(s) { q180Body(s, dir) }
+
+  private def q180Body(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Relational.events(s, dir).select($"user_id", $"event_id",
       timestamp_micros($"ts_us").as("ts"), $"event_type")
@@ -635,7 +658,7 @@ object StreamOracle {
     * append-mode emission only for sessions whose END the final
     * watermark passed. Oracle = q103's gaps-and-islands SQL with the
     * same finalization predicate as a scalar HAVING. */
-  def q181SessionStreamReal(s: SparkSession, dir: String): DataFrame = {
+  def q181SessionStreamReal(s: SparkSession, dir: String): DataFrame = withFixtureShuffle(s) {
     import s.implicits._
     val ev = Relational.events(s, dir).select($"user_id",
       timestamp_micros($"ts_us").as("ts"), $"value")
