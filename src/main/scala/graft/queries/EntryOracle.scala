@@ -396,6 +396,64 @@ object EntryOracle {
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromWritten))
   }
 
+  // ---------------------------------------------------------------- q192
+  /** The STREAMING write side (`df.writeStream.format("mediawiki")`):
+    * the flagship construction split into two plain dump parts is
+    * streamed (noprev schema, one file per trigger → two epochs)
+    * straight into the mediawiki SINK — each epoch commits its own
+    * deterministic `part-e<epoch>-p<partition>` multistream archive +
+    * index sibling — and the engine-written directory is read back via
+    * per-stream index planning (partition count asserted) into the
+    * same diffdb flatten as q190. VALUES are q153's verbatim. Closes
+    * the read/write × batch/streaming matrix: every quadrant now sits
+    * inside the oracle gate. */
+  def q192EntryMsWriteStream(s: SparkSession, dir: String): DataFrame = {
+    import OracleTmp.fresh
+    val dumpDir = fresh("graft_q192_dump")
+    val p1 = dumpDir.resolve("part1.xml")
+    val p2 = dumpDir.resolve("part2.xml")
+    java.nio.file.Files.write(p1,
+      renderDump(pages.take(NumPlants / 2)).getBytes("UTF-8"))
+    java.nio.file.Files.write(p2,
+      renderDump(pages.drop(NumPlants / 2)).getBytes("UTF-8"))
+    val t0 = System.currentTimeMillis()
+    require(p1.toFile.setLastModified(t0 - 120000) &&
+      p2.toFile.setLastModified(t0 - 60000),
+      "q192: setLastModified failed — epoch order would be undefined")
+    val header = dumpXml.substring(0, dumpXml.indexOf("  <page>"))
+    val ckpt = fresh("graft_q192_ckpt")
+    val out = fresh("graft_q192_out")
+    val q = s.readStream.format("mediawiki")
+      .option("previousRevision", "false")
+      .option("maxFilesPerTrigger", "1")
+      .load(dumpDir.toString)
+      .writeStream.format("mediawiki")
+      .option("assumeGrouped", "true") // reader partitions are page-contiguous
+      .option("multistreamPagesPerStream", "1")
+      .option("multistreamHeader", header)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out.toString)
+    val finished = try q.awaitTermination(300000) finally q.stop()
+    if (!finished) throw new IllegalStateException(
+      "q192: streaming query did not terminate within 300 s")
+    val dumps = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".xml.bz2")).map(_.getName).sorted
+    require(dumps.length == 2 && dumps.forall(_.startsWith("part-e")),
+      s"expected one deterministic epoch archive per micro-batch, got ${dumps.toSeq}")
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(out.toString)
+    require(src.rdd.getNumPartitions == NumPlants,
+      s"the stream-written indexes must drive per-stream planning, got ${src.rdd.getNumPartitions}")
+    val fromWritten = graft.MediaWiki.namespacesByName(
+      graft.MediaWiki.siteinfoNamespaces(
+        s, new java.io.File(out.toString, dumps.head).getAbsolutePath))
+    require(fromWritten.nonEmpty, "stream-written archive lost the siteinfo header")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromWritten))
+  }
+
   // ---------------------------------------------------------------- q187
   /** The multistream+index layout through the STREAMING source gate:
     * the q183 construction split into TWO multistream archives (each
@@ -1029,6 +1087,10 @@ object EntryOracle {
   /** q191 rate-limits WITHIN the single archive; the union of its
     * micro-batches is the whole dump, so q153's VALUES verbatim. */
   val q191Sql: String = q153Sql
+
+  /** q192 streams the construction INTO the sink across two epochs;
+    * the written directory unions to the whole dump — q153's VALUES. */
+  val q192Sql: String = q153Sql
 
   /** q188 = q153 restricted to the main-namespace pages (id % 3 == 0),
     * enforced by the ns skip-planner + the reader's pushed ns filter. */

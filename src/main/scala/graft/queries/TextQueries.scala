@@ -3930,6 +3930,7 @@ object TextQueries {
     "q189_entry_ms_stream_articles" -> EntryOracle.q189EntryMsStreamArticles _,
     "q190_entry_ms_write" -> EntryOracle.q190EntryWriteRoundtrip _,
     "q191_entry_ms_rate_limited" -> EntryOracle.q191EntryMsRateLimited _,
+    "q192_entry_ms_write_stream" -> EntryOracle.q192EntryMsWriteStream _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4055,6 +4056,7 @@ object TextQueries {
     "q189_entry_ms_stream_articles" -> EntryOracle.q189Sql,
     "q190_entry_ms_write" -> EntryOracle.q190Sql,
     "q191_entry_ms_rate_limited" -> EntryOracle.q191Sql,
+    "q192_entry_ms_write_stream" -> EntryOracle.q192Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,

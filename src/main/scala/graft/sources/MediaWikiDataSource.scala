@@ -178,7 +178,7 @@ class MediaWikiTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = MediaWikiTable.canonicalizeOptions(props ++ options.asScala)
     new MediaWikiScanBuilder(tableSchema,

@@ -115,6 +115,111 @@ class MediaWikiWrite(schema: StructType, props: Map[String, String])
     }
 
   override def toBatch: BatchWrite = new MediaWikiBatchWrite(schema, props)
+
+  override def toStreaming:
+      org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new MediaWikiStreamingWrite(schema, props)
+}
+
+/** Shared write-side plumbing: target-dir resolution, Hadoop conf
+  * snapshot, and the overwrite rename the STREAMING commit needs
+  * (batch commits never collide — their names carry a uuid). */
+private[sources] object MediaWikiWriteCommit {
+  def resolveDir(props: Map[String, String]): String = {
+    val paths = MediaWikiTable.resolvePaths(props)
+    require(paths.size == 1,
+      s"mediawiki write needs exactly one target path, got $paths")
+    paths.head
+  }
+
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  def confMap(c: Configuration): Map[String, String] = {
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  /** Rename that REPLACES an existing destination (FileContext where
+    * available; delete+rename fallback mirrors the streaming file
+    * log's — never ignore a failed rename). */
+  def renameOverwrite(c: Configuration, src: Path, dst: Path): Unit = {
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, c)
+      fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val fs = dst.getFileSystem(c)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        require(fs.rename(src, dst), s"failed to commit $dst")
+    }
+  }
+}
+
+/** Serializable task-side factory (the StreamingWrite itself never
+  * ships — an anonymous inner factory would drag it along as $outer). */
+class MediaWikiStreamingWriterFactory(schema: StructType,
+    props: Map[String, String], dir: String, hadoopConf: Map[String, String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MediaWikiDataWriter(schema, props, dir, hadoopConf, partitionId, taskId,
+      stemOverride = Some(f"part-e$epochId%05d-p$partitionId%05d"))
+}
+
+/** Micro-batch streaming form of the sink
+  * (`df.writeStream.format("mediawiki")`): each epoch's tasks write
+  * the same multistream layout as batch, but under DETERMINISTIC final
+  * names `part-e<epoch>-p<partition>`, and the epoch commit renames
+  * with OVERWRITE. Exactly-once without a sink metadata log follows
+  * from determinism: a replayed epoch (failure between the sink commit
+  * and the engine's commit-log write) re-executes the SAME pinned
+  * offsets through the same deterministic grouping and bz2 encoder
+  * into byte-identical files over the same names — the overwrite is a
+  * no-op in content. Task-attempt temp names stay uuid-unique
+  * (speculation-safe) and dot-prefixed (invisible to this source's
+  * directory listing, so a stream can WRITE INTO a directory another
+  * query is reading); the driver-side commit coordinator admits one
+  * attempt per partition. Dump renames before its index, as in batch:
+  * an index without its dump would be listed AS a dump. */
+class MediaWikiStreamingWrite(schema: StructType, props: Map[String, String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val dir: String = MediaWikiWriteCommit.resolveDir(props)
+  // fail on schema problems at PLANNING time, not per task
+  MediaWikiWriterFactory.resolveOrdinals(schema)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val c = MediaWikiWriteCommit.conf
+    val p = new Path(dir)
+    p.getFileSystem(c).mkdirs(p)
+    new MediaWikiStreamingWriterFactory(schema, props, dir,
+      MediaWikiWriteCommit.confMap(c))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val c = MediaWikiWriteCommit.conf
+    messages.collect { case m: MediaWikiCommitMessage if m.tmpDump != null =>
+      MediaWikiWriteCommit.renameOverwrite(c, new Path(m.tmpDump), new Path(m.dump))
+      MediaWikiWriteCommit.renameOverwrite(c, new Path(m.tmpIdx), new Path(m.idx))
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val c = MediaWikiWriteCommit.conf
+    messages.collect { case m: MediaWikiCommitMessage if m.tmpDump != null =>
+      val fs = new Path(m.tmpDump).getFileSystem(c)
+      Seq(m.tmpDump, m.tmpIdx).foreach { t =>
+        try fs.delete(new Path(t), false) catch { case _: java.io.IOException => }
+      }
+    }
+  }
 }
 
 case class MediaWikiCommitMessage(tmpDump: String, dump: String,
@@ -123,26 +228,18 @@ case class MediaWikiCommitMessage(tmpDump: String, dump: String,
 class MediaWikiBatchWrite(schema: StructType, props: Map[String, String])
   extends BatchWrite {
 
-  private val dir: String = {
-    val paths = MediaWikiTable.resolvePaths(props)
-    require(paths.size == 1, s"mediawiki write needs exactly one target path, got $paths")
-    paths.head
-  }
+  private val dir: String = MediaWikiWriteCommit.resolveDir(props)
 
   // fail on schema problems at PLANNING time, not per task
   MediaWikiWriterFactory.resolveOrdinals(schema)
 
-  private def conf: Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+  private def conf: Configuration = MediaWikiWriteCommit.conf
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val c = conf
     val p = new Path(dir)
     p.getFileSystem(c).mkdirs(p)
-    val it = c.iterator()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-    new MediaWikiWriterFactory(schema, props, dir, b.result())
+    new MediaWikiWriterFactory(schema, props, dir, MediaWikiWriteCommit.confMap(c))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -210,7 +307,8 @@ class MediaWikiWriterFactory(schema: StructType, props: Map[String, String],
 }
 
 class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
-    dir: String, hadoopConf: Map[String, String], partitionId: Int, taskId: Long)
+    dir: String, hadoopConf: Map[String, String], partitionId: Int, taskId: Long,
+    stemOverride: Option[String] = None)
   extends DataWriter[InternalRow] {
   import MediaWikiWrite._
 
@@ -235,13 +333,18 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
     if (hadoopConf.isEmpty) new Configuration() else c
   }
 
-  // %05d partition in the name keeps directory listings in write order;
-  // the uuid keeps speculative attempts from colliding on the temp name
-  private val stem = f"part-$partitionId%05d-${java.util.UUID.randomUUID().toString.take(8)}"
+  // %05d partition in the name keeps directory listings in write order.
+  // Batch stems carry a uuid (parallel jobs into one dir never collide);
+  // streaming passes a DETERMINISTIC part-e<epoch>-p<partition> stem so
+  // a replayed epoch overwrites itself. Temp names always get their own
+  // attempt uuid — two speculative attempts of one task must not share.
+  private val stem = stemOverride.getOrElse(
+    f"part-$partitionId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+  private val attempt = java.util.UUID.randomUUID().toString.take(8)
   private val finalDump = new Path(dir, stem + ".xml.bz2")
   private val finalIdx = new Path(dir, stem + "-index.txt")
-  private val tmpDump = new Path(dir, "." + stem + ".xml.bz2.tmp")
-  private val tmpIdx = new Path(dir, "." + stem + "-index.txt.tmp")
+  private val tmpDump = new Path(dir, "." + stem + "-" + attempt + ".xml.bz2.tmp")
+  private val tmpIdx = new Path(dir, "." + stem + "-" + attempt + "-index.txt.tmp")
 
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private val pending = new java.lang.StringBuilder() // pages awaiting their stream

@@ -362,6 +362,67 @@ class MediaWikiStreamSpec extends AnyFunSuite {
       s"mid-file resume must be exactly-once, got $ids")
   }
 
+  test("maxFilesPerTrigger x maxPartitionsPerTrigger offset walk (driver-level)") {
+    // both caps at once: the file cap bounds how many NEW files a
+    // trigger may enter (a partially-consumed file extends the window
+    // by one — finishing it does not burn the whole file budget), the
+    // partition cap bounds planned partitions admitted. Driven directly
+    // on the stream object so the exact offset sequence is pinned.
+    import graft.sources.{MediaWikiMicroBatchStream, MediaWikiTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("mw-bothcaps").toFile
+    val xml = {
+      val sb = new StringBuilder("<mediawiki>\n  <siteinfo>\n  </siteinfo>\n")
+      for (p <- 1 to 3) {
+        sb.append(s"  <page>\n    <title>Page $p</title>\n    <ns>0</ns>\n    <id>$p</id>\n")
+        sb.append(s"    <revision>\n      <id>${p * 10}</id>\n")
+        sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+        sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+        sb.append(s"      <text xml:space=\"preserve\">t $p</text>\n    </revision>\n  </page>\n")
+      }
+      sb.append("</mediawiki>\n").toString
+    }
+    for (part <- Seq("a", "b")) {
+      graft.sources.MultistreamWriter.writeGrouped(xml,
+        new java.io.File(dir, s"$part.xml.bz2"),
+        new java.io.File(dir, s"$part-index.txt"),
+        pagesPerStream = 1, pageIdOf = i => i + 1L,
+        titleOf = i => s"Page ${i + 1}")
+    }
+    spark.sparkContext // the stream ctor reads SparkSession.active
+    val mbs = new MediaWikiMicroBatchStream(
+      MediaWikiTable.schemaFor(prevEnabled = true, raw = false),
+      Map("path" -> dir.getAbsolutePath, "multistreamTargetBytes" -> "1",
+        "maxFilesPerTrigger" -> "1", "maxPartitionsPerTrigger" -> "2"),
+      Files.createTempDirectory("mw-bothcaps-ck").toString)
+    mbs.prepareForTriggerAvailableNow()
+    val limit = ReadLimit.maxFiles(1)
+    def walk(from: org.apache.spark.sql.connector.read.streaming.Offset) =
+      mbs.latestOffset(from, limit)
+    // each file plans 3 partitions; partition cap 2, file cap 1 new file:
+    // (0,0)→(0,2)  mid-file
+    // (0,2)→(1,1)  finishes a (partial=1 slack) + enters b for 1 partition
+    // (1,1)→(2,0)  finishes b (2 remaining ≤ cap)
+    val o1 = walk(mbs.initialOffset())
+    val o2 = walk(o1)
+    val o3 = walk(o2)
+    val o4 = walk(o3)
+    assert(Seq(o1, o2, o3, o4).map(_.json()) == Seq(
+      """{"fileIndex":0,"part":2}""",
+      """{"fileIndex":1,"part":1}""",
+      """{"fileIndex":2,"part":0}""",
+      """{"fileIndex":2,"part":0}"""), // caught up: offset stops moving
+      s"unexpected offset walk: ${Seq(o1, o2, o3, o4).map(_.json())}")
+    // every batch plans exactly the partitions its offsets address
+    val sizes = Seq(mbs.initialOffset() -> o1, o1 -> o2, o2 -> o3).map {
+      case (s0, e0) => mbs.planInputPartitions(s0, e0).length
+    }
+    assert(sizes == Seq(2, 2, 2), s"batch partition counts: $sizes")
+    // legacy offset json (no part field) deserializes to part=0
+    assert(mbs.deserializeOffset("""{"fileIndex":1}""").json()
+      == """{"fileIndex":1,"part":0}""")
+  }
+
   test("nsIn/pageIdIn options filter at the STREAMING source (reader-level, not post-scan)") {
     // Catalyst's V2 filter pushdown serves batch relations only: a
     // .where above readStream is applied post-scan (measured while

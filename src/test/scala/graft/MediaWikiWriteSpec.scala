@@ -95,6 +95,90 @@ class MediaWikiWriteSpec extends AnyFunSuite {
       "aborted write left committed files")
   }
 
+  test("STREAMING write: epoch archives, replayed epoch overwrites itself exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two source parts → two epochs, each committing a deterministic
+    // part-e<epoch>-p<partition> archive + index
+    val srcDir = Files.createTempDirectory("mwwst-src").toFile
+    val all = noPrev(fixture)
+    val pids = all.select("page_id").distinct().as[Long].collect().sorted
+    assert(pids.length >= 2, "fixture must have at least 2 pages")
+    val firstHalf = pids.take(pids.length / 2).toSet
+    def dumpOf(keep: Long => Boolean, name: String): Unit = {
+      // re-render through the BATCH writer: one plain-dir archive per half
+      val d = new File(srcDir, name + ".d")
+      all.filter(udf(keep).apply($"page_id")).write.format("mediawiki")
+        .option("assumeGrouped", "true").mode("append").save(d.getAbsolutePath)
+      val bz2 = d.listFiles().find(_.getName.endsWith(".xml.bz2")).get
+      java.nio.file.Files.move(bz2.toPath, new File(srcDir, name).toPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    dumpOf(firstHalf.contains, "a_first.xml.bz2")
+    dumpOf(p => !firstHalf.contains(p), "b_second.xml.bz2")
+    val t0 = System.currentTimeMillis()
+    assert(new File(srcDir, "a_first.xml.bz2").setLastModified(t0 - 120000))
+    assert(new File(srcDir, "b_second.xml.bz2").setLastModified(t0 - 60000))
+    val ckpt = Files.createTempDirectory("mwwst-ck").toString
+    val outDir = Files.createTempDirectory("mwwst-out").toFile
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("mediawiki")
+        .option("previousRevision", "false")
+        .option("maxFilesPerTrigger", "1")
+        .load(srcDir.getAbsolutePath)
+        .writeStream.format("mediawiki")
+        .option("assumeGrouped", "true")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start(outDir.getAbsolutePath)
+      val finished = try q.awaitTermination(120000) finally q.stop()
+      assert(finished, "stream did not finish")
+    }
+    runOnce()
+    def dumps = outDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".xml.bz2")).sorted.toSeq
+    val first = dumps
+    assert(first.size == 2 && first.forall(_.startsWith("part-e")), first)
+    assert(canon(noPrev(outDir.getAbsolutePath)) == canon(all))
+    // REPLAY epoch 1 through Spark's own recovery: drop its commit-log
+    // entry (crash between sink commit and commit-log write) and rerun —
+    // the deterministic names must overwrite, never duplicate
+    val commit1 = new File(ckpt, "commits/1")
+    assert(commit1.isFile, "expected commits/1 in the checkpoint")
+    assert(commit1.delete())
+    // the local ChecksumFileSystem keeps a .crc sibling; stale, it fails
+    // the metadata log's atomic re-create as a phantom concurrent writer
+    new File(ckpt, "commits/.1.crc").delete()
+    runOnce()
+    assert(dumps == first, s"replayed epoch must overwrite itself: $dumps")
+    assert(canon(noPrev(outDir.getAbsolutePath)) == canon(all))
+  }
+
+  test("STREAMING write: non-contiguous pages in a partition fail loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = Files.createTempDirectory("mwwst-bad").toFile
+    // one parquet file, one partition, page 1 split around page 2
+    val rows = Seq((1L, "A", 10L, "t1"), (2L, "B", 20L, "t2"), (1L, "A", 11L, "t3"))
+      .toDF("page_id", "title", "rev_id", "text")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', rev_id, 'text', text) AS curr")
+    rows.coalesce(1).write.parquet(new File(srcDir, "in.parquet").getAbsolutePath)
+    val q = spark.readStream.schema(rows.schema)
+      .parquet(new File(srcDir, "in.parquet").getAbsolutePath)
+      .writeStream.format("mediawiki")
+      .option("assumeGrouped", "true") // lie: the frame is NOT grouped
+      .option("checkpointLocation", Files.createTempDirectory("mwwst-bck").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(Files.createTempDirectory("mwwst-bout").toString)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("not contiguous")), chain(ex).mkString(" | "))
+  }
+
   test("escaping round-trips hostile titles/text/comments") {
     val hostile = Seq(
       (1L, "A&B <title> \"q\" 'a'", Some(0), None, 0, "text with </text> & <page> markers", Some("c&c <x>")),
