@@ -101,6 +101,9 @@ object SteadyBench {
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // progress events are async: drain the bus so this pass's last
+        // micro-batch lands in THIS pass's array, not the next one's
+        org.apache.spark.graft.ListenerBusBridge.flush(spark.sparkContext)
         val batches = {
           val it = batchMs.iterator(); val b = new StringBuilder("[")
           var first = true

@@ -196,7 +196,9 @@ object JaccardPairs {
 
   /** As [[pairs]], but with a precomputed [[DispatchStats]] (no probe,
     * no persist — the decision and the sweep's input both come from
-    * the stats; only the inverted-index path touches `sh`). Callers
+    * the stats; the inverted-index AND banded-verified paths re-read
+    * `sh` — pass a cheap-to-recompute frame or persist it when the
+    * corpus can land in either). Callers
     * that KNOW the corpus is large can call invertedIndexPairs
     * directly and skip even the stats.
     *

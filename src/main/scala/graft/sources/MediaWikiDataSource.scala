@@ -476,16 +476,30 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
   private var availableNowTarget: Option[Long] = None
 
   // per-file plan cache (append-only log, immutable files by contract;
-  // multistream plans are additionally memoized in MultistreamIndex)
-  private val planCache = scala.collection.mutable.HashMap.empty[String, IndexedSeq[MediaWikiInputPartition]]
+  // multistream plans are additionally memoized in MultistreamIndex).
+  // Access-ordered LRU, NOT an unbounded map: a long-lived stream logs
+  // files forever, and plans of fully-consumed files would otherwise
+  // pin their partition seqs in driver memory for the stream's life
+  // (review r14); a rare miss on an old file (restart replaying an
+  // ancient batch) just re-plans — deterministic by construction.
+  private val planCache =
+    new java.util.LinkedHashMap[String, IndexedSeq[MediaWikiInputPartition]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, IndexedSeq[MediaWikiInputPartition]]): Boolean =
+        size > 64
+    }
   private def plannedFor(file: String): IndexedSeq[MediaWikiInputPartition] =
     synchronized {
-      planCache.getOrElseUpdate(file, {
+      val got = planCache.get(file)
+      if (got != null) got
+      else {
         val p = new Path(file)
         val codecs = new CompressionCodecFactory(conf)
-        MediaWikiScan.partitionsForFile(p.getFileSystem(conf), codecs, p,
-          maxBytes, props).toIndexedSeq
-      })
+        val planned = MediaWikiScan.partitionsForFile(p.getFileSystem(conf),
+          codecs, p, maxBytes, props).toIndexedSeq
+        planCache.put(file, planned)
+        planned
+      }
     }
 
   private val logPath = new Path(checkpointLocation, "mediawiki-files.log")

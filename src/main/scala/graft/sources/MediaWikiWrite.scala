@@ -108,8 +108,15 @@ class MediaWikiWrite(schema: StructType, props: Map[String, String])
   override def requiredOrdering(): Array[SortOrder] =
     if (assumeGrouped) Array.empty
     else {
+      // within-page revision order must be pinned by SOMETHING: a frame
+      // without rev_seq would otherwise be written in arbitrary
+      // shuffle-fetch order (and the reader re-derives rev_seq from
+      // file order — silently garbled prev/curr pairing downstream).
+      // curr.rev_id is the natural fallback: required by the schema
+      // check and monotone in revision order for real dumps.
       val keys = Seq("page_id") ++
-        (if (schema.fieldNames.contains("rev_seq")) Seq("rev_seq") else Nil)
+        (if (schema.fieldNames.contains("rev_seq")) Seq("rev_seq")
+         else Seq("curr.rev_id"))
       keys.map(k => Expressions.sort(Expressions.identity(k),
         SortDirection.ASCENDING)).toArray
     }
@@ -288,10 +295,47 @@ object MediaWikiWriterFactory {
     val currType = schema.fields(currOrd).dataType.asInstanceOf[StructType]
     require(currType.fieldNames.contains("rev_id"),
       "mediawiki write needs `curr.rev_id`")
-    val contribType = currType.fieldNames.indexOf("contributor") match {
+    val contribOrd = currType.fieldNames.indexOf("contributor")
+    require(contribOrd < 0 ||
+      currType.fields(contribOrd).dataType.isInstanceOf[StructType],
+      "mediawiki write: `curr.contributor` must be a struct")
+    val contribType = contribOrd match {
       case -1 => new StructType()
       case i => currType.fields(i).dataType.asInstanceOf[StructType]
     }
+    // Type-check EVERY field the writer will read, at PLANNING time: a
+    // mistyped optional column would otherwise corrupt silently at task
+    // time (getLong on an UnsafeRow int slot zero-extends — a negative
+    // int becomes a huge positive rev_id IN THE ARCHIVE) or throw per
+    // task after the shuffle already ran.
+    def checkOpt(st: StructType, where: String, name: String,
+        ok: DataType => Boolean, want: String): Unit = {
+      val i = st.fieldNames.indexOf(name)
+      require(i < 0 || ok(st.fields(i).dataType),
+        s"mediawiki write: `$where$name` must be $want, got " +
+          s"${st.fields(i).dataType.simpleString}")
+    }
+    val long: DataType => Boolean = _ == LongType
+    val str: DataType => Boolean = _ == StringType
+    val bool: DataType => Boolean = _ == BooleanType
+    // epoch-micros long is what InternalRow stores for both timestamp
+    // flavors; a raw LongType column of micros is equally valid
+    val tsOk: DataType => Boolean =
+      t => t == TimestampType || t == TimestampNTZType || t == LongType
+    checkOpt(schema, "", "ns", _ == IntegerType, "int")
+    checkOpt(schema, "", "redirect", str, "string")
+    checkOpt(currType, "curr.", "parent_id", long, "bigint")
+    checkOpt(currType, "curr.", "timestamp", tsOk, "timestamp/bigint micros")
+    checkOpt(currType, "curr.", "minor", bool, "boolean")
+    checkOpt(currType, "curr.", "bytes", long, "bigint")
+    Seq("comment", "model", "format", "text", "sha1")
+      .foreach(checkOpt(currType, "curr.", _, str, "string"))
+    require(currType.fields(currType.fieldNames.indexOf("rev_id"))
+      .dataType == LongType, "mediawiki write: `curr.rev_id` must be bigint")
+    checkOpt(contribType, "curr.contributor.", "username", str, "string")
+    checkOpt(contribType, "curr.contributor.", "ip", str, "string")
+    checkOpt(contribType, "curr.contributor.", "id", long, "bigint")
+    checkOpt(contribType, "curr.contributor.", "deleted", bool, "boolean")
     Ordinals(
       req("page_id", LongType), req("title", StringType),
       opt("ns"), opt("redirect"),
@@ -348,6 +392,7 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
 
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private val pending = new java.lang.StringBuilder() // pages awaiting their stream
+  private var pendingBytes = 0L // UTF-8 bytes of `pending` (when budgeted)
   private var pendingPages = 0
   private val indexLines = scala.collection.mutable.ArrayBuffer[(Long, String)]() // (pageId, title) per page in order
   private val streamOffsets = scala.collection.mutable.ArrayBuffer[Long]() // offset per FLUSHED stream
@@ -378,17 +423,38 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
     streamOffsets += writeStream(pending)
     pagesPerFlushedStream += pendingPages
     pending.setLength(0)
+    pendingBytes = 0L
     pendingPages = 0
+  }
+
+  /** UTF-8 byte length of a char sequence — the stream budget is a
+    * BYTE budget (it bounds reader-side per-stream decompression
+    * memory), and `length` counts UTF-16 chars: CJK text would blow
+    * the budget 3× if compared by chars (review r14). */
+  private def utf8Len(cs: CharSequence): Long = {
+    var n = 0L
+    var i = 0
+    while (i < cs.length) {
+      val c = cs.charAt(i)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) && i + 1 < cs.length &&
+        Character.isLowSurrogate(cs.charAt(i + 1))) { n += 4; i += 1 }
+      else n += 3
+      i += 1
+    }
+    n
   }
 
   private def closePage(): Unit = if (pageOpen) {
     page.append("  </page>\n")
     pending.append(page)
+    if (streamBytes > 0) pendingBytes += utf8Len(page)
     page.setLength(0)
     pendingPages += 1
     pageOpen = false
     if (pendingPages >= pagesPerStream ||
-      (streamBytes > 0 && pending.length >= streamBytes)) flushPending()
+      (streamBytes > 0 && pendingBytes >= streamBytes)) flushPending()
   }
 
   private def startPage(row: InternalRow): Unit = {

@@ -179,6 +179,40 @@ class MediaWikiWriteSpec extends AnyFunSuite {
     assert(chain(ex).exists(_.contains("not contiguous")), chain(ex).mkString(" | "))
   }
 
+  test("no rev_seq: default distribution orders by curr.rev_id; mistyped column fails at planning") {
+    // shuffled revisions, NO rev_seq column — the ordering fallback
+    // must pin within-page revision order to curr.rev_id (a page_id-only
+    // sort would write shuffle-fetch order: silently garbled pairing)
+    val rows = Seq((1L, "A", 12L, "t3"), (2L, "B", 20L, "u1"),
+        (1L, "A", 10L, "t1"), (2L, "B", 21L, "u2"), (1L, "A", 11L, "t2"))
+      .toDF("page_id", "title", "rev_id", "text")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', rev_id, 'text', text) AS curr")
+    val out = Files.createTempDirectory("mwwseq").toFile
+    rows.write.format("mediawiki").mode("append").save(out.getAbsolutePath)
+    val back = noPrev(out.getAbsolutePath)
+      .selectExpr("page_id", "rev_seq", "curr.rev_id AS rev_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    for ((pid, revs) <- back.groupBy(_._1)) {
+      val inFileOrder = revs.sortBy(_._2).map(_._3)
+      assert(inFileOrder == inFileOrder.sorted,
+        s"page $pid revisions written out of rev_id order: $inFileOrder")
+    }
+    // a mistyped consumed column must fail at PLANNING time, loudly —
+    // getLong on an int slot would otherwise corrupt rev_ids silently
+    val bad = rows.selectExpr("page_id", "title",
+      "named_struct('rev_id', CAST(curr.rev_id AS INT), 'text', curr.text) AS curr")
+    val ex = intercept[Exception] {
+      bad.write.format("mediawiki").mode("append")
+        .save(Files.createTempDirectory("mwwbad").toFile.getAbsolutePath)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("`curr.rev_id` must be bigint")),
+      chain(ex).mkString(" | "))
+  }
+
   test("escaping round-trips hostile titles/text/comments") {
     val hostile = Seq(
       (1L, "A&B <title> \"q\" 'a'", Some(0), None, 0, "text with </text> & <page> markers", Some("c&c <x>")),
