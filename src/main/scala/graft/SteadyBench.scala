@@ -95,6 +95,10 @@ object SteadyBench {
     val detail = new StringBuilder
     val steady = names.map { name =>
       val qCanary = Bench.miniCanary()
+      // MT twin per query: the r14 in-bench disturbance showed as only
+      // 1.7x on the single-thread probe while inflating 32-thread query
+      // walls 2-4x — all-core steal needs an all-core probe (r7 lesson)
+      val qCanaryMt = Bench.miniCanaryMt()
       def onePass(): (Double, String) = {
         batchMs.clear()
         val t0 = System.nanoTime()
@@ -123,6 +127,7 @@ object SteadyBench {
       detail.append("\"").append(name).append("\":{\"passes\":[")
         .append(ms(a)).append(',').append(ms(b))
         .append("],\"canary\":").append(ms(qCanary))
+        .append(",\"canary_mt\":").append(ms(qCanaryMt))
         .append(",\"batches\":[").append(b1).append(',').append(b2)
         .append("]}")
       // min of the two passes, but never mask a failure with a success
