@@ -119,18 +119,27 @@ object SteadyBench {
         }
         (sec, batches)
       }
+      // pass 0 is a TARGET-SF warm pass: the parent's measured numbers
+      // come from a JVM long-warm at sf0.1 (190 prior queries), while
+      // this child only warmed at sf0.001 — r14's final artifact showed
+      // the residual gap is exactly warmup shape (q179 4.99→3.52,
+      // q84 4.33→3.31, both declining). One discarded sf0.1 pass makes
+      // steady comparable to measured; all three walls stay in the
+      // trace so the warmup cost itself remains visible evidence.
+      val (w, b0) = onePass()
+      if (trace) System.err.println(f"[steady-trace] $name warm=$w%.3f batches=$b0")
       val (a, b1) = onePass()
       if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f batches=$b1")
       val (b, b2) = onePass()
       if (trace) System.err.println(f"[steady-trace] $name pass2=$b%.3f batches=$b2")
       if (detail.nonEmpty) detail.append(',')
       detail.append("\"").append(name).append("\":{\"passes\":[")
-        .append(ms(a)).append(',').append(ms(b))
+        .append(ms(w)).append(',').append(ms(a)).append(',').append(ms(b))
         .append("],\"canary\":").append(ms(qCanary))
         .append(",\"canary_mt\":").append(ms(qCanaryMt))
-        .append(",\"batches\":[").append(b1).append(',').append(b2)
+        .append(",\"batches\":[").append(b0).append(',').append(b1).append(',').append(b2)
         .append("]}")
-      // min of the two passes, but never mask a failure with a success
+      // min of the two measured passes; never mask a failure
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val post = Bench.miniCanary()
