@@ -50,16 +50,7 @@ object SteadyBench {
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val memAtStart = memAvailGb()
-    val spark = SparkSession.builder()
-      .withExtensions(graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Bench.benchSession(cpus)
     val trace = sys.env.contains("STEADY_TRACE")
     // always-on micro-batch recorder: streaming rows run real multi-
     // batch jobs; per-batch triggerExecution is the only way to say
@@ -94,11 +85,10 @@ object SteadyBench {
     def ms(v: Double): String = f"$v%.3f"
     val detail = new StringBuilder
     val steady = names.map { name =>
-      val qCanary = Bench.miniCanary()
-      // MT twin per query: the r14 in-bench disturbance showed as only
-      // 1.7x on the single-thread probe while inflating 32-thread query
-      // walls 2-4x — all-core steal needs an all-core probe (r7 lesson)
-      val qCanaryMt = Bench.miniCanaryMt()
+      // canaries are sampled AFTER the warm pass (below), adjacent to
+      // the measured passes they adjudicate — steal starting during a
+      // multi-second warm would otherwise inflate passes the canary
+      // pair read as flat
       def onePass(): (Double, String) = {
         batchMs.clear()
         val t0 = System.nanoTime()
@@ -128,6 +118,11 @@ object SteadyBench {
       // trace so the warmup cost itself remains visible evidence.
       val (w, b0) = onePass()
       if (trace) System.err.println(f"[steady-trace] $name warm=$w%.3f batches=$b0")
+      val qCanary = Bench.miniCanary()
+      // MT twin per query: the r14 in-bench disturbance showed as only
+      // 1.7x on the single-thread probe while inflating 32-thread query
+      // walls 2-4x — all-core steal needs an all-core probe (r7 lesson)
+      val qCanaryMt = Bench.miniCanaryMt()
       val (a, b1) = onePass()
       if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f batches=$b1")
       val (b, b2) = onePass()

@@ -498,9 +498,21 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
         val planned = MediaWikiScan.partitionsForFile(p.getFileSystem(conf),
           codecs, p, maxBytes, props).toIndexedSeq
         planCache.put(file, planned)
+        countCache.put(file, planned.length.toLong)
         planned
       }
     }
+  private def plannedIfCached(file: String): Option[IndexedSeq[MediaWikiInputPartition]] =
+    synchronized(Option(planCache.get(file)))
+  // partition COUNTS persist for the stream's life (a Long per file —
+  // the leak concern was the partition SEQUENCES): the offset-advance
+  // walk needs only counts, so a wide batch spanning more files than
+  // the plan LRU holds must not re-plan every file on every walk
+  // (sequential scan is the LRU worst case — review r14)
+  private val countCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def countFor(file: String): Long = synchronized {
+    countCache.getOrElse(file, plannedFor(file).length.toLong)
+  }
 
   private val logPath = new Path(checkpointLocation, "mediawiki-files.log")
   private val logFs = logPath.getFileSystem(conf)
@@ -621,7 +633,7 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       var part = from.part
       var budget = maxPartsPerTrigger.toLong
       while (budget > 0 && fi < fileCap && fi < files.length) {
-        val total = plannedFor(files(fi.toInt)).length.toLong
+        val total = countFor(files(fi.toInt))
         val remaining = total - part
         if (remaining <= budget) { budget -= remaining; fi += 1; part = 0L }
         else { part += budget; budget = 0L }
@@ -655,16 +667,32 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
         files.map { f => val p = new Path(f); (p.getFileSystem(conf), p) },
         maxBytes, props).toArray
     } else {
+      // boundary files slice from the cached per-file plan; WHOLE
+      // middle files take whatever plan is at hand (LRU hit) or plan
+      // fresh WITHOUT polluting the LRU — a batch wider than the LRU
+      // would otherwise evict-and-miss every file twice per batch
+      // (sequential scan is the access-ordered worst case, review r14)
+      val codecs = new CompressionCodecFactory(conf)
       def sliceOf(i: Int): IndexedSeq[MediaWikiInputPartition] = {
-        val planned = plannedFor(files(i - s))
+        val file = files(i - s)
         val fromPart = if (i == s) so.part.toInt else 0
-        val toPart = if (i == e) eo.part.toInt else planned.length
-        require(fromPart <= planned.length && toPart <= planned.length,
-          s"committed batch [$so,$eo) addresses ${math.max(fromPart, toPart)} " +
-            s"partitions of ${files(i - s)} but the plan now has ${planned.length} — " +
-            "planning options changed across a restart (multistreamTargetBytes / " +
-            "spark.sql.files.maxPartitionBytes must stay fixed while a file is in flight)")
-        planned.slice(fromPart, toPart)
+        val endPartial = i == e && eo.part > 0
+        if (fromPart == 0 && !endPartial)
+          plannedIfCached(file).getOrElse {
+            val p = new Path(file)
+            MediaWikiScan.partitionsForFile(p.getFileSystem(conf), codecs, p,
+              maxBytes, props).toIndexedSeq
+          }
+        else {
+          val planned = plannedFor(file)
+          val toPart = if (endPartial) eo.part.toInt else planned.length
+          require(fromPart <= planned.length && toPart <= planned.length,
+            s"committed batch [$so,$eo) addresses ${math.max(fromPart, toPart)} " +
+              s"partitions of $file but the plan now has ${planned.length} — " +
+              "planning options changed across a restart (multistreamTargetBytes / " +
+              "spark.sql.files.maxPartitionBytes must stay fixed while a file is in flight)")
+          planned.slice(fromPart, toPart)
+        }
       }
       (s until needed).flatMap(sliceOf).toArray
     }

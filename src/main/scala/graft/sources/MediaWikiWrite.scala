@@ -324,6 +324,12 @@ object MediaWikiWriterFactory {
       t => t == TimestampType || t == TimestampNTZType || t == LongType
     checkOpt(schema, "", "ns", _ == IntegerType, "int")
     checkOpt(schema, "", "redirect", str, "string")
+    // rev_seq is never READ by the writer but is the ordering key when
+    // present: a StringType rev_seq would sort "10" before "2" and
+    // garble within-page revision order silently
+    checkOpt(schema, "", "rev_seq",
+      t => t == IntegerType || t == LongType || t == ShortType,
+      "int/bigint")
     checkOpt(currType, "curr.", "parent_id", long, "bigint")
     checkOpt(currType, "curr.", "timestamp", tsOk, "timestamp/bigint micros")
     checkOpt(currType, "curr.", "minor", bool, "boolean")
