@@ -442,11 +442,20 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
 
   /** Stream position: `fileIndex` files fully processed, plus `part`
     * planned partitions consumed of file `fileIndex` (0 except mid-file
-    * under `maxPartitionsPerTrigger`). Old checkpoints carry only
-    * `fileIndex` and deserialize with `part = 0` — identical position. */
-  private case class MediaWikiOffset(fileIndex: Long, part: Long = 0L)
+    * under `maxPartitionsPerTrigger`). A mid-file offset also carries
+    * `of` = the TOTAL partition count of the plan it was computed
+    * against, so a restart whose re-plan produced a DIFFERENT number of
+    * partitions (planning options changed) fails loudly in both
+    * directions — the containment check alone passes when the plan
+    * GREW, silently slicing a committed batch against different byte
+    * ranges (ADVICE r14). Old checkpoints carry only `fileIndex` (and
+    * later only `part`) and deserialize with the missing fields 0 —
+    * identical position, weaker (containment-only) drift check. */
+  private case class MediaWikiOffset(fileIndex: Long, part: Long = 0L, of: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-    override def json(): String = s"""{"fileIndex":$fileIndex,"part":$part}"""
+    override def json(): String =
+      if (part > 0) s"""{"fileIndex":$fileIndex,"part":$part,"of":$of}"""
+      else s"""{"fileIndex":$fileIndex,"part":$part}"""
   }
 
   private val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -594,7 +603,8 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       org.apache.spark.sql.connector.read.streaming.Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     MediaWikiOffset(node.get("fileIndex").asLong(),
-      Option(node.get("part")).map(_.asLong()).getOrElse(0L))
+      Option(node.get("part")).map(_.asLong()).getOrElse(0L),
+      Option(node.get("of")).map(_.asLong()).getOrElse(0L))
   }
 
   override def latestOffset():
@@ -625,8 +635,16 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
       case _ => avail
     }
     if (maxPartsPerTrigger == Int.MaxValue) {
-      // whole-file offsets: no per-trigger planning on the driver
-      MediaWikiOffset(math.max(from.fileIndex, fileCap))
+      // whole-file offsets: no per-trigger planning on the driver. A
+      // checkpoint written under maxPartitionsPerTrigger may hand us a
+      // MID-FILE cursor (the option was removed across a restart);
+      // never regress it to (fileIndex, 0) — committing the regressed
+      // offset would re-plan the already-emitted head partitions of
+      // the file once new files arrive (duplicate rows, ADVICE r14).
+      // Advancing past the partially-consumed file is fine: the slice
+      // path in planInputPartitions handles so.part > 0.
+      if (fileCap <= from.fileIndex) from
+      else MediaWikiOffset(fileCap)
     } else {
       val files = synchronized { fileLog.toIndexedSeq }
       var fi = from.fileIndex
@@ -638,7 +656,9 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
         if (remaining <= budget) { budget -= remaining; fi += 1; part = 0L }
         else { part += budget; budget = 0L }
       }
-      MediaWikiOffset(fi, part)
+      if (fi == from.fileIndex && part == from.part) from // caught up: keep `of` as committed
+      else if (part > 0) MediaWikiOffset(fi, part, countFor(files(fi.toInt)))
+      else MediaWikiOffset(fi)
     }
   }
 
@@ -686,11 +706,26 @@ class MediaWikiMicroBatchStream(requiredSchema: StructType, props: Map[String, S
         else {
           val planned = plannedFor(file)
           val toPart = if (endPartial) eo.part.toInt else planned.length
+          def driftMsg(detail: String) =
+            s"committed batch [$so,$eo) $detail of $file but the plan now has " +
+              s"${planned.length} — planning options changed across a restart " +
+              "(multistreamTargetBytes / spark.sql.files.maxPartitionBytes must " +
+              "stay fixed while a file is in flight)"
+          // EXACT plan-size match against the `of` the offset was
+          // computed with: containment alone is one-sided — a re-plan
+          // that produced MORE partitions (lowered maxPartitionBytes /
+          // multistreamTargetBytes) passes `<= planned.length` and
+          // slices a committed batch against different byte ranges
+          // silently (ADVICE r14). Legacy offsets carry of = 0 and keep
+          // the containment-only check.
+          if (i == s && so.part > 0 && so.of > 0)
+            require(planned.length == so.of,
+              driftMsg(s"was planned against ${so.of} partitions"))
+          if (endPartial && eo.of > 0)
+            require(planned.length == eo.of,
+              driftMsg(s"was planned against ${eo.of} partitions"))
           require(fromPart <= planned.length && toPart <= planned.length,
-            s"committed batch [$so,$eo) addresses ${math.max(fromPart, toPart)} " +
-              s"partitions of $file but the plan now has ${planned.length} — " +
-              "planning options changed across a restart (multistreamTargetBytes / " +
-              "spark.sql.files.maxPartitionBytes must stay fixed while a file is in flight)")
+            driftMsg(s"addresses ${math.max(fromPart, toPart)} partitions"))
           planned.slice(fromPart, toPart)
         }
       }

@@ -408,8 +408,8 @@ class MediaWikiStreamSpec extends AnyFunSuite {
     val o3 = walk(o2)
     val o4 = walk(o3)
     assert(Seq(o1, o2, o3, o4).map(_.json()) == Seq(
-      """{"fileIndex":0,"part":2}""",
-      """{"fileIndex":1,"part":1}""",
+      """{"fileIndex":0,"part":2,"of":3}""", // mid-file: carries the plan size
+      """{"fileIndex":1,"part":1,"of":3}""",
       """{"fileIndex":2,"part":0}""",
       """{"fileIndex":2,"part":0}"""), // caught up: offset stops moving
       s"unexpected offset walk: ${Seq(o1, o2, o3, o4).map(_.json())}")
@@ -421,6 +421,70 @@ class MediaWikiStreamSpec extends AnyFunSuite {
     // legacy offset json (no part field) deserializes to part=0
     assert(mbs.deserializeOffset("""{"fileIndex":1}""").json()
       == """{"fileIndex":1,"part":0}""")
+    // legacy mid-file offset json (no "of") round-trips with of=0
+    // (containment-only drift check) and still plans correctly
+    val legacyMid = mbs.deserializeOffset("""{"fileIndex":0,"part":2}""")
+    assert(legacyMid.json() == """{"fileIndex":0,"part":2,"of":0}""")
+    assert(mbs.planInputPartitions(legacyMid, o2).length == 2)
+  }
+
+  test("whole-file latestOffset never regresses a mid-file cursor (ADVICE r14)") {
+    // a checkpoint written under maxPartitionsPerTrigger hands a
+    // mid-file offset to a restarted stream WITHOUT the option: the
+    // whole-file branch must not regress (fi, p>0) to (fi, 0) — the
+    // regressed commit would later re-plan the already-emitted head
+    // partitions of file fi (duplicate rows)
+    import graft.sources.{MediaWikiMicroBatchStream, MediaWikiTable}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("mw-noregress").toFile
+    val xml = {
+      val sb = new StringBuilder("<mediawiki>\n  <siteinfo>\n  </siteinfo>\n")
+      for (p <- 1 to 3) {
+        sb.append(s"  <page>\n    <title>Page $p</title>\n    <ns>0</ns>\n    <id>$p</id>\n")
+        sb.append(s"    <revision>\n      <id>${p * 10}</id>\n")
+        sb.append("      <timestamp>2021-01-01T00:00:00Z</timestamp>\n")
+        sb.append("      <contributor><username>u</username><id>1</id></contributor>\n")
+        sb.append(s"    <text xml:space=\"preserve\">t $p</text>\n    </revision>\n  </page>\n")
+      }
+      sb.append("</mediawiki>\n").toString
+    }
+    graft.sources.MultistreamWriter.writeGrouped(xml,
+      new java.io.File(dir, "a.xml.bz2"), new java.io.File(dir, "a-index.txt"),
+      pagesPerStream = 1, pageIdOf = i => i + 1L, titleOf = i => s"Page ${i + 1}")
+    spark.sparkContext
+    def mkStream(extra: Map[String, String]) = new MediaWikiMicroBatchStream(
+      MediaWikiTable.schemaFor(prevEnabled = true, raw = false),
+      Map("path" -> dir.getAbsolutePath, "multistreamTargetBytes" -> "1") ++ extra,
+      Files.createTempDirectory("mw-noregress-ck").toString)
+    val rated = mkStream(Map("maxPartitionsPerTrigger" -> "1"))
+    rated.prepareForTriggerAvailableNow()
+    val mid = rated.latestOffset(rated.initialOffset(), ReadLimit.allAvailable())
+    assert(mid.json() == """{"fileIndex":0,"part":1,"of":3}""", mid.json())
+    // restart WITHOUT the rate limit: a mid-file cursor with new work
+    // ahead advances to a whole-file position (the slice path drains
+    // file 0's remainder), never re-addressing the consumed head
+    val whole = mkStream(Map.empty)
+    whole.prepareForTriggerAvailableNow()
+    val next = whole.latestOffset(mid, ReadLimit.allAvailable())
+    assert(next.json() == """{"fileIndex":1,"part":0}""", next.json())
+    assert(whole.planInputPartitions(mid, next).length == 2,
+      "remainder batch must plan exactly the unconsumed partitions")
+    // the REGRESSION case: checkpoint cursor at/past the visible log
+    // (fileCap <= fileIndex) — the old code rebuilt (fileIndex, 0),
+    // silently discarding the mid-file cursor; it must hold unchanged
+    val ahead = whole.deserializeOffset("""{"fileIndex":1,"part":2,"of":3}""")
+    val held = whole.latestOffset(ahead, ReadLimit.allAvailable())
+    assert(held.json() == ahead.json(),
+      s"whole-file branch regressed a mid-file cursor: ${held.json()}")
+    // ...and a drifted re-plan (MORE partitions than committed against)
+    // fails loudly in BOTH directions: of=3 but the plan has 3, so fake
+    // an offset claiming of=2 (as if the plan GREW since commit)
+    val grown = whole.deserializeOffset("""{"fileIndex":0,"part":1,"of":2}""")
+    val end = whole.deserializeOffset("""{"fileIndex":0,"part":2,"of":2}""")
+    val ex = intercept[IllegalArgumentException] {
+      whole.planInputPartitions(grown, end)
+    }
+    assert(ex.getMessage.contains("planned against"), ex.getMessage)
   }
 
   test("nsIn/pageIdIn options filter at the STREAMING source (reader-level, not post-scan)") {
