@@ -66,8 +66,10 @@ object GiantPageSmoke {
   /** One page, `revs` revisions; each revision's text is ~`revMb` MB of
     * word tokens, evolved by an edit window per revision so diffs are
     * non-trivial but bounded (the realistic wiki-history shape: large
-    * page, small per-revision delta). */
-  private def synthGiantPage(revs: Int, revMb: Int): java.io.File = {
+    * page, small per-revision delta). Shared with
+    * [[GiantPageWriteSmoke]] — read and write sides certify the same
+    * one-revision memory bound on the same construction. */
+  private[graft] def synthGiantPage(revs: Int, revMb: Int): java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("giant-page")
     val f = dir.resolve("dump.xml").toFile
     val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)

@@ -51,10 +51,16 @@ import org.apache.spark.sql.types._
   * (full XML before the first page — pass the original dump's head to
   * preserve siteinfo so ns skip-planning engages on the written
   * archive; default a minimal `<mediawiki>`), `assumeGrouped`,
-  * `bz2BlockSize` (1-9, default 9).
+  * `bz2BlockSize` (1-9, default 9), `multistreamIndexBz2` (write the
+  * index as `-index.txt.bz2`, the published Wikipedia layout; default
+  * plain text).
   */
 object MediaWikiWrite {
   val DefaultPagesPerStream = 100
+
+  private[sources] val AmpBytes = "&amp;".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private[sources] val LtBytes = "&lt;".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private[sources] val GtBytes = "&gt;".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Element-content escape — exact inverse of the reader's
     * [[XmlFields.unescape]] named-entity subset for the characters the
@@ -94,6 +100,37 @@ object MediaWikiWrite {
 class MediaWikiWriteBuilder(info: LogicalWriteInfo, props: Map[String, String])
   extends WriteBuilder {
   override def build(): Write = new MediaWikiWrite(info.schema(), props)
+}
+
+/** Writer options, parsed and validated ONCE at planning time (next to
+  * the `resolveOrdinals` schema checks) — a malformed value must fail
+  * before the clustering shuffle and sort run, not per task after them
+  * (ADVICE r14). */
+private[sources] case class MediaWikiWriterOpts(pagesPerStream: Int,
+    streamBytes: Long, header: String, blockSize: Int,
+    indexBz2: Boolean) extends Serializable
+
+private[sources] object MediaWikiWriterOpts {
+  def parse(props: Map[String, String]): MediaWikiWriterOpts = {
+    val pagesPerStream = math.max(1,
+      props.get("multistreamPagesPerStream").map(_.trim.toInt)
+        .getOrElse(MediaWikiWrite.DefaultPagesPerStream))
+    val streamBytes =
+      props.get("multistreamStreamBytes").map(_.trim.toLong).getOrElse(0L)
+    val header = props.getOrElse("multistreamHeader", "<mediawiki>\n")
+    require(header.contains("<mediawiki"),
+      "multistreamHeader must open the <mediawiki> document element")
+    val blockSize = props.get("bz2BlockSize").map(_.trim.toInt).getOrElse(9)
+    require(blockSize >= 1 && blockSize <= 9,
+      s"bz2BlockSize must be 1-9, got $blockSize")
+    // published Wikipedia dumps ship the index COMPRESSED
+    // (`...-multistream-index.txt.bz2`); opt-in mirrors that layout —
+    // the reader's `locate` prefers the .bz2 sibling and the directory
+    // listing's `isIndexSibling` skips both spellings
+    val indexBz2 =
+      props.get("multistreamIndexBz2").exists(_.trim.equalsIgnoreCase("true"))
+    MediaWikiWriterOpts(pagesPerStream, streamBytes, header, blockSize, indexBz2)
+  }
 }
 
 class MediaWikiWrite(schema: StructType, props: Map[String, String])
@@ -168,11 +205,11 @@ private[sources] object MediaWikiWriteCommit {
 /** Serializable task-side factory (the StreamingWrite itself never
   * ships — an anonymous inner factory would drag it along as $outer). */
 class MediaWikiStreamingWriterFactory(schema: StructType,
-    props: Map[String, String], dir: String, hadoopConf: Map[String, String])
+    opts: MediaWikiWriterOpts, dir: String, hadoopConf: Map[String, String])
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new MediaWikiDataWriter(schema, props, dir, hadoopConf, partitionId, taskId,
+    new MediaWikiDataWriter(schema, opts, dir, hadoopConf, partitionId, taskId,
       stemOverride = Some(f"part-e$epochId%05d-p$partitionId%05d"))
 }
 
@@ -196,15 +233,16 @@ class MediaWikiStreamingWrite(schema: StructType, props: Map[String, String])
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private val dir: String = MediaWikiWriteCommit.resolveDir(props)
-  // fail on schema problems at PLANNING time, not per task
+  // fail on schema AND option problems at PLANNING time, not per task
   MediaWikiWriterFactory.resolveOrdinals(schema)
+  private val opts = MediaWikiWriterOpts.parse(props)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val c = MediaWikiWriteCommit.conf
     val p = new Path(dir)
     p.getFileSystem(c).mkdirs(p)
-    new MediaWikiStreamingWriterFactory(schema, props, dir,
+    new MediaWikiStreamingWriterFactory(schema, opts, dir,
       MediaWikiWriteCommit.confMap(c))
   }
 
@@ -237,8 +275,9 @@ class MediaWikiBatchWrite(schema: StructType, props: Map[String, String])
 
   private val dir: String = MediaWikiWriteCommit.resolveDir(props)
 
-  // fail on schema problems at PLANNING time, not per task
+  // fail on schema AND option problems at PLANNING time, not per task
   MediaWikiWriterFactory.resolveOrdinals(schema)
+  private val opts = MediaWikiWriterOpts.parse(props)
 
   private def conf: Configuration = MediaWikiWriteCommit.conf
 
@@ -246,7 +285,7 @@ class MediaWikiBatchWrite(schema: StructType, props: Map[String, String])
     val c = conf
     val p = new Path(dir)
     p.getFileSystem(c).mkdirs(p)
-    new MediaWikiWriterFactory(schema, props, dir, MediaWikiWriteCommit.confMap(c))
+    new MediaWikiWriterFactory(schema, opts, dir, MediaWikiWriteCommit.confMap(c))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -350,32 +389,36 @@ object MediaWikiWriterFactory {
   }
 }
 
-class MediaWikiWriterFactory(schema: StructType, props: Map[String, String],
+class MediaWikiWriterFactory(schema: StructType, opts: MediaWikiWriterOpts,
     dir: String, hadoopConf: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MediaWikiDataWriter(schema, props, dir, hadoopConf, partitionId, taskId)
+    new MediaWikiDataWriter(schema, opts, dir, hadoopConf, partitionId, taskId)
 }
 
-class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
+/** Task-side writer. MEMORY BOUND: at most one revision's metadata
+  * fragment is ever buffered (`frag`); revision TEXT streams
+  * byte-escaped directly into the open page-group bz2 stream, and
+  * index lines stream to the index temp as pages start — nothing in
+  * this writer grows with page size, page count, or revision count.
+  * The READER's signature property (one revision pair per task,
+  * GiantPageSmoke) holds symmetrically on the write side
+  * (GiantPageWriteSmoke; a whole-page `StringBuilder` here held
+  * multi-GB char[] for GB-scale revision histories — r14 verdict #1).
+  * A page group is still ONE complete bz2 stream: bzip2 compresses in
+  * fixed blocks, so incremental `write()` granularity cannot change
+  * the emitted bytes — streaming exactly-once determinism is
+  * unaffected. */
+class MediaWikiDataWriter(schema: StructType, opts: MediaWikiWriterOpts,
     dir: String, hadoopConf: Map[String, String], partitionId: Int, taskId: Long,
     stemOverride: Option[String] = None)
   extends DataWriter[InternalRow] {
   import MediaWikiWrite._
 
   private val ord = MediaWikiWriterFactory.resolveOrdinals(schema)
-  private val pagesPerStream = math.max(1,
-    props.get("multistreamPagesPerStream").map(_.trim.toInt)
-      .getOrElse(MediaWikiWrite.DefaultPagesPerStream))
-  private val streamBytes =
-    props.get("multistreamStreamBytes").map(_.trim.toLong).getOrElse(0L)
-  private val header = props.getOrElse("multistreamHeader", "<mediawiki>\n")
-  require(header.contains("<mediawiki"),
-    "multistreamHeader must open the <mediawiki> document element")
-  private val blockSize = {
-    val b = props.get("bz2BlockSize").map(_.trim.toInt).getOrElse(9)
-    require(b >= 1 && b <= 9, s"bz2BlockSize must be 1-9, got $b")
-    b
-  }
+  private val pagesPerStream = opts.pagesPerStream
+  private val streamBytes = opts.streamBytes
+  private val header = opts.header
+  private val blockSize = opts.blockSize
 
   private val conf = {
     val c = new Configuration(false)
@@ -391,76 +434,111 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
   private val stem = stemOverride.getOrElse(
     f"part-$partitionId%05d-${java.util.UUID.randomUUID().toString.take(8)}")
   private val attempt = java.util.UUID.randomUUID().toString.take(8)
+  private val idxSuffix = if (opts.indexBz2) "-index.txt.bz2" else "-index.txt"
   private val finalDump = new Path(dir, stem + ".xml.bz2")
-  private val finalIdx = new Path(dir, stem + "-index.txt")
+  private val finalIdx = new Path(dir, stem + idxSuffix)
   private val tmpDump = new Path(dir, "." + stem + "-" + attempt + ".xml.bz2.tmp")
-  private val tmpIdx = new Path(dir, "." + stem + "-" + attempt + "-index.txt.tmp")
+  private val tmpIdx = new Path(dir, "." + stem + "-" + attempt + idxSuffix + ".tmp")
 
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
-  private val pending = new java.lang.StringBuilder() // pages awaiting their stream
-  private var pendingBytes = 0L // UTF-8 bytes of `pending` (when budgeted)
-  private var pendingPages = 0
-  private val indexLines = scala.collection.mutable.ArrayBuffer[(Long, String)]() // (pageId, title) per page in order
-  private val streamOffsets = scala.collection.mutable.ArrayBuffer[Long]() // offset per FLUSHED stream
-  private val pagesPerFlushedStream = scala.collection.mutable.ArrayBuffer[Int]()
-  private val page = new java.lang.StringBuilder()
+  private var iout: org.apache.hadoop.fs.FSDataOutputStream = _ // index temp file handle
+  private var idxOut: java.io.OutputStream = _ // = iout, or a bz2 layer over it
+  // the OPEN page-group stream (null between streams)
+  private var z: org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream = _
+  private var streamStart = 0L // compressed offset of the open stream (index offset field)
+  private var streamUncompressed = 0L // UTF-8 bytes written into the open stream
+  private var pagesInStream = 0
+  // ONE fragment (page head / one revision's metadata) — the only
+  // buffered XML; revision text bypasses it via writeEscaped
+  private val frag = new java.lang.StringBuilder()
+  private val idxLine = new java.lang.StringBuilder()
   private var curPageId = Long.MinValue
   private var pageOpen = false
   private val seenPages = new java.util.HashSet[java.lang.Long]()
 
   private def openFile(): Unit = {
     out = tmpDump.getFileSystem(conf).create(tmpDump, true)
-    writeStream(header)
+    writeWholeStream(header)
+    iout = tmpIdx.getFileSystem(conf).create(tmpIdx, true)
+    idxOut = if (opts.indexBz2) {
+      // a STANDARD .bz2 file ('BZ' magic + one stream) — readable by the
+      // Hadoop codec the index parser opens .txt.bz2 siblings with
+      iout.write('B'); iout.write('Z')
+      new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(iout, blockSize)
+    } else iout
   }
 
-  /** One COMPLETE bz2 stream from `xml` (Hadoop's CBZip2OutputStream
-    * expects the caller to write the two-byte magic; the codec strips
-    * it on read — same contract as [[MultistreamWriter]]). */
-  private def writeStream(xml: CharSequence): Long = {
-    val off = out.getPos
+  /** One COMPLETE single-shot bz2 stream (header / footer — always
+    * small; Hadoop's CBZip2OutputStream expects the caller to write the
+    * two-byte magic; the codec strips it on read — same contract as
+    * [[MultistreamWriter]]). */
+  private def writeWholeStream(xml: String): Unit = {
     out.write('B'); out.write('Z')
-    val z = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(out, blockSize)
-    z.write(xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val zz = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(out, blockSize)
+    zz.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zz.finish()
+  }
+
+  private def openStream(): Unit = {
+    streamStart = out.getPos
+    out.write('B'); out.write('Z')
+    z = new org.apache.hadoop.io.compress.bzip2.CBZip2OutputStream(out, blockSize)
+    streamUncompressed = 0L
+    pagesInStream = 0
+  }
+
+  private def finishStream(): Unit = if (z != null) {
     z.finish()
-    off
+    z = null
   }
 
-  private def flushPending(): Unit = if (pendingPages > 0) {
-    streamOffsets += writeStream(pending)
-    pagesPerFlushedStream += pendingPages
-    pending.setLength(0)
-    pendingBytes = 0L
-    pendingPages = 0
+  /** Encode and write the pending fragment into the open stream, then
+    * reset it. The stream budget is a BYTE budget (it bounds
+    * reader-side per-stream decompression memory) — counting encoded
+    * bytes here is exact where char counts would under-count CJK 3×
+    * (review r14). */
+  private def writeFrag(): Unit = {
+    if (frag.length > 0) {
+      val b = frag.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      z.write(b)
+      streamUncompressed += b.length
+      frag.setLength(0)
+    }
   }
 
-  /** UTF-8 byte length of a char sequence — the stream budget is a
-    * BYTE budget (it bounds reader-side per-stream decompression
-    * memory), and `length` counts UTF-16 chars: CJK text would blow
-    * the budget 3× if compared by chars (review r14). */
-  private def utf8Len(cs: CharSequence): Long = {
-    var n = 0L
+  /** Stream a UTF8String's bytes into the open stream, escaped: UTF-8
+    * passes through byte-identical except `&`, `<`, `>` (the same
+    * subset [[MediaWikiWrite.esc]] rewrites) — no String or byte-copy
+    * materialization of the (potentially multi-MB) revision text. The
+    * backing array is read within this call only, never retained
+    * (UTF8String buffers are reused across rows — r8 lesson). */
+  private def writeEscaped(u: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val b = u.getBytes
+    val n = b.length
     var i = 0
-    while (i < cs.length) {
-      val c = cs.charAt(i)
-      if (c < 0x80) n += 1
-      else if (c < 0x800) n += 2
-      else if (Character.isHighSurrogate(c) && i + 1 < cs.length &&
-        Character.isLowSurrogate(cs.charAt(i + 1))) { n += 4; i += 1 }
-      else n += 3
+    var runStart = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '&' || c == '<' || c == '>') {
+        if (i > runStart) { z.write(b, runStart, i - runStart); streamUncompressed += i - runStart }
+        val rep = if (c == '&') MediaWikiWrite.AmpBytes
+          else if (c == '<') MediaWikiWrite.LtBytes else MediaWikiWrite.GtBytes
+        z.write(rep)
+        streamUncompressed += rep.length
+        runStart = i + 1
+      }
       i += 1
     }
-    n
+    if (n > runStart) { z.write(b, runStart, n - runStart); streamUncompressed += n - runStart }
   }
 
   private def closePage(): Unit = if (pageOpen) {
-    page.append("  </page>\n")
-    pending.append(page)
-    if (streamBytes > 0) pendingBytes += utf8Len(page)
-    page.setLength(0)
-    pendingPages += 1
+    frag.append("  </page>\n")
+    writeFrag()
+    pagesInStream += 1
     pageOpen = false
-    if (pendingPages >= pagesPerStream ||
-      (streamBytes > 0 && pendingBytes >= streamBytes)) flushPending()
+    if (pagesInStream >= pagesPerStream ||
+      (streamBytes > 0 && streamUncompressed >= streamBytes)) finishStream()
   }
 
   private def startPage(row: InternalRow): Unit = {
@@ -470,17 +548,28 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
         "default distribution (drop assumeGrouped) or group the input by page_id")
     require(!row.isNullAt(ord.title), s"NULL title for page $pid")
     val title = row.getUTF8String(ord.title).toString
-    require(title.indexOf('\n') < 0, s"title of page $pid contains a newline")
+    // '\r' breaks the index as surely as '\n': BufferedReader.readLine
+    // treats a bare CR as a line terminator, so a CR title writes an
+    // index line that parses as a malformed fragment — plan() would
+    // abandon the whole index (ADVICE r14)
+    require(title.indexOf('\n') < 0 && title.indexOf('\r') < 0,
+      s"title of page $pid contains a line terminator")
     if (out == null) openFile()
+    if (z == null) openStream()
     curPageId = pid
     pageOpen = true
-    indexLines += ((pid, title))
-    page.append("  <page>\n    <title>").append(esc(title)).append("</title>\n")
+    // index line streamed NOW — the page's stream is the open one, its
+    // offset already known; nothing per-page is retained to commit time
+    idxLine.setLength(0)
+    idxLine.append(streamStart).append(':').append(pid).append(':')
+      .append(title).append('\n')
+    idxOut.write(idxLine.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    frag.append("  <page>\n    <title>").append(esc(title)).append("</title>\n")
     if (ord.ns >= 0 && !row.isNullAt(ord.ns))
-      page.append("    <ns>").append(row.getInt(ord.ns)).append("</ns>\n")
-    page.append("    <id>").append(pid).append("</id>\n")
+      frag.append("    <ns>").append(row.getInt(ord.ns)).append("</ns>\n")
+    frag.append("    <id>").append(pid).append("</id>\n")
     if (ord.redirect >= 0 && !row.isNullAt(ord.redirect))
-      page.append("    <redirect title=\"")
+      frag.append("    <redirect title=\"")
         .append(escAttr(row.getUTF8String(ord.redirect).toString)).append("\" />\n")
   }
 
@@ -489,48 +578,53 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
     val r = row.getStruct(ord.curr, ord.nCurr)
     val f = ord.currFields
     def has(name: String): Boolean = f.get(name).exists(i => !r.isNullAt(i))
-    page.append("    <revision>\n")
-    page.append("      <id>").append(r.getLong(f("rev_id"))).append("</id>\n")
+    frag.append("    <revision>\n")
+    frag.append("      <id>").append(r.getLong(f("rev_id"))).append("</id>\n")
     if (has("parent_id"))
-      page.append("      <parentid>").append(r.getLong(f("parent_id"))).append("</parentid>\n")
+      frag.append("      <parentid>").append(r.getLong(f("parent_id"))).append("</parentid>\n")
     if (has("timestamp"))
-      page.append("      <timestamp>").append(isoTimestamp(r.getLong(f("timestamp")))).append("</timestamp>\n")
+      frag.append("      <timestamp>").append(isoTimestamp(r.getLong(f("timestamp")))).append("</timestamp>\n")
     if (has("contributor")) {
       val c = r.getStruct(f("contributor"), ord.nContrib)
       val cf = ord.contribFields
       def chas(n: String): Boolean = cf.get(n).exists(i => !c.isNullAt(i))
       if (cf.get("deleted").exists(i => !c.isNullAt(i) && c.getBoolean(i)))
-        page.append("      <contributor deleted=\"deleted\" />\n")
+        frag.append("      <contributor deleted=\"deleted\" />\n")
       else {
-        page.append("      <contributor>")
+        frag.append("      <contributor>")
         if (chas("username"))
-          page.append("<username>").append(esc(c.getUTF8String(cf("username")).toString)).append("</username>")
+          frag.append("<username>").append(esc(c.getUTF8String(cf("username")).toString)).append("</username>")
         if (chas("id"))
-          page.append("<id>").append(c.getLong(cf("id"))).append("</id>")
+          frag.append("<id>").append(c.getLong(cf("id"))).append("</id>")
         if (chas("ip"))
-          page.append("<ip>").append(esc(c.getUTF8String(cf("ip")).toString)).append("</ip>")
-        page.append("</contributor>\n")
+          frag.append("<ip>").append(esc(c.getUTF8String(cf("ip")).toString)).append("</ip>")
+        frag.append("</contributor>\n")
       }
     }
     if (f.get("minor").exists(i => !r.isNullAt(i) && r.getBoolean(i)))
-      page.append("      <minor />\n")
+      frag.append("      <minor />\n")
     if (has("comment"))
-      page.append("      <comment>").append(esc(r.getUTF8String(f("comment")).toString)).append("</comment>\n")
+      frag.append("      <comment>").append(esc(r.getUTF8String(f("comment")).toString)).append("</comment>\n")
     if (has("model"))
-      page.append("      <model>").append(esc(r.getUTF8String(f("model")).toString)).append("</model>\n")
+      frag.append("      <model>").append(esc(r.getUTF8String(f("model")).toString)).append("</model>\n")
     if (has("format"))
-      page.append("      <format>").append(esc(r.getUTF8String(f("format")).toString)).append("</format>\n")
+      frag.append("      <format>").append(esc(r.getUTF8String(f("format")).toString)).append("</format>\n")
     val bytesAttr = if (has("bytes")) s" bytes=\"${r.getLong(f("bytes"))}\"" else ""
-    if (has("text"))
-      page.append("      <text").append(bytesAttr).append(" xml:space=\"preserve\">")
-        .append(esc(r.getUTF8String(f("text")).toString)).append("</text>\n")
-    else
+    if (has("text")) {
+      frag.append("      <text").append(bytesAttr).append(" xml:space=\"preserve\">")
+      // flush the metadata fragment, then stream the text itself —
+      // the one column that can be MBs — without materializing it
+      writeFrag()
+      writeEscaped(r.getUTF8String(f("text")))
+      frag.append("</text>\n")
+    } else
       // NULL text is the RevisionDelete marker — exactly what the
       // reader turns back into a NULL text column (q169 semantics)
-      page.append("      <text").append(bytesAttr).append(" deleted=\"deleted\" />\n")
+      frag.append("      <text").append(bytesAttr).append(" deleted=\"deleted\" />\n")
     if (has("sha1"))
-      page.append("      <sha1>").append(esc(r.getUTF8String(f("sha1")).toString)).append("</sha1>\n")
-    page.append("    </revision>\n")
+      frag.append("      <sha1>").append(esc(r.getUTF8String(f("sha1")).toString)).append("</sha1>\n")
+    frag.append("    </revision>\n")
+    writeFrag()
   }
 
   override def write(row: InternalRow): Unit = {
@@ -548,24 +642,13 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
       return MediaWikiCommitMessage(null, null, null, null)
     }
     closePage()
-    flushPending()
-    writeStream("</mediawiki>\n")
+    finishStream()
+    writeWholeStream("</mediawiki>\n")
     out.close()
     out = null
-    // index: one line per page, offset = the stream holding its group
-    val fs = tmpIdx.getFileSystem(conf)
-    val iout = fs.create(tmpIdx, true)
-    try {
-      val sb = new java.lang.StringBuilder()
-      var pageIdx = 0
-      for (s <- streamOffsets.indices; _ <- 0 until pagesPerFlushedStream(s)) {
-        val (pid, title) = indexLines(pageIdx)
-        sb.append(streamOffsets(s)).append(':').append(pid).append(':')
-          .append(title).append('\n')
-        pageIdx += 1
-      }
-      iout.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally iout.close()
+    idxOut.close() // a bz2 layer finishes its stream and closes iout
+    idxOut = null
+    iout = null
     MediaWikiCommitMessage(tmpDump.toString, finalDump.toString,
       tmpIdx.toString, finalIdx.toString)
   }
@@ -578,5 +661,15 @@ class MediaWikiDataWriter(schema: StructType, props: Map[String, String],
     }
   }
 
-  override def close(): Unit = if (out != null) { out.close(); out = null }
+  override def close(): Unit = {
+    // abort path: the open bz2 streams need no finish (the temp files
+    // are deleted); just release the handles
+    z = null
+    idxOut = null
+    if (out != null) { out.close(); out = null }
+    if (iout != null) {
+      try iout.close() catch { case _: java.io.IOException => }
+      iout = null
+    }
+  }
 }

@@ -239,6 +239,82 @@ class MediaWikiWriteSpec extends AnyFunSuite {
     assert(lines.exists(_.endsWith(":A&B <title> \"q\" 'a'")), lines.mkString("|"))
   }
 
+  test("escaped text streams byte-exact for multi-byte UTF-8 (incremental writer)") {
+    // the giant-page path escapes revision text at the BYTE level,
+    // straight into the open bz2 stream (no String materialization) —
+    // pin parity with the char-level escaper on CJK / surrogate-pair /
+    // marker-dense text, where a byte-scan bug would corrupt silently
+    val nasty = "漢字&テスト <text xml:space=\"p\"> 🎉&amp; </text> ↔ &lt;done&gt;"
+    val rows = Seq((1L, "T漢&<x>", nasty), (2L, "U", "🎉" * 100 + "&<>" * 50))
+      .toDF("page_id", "title", "txt")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', page_id * 10, 'text', txt) AS curr")
+    val out = Files.createTempDirectory("mwwutf").toFile
+    rows.write.format("mediawiki").mode("append").save(out.getAbsolutePath)
+    val back = noPrev(out.getAbsolutePath)
+      .selectExpr("page_id", "curr.text AS t").as[(Long, String)].collect().toMap
+    assert(back(1L) == nasty)
+    assert(back(2L) == "🎉" * 100 + "&<>" * 50)
+  }
+
+  test("multistreamIndexBz2 writes the published compressed-index layout") {
+    val src = noPrev(fixture)
+    val out = Files.createTempDirectory("mwwibz").toFile
+    src.write.format("mediawiki")
+      .option("assumeGrouped", "true")
+      .option("multistreamPagesPerStream", "1")
+      .option("multistreamIndexBz2", "true")
+      .mode("append").save(out.getAbsolutePath)
+    val files = out.listFiles().map(_.getName)
+    assert(files.exists(_.endsWith("-index.txt.bz2")), files.mkString(","))
+    assert(!files.exists(_.endsWith("-index.txt")), files.mkString(","))
+    // the compressed index must be a STANDARD bz2 file the planner's
+    // codec path can open — prove it by making the planner USE it:
+    // a pushed page_id filter must shrink per-stream planning
+    val past = System.currentTimeMillis() - 60000
+    out.listFiles().foreach(f => f.setLastModified(past))
+    def rd = spark.read.format("mediawiki")
+      .option("previousRevision", "false")
+      .option("multistreamTargetBytes", "1").load(out.getAbsolutePath)
+    val allParts = rd.rdd.getNumPartitions
+    val wantPid = src.agg(min($"page_id")).as[Long].head()
+    val one = rd.where($"page_id" === wantPid)
+    assert(one.rdd.getNumPartitions < allParts,
+      s"compressed index did not engage skip planning " +
+        s"(${one.rdd.getNumPartitions} of $allParts)")
+    assert(canon(noPrev(out.getAbsolutePath)) == canon(src))
+  }
+
+  test("malformed writer options fail at PLANNING time; CR titles rejected") {
+    val rows = Seq((1L, "A", "t")).toDF("page_id", "title", "txt")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', 10L, 'text', txt) AS curr")
+    // bad option: must fail BEFORE any task runs — the shuffle/sort and
+    // the target dir's creation both come after planning (ADVICE r14)
+    val out = new File(Files.createTempDirectory("mwwopt").toFile, "sub")
+    val ex = intercept[Exception] {
+      rows.write.format("mediawiki").option("bz2BlockSize", "17")
+        .mode("append").save(out.getAbsolutePath)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("bz2BlockSize must be 1-9")),
+      chain(ex).mkString(" | "))
+    assert(!out.exists(), "planning-time failure must precede dir creation")
+    // a '\r' title breaks the index exactly like '\n' (readLine treats a
+    // bare CR as a terminator → malformed line → whole index abandoned)
+    val cr = Seq((1L, "bad\rtitle", "t")).toDF("page_id", "title", "txt")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', 10L, 'text', txt) AS curr")
+    val ex2 = intercept[Exception] {
+      cr.write.format("mediawiki").mode("append")
+        .save(Files.createTempDirectory("mwwcr").toFile.getAbsolutePath)
+    }
+    assert(chain(ex2).exists(_.contains("line terminator")),
+      chain(ex2).mkString(" | "))
+  }
+
   test("stream byte budget cuts early; header option is honored") {
     val src = noPrev(fixture)
     val out = Files.createTempDirectory("mwwbytes").toFile
