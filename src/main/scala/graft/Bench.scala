@@ -140,7 +140,11 @@ object Bench {
     // sample in the artifact (r13: q1's 5× break had none — the quiet
     // rerun that adjudicated it as host load lived in a different
     // commit). Costs their own runtime only (~0.2 s for q1).
-    val watchNames = Seq("q1_pricing_summary").filter(results.contains)
+    // r14 adds q109/q43: their r14 steady rows were sampled only inside
+    // the loaded child window (load 10.78), so the artifact could not
+    // separate host from engine for them — ride until a clean sample
+    val watchNames = Seq("q1_pricing_summary", "q109_kcore",
+      "q43_repetition_filter").filter(results.contains)
     val steadyNames = (results.toSeq.sortBy(-_._2).take(15).map(_._1) ++
       watchNames).distinct
     // STOP the parent session before the child runs: r14's artifact

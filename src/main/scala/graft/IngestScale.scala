@@ -57,8 +57,9 @@ object IngestScale {
   /** Mixed-shape dump: the Bench generator's small evolving pages for
     * ~95% of the volume, plus ONE giant page (64 revisions × ~3 MB,
     * ~192 MB) inserted mid-file — the page-start-ownership worst case
-    * (one task owns the whole page). */
-  private def synthMixedDump(targetBytes: Long): java.io.File = {
+    * (one task owns the whole page). Shared with [[WriteScale]] (the
+    * write-side rehearsal runs on the same corpus shape). */
+  private[graft] def synthMixedDump(targetBytes: Long): java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("ingest-scale")
     val f = dir.resolve("dump.xml").toFile
     val w = new java.io.BufferedWriter(new java.io.FileWriter(f), 1 << 20)

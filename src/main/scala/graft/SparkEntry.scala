@@ -66,5 +66,6 @@ object SparkEntry {
     "q185_decontam_stream_real", "q186_entry_ms_page_lookup",
     "q187_entry_ms_stream", "q188_entry_ms_articles",
     "q189_entry_ms_stream_articles", "q190_entry_ms_write",
-    "q191_entry_ms_rate_limited", "q192_entry_ms_write_stream")
+    "q191_entry_ms_rate_limited", "q192_entry_ms_write_stream",
+    "q193_entry_ms_write_idxbz2")
 }

@@ -396,6 +396,43 @@ object EntryOracle {
     flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromWritten))
   }
 
+  // ---------------------------------------------------------------- q193
+  /** q190's round-trip with the PUBLISHED index layout: the writer
+    * emits the sibling as `-index.txt.bz2` (`multistreamIndexBz2`,
+    * exactly how Wikimedia ships multistream indexes) and the read
+    * back must be driven by THAT compressed index — per-stream
+    * partition count asserted, plain-text sibling asserted absent.
+    * VALUES are q153's verbatim: the compressed index file sits inside
+    * the correctness gate end-to-end (write → codec open → line parse
+    * → stream-aligned planning → reader). */
+  def q193EntryWriteIdxBz2(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDump()
+    val outDir = OracleTmp.fresh("q193_ms_write_idxbz2").toString
+    val header = dumpXml.substring(0, dumpXml.indexOf("  <page>"))
+    s.read.format("mediawiki").option("previousRevision", "false").load(path)
+      .write.format("mediawiki")
+      .option("assumeGrouped", "true")
+      .option("multistreamPagesPerStream", "1")
+      .option("multistreamHeader", header)
+      .option("multistreamIndexBz2", "true")
+      .mode("append").save(outDir)
+    val names = new java.io.File(outDir).listFiles().map(_.getName)
+    require(names.exists(_.endsWith("-index.txt.bz2")) &&
+      !names.exists(_.endsWith("-index.txt")),
+      s"q193: expected only a compressed index sibling, got ${names.mkString(",")}")
+    val src = s.read.format("mediawiki")
+      .option("multistreamTargetBytes", "1")
+      .load(outDir)
+    require(src.rdd.getNumPartitions == NumPlants,
+      s"the written .bz2 index must drive per-stream planning, got ${src.rdd.getNumPartitions}")
+    val part = new java.io.File(outDir).listFiles()
+      .find(_.getName.endsWith(".xml.bz2")).get
+    val fromWritten = graft.MediaWiki.namespacesByName(
+      graft.MediaWiki.siteinfoNamespaces(s, part.getAbsolutePath))
+    require(fromWritten.nonEmpty, "written archive lost the siteinfo header")
+    flatten(graft.functions.GraftFunctions.diffdb(src, nsByName = fromWritten))
+  }
+
   // ---------------------------------------------------------------- q192
   /** The STREAMING write side (`df.writeStream.format("mediawiki")`):
     * the flagship construction split into two plain dump parts is
@@ -1087,6 +1124,12 @@ object EntryOracle {
   /** q191 rate-limits WITHIN the single archive; the union of its
     * micro-batches is the whole dump, so q153's VALUES verbatim. */
   val q191Sql: String = q153Sql
+
+  /** q193 round-trips through the PUBLISHED compressed-index layout
+    * (`multistreamIndexBz2`); the result is q153's, so the oracle is
+    * q153's verbatim. (Below q153Sql — derived vals must follow their
+    * base, r12 lesson.) */
+  val q193Sql: String = q153Sql
 
   /** q192 streams the construction INTO the sink across two epochs;
     * the written directory unions to the whole dump — q153's VALUES. */

@@ -3931,6 +3931,7 @@ object TextQueries {
     "q190_entry_ms_write" -> EntryOracle.q190EntryWriteRoundtrip _,
     "q191_entry_ms_rate_limited" -> EntryOracle.q191EntryMsRateLimited _,
     "q192_entry_ms_write_stream" -> EntryOracle.q192EntryMsWriteStream _,
+    "q193_entry_ms_write_idxbz2" -> EntryOracle.q193EntryWriteIdxBz2 _,
     "q164_entry_excluded" -> EntryOracle.q164EntryExcluded _,
     "q165_entry_diffdb_stream" -> EntryOracle.q165EntryDiffdbStream _,
     "q166_entry_noprev" -> EntryOracle.q166EntryNoPrev _,
@@ -4057,6 +4058,7 @@ object TextQueries {
     "q190_entry_ms_write" -> EntryOracle.q190Sql,
     "q191_entry_ms_rate_limited" -> EntryOracle.q191Sql,
     "q192_entry_ms_write_stream" -> EntryOracle.q192Sql,
+    "q193_entry_ms_write_idxbz2" -> EntryOracle.q193Sql,
     "q164_entry_excluded" -> EntryOracle.q164Sql,
     "q165_entry_diffdb_stream" -> EntryOracle.q165Sql,
     "q166_entry_noprev" -> EntryOracle.q166Sql,
