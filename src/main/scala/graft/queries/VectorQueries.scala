@@ -729,8 +729,26 @@ object VectorQueries {
        |FROM f JOIN tr USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** The STREAMING ANN operator on its batch twin: per-row broadcast
+    * top-k ([[graft.streaming.StreamOps.annStream]] — map-only, the
+    * same code runs on a stream; StreamingSpec pins a real
+    * micro-batch run ≡ this). Bit-identical to q22's brute-force sweep
+    * by the shared strict-fold/tie-break contract, so the oracle is
+    * q22's SQL verbatim. */
+  def q194AnnStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.streaming.StreamOps.annStream(
+        corpus.filter($"vec_id" < 10), corpus, k = 5)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q194Sql: String = q22Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
+    "q194_ann_stream" -> q194AnnStream _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_embed_stats" -> q24EmbedStats _,
     "q36_ann_ivf" -> q36AnnIvf _,
@@ -751,6 +769,7 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "q22_ann_brute" -> q22Sql,
+    "q194_ann_stream" -> q194Sql,
     "q23_ann_lsh" -> q23Sql,
     "q24_embed_stats" -> q24Sql,
     "q36_ann_ivf" -> q36Sql,

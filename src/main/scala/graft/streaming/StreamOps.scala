@@ -331,6 +331,65 @@ object StreamOps {
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming exact ANN: each arriving query row gets its cosine
+    * top-k against a STATIC reference set, MAP-ONLY — online retrieval
+    * / near-dup lookup against a fixed corpus, the streaming member of
+    * the [[graft.operators.Similarity]] family. A per-query top-k
+    * window is unsupported on append-mode streams, so the k-selection
+    * runs per ROW inside [[graft.functions.TopKNeighbors]] over a
+    * broadcast of the reference vectors (collected once under an
+    * explicit budget — reference sets are query-batch-sized next to a
+    * corpus, the same argument as decontaminateStream's gram budget).
+    * No join, no state, no watermark: verdicts are per-row, so batch
+    * boundaries cannot change them, and the SAME code runs on a batch
+    * frame — where it is bit-identical to
+    * `Similarity.bruteForceTopK` (q194's oracle is q22's SQL verbatim;
+    * StreamingSpec pins a real micro-batch run ≡ the batch twin,
+    * including a NULL-embedding row, which drops from both).
+    *
+    * Reference rows with a NULL id or embedding are excluded up front
+    * (a NULL vector can never be a well-defined neighbor); candidates
+    * sharing the query's id are skipped (bruteForceTopK's self-pair
+    * filter — a no-op for disjoint id spaces). The broadcast is built
+    * per call and not memoized: a reference set under the vector
+    * budget collects in milliseconds (unlike decontaminateStream's
+    * exploded gram scan, which is why THAT one memoizes). */
+  def annStream(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      // 256k × 64-dim doubles ≈ 134 MB broadcast AND ~16M flops/row —
+      // both per-executor-sane; callers with bigger reference sets
+      // raise it deliberately or use the batch Similarity operators
+      maxBroadcastVecs: Long = 1L << 18): DataFrame = {
+    val spark = corpus.sparkSession
+    val cap = (maxBroadcastVecs + 1).min(Int.MaxValue.toLong - 1).toInt
+    val collected = corpus
+      .where(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol))
+      .limit(cap).collect()
+    require(collected.length <= maxBroadcastVecs,
+      s"reference set exceeds the broadcast budget ($maxBroadcastVecs vectors); " +
+        "streaming ANN needs a broadcastable reference set — use the batch " +
+        "Similarity operators for corpus-scale reference sides")
+    val refs = collected.map { r =>
+      val emb = r.getSeq[Any](1).iterator.map {
+        case f: java.lang.Float => f.doubleValue()
+        case d: java.lang.Double => d.doubleValue()
+        case null => throw new IllegalArgumentException(
+          s"reference vector ${r.getLong(0)} contains a NULL element")
+      }.toArray
+      graft.functions.TopKNeighbors.ref(r.getLong(0), emb)
+    }
+    val bc = spark.sparkContext.broadcast(refs)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(graft.functions.TopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k))
+    queries
+      .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
+      .select(col("query_id"), col("__n.neighbor_id"), col("__n.cosine"),
+        col("__n.rnk"))
+  }
+
   /** Streaming decontamination: flag documents sharing an n-gram with a
     * held-out benchmark set, MAP-ONLY — the missing member of the
     * streaming curation family (curate/redact/classify/dedup/quota/

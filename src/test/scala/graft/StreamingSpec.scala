@@ -126,6 +126,54 @@ class StreamingSpec extends AnyFunSuite {
       s"NULL text must verdict clean, got ${nullRows.head}")
   }
 
+  test("streaming ANN: per-row broadcast top-k ≡ bruteForceTopK; NULL rows drop from both sides") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 7 === 0)
+    val dir = Files.createTempDirectory("stream-ann").toString
+    queries.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema).parquet(dir)
+    val q = StreamOps.annStream(stream, all, k = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("annstream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = rows(spark.table("annstream"))
+    val batchTwin = rows(StreamOps.annStream(queries, all, k = 3))
+    // BIT-exact against the sweep operator (the q22 oracle family):
+    // same strict folds, same cosine association, same tie-break
+    val brute = rows(graft.operators.Similarity.bruteForceTopK(all, queries, k = 3))
+    assert(streamed.nonEmpty && streamed == batchTwin,
+      "real micro-batch run must equal the batch twin")
+    assert(batchTwin == brute, "annStream must be bit-identical to bruteForceTopK")
+    // NULL semantics: a NULL query embedding drops (no phantom rows);
+    // a NULL reference row can never be a neighbor; self-id excluded
+    val tinyCorpus = Seq((1L, Some(Array(1f, 0f))), (2L, Some(Array(0.5f, 1f))),
+        (3L, None)).toDF("vec_id", "embedding")
+    val nullQ = Seq((9001L, None), (2L, Some(Array(1f, 1f))))
+      .toDF("vec_id", "embedding")
+    val res = rows(StreamOps.annStream(nullQ, tinyCorpus, k = 5))
+    assert(res.map(_._1).distinct == Seq(2L), s"NULL query must drop: $res")
+    assert(res.map(_._2).toSet == Set(1L), // self (2) excluded, NULL ref (3) excluded
+      s"expected only neighbor 1, got $res")
+    // dimensionality mismatch fails loudly, never silently skips
+    val badQ = Seq((7L, Some(Array(1f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      StreamOps.annStream(badQ, tinyCorpus, k = 2).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("dims")), chain(ex).mkString(" | "))
+    // oversized reference set refuses the stream form, not a silent spill
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamOps.annStream(nullQ, tinyCorpus, k = 2, maxBroadcastVecs = 1)
+    }
+    assert(ex2.getMessage.contains("broadcast budget"))
+  }
+
   test("stream-stream interval join: click attribution equals batch join") {
     val dir = stagedEventsDir()
     val schema = spark.read.parquet(dir).schema
