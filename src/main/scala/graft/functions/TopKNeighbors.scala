@@ -100,17 +100,8 @@ case class TopKNeighbors(left: Expression, right: Expression,
           dot += v * r.emb(j)
           j += 1
         }
-        val cos = dot / (qn * r.norm)
-        def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
-          c1 > c2 || (c1 == c2 && i1 < i2)
-        if (size < k || better(cos, r.id, cs(size - 1), ids(size - 1))) {
-          var pos = if (size < k) size else k - 1
-          while (pos > 0 && better(cos, r.id, cs(pos - 1), ids(pos - 1))) {
-            cs(pos) = cs(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
-          }
-          cs(pos) = cos; ids(pos) = r.id
-          if (size < k) size += 1
-        }
+        size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id,
+          dot / (qn * r.norm))
       }
       c += 1
     }
@@ -146,8 +137,175 @@ object TopKNeighbors {
     Ref(id, emb, math.sqrt(s))
   }
 
+  /** Insert a `(id, score)` candidate into the running top-k arrays
+    * ordered by `(score DESC, id ASC)` — the tie-break every sweep
+    * operator and SQL oracle in the Similarity family uses. Returns
+    * the new size. Shared by the exact and IVF kernels so the
+    * selection semantics cannot fork. */
+  def insertTopK(ids: Array[Long], cs: Array[Double], size: Int, k: Int,
+      id: Long, score: Double): Int = {
+    def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && i1 < i2)
+    if (size < k || better(score, id, cs(size - 1), ids(size - 1))) {
+      var pos = if (size < k) size else k - 1
+      while (pos > 0 && better(score, id, cs(pos - 1), ids(pos - 1))) {
+        cs(pos) = cs(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+      }
+      cs(pos) = score; ids(pos) = id
+      if (size < k) size + 1 else size
+    } else size
+  }
+
   val resultStruct: StructType = StructType(Seq(
     StructField("neighbor_id", LongType, nullable = false),
     StructField("cosine", DoubleType, nullable = false),
     StructField("rnk", LongType, nullable = false)))
+}
+
+/** IVF (coarse-quantization) variant of [[TopKNeighbors]] — the
+  * streaming scale path mirroring
+  * [[graft.operators.Similarity.ivfTopK]] EXACTLY: centroids are the
+  * `nCentroids` lowest-id reference vectors, every reference lives in
+  * the cell of its max-dot centroid (raw dot, ties to the lower
+  * cent_id — `row_number` over `(__sim DESC, cent_id)` in the batch
+  * operator), each query probes its `nProbe` nearest cells by the same
+  * rule, and only those cells' vectors are scored. Same strict folds,
+  * cosine association, and `(cosine DESC, id ASC)` top-k tie-break as
+  * the exact kernel, so the batch twin is bit-identical to `ivfTopK`
+  * and q195's oracle is q36's SQL verbatim. Per-row cost drops from
+  * O(N·d) to O((C + N·nProbe/C)·d). */
+case class IvfTopKNeighbors(left: Expression, right: Expression,
+    index: Broadcast[IvfTopKNeighbors.Index], k: Int, nProbe: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  require(nProbe >= 1, s"IVF needs nProbe >= 1, got $nProbe")
+
+  private def embOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_topk_neighbors needs a bigint query id, got ${left.dataType}")
+    else if (!embOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ivf_topk_neighbors needs an array<float|double> embedding, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(TopKNeighbors.resultStruct, containsNull = false)
+
+  override def prettyName: String = "ivf_topk_neighbors"
+
+  private lazy val isFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(idAny: Any, embAny: Any): Any = {
+    val qid = idAny.asInstanceOf[Long]
+    val q = embAny.asInstanceOf[ArrayData]
+    val d = q.numElements()
+    val qd = new Array[Double](d)
+    var i = 0
+    var qq = 0.0
+    while (i < d) {
+      val v = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      qd(i) = v
+      qq += v * v
+      i += 1
+    }
+    val qn = math.sqrt(qq)
+    val idx = index.value
+    def dotWith(r: TopKNeighbors.Ref): Double = {
+      require(r.emb.length == d,
+        s"reference vector ${r.id} has ${r.emb.length} dims, query $qid has $d")
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += qd(j) * r.emb(j); j += 1 }
+      dot
+    }
+    // probe selection: top nProbe cells by (raw dot DESC, cent_id ASC);
+    // centroid array is cent_id-ascending, insertTopK handles the ties
+    val probeIds = new Array[Long](nProbe)
+    val probeSims = new Array[Double](nProbe)
+    var probeSize = 0
+    var c = 0
+    while (c < idx.centroids.length) {
+      probeSize = TopKNeighbors.insertTopK(probeIds, probeSims, probeSize,
+        nProbe, c.toLong, dotWith(idx.centroids(c)))
+      c += 1
+    }
+    val ids = new Array[Long](k)
+    val cs = new Array[Double](k)
+    var size = 0
+    var p = 0
+    while (p < probeSize) {
+      val cell = idx.cells(probeIds(p).toInt)
+      var e = 0
+      while (e < cell.length) {
+        val r = cell(e)
+        if (r.id != qid)
+          size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id,
+            dotWith(r) / (qn * r.norm))
+        e += 1
+      }
+      p += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      val row = new GenericInternalRow(3)
+      row.setLong(0, ids(i))
+      row.setDouble(1, cs(i))
+      row.setLong(2, (i + 1).toLong)
+      rows(i) = row
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IvfTopKNeighbors =
+    copy(left = newLeft, right = newRight)
+}
+
+object IvfTopKNeighbors {
+  /** `centroids` in cent_id-ASCENDING order; `cells(i)` = the
+    * references assigned to `centroids(i)` (each reference in exactly
+    * one cell). */
+  case class Index(centroids: Array[TopKNeighbors.Ref],
+      cells: Array[Array[TopKNeighbors.Ref]])
+
+  /** Build the index exactly as [[graft.operators.Similarity.ivfTopK]]
+    * assigns: centroids = `nCentroids` lowest-id refs; each ref joins
+    * the cell of its max-raw-dot centroid, ties to the lower cent_id
+    * (ascending scan with strictly-greater updates). */
+  def build(refs: Array[TopKNeighbors.Ref], nCentroids: Int): Index = {
+    require(nCentroids >= 1, s"IVF needs nCentroids >= 1, got $nCentroids")
+    val sorted = refs.sortBy(_.id)
+    val cents = sorted.take(nCentroids)
+    val cells = Array.fill(cents.length)(
+      scala.collection.mutable.ArrayBuffer.empty[TopKNeighbors.Ref])
+    for (r <- sorted) {
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val ce = cents(c).emb
+        require(ce.length == r.emb.length,
+          s"reference vector ${r.id} has ${r.emb.length} dims, centroid ${cents(c).id} has ${ce.length}")
+        var dot = 0.0
+        var j = 0
+        while (j < ce.length) { dot += r.emb(j) * ce(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      cells(best) += r
+    }
+    Index(cents, cells.map(_.toArray))
+  }
 }

@@ -746,9 +746,28 @@ object VectorQueries {
 
   val q194Sql: String = q22Sql
 
+  // ---------------------------------------------------------------- q195
+  /** The streaming IVF ANN on its batch twin: per-row broadcast
+    * coarse-quantized top-k
+    * ([[graft.streaming.StreamOps.annStreamIvf]]). Bit-identical to
+    * q36's `ivfTopK` by the shared quantization (lowest-id centroids,
+    * max-dot cells, lower-cent_id ties) and top-k contract, so the
+    * oracle is q36's SQL verbatim. */
+  def q195AnnStreamIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.streaming.StreamOps.annStreamIvf(
+        corpus.filter($"vec_id" < 10), corpus, k = 5,
+        nCentroids = 16, nProbe = 2)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q195Sql: String = q36Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
+    "q195_ann_stream_ivf" -> q195AnnStreamIvf _,
     "q23_ann_lsh" -> q23AnnLsh _,
     "q24_embed_stats" -> q24EmbedStats _,
     "q36_ann_ivf" -> q36AnnIvf _,
@@ -770,6 +789,7 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "q22_ann_brute" -> q22Sql,
     "q194_ann_stream" -> q194Sql,
+    "q195_ann_stream_ivf" -> q195Sql,
     "q23_ann_lsh" -> q23Sql,
     "q24_embed_stats" -> q24Sql,
     "q36_ann_ivf" -> q36Sql,

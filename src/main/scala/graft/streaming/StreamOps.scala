@@ -361,6 +361,39 @@ object StreamOps {
       // raise it deliberately or use the batch Similarity operators
       maxBroadcastVecs: Long = 1L << 18): DataFrame = {
     val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      collectRefs(corpus, idCol, embCol, maxBroadcastVecs))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(graft.functions.TopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k))
+    neighborRows(queries, idCol, nn)
+  }
+
+  /** IVF variant of [[annStream]] — the streaming SCALE path: the
+    * broadcast carries [[graft.functions.IvfTopKNeighbors.Index]]
+    * (lowest-id centroids + max-dot cell assignment, EXACTLY
+    * [[graft.operators.Similarity.ivfTopK]]'s deterministic
+    * quantization) and each row probes only its `nProbe` nearest
+    * cells, dropping per-row work from O(N·d) to
+    * O((C + N·nProbe/C)·d). Bit-identical to the batch `ivfTopK` —
+    * q195's oracle is q36's SQL verbatim. */
+  def annStreamIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBroadcastVecs: Long = 1L << 18): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(graft.functions.IvfTopKNeighbors.build(
+      collectRefs(corpus, idCol, embCol, maxBroadcastVecs), nCentroids))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(graft.functions.IvfTopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k, nProbe))
+    neighborRows(queries, idCol, nn)
+  }
+
+  private def collectRefs(corpus: DataFrame, idCol: String, embCol: String,
+      maxBroadcastVecs: Long): Array[graft.functions.TopKNeighbors.Ref] = {
     val cap = (maxBroadcastVecs + 1).min(Int.MaxValue.toLong - 1).toInt
     val collected = corpus
       .where(col(idCol).isNotNull && col(embCol).isNotNull)
@@ -370,7 +403,7 @@ object StreamOps {
       s"reference set exceeds the broadcast budget ($maxBroadcastVecs vectors); " +
         "streaming ANN needs a broadcastable reference set — use the batch " +
         "Similarity operators for corpus-scale reference sides")
-    val refs = collected.map { r =>
+    collected.map { r =>
       val emb = r.getSeq[Any](1).iterator.map {
         case f: java.lang.Float => f.doubleValue()
         case d: java.lang.Double => d.doubleValue()
@@ -379,16 +412,14 @@ object StreamOps {
       }.toArray
       graft.functions.TopKNeighbors.ref(r.getLong(0), emb)
     }
-    val bc = spark.sparkContext.broadcast(refs)
-    import org.apache.spark.sql.graft.ColumnBridge
-    val nn = ColumnBridge.column(graft.functions.TopKNeighbors(
-      ColumnBridge.expression(col(idCol).cast("long")),
-      ColumnBridge.expression(col(embCol)), bc, k))
+  }
+
+  private def neighborRows(queries: DataFrame, idCol: String,
+      nn: org.apache.spark.sql.Column): DataFrame =
     queries
       .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
       .select(col("query_id"), col("__n.neighbor_id"), col("__n.cosine"),
         col("__n.rnk"))
-  }
 
   /** Streaming decontamination: flag documents sharing an n-gram with a
     * held-out benchmark set, MAP-ONLY — the missing member of the
