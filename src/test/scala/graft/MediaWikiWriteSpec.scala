@@ -285,6 +285,39 @@ class MediaWikiWriteSpec extends AnyFunSuite {
     assert(canon(noPrev(out.getAbsolutePath)) == canon(src))
   }
 
+  test("random-unicode round-trip fuzz through the byte-escape write path (seeded)") {
+    // the incremental writer escapes text at the BYTE level and titles/
+    // comments at the char level; drive both through the reader's parse
+    // + unescape with adversarial codepoint soup: markers, entities,
+    // CJK, surrogate pairs, control-adjacent chars, lone BMP edges
+    val rnd = new scala.util.Random(42)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "&", "<", ">", "\"", "'", "&amp;", "&lt;", "&#65;", "</text>",
+      "<page>", "漢", "字", "🎉", "𝔘", " ", " ", "e", " ", "\n",
+      "\t", "x", "ß", "→")
+    def soup(n: Int): String =
+      (0 until n).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    val docs = (1L to 20L).map { i =>
+      // titles: line terminators and (by the index contract) raw colons
+      // are caller constraints; everything else must survive
+      val title = s"T$i " + soup(8).replaceAll("[\\n\\r:]", "_")
+      (i, title, soup(200), soup(12).replaceAll("[\\n\\r]", " "))
+    }
+    val src = docs.toDF("page_id", "title", "txt", "cmt")
+      .selectExpr("page_id", "title",
+        "named_struct('rev_id', page_id * 10, 'comment', cmt, 'text', txt) AS curr")
+    val out = Files.createTempDirectory("mwwfuzz").toFile
+    src.write.format("mediawiki").mode("append").save(out.getAbsolutePath)
+    val back = noPrev(out.getAbsolutePath)
+      .selectExpr("page_id", "title", "curr.text AS t", "curr.comment AS c")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    for ((i, title, txt, cmt) <- docs) {
+      assert(back(i)._1 == title, s"title of page $i garbled")
+      assert(back(i)._2 == txt, s"text of page $i garbled")
+      assert(back(i)._3 == cmt, s"comment of page $i garbled")
+    }
+  }
+
   test("malformed writer options fail at PLANNING time; CR titles rejected") {
     val rows = Seq((1L, "A", "t")).toDF("page_id", "title", "txt")
       .selectExpr("page_id", "title",
