@@ -18,6 +18,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Survive stolen host windows instead of dying: two r15 bench
+      // windows CRASHED with executor exit 56 (HEARTBEAT_FAILURE —
+      // ~10 min of descheduling starved the in-JVM heartbeat past
+      // maxFailures; at local[32] the heartbeat is pure overhead, there
+      // is no remote executor to detect). A burst now degrades the
+      // numbers (adjudicable via the canary series) rather than killing
+      // the artifact (unrecoverable). r15 verdict #4.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "240")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -157,9 +167,10 @@ object Bench {
     // (results, fixtures set, canaries) is computed above; the rare
     // in-JVM fallback rebuilds a session below.
     spark.stop()
-    val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb, steadyDetail) =
+    val (steadyJson, steadyCanaryJson, steadyJvm, steadyMemGb, steadyHostile, steadyDetail) =
       freshJvmSteady(sfDir, steadyNames) match {
-        case Some((sj, scj, mem, body)) => (sj, scj, "fresh", mem, body)
+        case Some((sj, scj, mem, hostile, body)) =>
+          (sj, scj, "fresh", mem, hostile, body)
         case None =>
           // the fallback session is brand-new and UNWARMED — a raw
           // first pass would time codegen/JIT compilation (8-21x, the
@@ -184,7 +195,7 @@ object Bench {
           }
           s2.stop()
           (steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-            .mkString("{", ",", "}"), "[]", "inherited", "-1", "{}")
+            .mkString("{", ",", "}"), "[]", "inherited", "-1", "{}", "{}")
       }
     // the ingest number moved 855.5 -> 672.8 between r3 and r4 with a
     // byte-identical kernel and could not be adjudicated from the
@@ -213,7 +224,7 @@ object Bench {
     // canaries, child load averages. bench_last.json only (unbounded
     // file, not the stdout line); makes steady outliers self-adjudicating
     // without a rerun (r13 verdict #1).
-    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"steady_mem_avail_gb":$steadyMemGb,"steady_detail":$steadyDetail,"sweep_canary_sec":$sweepCanaryJson,"sweep_canary_mt_sec":$sweepCanaryMtJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
+    val json = s"""{"metric":"total","value":${ms(total)},"unit":"sec","engine_total":${ms(engineTotal)},"fixture":$fixturesJson,"queries":$qs,"steady":$steadyJson,"steady_jvm":"$steadyJvm","steady_canary_sec":$steadyCanaryJson,"steady_mem_avail_gb":$steadyMemGb,"steady_hostile":$steadyHostile,"steady_detail":$steadyDetail,"sweep_canary_sec":$sweepCanaryJson,"sweep_canary_mt_sec":$sweepCanaryMtJson,"sf":"$sfDir","table_rows":$tableRowsJson,"data":{$dataStats},"ingest_mbps":$ingest,"ingest_warm_sec":$curve,"ingest_warm_tag":"$warmTag","jvm":"${jvmProfile()}","env":${envOverrides()},"canary_sec":$canary,"canary_mt_sec":$canaryMt,"load_avg":[$loadStart,$loadEnd]}"""
     // a file copy makes the artifact recoverable even if the driver's
     // stdout tail capture truncates (it did, twice: r4/r5 recorded
     // "parsed": null); cwd is the repo when sbt runs
@@ -259,8 +270,25 @@ object Bench {
     * or None if the spawn failed in any way (missing java, non-zero
     * exit, timeout, no marker line); the caller falls back to the
     * in-JVM pass. */
+  /** Balanced-brace object extraction: returns the `{...}` that starts
+    * at `start` (which must index a '{'), spanning nested objects —
+    * `indexOf("}")` only works for flat maps. No strings containing
+    * braces occur in the marker (query names and numbers only). */
+  private def braceSpan(body: String, start: Int): Option[String] = {
+    if (start < 0 || start >= body.length || body.charAt(start) != '{') return None
+    var depth = 0
+    var i = start
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) return Some(body.substring(start, i + 1)) }
+      i += 1
+    }
+    None
+  }
+
   private def freshJvmSteady(sfDir: String,
-      names: Seq[String]): Option[(String, String, String, String)] =
+      names: Seq[String]): Option[(String, String, String, String, String)] =
     try {
       val javaBin = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java")
@@ -310,9 +338,16 @@ object Bench {
         val mem = if (mIdx < 0) "-1"
           else body.substring(mIdx + mTag.length)
             .takeWhile(c => c.isDigit || c == '.' || c == '-')
+        // per-row host-hostility verdicts (nested objects — needs the
+        // balanced extractor); absent on older child builds → "{}"
+        val hTag = "\"steady_hostile\":"
+        val hIdx = body.indexOf(hTag)
+        val hostile = (if (hIdx < 0) None
+          else braceSpan(body, hIdx + hTag.length)).getOrElse("{}")
         (body.substring(sIdx + "\"steady\":".length, sEnd + 1),
           body.substring(cIdx + "\"steady_canary_sec\":".length, cEnd + 1),
           if (mem.nonEmpty) mem else "-1",
+          hostile,
           body)
       }
     } catch { case _: Throwable => None }

@@ -83,32 +83,31 @@ object SteadyBench {
     val pre = Bench.miniCanary()
     val preMt = Bench.miniCanaryMt()
     def ms(v: Double): String = f"$v%.3f"
-    val detail = new StringBuilder
-    val steady = names.map { name =>
+    def onePass(name: String): (Double, String) = {
+      batchMs.clear()
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // progress events are async: drain the bus so this pass's last
+      // micro-batch lands in THIS pass's array, not the next one's
+      org.apache.spark.graft.ListenerBusBridge.flush(spark.sparkContext)
+      val batches = {
+        val it = batchMs.iterator(); val b = new StringBuilder("[")
+        var first = true
+        while (it.hasNext) {
+          if (!first) b.append(','); first = false
+          b.append(it.next())
+        }
+        b.append(']').toString
+      }
+      (sec, batches)
+    }
+    val rows = names.map { name =>
       // canaries are sampled AFTER the warm pass (below), adjacent to
       // the measured passes they adjudicate — steal starting during a
       // multi-second warm would otherwise inflate passes the canary
-      // pair read as flat
-      def onePass(): (Double, String) = {
-        batchMs.clear()
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // progress events are async: drain the bus so this pass's last
-        // micro-batch lands in THIS pass's array, not the next one's
-        org.apache.spark.graft.ListenerBusBridge.flush(spark.sparkContext)
-        val batches = {
-          val it = batchMs.iterator(); val b = new StringBuilder("[")
-          var first = true
-          while (it.hasNext) {
-            if (!first) b.append(','); first = false
-            b.append(it.next())
-          }
-          b.append(']').toString
-        }
-        (sec, batches)
-      }
+      // pair read as flat.
       // pass 0 is a TARGET-SF warm pass: the parent's measured numbers
       // come from a JVM long-warm at sf0.1 (190 prior queries), while
       // this child only warmed at sf0.001 — r14's final artifact showed
@@ -116,33 +115,80 @@ object SteadyBench {
       // q84 4.33→3.31, both declining). One discarded sf0.1 pass makes
       // steady comparable to measured; all three walls stay in the
       // trace so the warmup cost itself remains visible evidence.
-      val (w, b0) = onePass()
+      val (w, b0) = onePass(name)
       if (trace) System.err.println(f"[steady-trace] $name warm=$w%.3f batches=$b0")
       val qCanary = Bench.miniCanary()
       // MT twin per query: the r14 in-bench disturbance showed as only
       // 1.7x on the single-thread probe while inflating 32-thread query
       // walls 2-4x — all-core steal needs an all-core probe (r7 lesson)
       val qCanaryMt = Bench.miniCanaryMt()
-      val (a, b1) = onePass()
+      val (a, b1) = onePass(name)
       if (trace) System.err.println(f"[steady-trace] $name pass1=$a%.3f batches=$b1")
-      val (b, b2) = onePass()
+      val (b, b2) = onePass(name)
       if (trace) System.err.println(f"[steady-trace] $name pass2=$b%.3f batches=$b2")
+      (name, w, a, b, qCanary, qCanaryMt, b0, b1, b2)
+    }
+    val post = Bench.miniCanary()
+    val postMt = Bench.miniCanaryMt()
+    val loadEnd = Bench.systemLoad()
+    // HOSTILITY self-labeling (r15 verdict #3: the headline steady map
+    // carried rows whose own traces proved steal — q104 16.47 with
+    // passes 41.5/66.7/16.5 — and a driver reading only the summary
+    // mis-adjudicates). Floors are the MINIMUM canary this window
+    // observed, so the test is RELATIVE anomaly detection: a row is
+    // hostile when its adjacent canary sits >2× above the window's own
+    // floor or its two measured passes spread >3× (a multi-second
+    // descheduling burst between canary samples). Uniform whole-window
+    // steal can't flag this way by construction — that case still
+    // adjudicates from the edge MT canaries + steady_load_avg. Flagged
+    // rows get ONE re-run (work is fixed; min over passes only removes
+    // interference) and the flag itself is surfaced as a top-level
+    // `steady_hostile` map next to `steady`.
+    val floor = (rows.map(_._5) :+ pre :+ post).min
+    val floorMt = (rows.map(_._6) :+ preMt :+ postMt).min
+    def spread(a: Double, b: Double): Double =
+      if (a > 0 && b > 0) math.max(a, b) / math.min(a, b) else 1.0
+    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double, String)]()
+    val hostileInfo = scala.collection.mutable.LinkedHashMap[String, String]()
+    rows.foreach { case (name, _, a, b, qc, qm, _, _, _) =>
+      val cr = if (floor > 0) qc / floor else 1.0
+      val mr = if (floorMt > 0) qm / floorMt else 1.0
+      val sp = spread(a, b)
+      if (cr > 2.0 || mr > 2.0 || sp > 3.0) {
+        val c2 = Bench.miniCanary()
+        val m2 = Bench.miniCanaryMt()
+        val (x, bx) = onePass(name)
+        if (trace) System.err.println(f"[steady-trace] $name rerun=$x%.3f batches=$bx")
+        reruns(name) = (x, c2, m2, bx)
+        hostileInfo(name) = s"""{"canary_ratio":${ms(cr)},"canary_mt_ratio":${ms(mr)},"spread":${ms(sp)},"rerun":${ms(x)}}"""
+      }
+    }
+    val detail = new StringBuilder
+    val steady = rows.map { case (name, w, a, b, qCanary, qCanaryMt, b0, b1, b2) =>
       if (detail.nonEmpty) detail.append(',')
       detail.append("\"").append(name).append("\":{\"passes\":[")
         .append(ms(w)).append(',').append(ms(a)).append(',').append(ms(b))
         .append("],\"canary\":").append(ms(qCanary))
         .append(",\"canary_mt\":").append(ms(qCanaryMt))
         .append(",\"batches\":[").append(b0).append(',').append(b1).append(',').append(b2)
-        .append("]}")
-      // min of the two measured passes; never mask a failure
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        .append("]")
+      reruns.get(name).foreach { case (x, c2, m2, bx) =>
+        detail.append(",\"rerun\":{\"sec\":").append(ms(x))
+          .append(",\"canary\":").append(ms(c2))
+          .append(",\"canary_mt\":").append(ms(m2))
+          .append(",\"batches\":").append(bx).append("}")
+      }
+      detail.append("}")
+      // min over the measured passes (incl. the hostile re-run); never
+      // mask a failure
+      val cands = (Seq(a, b) ++ reruns.get(name).map(_._1)).filter(_ >= 0)
+      name -> (if (Seq(a, b).exists(_ < 0)) -1.0 else cands.min)
     }
-    val post = Bench.miniCanary()
-    val postMt = Bench.miniCanaryMt()
-    val loadEnd = Bench.systemLoad()
     val steadyJson = steady.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}],"steady_canary_mt_sec":[${ms(preMt)},${ms(postMt)}],"steady_load_avg":[$loadStart,$loadEnd],"steady_mem_avail_gb":$memAtStart,"trace":{${detail.toString}}}""")
+    val hostileJson = hostileInfo.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""STEADYJSON\t{"steady":$steadyJson,"steady_canary_sec":[${ms(pre)},${ms(post)}],"steady_canary_mt_sec":[${ms(preMt)},${ms(postMt)}],"steady_load_avg":[$loadStart,$loadEnd],"steady_mem_avail_gb":$memAtStart,"steady_hostile":$hostileJson,"trace":{${detail.toString}}}""")
     spark.stop()
   }
 }

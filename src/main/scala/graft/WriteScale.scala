@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   *  - a pushed ns filter through siteinfo the WRITER embedded via
   *    `multistreamHeader` (ns classification engages only when the
   *    written header carries the namespace table — exactly how a real
-  *    re-shard preserves skip-plannability).
+  *    re-shard preserves skip-plannability);
+  *  - the DEFAULT-distribution route (clustering shuffle + within-page
+  *    sort — what any non-reader-shaped frame takes) over the same
+  *    corpus, with an order-free content-digest parity assert against
+  *    the narrow archive (r15 verdict #5).
   *
   * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.WriteScale [gb]"`
   * (default 4). Prints one `WRITESCALE ...` line; recorded in
@@ -94,14 +98,44 @@ object WriteScale {
     val nsRows = indexRead.where(org.apache.spark.sql.functions.col("ns") === 0).count()
     val nssec = (System.nanoTime() - t3) / 1e9
     require(nsRows == srcRows, s"ns=0 read must keep all rows: $srcRows -> $nsRows")
+
+    // DEFAULT-distribution route (r15 verdict #5): the same corpus
+    // through the RequiresDistributionAndOrdering path — clustering
+    // shuffle on page_id + within-page sort, the route any
+    // non-reader-shaped frame takes. The narrow number above measures
+    // the writer alone; this one adds the shuffle a real re-shard pays.
+    val defDir = java.nio.file.Files.createTempDirectory("write-scale-def").toFile
+    val t4 = System.nanoTime()
+    src.write.format("mediawiki")
+      .option("multistreamPagesPerStream", "100")
+      .option("multistreamHeader", header)
+      .mode("append").save(defDir.getAbsolutePath)
+    val dsec = (System.nanoTime() - t4) / 1e9
+    defDir.listFiles().foreach(x => x.setLastModified(past))
+    // content parity with the narrow route: order-free exact digest
+    // over every field the writer emits (partitioning differs between
+    // the routes, so row ORDER and archive BYTES legitimately differ —
+    // the revision CONTENT must not)
+    import org.apache.spark.sql.functions.{xxhash64, sum, to_json, col => c}
+    def digest(dir: String): String = spark.read.format("mediawiki")
+      .option("previousRevision", "false").load(dir)
+      .select(sum(xxhash64(c("page_id"), c("title"), c("ns"), c("redirect"),
+        c("rev_seq"), to_json(c("curr"))).cast("decimal(38,0)")).as("d"))
+      .collect()(0).get(0).toString
+    val dNarrow = digest(outDir.getAbsolutePath)
+    val dDefault = digest(defDir.getAbsolutePath)
+    require(dNarrow == dDefault,
+      s"default-route archive content diverges from assumeGrouped: $dNarrow vs $dDefault")
     val post = Bench.miniCanary()
 
     f.delete()
     outDir.listFiles().foreach(_.delete()); outDir.delete()
+    defDir.listFiles().foreach(_.delete()); defDir.delete()
     spark.stop()
     println(f"WRITESCALE size_mb=$sizeMb%.1f write_sec=$wsec%.2f write_mbps=${sizeMb / wsec}%.1f " +
+      f"def_write_sec=$dsec%.2f def_write_mbps=${sizeMb / dsec}%.1f " +
       f"out_bz2_mb=$outMb%.1f n_archives=$nIdx full_parts=$fullParts readback_sec=$rsec%.2f " +
       f"readback_mbps=${sizeMb / rsec}%.1f lookup_parts=$lookupParts lookup_sec=$lsec%.2f " +
-      f"ns_sec=$nssec%.2f rows=$srcRows canary=[$pre%.3f,$post%.3f]")
+      f"ns_sec=$nssec%.2f rows=$srcRows digest_parity=ok canary=[$pre%.3f,$post%.3f]")
   }
 }

@@ -74,15 +74,24 @@ case class TopKNeighbors(left: Expression, right: Expression,
     val qid = idAny.asInstanceOf[Long]
     val q = embAny.asInstanceOf[ArrayData]
     val d = q.numElements()
-    // strict fold: the query's self-dot, once per row
+    // decode the query ONCE per row (float→double is exact, so the
+    // strict folds below are unchanged bit-for-bit) — ArrayData
+    // accessors inside the candidate loop were O(N·d) dispatch overhead
+    // in the one loop this operator exists for (ADVICE r15)
+    val qd = new Array[Double](d)
     var qq = 0.0
     var i = 0
     while (i < d) {
       val v = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      qd(i) = v
       qq += v * v
       i += 1
     }
     val qn = math.sqrt(qq)
+    // the batch twin throws on a zero-norm query (ANSI divide by zero
+    // in the cosine); match it loudly instead of emitting NaN ranks
+    require(qn != 0.0,
+      s"query vector $qid has zero norm — cosine is undefined")
     val cand = refs.value
     val ids = new Array[Long](k)
     val cs = new Array[Double](k)
@@ -96,8 +105,7 @@ case class TopKNeighbors(left: Expression, right: Expression,
         var dot = 0.0
         var j = 0
         while (j < d) {
-          val v = if (isFloat) q.getFloat(j).toDouble else q.getDouble(j)
-          dot += v * r.emb(j)
+          dot += qd(j) * r.emb(j)
           j += 1
         }
         size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id,
@@ -141,11 +149,24 @@ object TopKNeighbors {
     * ordered by `(score DESC, id ASC)` — the tie-break every sweep
     * operator and SQL oracle in the Similarity family uses. Returns
     * the new size. Shared by the exact and IVF kernels so the
-    * selection semantics cannot fork. */
+    * selection semantics cannot fork.
+    *
+    * The comparison is Spark SQL's double total order
+    * (`SQLOrderingUtil.compareDoubles`): NaN ranks GREATEST and
+    * NaN==NaN ties break by id, so a NaN cosine (a NaN ELEMENT in a
+    * query or reference vector — zero-norm vectors are rejected
+    * upstream, matching the batch twins' ANSI divide-by-zero) ranks
+    * exactly where the batch twins' `cosine DESC, neighbor_id` window
+    * puts it — DuckDB orders NaN greatest too, so the oracle agrees
+    * (ADVICE r15: a plain `>` made NaN worse-than-everything and
+    * scan-order-dependent). */
   def insertTopK(ids: Array[Long], cs: Array[Double], size: Int, k: Int,
       id: Long, score: Double): Int = {
-    def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
-      c1 > c2 || (c1 == c2 && i1 < i2)
+    def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+      // == short-circuit makes -0.0 equal 0.0, as Spark's ordering does
+      val cmp = if (c1 == c2) 0 else java.lang.Double.compare(c1, c2)
+      cmp > 0 || (cmp == 0 && i1 < i2)
+    }
     if (size < k || better(score, id, cs(size - 1), ids(size - 1))) {
       var pos = if (size < k) size else k - 1
       while (pos > 0 && better(score, id, cs(pos - 1), ids(pos - 1))) {
@@ -219,6 +240,8 @@ case class IvfTopKNeighbors(left: Expression, right: Expression,
       i += 1
     }
     val qn = math.sqrt(qq)
+    require(qn != 0.0,
+      s"query vector $qid has zero norm — cosine is undefined")
     val idx = index.value
     def dotWith(r: TopKNeighbors.Ref): Double = {
       require(r.emb.length == d,

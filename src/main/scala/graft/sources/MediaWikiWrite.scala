@@ -108,7 +108,7 @@ class MediaWikiWriteBuilder(info: LogicalWriteInfo, props: Map[String, String])
   * (ADVICE r14). */
 private[sources] case class MediaWikiWriterOpts(pagesPerStream: Int,
     streamBytes: Long, header: String, blockSize: Int,
-    indexBz2: Boolean) extends Serializable
+    indexBz2: Boolean, assumeGrouped: Boolean) extends Serializable
 
 private[sources] object MediaWikiWriterOpts {
   def parse(props: Map[String, String]): MediaWikiWriterOpts = {
@@ -129,14 +129,16 @@ private[sources] object MediaWikiWriterOpts {
     // listing's `isIndexSibling` skips both spellings
     val indexBz2 =
       props.get("multistreamIndexBz2").exists(_.trim.equalsIgnoreCase("true"))
-    MediaWikiWriterOpts(pagesPerStream, streamBytes, header, blockSize, indexBz2)
+    val assumeGrouped =
+      props.get("assumeGrouped").exists(_.trim.equalsIgnoreCase("true"))
+    MediaWikiWriterOpts(pagesPerStream, streamBytes, header, blockSize,
+      indexBz2, assumeGrouped)
   }
 }
 
 class MediaWikiWrite(schema: StructType, props: Map[String, String])
   extends Write with RequiresDistributionAndOrdering {
-  private val assumeGrouped =
-    props.get("assumeGrouped").exists(_.equalsIgnoreCase("true"))
+  private val assumeGrouped = MediaWikiWriterOpts.parse(props).assumeGrouped
 
   override def requiredDistribution(): Distribution =
     if (assumeGrouped) Distributions.unspecified()
@@ -398,8 +400,12 @@ class MediaWikiWriterFactory(schema: StructType, opts: MediaWikiWriterOpts,
 /** Task-side writer. MEMORY BOUND: at most one revision's metadata
   * fragment is ever buffered (`frag`); revision TEXT streams
   * byte-escaped directly into the open page-group bz2 stream, and
-  * index lines stream to the index temp as pages start — nothing in
-  * this writer grows with page size, page count, or revision count.
+  * index lines stream to the index temp as pages start — under the
+  * default (sorted) distribution nothing in this writer grows with
+  * page size, page count, or revision count (the contiguity check is
+  * an O(1) monotonic page_id comparison; r15 verdict #1). Only
+  * `assumeGrouped` — where page order is arbitrary — keeps a revisit
+  * set, a primitive long set at ~11 bytes/page.
   * The READER's signature property (one revision pair per task,
   * GiantPageSmoke) holds symmetrically on the write side
   * (GiantPageWriteSmoke; a whole-page `StringBuilder` here held
@@ -454,7 +460,27 @@ class MediaWikiDataWriter(schema: StructType, opts: MediaWikiWriterOpts,
   private val idxLine = new java.lang.StringBuilder()
   private var curPageId = Long.MinValue
   private var pageOpen = false
-  private val seenPages = new java.util.HashSet[java.lang.Long]()
+  // Page-contiguity sanity check. Under the default
+  // RequiresDistributionAndOrdering route rows arrive SORTED by page_id,
+  // so a strictly-greater check against the last started page_id is a
+  // COMPLETE revisit detector in O(1) — nothing grows with page count
+  // (the class's memory-bound claim stays true). `assumeGrouped` drops
+  // the sort, so page order is arbitrary and revisit detection needs a
+  // set: a primitive open-addressing long set (~11 bytes/page at 0.7
+  // load — the documented bound; the caller opted out of the shuffle
+  // that would make it free).
+  private var lastPageId = Long.MinValue
+  private val seenPages: LongIdSet =
+    if (opts.assumeGrouped) new LongIdSet() else null
+
+  private def checkNewPage(pid: Long): Unit = {
+    val fresh =
+      if (seenPages == null) { val ok = pid > lastPageId; lastPageId = pid; ok }
+      else seenPages.add(pid)
+    require(fresh,
+      s"page $pid is not contiguous in partition $partitionId — write with the " +
+        "default distribution (drop assumeGrouped) or group the input by page_id")
+  }
 
   private def openFile(): Unit = {
     out = tmpDump.getFileSystem(conf).create(tmpDump, true)
@@ -543,9 +569,7 @@ class MediaWikiDataWriter(schema: StructType, opts: MediaWikiWriterOpts,
 
   private def startPage(row: InternalRow): Unit = {
     val pid = row.getLong(ord.pageId)
-    require(seenPages.add(pid),
-      s"page $pid is not contiguous in partition $partitionId — write with the " +
-        "default distribution (drop assumeGrouped) or group the input by page_id")
+    checkNewPage(pid)
     require(!row.isNullAt(ord.title), s"NULL title for page $pid")
     val title = row.getUTF8String(ord.title).toString
     // '\r' breaks the index as surely as '\n': BufferedReader.readLine
@@ -670,6 +694,61 @@ class MediaWikiDataWriter(schema: StructType, opts: MediaWikiWriterOpts,
     if (iout != null) {
       try iout.close() catch { case _: java.io.IOException => }
       iout = null
+    }
+  }
+}
+
+/** Open-addressing hash set of primitive longs (linear probing,
+  * power-of-two capacity, grow at 0.7 load) — 8 bytes/slot vs ~50 for
+  * a boxed `java.util.HashSet[java.lang.Long]`. Used only for the
+  * `assumeGrouped` contiguity check; Spark's own `OpenHashSet` is
+  * `private[spark]` and not worth a bridge for 40 lines. */
+private[sources] final class LongIdSet(initialCapacity: Int = 1 << 10) {
+  private val Empty = Long.MinValue // sentinel: never a slot value
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1)
+  private var table = {
+    val t = new Array[Long](cap); java.util.Arrays.fill(t, Empty); t
+  }
+  private var used = 0
+  private var hasEmpty = false
+
+  /** true iff `v` was NOT already present. */
+  def add(v: Long): Boolean = {
+    if (v == Empty) {
+      if (hasEmpty) return false
+      hasEmpty = true; return true
+    }
+    if (used >= cap - (cap >> 2) - (cap >> 4)) grow() // > ~0.69 load
+    val mask = cap - 1
+    val h = v * -7046029254386353131L // Stafford mix13 multiplier
+    var i = ((h ^ (h >>> 32)).toInt) & mask
+    while (true) {
+      val s = table(i)
+      if (s == Empty) { table(i) = v; used += 1; return true }
+      if (s == v) return false
+      i = (i + 1) & mask
+    }
+    false // unreachable
+  }
+
+  private def grow(): Unit = {
+    val old = table
+    cap = cap << 1
+    table = new Array[Long](cap)
+    java.util.Arrays.fill(table, Empty)
+    used = 0
+    var j = 0
+    val mask = cap - 1
+    while (j < old.length) {
+      val v = old(j)
+      if (v != Empty) {
+        val h = v * -7046029254386353131L
+        var i = ((h ^ (h >>> 32)).toInt) & mask
+        while (table(i) != Empty) i = (i + 1) & mask
+        table(i) = v
+        used += 1
+      }
+      j += 1
     }
   }
 }

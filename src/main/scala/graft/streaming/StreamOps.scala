@@ -353,7 +353,21 @@ object StreamOps {
     * filter — a no-op for disjoint id spaces). The broadcast is built
     * per call and not memoized: a reference set under the vector
     * budget collects in milliseconds (unlike decontaminateStream's
-    * exploded gram scan, which is why THAT one memoizes). */
+    * exploded gram scan, which is why THAT one memoizes).
+    *
+    * REFERENCE-SET CONTRACT (deliberate, don't "fix" into stateful
+    * streaming): the reference set is broadcast ONCE at call time and
+    * is immutable for the life of the returned stream — refresh =
+    * restart the query (or call this per `foreachBatch` for a
+    * per-batch snapshot), and a set past `maxBroadcastVecs` is REFUSED
+    * loudly, routing corpus-scale reference sides to the batch
+    * [[graft.operators.Similarity]] operators. Per-row selection over
+    * broadcast state is the legal append-mode shape; a stateful
+    * updatable index would reintroduce the state store for a lookup
+    * problem. The broadcast handle is released by Spark's
+    * ContextCleaner when the returned frame is collected — long-lived
+    * callers cycling many reference sets should re-create the stream,
+    * not accumulate calls inside one session loop. */
   def annStream(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
       // 256k × 64-dim doubles ≈ 134 MB broadcast AND ~16M flops/row —
@@ -410,7 +424,17 @@ object StreamOps {
         case null => throw new IllegalArgumentException(
           s"reference vector ${r.getLong(0)} contains a NULL element")
       }.toArray
-      graft.functions.TopKNeighbors.ref(r.getLong(0), emb)
+      val ref = graft.functions.TopKNeighbors.ref(r.getLong(0), emb)
+      // a zero-norm reference has no defined cosine with ANYTHING; the
+      // batch twins throw on it under ANSI (divide by zero inside the
+      // cosine), so the stream op rejects it at build time rather than
+      // inventing a rank (ADVICE r15). NaN ELEMENTS pass through: there
+      // the batch window genuinely orders NaN greatest, and the kernels'
+      // total-order insert matches it.
+      require(ref.norm != 0.0,
+        s"reference vector ${ref.id} has zero norm — cosine is undefined; " +
+          "filter zero vectors out of the reference set")
+      ref
     }
   }
 

@@ -174,6 +174,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("broadcast budget"))
   }
 
+  test("streaming ANN degenerate vectors: zero-norm rejected loudly; NaN elements rank like the batch window") {
+    // ADVICE r15: insertTopK's plain `>` made a NaN cosine
+    // worse-than-everything and scan-order-dependent, while the batch
+    // twin's `cosine DESC` window orders NaN GREATEST with a
+    // deterministic neighbor_id tie-break. Zero-norm vectors can't
+    // take that path at all — the batch twins THROW on them (ANSI
+    // divide by zero inside the cosine) — so the stream op now rejects
+    // them loudly too; NaN ELEMENTS (dot = NaN, norm nonzero) are where
+    // both engines really produce NaN, and there the kernel's
+    // total-order insert must match the window.
+    val nan = Float.NaN
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.5f, 1f)),
+      (3L, Array(nan, 1f)), (4L, Array(nan, 2f)) // NaN-element refs: NaN==NaN ties by id
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    def key(t: (Long, Long, Double, Long)) =
+      (t._1, t._2, java.lang.Double.doubleToLongBits(t._3), t._4) // NaN-safe equality
+    val kernel = rows(StreamOps.annStream(queries, corpus, k = 4)).map(key)
+    val window = rows(graft.operators.Similarity.bruteForceTopK(corpus, queries, k = 4)).map(key)
+    assert(kernel == window,
+      s"NaN-element ordering diverged:\nkernel=$kernel\nwindow=$window")
+    // the fixture must actually exercise the NaN branch, NaN-greatest
+    // with the id tie-break: ranks 1,2 = refs 3,4 ahead of any real cosine
+    assert(kernel.map(_._2).take(2) == Seq(3L, 4L), s"NaN not ranked greatest: $kernel")
+    // zero-norm REFERENCE: rejected at broadcast-build time
+    val zCorpus = Seq((1L, Array(1f, 0f)), (5L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val exRef = intercept[IllegalArgumentException] {
+      StreamOps.annStream(queries, zCorpus, k = 2)
+    }
+    assert(exRef.getMessage.contains("zero norm"))
+    // zero-norm QUERY: fails loudly at eval (as the batch twin's ANSI
+    // division does), never emits invented ranks
+    val zQ = Seq((11L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val exQ = intercept[Exception] {
+      StreamOps.annStream(zQ, corpus, k = 2).collect()
+    }
+    def chain2(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain2(exQ).exists(_.contains("zero norm")), chain2(exQ).mkString(" | "))
+  }
+
   test("streaming IVF ANN ≡ batch ivfTopK: quantization + probe + top-k all bit-exact") {
     val sf = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
