@@ -152,9 +152,15 @@ object Bench {
     // commit). Costs their own runtime only (~0.2 s for q1).
     // r14 adds q109/q43: their r14 steady rows were sampled only inside
     // the loaded child window (load 10.78), so the artifact could not
-    // separate host from engine for them — ride until a clean sample
+    // separate host from engine for them — ride until a clean sample.
+    // r15 adds q44/q151: consistent flat-canary steady rows ~2.4× above
+    // their implied r14 quiet level inside a loaded child window, zero
+    // code change — the one shape the canaries cannot adjudicate
+    // (memory-bandwidth contention is invisible to a register spinner);
+    // ride until a quiet window closes or confirms them (verdict r15 #2)
     val watchNames = Seq("q1_pricing_summary", "q109_kcore",
-      "q43_repetition_filter").filter(results.contains)
+      "q43_repetition_filter", "q44_tfidf_topterms",
+      "q151_snapshot_diff").filter(results.contains)
     val steadyNames = (results.toSeq.sortBy(-_._2).take(15).map(_._1) ++
       watchNames).distinct
     // STOP the parent session before the child runs: r14's artifact

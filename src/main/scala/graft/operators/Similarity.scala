@@ -286,6 +286,66 @@ object Similarity {
     * (k·queries rows by contract): it feeds two plan branches, and
     * without the cut each branch would re-run the exact top-k sweep —
     * at corpus scale the dominant cost of the whole audit. */
+  /** Two-stage retrieval: int8-quantized shortlist → exact cosine
+    * re-rank — the production ANN shape where the full-precision sweep
+    * is too expensive to run corpus-wide. Stage 1 sweeps the corpus
+    * with per-vector max-abs int8 codes ([[Quantize.int8]]'s native
+    * expression): the broadcast and the scan carry 4× fewer bytes than
+    * float32, and the shortlist score is DETERMINISTIC in any fold
+    * order — integer code dots are exact (|dot| ≤ 127²·dims ≪ 2^53),
+    * and the reconstruction `((dot·qs)·cs)/127²` is a fixed-association
+    * IEEE chain, so the oracle can rebuild it in SQL bit-for-bit.
+    * Stage 2 re-ranks ONLY the `shortlist` survivors per query with
+    * the exact strict-fold cosine (bit-identical to [[bruteForceTopK]]
+    * — same dot kernel, association, and `(cosine DESC, id ASC)`
+    * tie-break), joining the original vectors back by id with the
+    * candidate list broadcast (Q·shortlist rows — tiny next to the
+    * corpus, so the join never shuffles corpus rows).
+    *
+    * At 100 TB: stage 1 is the same broadcast-sweep shape as
+    * [[bruteForceTopK]] (map-side WindowGroupLimit prunes per
+    * partition before the per-query shuffle) but moves a quarter of
+    * the bytes; stage 2 touches `|Q|·shortlist` vectors regardless of
+    * corpus size. Compose with [[ivfTopK]]'s cells when even the int8
+    * sweep is too wide. */
+  def quantizedRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val qq = Quantize.int8(
+        queries.select(col(idCol).as("query_id"), col(embCol).as("__qe")), "__qe")
+      .select(col("query_id"), col("scale").as("__qs"),
+        col("q").cast("array<float>").as("__qc"))
+    val cq = Quantize.int8(
+        corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce")), "__ce")
+      .select(col("neighbor_id"), col("scale").as("__cs"),
+        col("q").cast("array<float>").as("__cc"))
+    // int→float casts are exact (codes ≤ 127), so float_dot's double
+    // fold sums exact integers — order-free determinism for the oracle
+    val s1 = broadcast(qq).crossJoin(cq)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__approx",
+        dotExpr("__qc", "__cc") * col("__qs") * col("__cs") / lit(16129.0))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__approx").desc, col("neighbor_id"))
+    val cand = s1.withColumn("__srnk", row_number().over(ws))
+      .filter(col("__srnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val withVecs = broadcast(cand)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))),
+        Seq("query_id"))
+      .withColumn("cosine", dotExpr("__qe", "__ce") /
+        (sqrt(dotExpr("__qe", "__qe")) * sqrt(dotExpr("__ce", "__ce"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    withVecs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val ex = exact.select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val hit = ex.withColumn("__hit", lit(1L))

@@ -764,6 +764,90 @@ object VectorQueries {
 
   val q195Sql: String = q36Sql
 
+  // ---------------------------------------------------------------- q196
+  /** Two-stage retrieval ([[Similarity.quantizedRerank]]): int8 code
+    * sweep shortlists 20 candidates per query (4× fewer bytes than the
+    * float sweep), exact strict-fold cosine re-ranks the survivors —
+    * the production ANN shape. Fully oracle-checked: the int8 codes
+    * are q64's portable floor chain, code dots are exact integers in
+    * any fold order, the reconstructed stage-1 score is one
+    * fixed-association IEEE chain, and the re-rank is q22's cosine
+    * verbatim over the shortlist pairs. */
+  def q196QuantizedRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    Similarity.quantizedRerank(corpus, corpus.filter($"vec_id" < 10),
+        k = 5, shortlist = 20)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q196Sql: String =
+    """WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |            FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |s AS (SELECT vec_id, MAX(abs(v)) AS scale FROM el GROUP BY vec_id),
+      |qc AS (SELECT e.vec_id, e.i,
+      |        CASE WHEN s.scale = 0 THEN 0
+      |             ELSE CAST(floor(e.v / s.scale * 127 + 0.5) AS BIGINT) END AS qi
+      |      FROM el e JOIN s USING (vec_id)),
+      |idot AS (SELECT a.vec_id qa, b.vec_id qb, SUM(a.qi*b.qi) AS d
+      |         FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+      |ap AS (SELECT qa, qb,
+      |         ((CAST(d AS DOUBLE) * sa.scale) * sb.scale) / CAST(16129 AS DOUBLE) AS apx
+      |       FROM idot JOIN s sa ON qa = sa.vec_id JOIN s sb ON qb = sb.vec_id),
+      |short AS (SELECT qa, qb FROM (
+      |            SELECT qa, qb,
+      |              ROW_NUMBER() OVER (PARTITION BY qa ORDER BY apx DESC, qb) AS srnk
+      |            FROM ap)
+      |          WHERE srnk <= 20),
+      |dots AS (SELECT sh.qa, sh.qb,
+      |           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |            FROM UNNEST(range(1, len(a.embedding)+1)) t(i)) AS dotv
+      |         FROM short sh JOIN embeddings a ON a.vec_id = sh.qa
+      |           JOIN embeddings b ON b.vec_id = sh.qb),
+      |norms AS (SELECT vec_id,
+      |            sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |                  FROM UNNEST(range(1, len(e.embedding)+1)) t(i))) AS nrm
+      |          FROM embeddings e),
+      |cos AS (SELECT qa AS query_id, qb AS neighbor_id, dotv / (na.nrm * nb.nrm) AS cosine
+      |        FROM dots JOIN norms na ON qa = na.vec_id JOIN norms nb ON qb = nb.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cos)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  /** Recall audit of the two-stage retrieval against exact brute force
+    * (q78's pattern applied to q196): does the int8 shortlist at 20
+    * preserve the exact top-5? The composed oracle embeds q22's and
+    * q196's SQL whole, so the recall arithmetic is verified end-to-end
+    * — the audit that licenses replacing the float sweep with the
+    * quantized one at scale. */
+  def q197QuantizedRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val twoStage = Similarity.quantizedRerank(corpus, queries, k = 5, shortlist = 20)
+    Similarity.recallAtK(exact, twoStage, k = 5)
+      .orderBy($"query_id")
+  }
+
+  val q197Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |qr AS (SELECT query_id, neighbor_id FROM ($q196Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |agg AS (SELECT q.query_id,
+      |          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |          CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |        FROM qids q LEFT JOIN qr a USING (query_id)
+      |          LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        GROUP BY q.query_id)
+      |SELECT query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM agg ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -784,6 +868,8 @@ object VectorQueries {
     "q98_dim_robust_stats" -> q98DimRobustStats _,
     "q160_embedding_drift" -> q160EmbeddingDrift _,
     "q116_trunc_agreement" -> q116TruncAgreement _,
+    "q196_quantized_rerank" -> q196QuantizedRerank _,
+    "q197_quantized_recall" -> q197QuantizedRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -806,5 +892,7 @@ object VectorQueries {
     "q98_dim_robust_stats" -> q98Sql,
     "q160_embedding_drift" -> q160Sql,
     "q116_trunc_agreement" -> q116Sql,
+    "q196_quantized_rerank" -> q196Sql,
+    "q197_quantized_recall" -> q197Sql,
   )
 }
