@@ -74,3 +74,26 @@ case class Int8Quantize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
 }
+
+object Int8Quantize {
+  /** The expression's exact arithmetic chain over a decoded
+    * `double[]` — shared by broadcast-side builders
+    * ([[QuantizedTopKNeighbors]]) so the quantization cannot fork
+    * between the row expression and an index build; parity with the
+    * expression is pinned by spec. */
+  def quantizeDoubles(v: Array[Double]): Array[Int] = {
+    var scale = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i)); if (a > scale) scale = a; i += 1
+    }
+    val q = new Array[Int](v.length)
+    if (scale > 0.0) {
+      i = 0
+      while (i < v.length) {
+        q(i) = math.floor(v(i) / scale * 127.0 + 0.5).toInt; i += 1
+      }
+    }
+    q
+  }
+}

@@ -296,6 +296,138 @@ case class IvfTopKNeighbors(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8-quantized variant of [[TopKNeighbors]] — the streaming
+  * MEMORY-scale path: the broadcast carries one BYTE per element plus
+  * an integer self-dot per reference (~8× less than the exact
+  * kernel's doubles), so the same broadcast budget holds ~4× more
+  * vectors (the default `annStreamInt8` budget is 2^20).
+  *
+  * Score = the cosine of the RECONSTRUCTED vectors: for max-abs
+  * quantization the per-vector scales cancel algebraically
+  * (`(idot·qs·cs) / (√qqi·qs · √cci·cs) = idot / (√qqi·√cci)`), so the
+  * kernel computes `intdot / (sqrt(int qq) * sqrt(int cc))` — exact
+  * integer sums (|dot| ≤ 127²·dims ≪ 2^53, order-free) and ONE IEEE
+  * division chain, rebuildable verbatim in SQL (q198's oracle). The
+  * query row is quantized with [[Int8Quantize.quantizeDoubles]] — the
+  * same chain as the `int8_quantize` expression (q64), pinned by spec.
+  * Ties (common with integer ratios) break by `(cosine DESC, id ASC)`
+  * via the shared [[TopKNeighbors.insertTopK]]. Zero-norm queries and
+  * references are rejected loudly, like the whole ANN family. */
+case class QuantizedTopKNeighbors(left: Expression, right: Expression,
+    refs: Broadcast[Array[QuantizedTopKNeighbors.Ref8]], k: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private def embOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"quantized_topk_neighbors needs a bigint query id, got ${left.dataType}")
+    else if (!embOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"quantized_topk_neighbors needs an array<float|double> embedding, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(TopKNeighbors.resultStruct, containsNull = false)
+
+  override def prettyName: String = "quantized_topk_neighbors"
+
+  private lazy val isFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(idAny: Any, embAny: Any): Any = {
+    val qid = idAny.asInstanceOf[Long]
+    val q = embAny.asInstanceOf[ArrayData]
+    val d = q.numElements()
+    val qd = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      qd(i) = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      i += 1
+    }
+    val qc = Int8Quantize.quantizeDoubles(qd)
+    var qq = 0L
+    i = 0
+    while (i < d) { qq += qc(i).toLong * qc(i); i += 1 }
+    // scale == 0 ⟺ qq == 0 (a nonzero vector's max-abs element always
+    // codes to ±127): same loud zero-norm contract as the exact kernel
+    require(qq != 0L,
+      s"query vector $qid has zero norm — cosine is undefined")
+    val qn = math.sqrt(qq.toDouble)
+    val cand = refs.value
+    val ids = new Array[Long](k)
+    val cs = new Array[Double](k)
+    var size = 0
+    var c = 0
+    while (c < cand.length) {
+      val r = cand(c)
+      if (r.id != qid) {
+        require(r.codes.length == d,
+          s"reference vector ${r.id} has ${r.codes.length} dims, query $qid has $d")
+        var idot = 0L
+        var j = 0
+        while (j < d) {
+          idot += qc(j).toLong * r.codes(j)
+          j += 1
+        }
+        size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id,
+          idot.toDouble / (qn * math.sqrt(r.selfDot.toDouble)))
+      }
+      c += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      val row = new GenericInternalRow(3)
+      row.setLong(0, ids(i))
+      row.setDouble(1, cs(i))
+      row.setLong(2, (i + 1).toLong)
+      rows(i) = row
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QuantizedTopKNeighbors =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedTopKNeighbors {
+  /** One quantized reference: int8 codes (one byte per element) + the
+    * integer self-dot. ~(dims + 16) bytes per vector vs the exact
+    * kernel's 8·dims. */
+  case class Ref8(id: Long, codes: Array[Byte], selfDot: Long)
+
+  /** Quantize a reference with the SAME chain as the query side (and
+    * as the `int8_quantize` expression). Throws on a zero-norm vector
+    * — cosine is undefined for it, matching [[TopKNeighbors]]'s
+    * collect-time contract. */
+  def ref8(id: Long, emb: Array[Double]): Ref8 = {
+    val q = Int8Quantize.quantizeDoubles(emb)
+    val codes = new Array[Byte](q.length)
+    var sd = 0L
+    var i = 0
+    while (i < q.length) {
+      codes(i) = q(i).toByte
+      sd += q(i).toLong * q(i)
+      i += 1
+    }
+    require(sd != 0L,
+      s"reference vector $id has zero norm — cosine is undefined; " +
+        "filter zero vectors out of the reference set")
+    Ref8(id, codes, sd)
+  }
+}
+
 object IvfTopKNeighbors {
   /** `centroids` in cent_id-ASCENDING order; `cells(i)` = the
     * references assigned to `centroids(i)` (each reference in exactly

@@ -848,6 +848,44 @@ object VectorQueries {
       |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
       |FROM agg ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** Streaming int8 ANN on its batch twin
+    * ([[graft.streaming.StreamOps.annStreamInt8]]): per-row top-k over
+    * a byte-code broadcast (~8× smaller than the exact kernel's
+    * doubles — the streaming MEMORY-scale path). Score = cosine of the
+    * reconstructed vectors; max-abs scales cancel algebraically, so
+    * the oracle is q64's portable quantization chain + exact integer
+    * dots + one IEEE division — no float folds at all. */
+  def q198AnnStreamInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.streaming.StreamOps.annStreamInt8(
+        corpus.filter($"vec_id" < 10), corpus, k = 5)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q198Sql: String =
+    """WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      |            FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |s AS (SELECT vec_id, MAX(abs(v)) AS scale FROM el GROUP BY vec_id),
+      |qc AS (SELECT e.vec_id, e.i,
+      |        CASE WHEN s.scale = 0 THEN 0
+      |             ELSE CAST(floor(e.v / s.scale * 127 + 0.5) AS BIGINT) END AS qi
+      |      FROM el e JOIN s USING (vec_id)),
+      |sd AS (SELECT vec_id, SUM(qi*qi) AS qq FROM qc GROUP BY vec_id),
+      |idot AS (SELECT a.vec_id qa, b.vec_id qb, SUM(a.qi*b.qi) AS d
+      |         FROM qc a JOIN qc b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+      |cos AS (SELECT qa AS query_id, qb AS neighbor_id,
+      |          CAST(d AS DOUBLE)
+      |            / (sqrt(CAST(sa.qq AS DOUBLE)) * sqrt(CAST(sb.qq AS DOUBLE))) AS cosine
+      |        FROM idot JOIN sd sa ON qa = sa.vec_id JOIN sd sb ON qb = sb.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cos)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -870,6 +908,7 @@ object VectorQueries {
     "q116_trunc_agreement" -> q116TruncAgreement _,
     "q196_quantized_rerank" -> q196QuantizedRerank _,
     "q197_quantized_recall" -> q197QuantizedRecall _,
+    "q198_ann_stream_int8" -> q198AnnStreamInt8 _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -894,5 +933,6 @@ object VectorQueries {
     "q116_trunc_agreement" -> q116Sql,
     "q196_quantized_rerank" -> q196Sql,
     "q197_quantized_recall" -> q197Sql,
+    "q198_ann_stream_int8" -> q198Sql,
   )
 }

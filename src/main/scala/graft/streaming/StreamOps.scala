@@ -406,6 +406,35 @@ object StreamOps {
     neighborRows(queries, idCol, nn)
   }
 
+  /** Int8 variant of [[annStream]] — the streaming MEMORY-scale path:
+    * the broadcast carries one byte per element + an integer self-dot
+    * per reference (~8× smaller than the exact kernel's doubles), so
+    * the default budget rises to 2^20 vectors (a 64-dim set ≈ 84 MB vs
+    * the exact kernel's 134 MB at 2^18). Score = cosine of the
+    * RECONSTRUCTED vectors — per-vector max-abs scales cancel
+    * algebraically, so the kernel is exact integer dots + one IEEE
+    * division, rebuildable verbatim in SQL: q198's oracle quantizes
+    * both sides with q64's portable floor chain and ranks
+    * `intdot / (√qq·√cc)`. Same zero-norm rejection, id tie-break,
+    * NULL semantics, and reference-set contract as [[annStream]];
+    * the SAME code runs on a batch frame (the q198 twin). Accuracy is
+    * the int8 tradeoff — audit with [[graft.operators.Similarity
+    * .recallAtK]] (q197's pattern) before substituting it for the
+    * exact form. */
+  def annStreamInt8(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBroadcastVecs: Long = 1L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      collectRefs(corpus, idCol, embCol, maxBroadcastVecs)
+        .map(r => graft.functions.QuantizedTopKNeighbors.ref8(r.id, r.emb)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(graft.functions.QuantizedTopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k))
+    neighborRows(queries, idCol, nn)
+  }
+
   private def collectRefs(corpus: DataFrame, idCol: String, embCol: String,
       maxBroadcastVecs: Long): Array[graft.functions.TopKNeighbors.Ref] = {
     val cap = (maxBroadcastVecs + 1).min(Int.MaxValue.toLong - 1).toInt

@@ -48,6 +48,22 @@ class QuantizedRerankSpec extends AnyFunSuite {
     assert(wide == brute, "recovered answer must be bit-identical to brute force")
   }
 
+  test("Int8Quantize.quantizeDoubles helper ≡ the int8_quantize expression (sf corpus)") {
+    // QuantizedTopKNeighbors.ref8 and the query-side kernel quantize
+    // through the shared helper; the q64 oracle proves the EXPRESSION.
+    // This pin keeps the two from forking (one source of truth rule).
+    val sf = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+    val viaExpr = graft.operators.Quantize.int8(df, "embedding")
+      .select($"vec_id", $"q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val viaHelper = df.select($"vec_id", $"embedding").collect().map { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble).toArray
+      r.getLong(0) -> graft.functions.Int8Quantize.quantizeDoubles(emb).toVector
+    }.toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaHelper)
+  }
+
   test("shortlist < k rejected loudly") {
     val corpus = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -221,6 +221,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain2(exQ).exists(_.contains("zero norm")), chain2(exQ).mkString(" | "))
   }
 
+  test("streaming int8 ANN: real micro-batch run ≡ batch twin; quantization can flip the exact order") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 7 === 0)
+    val dir = Files.createTempDirectory("stream-ann-i8").toString
+    queries.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema).parquet(dir)
+    val q = StreamOps.annStreamInt8(stream, all, k = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("annstreami8").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = rows(spark.table("annstreami8"))
+    val batchTwin = rows(StreamOps.annStreamInt8(queries, all, k = 3))
+    assert(streamed.nonEmpty && streamed == batchTwin,
+      "real micro-batch run must equal the batch twin")
+    // constructed rounding flip: A=(1,0.004) and B=(1,0.005) quantize
+    // to IDENTICAL codes (both second elements round to 1), so the
+    // quantized cosine ties exactly and breaks by id (B=1 first), while
+    // the EXACT cosine ranks A=2 first — int8 is an approximation and
+    // the fixture proves it bites; brute force disagrees by design
+    val corpus = Seq((1L, Array(1f, 0.005f)), (2L, Array(1f, 0.004f)))
+      .toDF("vec_id", "embedding")
+    val oneQ = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val i8 = rows(StreamOps.annStreamInt8(oneQ, corpus, k = 2))
+    assert(i8.map(_._2) == Seq(1L, 2L), s"tied codes must break by id: $i8")
+    assert(i8(0)._3 == i8(1)._3, s"identical codes must tie bit-exactly: $i8")
+    val exact = rows(graft.operators.Similarity.bruteForceTopK(corpus, oneQ, k = 2))
+    assert(exact.map(_._2) == Seq(2L, 1L), s"exact order must differ: $exact")
+    // zero-norm query and reference: same loud contract as the family
+    val zQ = Seq((11L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val exQ = intercept[Exception] {
+      StreamOps.annStreamInt8(zQ, corpus, k = 1).collect()
+    }
+    def chain3(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain3(exQ).exists(_.contains("zero norm")), chain3(exQ).mkString(" | "))
+    val zC = Seq((1L, Array(1f, 0f)), (5L, Array(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val exRef = intercept[IllegalArgumentException] {
+      StreamOps.annStreamInt8(oneQ, zC, k = 1)
+    }
+    assert(exRef.getMessage.contains("zero norm"))
+  }
+
   test("streaming IVF ANN ≡ batch ivfTopK: quantization + probe + top-k all bit-exact") {
     val sf = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
