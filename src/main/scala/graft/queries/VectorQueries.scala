@@ -886,6 +886,36 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** Recall audit of the int8 full ranking (q198) against exact brute
+    * force — q197's pattern for the streaming memory-scale path: how
+    * much top-5 accuracy does the 8× broadcast compression cost?
+    * Composed oracle embeds q22's and q198's SQL whole, so the recall
+    * arithmetic is verified end-to-end. */
+  def q199Int8Recall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val i8 = graft.streaming.StreamOps.annStreamInt8(queries, corpus, k = 5)
+    Similarity.recallAtK(exact, i8, k = 5)
+      .orderBy($"query_id")
+  }
+
+  val q199Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |qr AS (SELECT query_id, neighbor_id FROM ($q198Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |agg AS (SELECT q.query_id,
+      |          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |          CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |        FROM qids q LEFT JOIN qr a USING (query_id)
+      |          LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        GROUP BY q.query_id)
+      |SELECT query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM agg ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -909,6 +939,7 @@ object VectorQueries {
     "q196_quantized_rerank" -> q196QuantizedRerank _,
     "q197_quantized_recall" -> q197QuantizedRecall _,
     "q198_ann_stream_int8" -> q198AnnStreamInt8 _,
+    "q199_int8_recall" -> q199Int8Recall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -934,5 +965,6 @@ object VectorQueries {
     "q196_quantized_rerank" -> q196Sql,
     "q197_quantized_recall" -> q197Sql,
     "q198_ann_stream_int8" -> q198Sql,
+    "q199_int8_recall" -> q199Sql,
   )
 }
