@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   * NULL ELEMENTS are treated as 0.0 (they contribute nothing to the
   * scale and quantize to code 0) — stated contract, not an accident
   * of `ArrayData` accessor behavior; an oracle for nullable-element
-  * input must `COALESCE(v_i, 0)` the same way.
+  * input must `COALESCE(v_i, 0)` the same way. NaN ELEMENTS also code
+  * to 0 (`NaN > scale` is false, and JVM Double→Int narrowing of NaN
+  * is 0) — the quantized kernels inherit this via the shared
+  * `quantizeDoubles` chain; note DuckDB would ERROR casting a NaN
+  * floor to BIGINT, so a NaN-bearing corpus is not oracle-able through
+  * the q64/q198 SQL (the sf corpora carry none).
   */
 case class Int8Quantize(child: Expression)
     extends UnaryExpression with CodegenFallback {
