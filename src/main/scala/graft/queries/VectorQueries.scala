@@ -916,6 +916,69 @@ object VectorQueries {
       |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
       |FROM agg ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** Hybrid retrieval ([[graft.operators.HybridRetrieval]]): sparse
+    * token-Jaccard top-10 fused with dense cosine top-10 by
+    * reciprocal-rank fusion — the production ensemble that needs no
+    * score calibration (it consumes only ranks). Every number is a
+    * division/sum of exact small integers, so sparse leg, dense leg,
+    * and fusion all hash against the SQL oracle bit-for-bit.
+    * `documents.doc_id` and `embeddings.vec_id` share the id space in
+    * the test schema (a real pipeline joins on its document key). */
+  def q200HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.spread(s, dir, "documents")
+    val e = emb(s, dir)
+    val sparse = graft.operators.HybridRetrieval.jaccardTopK(
+      d, d.filter($"doc_id" < 5), k = 10)
+    val dense = Similarity.bruteForceTopK(e, e.filter($"vec_id" < 5), k = 10)
+    graft.operators.HybridRetrieval.rrfFuse(sparse, dense, k = 10)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q200Sql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t.tok
+      |             FROM documents, UNNEST(string_split(text, ' ')) t(tok)),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id qa, b.doc_id qb, CAST(COUNT(*) AS BIGINT) AS i
+      |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |          WHERE a.doc_id < 5 GROUP BY 1, 2),
+      |jac AS (SELECT qa, qb,
+      |          CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |        FROM inter JOIN sz sa ON qa = sa.doc_id JOIN sz sb ON qb = sb.doc_id),
+      |srk AS (SELECT qa AS query_id, qb AS neighbor_id, rs FROM (
+      |          SELECT qa, qb,
+      |            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY jaccard DESC, qb) AS rs
+      |          FROM jac) WHERE rs <= 10),
+      |dots AS (
+      |  SELECT a.vec_id qa, b.vec_id qb,
+      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(a.embedding)+1)) t(i)) AS dotv
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |          FROM UNNEST(range(1, len(e.embedding)+1)) t(i))) AS nrm
+      |  FROM embeddings e),
+      |cosr AS (SELECT qa, qb, dotv / (na.nrm * nb.nrm) AS cosine
+      |         FROM dots JOIN norms na ON qa = na.vec_id JOIN norms nb ON qb = nb.vec_id),
+      |drk AS (SELECT qa AS query_id, qb AS neighbor_id, rd FROM (
+      |          SELECT qa, qb,
+      |            ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cosine DESC, qb) AS rd
+      |          FROM cosr) WHERE rd <= 10),
+      |fused AS (SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+      |            COALESCE(s.neighbor_id, d.neighbor_id) AS neighbor_id,
+      |            COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s.rs AS DOUBLE), CAST(0 AS DOUBLE))
+      |              + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + d.rd AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+      |          FROM srk s FULL OUTER JOIN drk d
+      |            ON s.query_id = d.query_id AND s.neighbor_id = d.neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, rrf,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+      |           FROM fused)
+      |SELECT query_id, neighbor_id, rrf, rnk FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -940,6 +1003,7 @@ object VectorQueries {
     "q197_quantized_recall" -> q197QuantizedRecall _,
     "q198_ann_stream_int8" -> q198AnnStreamInt8 _,
     "q199_int8_recall" -> q199Int8Recall _,
+    "q200_hybrid_rrf" -> q200HybridRrf _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -966,5 +1030,6 @@ object VectorQueries {
     "q197_quantized_recall" -> q197Sql,
     "q198_ann_stream_int8" -> q198Sql,
     "q199_int8_recall" -> q199Sql,
+    "q200_hybrid_rrf" -> q200Sql,
   )
 }
