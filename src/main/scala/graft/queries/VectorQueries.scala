@@ -979,6 +979,44 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, rrf, rnk FROM ranked WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** Semantic decontamination
+    * ([[graft.streaming.StreamOps.semanticDecontamStream]] on its
+    * batch twin): flag documents whose embedding sits within cosine
+    * τ = 0.25 of a held-out benchmark set (the last 10 vectors) — the
+    * semantic sibling of q47's n-gram check, catching paraphrased
+    * leakage with no gram collision. Composed over the exact ANN
+    * kernel with k = 1, so the oracle is q22's cosine restricted to
+    * doc×bench pairs, rnk = 1, plus the threshold CASE. */
+  def q201SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = emb(s, dir)
+    graft.streaming.StreamOps.semanticDecontamStream(
+        all.filter($"vec_id" < 490), all.filter($"vec_id" >= 490), tau = 0.25)
+      .orderBy($"doc_id")
+  }
+
+  val q201Sql: String =
+    """WITH dots AS (
+      |  SELECT a.vec_id qa, b.vec_id qb,
+      |    (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(a.embedding)+1)) t(i)) AS dotv
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < 490 AND b.vec_id >= 490),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |          FROM UNNEST(range(1, len(e.embedding)+1)) t(i))) AS nrm
+      |  FROM embeddings e),
+      |cosr AS (SELECT qa, qb, dotv / (na.nrm * nb.nrm) AS cosine
+      |         FROM dots JOIN norms na ON qa = na.vec_id JOIN norms nb ON qb = nb.vec_id),
+      |ranked AS (SELECT qa, qb, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cosine DESC, qb) AS rnk
+      |           FROM cosr)
+      |SELECT qa AS doc_id, qb AS bench_id, cosine,
+      |  cosine >= CAST(0.25 AS DOUBLE) AS contaminated
+      |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1004,6 +1042,7 @@ object VectorQueries {
     "q198_ann_stream_int8" -> q198AnnStreamInt8 _,
     "q199_int8_recall" -> q199Int8Recall _,
     "q200_hybrid_rrf" -> q200HybridRrf _,
+    "q201_semantic_decontam" -> q201SemanticDecontam _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1031,5 +1070,6 @@ object VectorQueries {
     "q198_ann_stream_int8" -> q198Sql,
     "q199_int8_recall" -> q199Sql,
     "q200_hybrid_rrf" -> q200Sql,
+    "q201_semantic_decontam" -> q201Sql,
   )
 }

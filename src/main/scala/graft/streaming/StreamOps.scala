@@ -406,6 +406,27 @@ object StreamOps {
     neighborRows(queries, idCol, nn)
   }
 
+  /** Semantic decontamination: flag documents whose EMBEDDING sits too
+    * close to a held-out benchmark set — the semantic sibling of
+    * [[decontaminateStream]]'s n-gram check (paraphrased benchmark
+    * leakage has no gram collision but lands next to the benchmark in
+    * embedding space). Composed over [[annStream]] with k = 1: per-row
+    * max-cosine against the broadcast benchmark embeddings, map-only,
+    * so the SAME code runs on streams and batch frames, inherits the
+    * exact kernel's bit-parity (q201's oracle is the q22 cosine with
+    * rnk = 1 + the threshold CASE), the broadcast budget, and the
+    * zero-norm/NULL contracts. Returns
+    * `(doc_id, bench_id, cosine, contaminated)` — the nearest
+    * benchmark row is evidence, like decontaminateStream's n_hits.
+    * Rows with a NULL embedding drop (no verdict is possible without
+    * a vector; the n-gram op is the one that can rule on NULL text). */
+  def semanticDecontamStream(docs: DataFrame, bench: DataFrame, tau: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBroadcastVecs: Long = 1L << 18): DataFrame =
+    annStream(docs, bench, k = 1, idCol, embCol, maxBroadcastVecs)
+      .select(col("query_id").as("doc_id"), col("neighbor_id").as("bench_id"),
+        col("cosine"), (col("cosine") >= lit(tau)).as("contaminated"))
+
   /** Int8 variant of [[annStream]] — the streaming MEMORY-scale path:
     * the broadcast carries one byte per element + an integer self-dot
     * per reference (~8× smaller than the exact kernel's doubles), so
