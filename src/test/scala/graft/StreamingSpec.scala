@@ -148,6 +148,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batchTwin,
       "real micro-batch run must equal the batch twin")
     assert(batchTwin == brute, "annStream must be bit-identical to bruteForceTopK")
+    // semantic decontamination composes over this kernel (k = 1 + a
+    // threshold projection, q201's op) — pin its REAL stream run too
+    val sd = StreamOps.semanticDecontamStream(stream, all, tau = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdecon").trigger(Trigger.AvailableNow()).start()
+    sd.awaitTermination(120000)
+    def sdRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val sdStreamed = sdRows(spark.table("semdecon"))
+    val sdBatch = sdRows(StreamOps.semanticDecontamStream(queries, all, tau = 0.5))
+    assert(sdStreamed.nonEmpty && sdStreamed == sdBatch,
+      "semantic decontamination real stream run must equal the batch twin")
     // NULL semantics: a NULL query embedding drops (no phantom rows);
     // a NULL reference row can never be a neighbor; self-id excluded
     val tinyCorpus = Seq((1L, Some(Array(1f, 0f))), (2L, Some(Array(0.5f, 1f))),
