@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-scale ANN path
+  * past int8: split each d-dim embedding into `m` subspaces of
+  * d/m dims, learn a tiny per-subspace codebook (deterministic Lloyd,
+  * the [[KMeans]] conventions), and store each vector as `m` small
+  * codes. At m=8 over d=64 floats that is 8 bytes per vector — 32×
+  * smaller than the raw float32 array — and scoring a query against a
+  * coded vector is `m` table lookups instead of a d-element dot
+  * (asymmetric distance computation, ADC).
+  *
+  * Everything is engine-reproducible with no RNG state, mirroring
+  * [[KMeans]]:
+  *
+  *  - per-subspace seeds are the subvectors of the `ksub` lowest-id
+  *    vectors (labeled by their vec_id, the house convention);
+  *  - assignment minimizes L2 reconstruction error via the equivalent
+  *    argmax of `dot(x_sub, c) - 0.5·dot(c, c)` (the ||x_sub||² term
+  *    is constant per (vector, subspace)); both dots are strict
+  *    sequential folds ([[graft.functions.FloatDot]]), the combination
+  *    is one fixed IEEE multiply+subtract, and ties break to the
+  *    lowest cent_id — any engine computing the same folds agrees
+  *    bitwise;
+  *  - the Lloyd update is the quantized-integer mean (floor(v·2²⁰)
+  *    BIGINT sums — order-free, map-side combinable, exact);
+  *  - the ADC score is the fixed-association chain
+  *    `((lut₀+lut₁)+…)+lut_{m-1}` in subspace order, each lut a strict
+  *    fold — bit-portable to any engine using the same association.
+  *
+  * Scale shape: codebook learning is a broadcast(m·ksub centroids)
+  * map-only assignment + a (sub, cluster, dim) aggregation whose
+  * output is m·ksub·dsub rows regardless of corpus size; encoding is
+  * the same broadcast assignment; ADC joins the exploded (vec, sub)
+  * code stream against a broadcast LUT (|Q|·m·ksub rows) and
+  * aggregates map-side-combinably to |Q|·n groups. Nothing quadratic
+  * in the corpus, nothing collected on the driver.
+  */
+object ProductQuantize {
+
+  /** (vec_id, sub, subv) — one row per vector per subspace, `subv` the
+    * dsub-element slice. The generator is a bounded sequence literal;
+    * the slice runs once per generated row by construction. */
+  def subvectors(corpus: DataFrame, m: Int, dsub: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(embCol).as("__e"))
+      .select(col(idCol), col("__e"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("subv", expr(s"slice(__e, sub * $dsub + 1, $dsub)"))
+      .select(col(idCol), col("sub"), col("subv"))
+
+  /** Per-subspace argmax assignment of `sv` (subvectors' shape) to
+    * `books` (sub, cent_id, cent). Output: (idCol, sub, cluster, subv).
+    * One broadcast join + one map-side-combinable agg — the
+    * [[KMeans.assignWithEmb]] shape with a (row, sub) key. */
+  private def assign(sv: DataFrame, books: DataFrame, idCol: String): DataFrame =
+    sv.join(broadcast(books), Seq("sub"))
+      .withColumn("__score",
+        expr("float_dot(subv, cent)") - lit(0.5) * expr("float_dot(cent, cent)"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct((-col("__score")).as("ns"), col("cent_id").as("cid"))).as("__best"),
+           first(col("subv")).as("subv"))
+      .select(col(idCol), col("sub"), col("__best.cid").as("cluster"), col("subv"))
+
+  /** Quantized-exact per-subspace centroid update ([[KMeans.updateCentroids]]
+    * with the extra `sub` key). Output: (sub, cent_id, cent: array<double>),
+    * one row per non-empty (subspace, cluster). */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cluster"), posexplode(col("subv")).as(Seq("j", "v")))
+      .groupBy(col("sub"), col("cluster"), col("j"))
+      .agg(sum(floor(col("v").cast("double") * lit(KMeans.QuantScale))).as("qsum"),
+           count(lit(1)).as("cnt"))
+      .withColumn("cval", col("qsum").cast("double") / col("cnt") / lit(KMeans.QuantScale))
+      .groupBy(col("sub"), col("cluster"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cval")))).as("__s"))
+      // m·ksub rows total: the interpreted-HOF transform is off the hot path
+      .select(col("sub"), col("cluster").as("cent_id"),
+              expr("transform(__s, x -> x.cval)").as("cent"))
+
+  /** Learn the per-subspace codebooks: deterministic seeds (subvectors
+    * of the ksub lowest-id vectors), then `iters` Lloyd steps. Output:
+    * (sub, cent_id, cent). Empty clusters drop out of the update, as
+    * in [[KMeans]]. */
+  def codebooks(corpus: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sv = subvectors(corpus, m, dsub, idCol, embCol)
+    val seedIds = corpus.orderBy(col(idCol)).limit(ksub).select(col(idCol))
+    var books = sv.join(broadcast(seedIds), Seq(idCol))
+      .select(col("sub"), col(idCol).as("cent_id"), col("subv").as("cent"))
+    for (_ <- 0 until iters) books = update(assign(sv, books, idCol))
+    books
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid code.
+    * Output: (idCol, sub, code) — the long form ADC consumes; a
+    * compacted array form is one `collect_list` away when a store
+    * wants m bytes per row. */
+  def encode(corpus: DataFrame, books: DataFrame, m: Int, dsub: Int,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assign(subvectors(corpus, m, dsub, idCol, embCol), books, idCol)
+      .select(col(idCol), col("sub"), col("cluster").as("code"))
+
+  /** End-to-end PQ retrieval: learn codebooks on `corpus`, encode it,
+    * and rank by the ADC score — the per-query lookup-table sum that
+    * never touches the original corpus vectors. Output: (query_id,
+    * neighbor_id, adc, rnk ≤ k), self-pairs excluded. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              m: Int, dsub: Int, ksub: Int, iters: Int,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val books = codebooks(corpus, m, dsub, ksub, iters, idCol, embCol)
+      .localCheckpoint() // consumed by two branches (lut + encode): never re-learn
+    val codes = encode(corpus, books, m, dsub, idCol, embCol)
+    val lut = subvectors(queries, m, dsub, idCol, embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+              expr("float_dot(subv, cent)").as("lut"))
+    val terms = (0 until m).map(i => max(when(col("sub") === i, col("lut"))).as(s"__l$i"))
+    val joined = codes
+      .join(broadcast(lut), codes("sub") === lut("sub") && codes("code") === lut("cent_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), codes(idCol).as("neighbor_id"), codes("sub"), col("lut"))
+    val pivoted = joined.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(terms.head, terms.tail: _*)
+    // fixed-association left fold over subspace order — bit-portable
+    val score = (0 until m).map(i => col(s"__l$i")).reduce(_ + _)
+    pivoted
+      .withColumn("adc", score)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))
+  }
+}

@@ -1017,6 +1017,109 @@ object VectorQueries {
       |  cosine >= CAST(0.25 AS DOUBLE) AS contaminated
       |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** Product-quantized retrieval ([[graft.operators.ProductQuantize]]):
+    * 8 subspaces of 8 dims, 16-centroid codebooks (deterministic
+    * seeds + one quantized-exact Lloyd step), corpus encoded to 8
+    * codes per vector (32× smaller than float32), ranking by the ADC
+    * lookup-table score. Fully oracle-checked: assignments are
+    * strict-fold dot minus half-self-dot chains with lowest-cent_id
+    * ties, the Lloyd mean is the integer-quantized q45 form, and the
+    * ADC score is a fixed-association 8-term chain — every number is
+    * bit-portable. */
+  def q202PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.operators.ProductQuantize.adcTopK(
+        corpus, corpus.filter($"vec_id" < 10), k = 5,
+        m = 8, dsub = 8, ksub = 16, iters = 1)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q202Sql: String = {
+    val adcChain = (0 until 8)
+      .map(i => s"MAX(CASE WHEN c.sub=$i THEN l.lutv END)").mkString(" + ")
+    s"""WITH seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT UNNEST(range(0, 8)) AS sub),
+      |d0 AS (
+      |  SELECT e.vec_id, g.sub, s.cent_id,
+      |    (SELECT SUM(CAST(e.embedding[g.sub*8+j] AS DOUBLE) * CAST(c.embedding[g.sub*8+j] AS DOUBLE))
+      |     FROM UNNEST(range(1, 9)) t(j))
+      |    - 0.5 * (SELECT SUM(CAST(c.embedding[g.sub*8+j] AS DOUBLE) * CAST(c.embedding[g.sub*8+j] AS DOUBLE))
+      |             FROM UNNEST(range(1, 9)) t(j)) AS score
+      |  FROM embeddings e, subs g, seeds s JOIN embeddings c ON c.vec_id = s.cent_id),
+      |a0 AS (SELECT vec_id, sub, cent_id AS cluster FROM (
+      |         SELECT vec_id, sub, cent_id,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, cent_id) rn
+      |         FROM d0) WHERE rn = 1),
+      |el AS (SELECT vec_id, (i-1)//8 AS sub, (i-1)%8+1 AS j, CAST(embedding[i] AS DOUBLE) AS v
+      |       FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+      |qv AS (SELECT a.sub, a.cluster, e.j, CAST(floor(e.v * 1048576.0) AS BIGINT) AS q
+      |       FROM a0 a JOIN el e ON e.vec_id = a.vec_id AND e.sub = a.sub),
+      |newc AS (SELECT sub, cluster, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS cval
+      |         FROM qv GROUP BY sub, cluster, j),
+      |books AS (SELECT sub, cluster AS cent_id, list(cval ORDER BY j) AS cemb
+      |          FROM newc GROUP BY sub, cluster),
+      |d1 AS (
+      |  SELECT e.vec_id, b.sub, b.cent_id,
+      |    (SELECT SUM(CAST(e.embedding[b.sub*8+j] AS DOUBLE) * b.cemb[j])
+      |     FROM UNNEST(range(1, 9)) t(j))
+      |    - 0.5 * (SELECT SUM(b.cemb[j] * b.cemb[j]) FROM UNNEST(range(1, 9)) t(j)) AS score
+      |  FROM embeddings e, books b),
+      |codes AS (SELECT vec_id, sub, cent_id AS code FROM (
+      |            SELECT vec_id, sub, cent_id,
+      |              ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, cent_id) rn
+      |            FROM d1) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS query_id, b.sub, b.cent_id,
+      |    (SELECT SUM(CAST(q.embedding[b.sub*8+j] AS DOUBLE) * b.cemb[j])
+      |     FROM UNNEST(range(1, 9)) t(j)) AS lutv
+      |  FROM embeddings q, books b WHERE q.vec_id < 10),
+      |adct AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    $adcChain AS adc
+      |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cent_id = c.code
+      |  WHERE l.query_id <> c.vec_id
+      |  GROUP BY l.query_id, c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+      |           FROM adct)
+      |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q203
+  /** Recall audit of PQ/ADC retrieval (q202) against exact brute force
+    * — q197's pattern for the 32×-compressed path: how much top-5
+    * accuracy do 8-byte codes cost? Composed oracle embeds q22's and
+    * q202's SQL whole, so the recall arithmetic is verified
+    * end-to-end. */
+  def q203PqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val pq = graft.operators.ProductQuantize.adcTopK(
+      corpus, queries, k = 5, m = 8, dsub = 8, ksub = 16, iters = 1)
+    Similarity.recallAtK(exact, pq, k = 5)
+      .orderBy($"query_id")
+  }
+
+  val q203Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |qr AS (SELECT query_id, neighbor_id FROM ($q202Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |agg AS (SELECT q.query_id,
+      |          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |          CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |        FROM qids q LEFT JOIN qr a USING (query_id)
+      |          LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        GROUP BY q.query_id)
+      |SELECT query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM agg ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1043,6 +1146,8 @@ object VectorQueries {
     "q199_int8_recall" -> q199Int8Recall _,
     "q200_hybrid_rrf" -> q200HybridRrf _,
     "q201_semantic_decontam" -> q201SemanticDecontam _,
+    "q202_pq_adc" -> q202PqAdc _,
+    "q203_pq_recall" -> q203PqRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1071,5 +1176,7 @@ object VectorQueries {
     "q199_int8_recall" -> q199Sql,
     "q200_hybrid_rrf" -> q200Sql,
     "q201_semantic_decontam" -> q201Sql,
+    "q202_pq_adc" -> q202Sql,
+    "q203_pq_recall" -> q203Sql,
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[graft.operators.ProductQuantize]]'s semantics: the ADC score
+  * is exactly the fixed-association chain of per-subspace codebook
+  * dots (recomputed independently here from the collected books and
+  * codes), codebooks are bitwise partitioning-independent (the
+  * quantized-integer Lloyd mean), encode ties break to the lowest
+  * cent_id, and the top-k contract excludes self-pairs. */
+class ProductQuantizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.operators.ProductQuantize
+
+  private val M = 2
+  private val DSUB = 4
+
+  /** 8-dim corpus of four well-separated direction bundles (one-hot
+    * pairs), deterministically wobbled so Lloyd has work to do. */
+  private def corpus = {
+    import spark.implicits._
+    (0 until 64).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(i % 4) = 1.0f
+      base(4 + (i % 4)) = 1.0f
+      base((i % 4 + 1) % 4) = 0.01f * (i % 5)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  /** The strict sequential fold [[graft.functions.FloatDot]] computes. */
+  private def fold(a: Seq[Float], b: Seq[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < b.length) { s += a(j).toDouble * b(j); j += 1 }
+    s
+  }
+
+  test("adcTopK score equals the per-subspace codebook-dot chain, self excluded") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 4)
+    val books = ProductQuantize.codebooks(c, M, DSUB, ksub = 4, iters = 1)
+    val bookMap = books.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val codeMap = ProductQuantize.encode(c, books, M, DSUB).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val raw = c.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val got = ProductQuantize.adcTopK(c, queries, k = 5, M, DSUB, ksub = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, _, _) => q != n }, "self pair leaked")
+    assert(got.groupBy(_._1).values.forall(_.map(_._4).sorted.sameElements(1L to 5L)))
+    got.foreach { case (q, n, adc, _) =>
+      val expected = (0 until M).map { sub =>
+        fold(raw(q).slice(sub * DSUB, sub * DSUB + DSUB), bookMap((sub, codeMap((n, sub)))))
+      }.reduce(_ + _)
+      assert(java.lang.Double.doubleToRawLongBits(adc) ==
+        java.lang.Double.doubleToRawLongBits(expected), s"($q,$n): $adc != $expected")
+    }
+  }
+
+  test("codebooks are bitwise partitioning-independent") {
+    def books(df: org.apache.spark.sql.DataFrame) =
+      ProductQuantize.codebooks(df, M, DSUB, ksub = 4, iters = 2).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toList).toMap
+    val plain = books(corpus)
+    val shuffled = books(corpus.repartition(7, col("vec_id")))
+    assert(plain == shuffled)
+    assert(plain.values.forall(_.length == DSUB))
+  }
+
+  test("encode groups the separable bundles and ties break to the lowest cent_id") {
+    import spark.implicits._
+    val c = corpus
+    val books = ProductQuantize.codebooks(c, M, DSUB, ksub = 4, iters = 1)
+    val codes = ProductQuantize.encode(c, books, M, DSUB).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // each vector gets exactly one code per subspace, referencing a book entry
+    assert(codes.size == 64 * M)
+    val bookIds = books.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(codes.forall { case ((_, sub), code) => bookIds.contains((sub, code)) })
+    // same-bundle vectors land on the same code in the clean subspace (sub 1)
+    (0 until 4).foreach { b =>
+      val bundle = (b until 64 by 4).map(i => codes((i.toLong, 1)))
+      assert(bundle.distinct.size == 1, s"bundle $b splits in sub 1")
+    }
+    // duplicate centroids: every assignment must pick the lowest cent_id
+    val dupBooks = Seq((0, 7L, Seq(1.0, 1.0, 1.0, 1.0)), (0, 3L, Seq(1.0, 1.0, 1.0, 1.0)),
+                       (1, 7L, Seq(1.0, 1.0, 1.0, 1.0)), (1, 3L, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("sub", "cent_id", "cent")
+    val tied = ProductQuantize.encode(c, dupBooks, M, DSUB).collect().map(_.getLong(2))
+    assert(tied.forall(_ == 3L))
+  }
+}
