@@ -428,6 +428,145 @@ object QuantizedTopKNeighbors {
   }
 }
 
+/** Product-quantized variant of [[TopKNeighbors]] — the streaming
+  * EXTREME-memory path: the broadcast carries `m` subspace-codebook
+  * POSITIONS per reference (two bytes each at the Short width) instead
+  * of d doubles — 32× smaller than the exact kernel at m=8 over d=64 —
+  * plus the tiny shared codebooks. Scoring builds one per-row lookup
+  * table (O(d·ksub) strict folds) and then costs O(m) adds per
+  * reference: asymmetric distance computation, exactly
+  * [[graft.operators.ProductQuantize.adcTopK]]'s arithmetic.
+  *
+  * Bit-parity contract with the batch operator (q204's oracle is
+  * q202's SQL verbatim): each LUT entry is the strict sequential fold
+  * of the query subvector against a codebook centroid (≡ the batch
+  * `float_dot(subv, cent)`), and the score is the fixed-association
+  * left chain `((lut₀+lut₁)+…)+lut_{m-1}` in subspace order (≡ the
+  * batch pivot chain). Ties rank `(adc DESC, id ASC)` via the shared
+  * [[TopKNeighbors.insertTopK]].
+  *
+  * The ADC score approximates the raw INNER PRODUCT (no norms, no
+  * division) — zero vectors are legal here, unlike the cosine kernels.
+  * A query whose dimensionality differs from m·dsub fails loudly. */
+case class PqTopKNeighbors(left: Expression, right: Expression,
+    index: Broadcast[PqTopKNeighbors.PqIndex], k: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private def embOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_topk_neighbors needs a bigint query id, got ${left.dataType}")
+    else if (!embOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_topk_neighbors needs an array<float|double> embedding, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(PqTopKNeighbors.resultStruct, containsNull = false)
+
+  override def prettyName: String = "pq_topk_neighbors"
+
+  private lazy val isFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(idAny: Any, embAny: Any): Any = {
+    val qid = idAny.asInstanceOf[Long]
+    val q = embAny.asInstanceOf[ArrayData]
+    val idx = index.value
+    val m = idx.m
+    val dsub = idx.dsub
+    val d = q.numElements()
+    require(d == m * dsub,
+      s"query vector $qid has $d dims, PQ index expects ${m * dsub}")
+    val qd = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      qd(i) = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      i += 1
+    }
+    // per-row LUT: lut(sub)(pos) = strict fold of the query subvector
+    // against codebook centroid `pos` — the batch float_dot(subv, cent)
+    val lut = new Array[Array[Double]](m)
+    var sub = 0
+    while (sub < m) {
+      val book = idx.books(sub)
+      val row = new Array[Double](book.length)
+      var p = 0
+      while (p < book.length) {
+        val cent = book(p)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { s += qd(sub * dsub + j) * cent(j); j += 1 }
+        row(p) = s
+        p += 1
+      }
+      lut(sub) = row
+      sub += 1
+    }
+    val cand = idx.refs
+    val ids = new Array[Long](k)
+    val cs = new Array[Double](k)
+    var size = 0
+    var c = 0
+    while (c < cand.length) {
+      val r = cand(c)
+      if (r.id != qid) {
+        // fixed-association left chain in subspace order — the batch
+        // pivot's ((l0+l1)+…) reduce, bit-for-bit
+        var s = lut(0)(r.codes(0))
+        var t = 1
+        while (t < m) { s += lut(t)(r.codes(t)); t += 1 }
+        size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id, s)
+      }
+      c += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      val row = new GenericInternalRow(3)
+      row.setLong(0, ids(i))
+      row.setDouble(1, cs(i))
+      row.setLong(2, (i + 1).toLong)
+      rows(i) = row
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqTopKNeighbors =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqTopKNeighbors {
+  /** One PQ-coded reference: `codes(sub)` = the POSITION of its
+    * centroid in `books(sub)` (cent_id-ascending order). Short keeps
+    * the per-reference footprint at 2·m bytes; codebooks past 32767
+    * centroids per subspace are refused at build time. */
+  case class PqRef(id: Long, codes: Array[Short])
+
+  /** `books(sub)(pos)` = centroid array, positions in cent_id-ascending
+    * order per subspace (the deterministic order both the batch pivot
+    * and this kernel resolve ties against — cent_id order only matters
+    * through the codes, which carry it). */
+  case class PqIndex(m: Int, dsub: Int,
+      books: Array[Array[Array[Double]]], refs: Array[PqRef])
+
+  val resultStruct: StructType = StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("adc", DoubleType, nullable = false),
+    StructField("rnk", LongType, nullable = false)))
+}
+
 object IvfTopKNeighbors {
   /** `centroids` in cent_id-ASCENDING order; `cells(i)` = the
     * references assigned to `centroids(i)` (each reference in exactly

@@ -1120,6 +1120,26 @@ object VectorQueries {
       |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
       |FROM agg ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** The streaming PQ ANN on its batch twin
+    * ([[graft.streaming.StreamOps.annStreamPq]]): per-row ADC top-k
+    * over a broadcast of 8-byte-coded references + shared codebooks
+    * (32× smaller than the exact kernel's doubles). The index is built
+    * by collecting the REAL batch ProductQuantize frames, and the
+    * kernel's LUT folds + fixed-association chain mirror `adcTopK`'s
+    * arithmetic exactly, so the oracle is q202's SQL verbatim — zero
+    * new SQL. */
+  def q204AnnStreamPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.streaming.StreamOps.annStreamPq(
+        corpus.filter($"vec_id" < 10), corpus, k = 5,
+        m = 8, dsub = 8, ksub = 16, iters = 1)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q204Sql: String = q202Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1148,6 +1168,7 @@ object VectorQueries {
     "q201_semantic_decontam" -> q201SemanticDecontam _,
     "q202_pq_adc" -> q202PqAdc _,
     "q203_pq_recall" -> q203PqRecall _,
+    "q204_ann_stream_pq" -> q204AnnStreamPq _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1178,5 +1199,6 @@ object VectorQueries {
     "q201_semantic_decontam" -> q201Sql,
     "q202_pq_adc" -> q202Sql,
     "q203_pq_recall" -> q203Sql,
+    "q204_ann_stream_pq" -> q204Sql,
   )
 }

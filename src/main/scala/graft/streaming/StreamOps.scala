@@ -456,6 +456,83 @@ object StreamOps {
     neighborRows(queries, idCol, nn)
   }
 
+  /** Product-quantized variant of [[annStream]] — the streaming
+    * EXTREME-memory path past int8: the broadcast carries `m` codebook
+    * positions per reference (2·m bytes — 16 B/vector at m=8, 32×
+    * smaller than the exact kernel's doubles) plus the tiny shared
+    * per-subspace codebooks, so the default budget rises to 2^21
+    * vectors. Codebooks and codes are learned by running the ACTUAL
+    * batch [[graft.operators.ProductQuantize]] frames and collecting
+    * them, so the kernel's LUT folds and fixed-association score chain
+    * are bit-identical to `adcTopK` by construction — q204's oracle is
+    * q202's SQL verbatim. Scoring is asymmetric distance computation:
+    * O(d·ksub) LUT folds once per row, then O(m) adds per reference.
+    *
+    * The ADC score approximates the raw INNER PRODUCT (no norms — zero
+    * vectors are legal, unlike the cosine kernels). Accuracy is the
+    * aggressive-compression tradeoff — audit with
+    * [[graft.operators.Similarity.recallAtK]] (q203) before
+    * substituting it for the exact form. Same reference-set contract
+    * as [[annStream]]: broadcast once at call time, refusal past the
+    * budget, NULL-id/embedding references dropped up front. */
+  def annStreamPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int, dsub: Int, ksub: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBroadcastVecs: Long = 1L << 21): DataFrame = {
+    import graft.functions.PqTopKNeighbors
+    val spark = corpus.sparkSession
+    val clean = corpus.where(col(idCol).isNotNull && col(embCol).isNotNull)
+    // run the real batch learner once; localCheckpoint so the encode
+    // branch and the collect below share one materialization
+    val booksDf = graft.operators.ProductQuantize
+      .codebooks(clean, m, dsub, ksub, iters, idCol, embCol).localCheckpoint()
+    val bookRows = booksDf.collect()
+    val posOf = new scala.collection.mutable.HashMap[(Int, Long), Short]
+    val books = Array.ofDim[Array[Array[Double]]](m)
+    bookRows.groupBy(_.getInt(0)).foreach { case (sub, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      require(sorted.length <= Short.MaxValue,
+        s"PQ codebook for subspace $sub has ${sorted.length} centroids — past the Short code width")
+      books(sub) = sorted.map(_.getSeq[Any](2).iterator.map {
+        case f: java.lang.Float => f.doubleValue()
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray)
+      sorted.iterator.zipWithIndex.foreach { case (r, p) =>
+        posOf((sub, r.getLong(1))) = p.toShort
+      }
+    }
+    require(books.forall(_ != null),
+      s"PQ codebooks cover ${bookRows.map(_.getInt(0)).distinct.length} of $m subspaces — " +
+        "the reference corpus is empty or the learner dropped a subspace")
+    val cap = (maxBroadcastVecs + 1).min(Int.MaxValue.toLong - 1).toInt
+    val codeRows = graft.operators.ProductQuantize
+      .encode(clean, booksDf, m, dsub, idCol, embCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("__cs"))
+      .limit(cap).collect()
+    require(codeRows.length <= maxBroadcastVecs,
+      s"reference set exceeds the broadcast budget ($maxBroadcastVecs vectors); " +
+        "streaming ANN needs a broadcastable reference set — use the batch " +
+        "ProductQuantize operator for corpus-scale reference sides")
+    val refs = codeRows.map { r =>
+      val cs = r.getSeq[org.apache.spark.sql.Row](1)
+      require(cs.length == m,
+        s"reference vector ${r.getLong(0)} encoded to ${cs.length} of $m codes")
+      PqTopKNeighbors.PqRef(r.getLong(0),
+        cs.iterator.map(c => posOf((c.getInt(0), c.getLong(1)))).toArray)
+    }
+    val bc = spark.sparkContext.broadcast(
+      PqTopKNeighbors.PqIndex(m, dsub, books, refs))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(PqTopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k))
+    queries
+      .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
+      .select(col("query_id"), col("__n.neighbor_id"), col("__n.adc"),
+        col("__n.rnk"))
+  }
+
   private def collectRefs(corpus: DataFrame, idCol: String, embCol: String,
       maxBroadcastVecs: Long): Array[graft.functions.TopKNeighbors.Ref] = {
     val cap = (maxBroadcastVecs + 1).min(Int.MaxValue.toLong - 1).toInt

@@ -282,6 +282,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(exRef.getMessage.contains("zero norm"))
   }
 
+  test("streaming PQ ANN: real micro-batch run ≡ batch twin ≡ adcTopK; NULLs drop; dim/budget loud") {
+    val sf = "/root/testdata/sf0.001"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = all.filter($"vec_id" % 7 === 0)
+    val dir = Files.createTempDirectory("stream-ann-pq").toString
+    queries.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(queries.schema).parquet(dir)
+    val q = StreamOps.annStreamPq(stream, all, k = 3,
+        m = 8, dsub = 8, ksub = 4, iters = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("annstreampq").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val streamed = rows(spark.table("annstreampq"))
+    val batchTwin = rows(StreamOps.annStreamPq(queries, all, k = 3,
+      m = 8, dsub = 8, ksub = 4, iters = 1))
+    assert(streamed.nonEmpty && streamed == batchTwin,
+      "real micro-batch run must equal the batch twin")
+    // BIT-exact against the batch operator (the q202 oracle family):
+    // same LUT folds, same fixed-association chain, same tie-break
+    val adc = rows(graft.operators.ProductQuantize.adcTopK(all, queries, k = 3,
+      m = 8, dsub = 8, ksub = 4, iters = 1))
+    assert(batchTwin == adc, "annStreamPq must be bit-identical to adcTopK")
+    // NULL semantics: a NULL query embedding drops; a NULL reference
+    // row can never be a neighbor; self-id excluded. ADC has no norms,
+    // so (unlike the cosine kernels) zero vectors are legal inputs.
+    val tinyCorpus = Seq((1L, Some(Array(1f, 0f, 0f, 1f))),
+        (2L, Some(Array(0.5f, 1f, 1f, 0f))), (3L, None))
+      .toDF("vec_id", "embedding")
+    val nullQ = Seq((9001L, None), (2L, Some(Array(1f, 1f, 1f, 1f))))
+      .toDF("vec_id", "embedding")
+    val res = rows(StreamOps.annStreamPq(nullQ, tinyCorpus, k = 5,
+      m = 2, dsub = 2, ksub = 2, iters = 1))
+    assert(res.map(_._1).distinct == Seq(2L), s"NULL query must drop: $res")
+    assert(res.map(_._2).toSet == Set(1L), // self (2) excluded, NULL ref (3) excluded
+      s"expected only neighbor 1, got $res")
+    // dimensionality mismatch fails loudly, never silently skips
+    val badQ = Seq((7L, Some(Array(1f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      StreamOps.annStreamPq(badQ, tinyCorpus, k = 2,
+        m = 2, dsub = 2, ksub = 2, iters = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(ex).exists(_.contains("dims")), chain(ex).mkString(" | "))
+    // oversized reference set refuses the stream form, not a silent spill
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamOps.annStreamPq(nullQ, tinyCorpus, k = 2,
+        m = 2, dsub = 2, ksub = 2, iters = 1, maxBroadcastVecs = 1)
+    }
+    assert(ex2.getMessage.contains("broadcast budget"))
+  }
+
   test("streaming IVF ANN ≡ batch ivfTopK: quantization + probe + top-k all bit-exact") {
     val sf = "/root/testdata/sf0.001"
     val all = spark.read.parquet(s"$sf/embeddings.parquet")
