@@ -104,6 +104,73 @@ object ProductQuantize {
     assign(subvectors(corpus, m, dsub, idCol, embCol), books, idCol)
       .select(col(idCol), col("sub"), col("cluster").as("code"))
 
+  /** IVF-ADC retrieval (the FAISS IVFPQ shape, without residual
+    * encoding so codes stay cell-independent): a coarse quantizer
+    * restricts each query to its `nProbe` max-dot cells —
+    * [[Similarity.ivfTopK]]'s EXACT deterministic rule (lowest-id
+    * centroids, raw-dot assignment, ties to the lower cent_id) — and
+    * only those cells' members are ADC-scored against the shared
+    * per-subspace codebooks. Shuffle inventory: candidate pairs keyed
+    * by cell then neighbor, never all-pairs; the LUT and coarse
+    * centroids broadcast. Output: (query_id, neighbor_id, adc,
+    * rnk ≤ k), self-pairs excluded. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCentroids: Int, nProbe: Int,
+                 m: Int, dsub: Int, ksub: Int, iters: Int,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("coarse_id"), col(embCol).as("__cent"))
+    def coarse(df: DataFrame, outId: String, probe: Int): DataFrame = {
+      val sims = df.select(col(idCol).as(outId), col(embCol).as("__e"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__sim", expr("float_dot(__e, __cent)"))
+      val w = Window.partitionBy(col(outId)).orderBy(col("__sim").desc, col("coarse_id"))
+      sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
+        .select(col(outId), col("coarse_id"))
+    }
+    val corpusCells = coarse(corpus, "neighbor_id", 1)
+    val queryCells = coarse(queries, "query_id", nProbe)
+    val books = codebooks(corpus, m, dsub, ksub, iters, idCol, embCol)
+      .localCheckpoint() // consumed by two branches (lut + encode): never re-learn
+    val codes = encode(corpus, books, m, dsub, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val lut = subvectors(queries, m, dsub, idCol, embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+              expr("float_dot(subv, cent)").as("lut"))
+    // each corpus vector lives in exactly one cell, so a (query,
+    // neighbor) candidate appears at most once
+    val cand = queryCells.join(corpusCells, Seq("coarse_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val joined = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut),
+        cand("query_id") === lut("query_id") && codes("sub") === lut("sub") &&
+          codes("code") === lut("cent_id"))
+      .select(cand("query_id"), col("neighbor_id"), codes("sub"), col("lut"))
+    rankAdc(joined, m, k)
+  }
+
+  /** Pivot the per-(query, neighbor, sub) LUT stream into the
+    * fixed-association ADC chain and rank — shared by [[adcTopK]] and
+    * [[ivfAdcTopK]] so the score arithmetic cannot fork. */
+  private def rankAdc(joined: DataFrame, m: Int, k: Int): DataFrame = {
+    val terms = (0 until m).map(i => max(when(col("sub") === i, col("lut"))).as(s"__l$i"))
+    val pivoted = joined.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(terms.head, terms.tail: _*)
+    // fixed-association left fold over subspace order — bit-portable
+    val score = (0 until m).map(i => col(s"__l$i")).reduce(_ + _)
+    pivoted
+      .withColumn("adc", score)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))
+  }
+
   /** End-to-end PQ retrieval: learn codebooks on `corpus`, encode it,
     * and rank by the ADC score — the per-query lookup-table sum that
     * never touches the original corpus vectors. Output: (query_id,
@@ -119,21 +186,10 @@ object ProductQuantize {
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cent_id"),
               expr("float_dot(subv, cent)").as("lut"))
-    val terms = (0 until m).map(i => max(when(col("sub") === i, col("lut"))).as(s"__l$i"))
     val joined = codes
       .join(broadcast(lut), codes("sub") === lut("sub") && codes("code") === lut("cent_id"))
       .filter(col("query_id") =!= col(idCol))
       .select(col("query_id"), codes(idCol).as("neighbor_id"), codes("sub"), col("lut"))
-    val pivoted = joined.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(terms.head, terms.tail: _*)
-    // fixed-association left fold over subspace order — bit-portable
-    val score = (0 until m).map(i => col(s"__l$i")).reduce(_ + _)
-    pivoted
-      .withColumn("adc", score)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id")))
-        .cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rnk"))
+    rankAdc(joined, m, k)
   }
 }

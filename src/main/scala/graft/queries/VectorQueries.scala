@@ -1036,10 +1036,17 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
-  val q202Sql: String = {
-    val adcChain = (0 until 8)
-      .map(i => s"MAX(CASE WHEN c.sub=$i THEN l.lutv END)").mkString(" + ")
-    s"""WITH seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 16),
+  /** The ADC pivot chain shared by q202/q205's oracles: one MAX(CASE)
+    * term per subspace, summed left-associatively — the exact chain
+    * the Spark pivot's `reduce(_ + _)` builds. */
+  private val pqAdcChain = (0 until 8)
+    .map(i => s"MAX(CASE WHEN c.sub=$i THEN l.lutv END)").mkString(" + ")
+
+  /** Shared PQ CTE block (codebook learning → codes → query LUTs),
+    * embedded whole by q202's and q205's oracles so the learner SQL
+    * cannot fork from itself. */
+  private val pqCtes: String =
+    """seeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 16),
       |subs AS (SELECT UNNEST(range(0, 8)) AS sub),
       |d0 AS (
       |  SELECT e.vec_id, g.sub, s.cent_id,
@@ -1074,10 +1081,13 @@ object VectorQueries {
       |  SELECT q.vec_id AS query_id, b.sub, b.cent_id,
       |    (SELECT SUM(CAST(q.embedding[b.sub*8+j] AS DOUBLE) * b.cemb[j])
       |     FROM UNNEST(range(1, 9)) t(j)) AS lutv
-      |  FROM embeddings q, books b WHERE q.vec_id < 10),
+      |  FROM embeddings q, books b WHERE q.vec_id < 10)""".stripMargin
+
+  val q202Sql: String =
+    s"""WITH $pqCtes,
       |adct AS (
       |  SELECT l.query_id, c.vec_id AS neighbor_id,
-      |    $adcChain AS adc
+      |    $pqAdcChain AS adc
       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cent_id = c.code
       |  WHERE l.query_id <> c.vec_id
       |  GROUP BY l.query_id, c.vec_id),
@@ -1087,7 +1097,6 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q203
   /** Recall audit of PQ/ADC retrieval (q202) against exact brute force
@@ -1140,6 +1149,62 @@ object VectorQueries {
 
   val q204Sql: String = q202Sql
 
+  // ---------------------------------------------------------------- q205
+  /** IVF-ADC retrieval ([[graft.operators.ProductQuantize.ivfAdcTopK]]
+    * — the FAISS IVFPQ shape without residual encoding): q36's coarse
+    * quantizer restricts each query to its 2 max-dot cells, and only
+    * those cells' members are scored by q202's ADC chain. Fully
+    * oracle-checked by composing the two proven CTE blocks — the cell
+    * assignment is q36's SQL shape verbatim and the codebook/LUT block
+    * is [[pqCtes]] whole, so nothing about the composition is new
+    * arithmetic. */
+  def q205IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.operators.ProductQuantize.ivfAdcTopK(
+        corpus, corpus.filter($"vec_id" < 10), k = 5,
+        nCentroids = 16, nProbe = 2, m = 8, dsub = 8, ksub = 16, iters = 1)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q205Sql: String =
+    s"""WITH $pqCtes,
+      |ccents AS (
+      |  SELECT vec_id AS coarse_id, embedding AS ccemb
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |cdots AS (
+      |  SELECT e.vec_id, c.coarse_id,
+      |    (SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.ccemb[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(e.embedding)+1)) t(i)) AS sim
+      |  FROM embeddings e, ccents c),
+      |corpus_assign AS (
+      |  SELECT vec_id, coarse_id FROM (
+      |    SELECT vec_id, coarse_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, coarse_id) rn
+      |    FROM cdots) WHERE rn = 1),
+      |query_assign AS (
+      |  SELECT vec_id, coarse_id FROM (
+      |    SELECT vec_id, coarse_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, coarse_id) rn
+      |    FROM cdots WHERE vec_id < 10) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id
+      |  FROM query_assign q JOIN corpus_assign ca ON q.coarse_id = ca.coarse_id
+      |  WHERE ca.vec_id <> q.vec_id),
+      |adct AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    $pqAdcChain AS adc
+      |  FROM cand x
+      |    JOIN codes c ON c.vec_id = x.neighbor_id
+      |    JOIN lut l ON l.query_id = x.query_id AND l.sub = c.sub AND l.cent_id = c.code
+      |  GROUP BY l.query_id, c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+      |           FROM adct)
+      |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1169,6 +1234,7 @@ object VectorQueries {
     "q202_pq_adc" -> q202PqAdc _,
     "q203_pq_recall" -> q203PqRecall _,
     "q204_ann_stream_pq" -> q204AnnStreamPq _,
+    "q205_ivf_adc" -> q205IvfAdc _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1200,5 +1266,6 @@ object VectorQueries {
     "q202_pq_adc" -> q202Sql,
     "q203_pq_recall" -> q203Sql,
     "q204_ann_stream_pq" -> q204Sql,
+    "q205_ivf_adc" -> q205Sql,
   )
 }

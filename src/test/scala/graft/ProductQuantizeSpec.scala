@@ -62,6 +62,30 @@ class ProductQuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdcTopK probing every cell equals the flat ADC sweep bitwise; fewer probes only restrict") {
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    val flat = rows(graft.operators.ProductQuantize.adcTopK(
+      c, queries, k = 5, M, DSUB, ksub = 4, iters = 1))
+    val allCells = rows(graft.operators.ProductQuantize.ivfAdcTopK(
+      c, queries, k = 5, nCentroids = 4, nProbe = 4, M, DSUB, ksub = 4, iters = 1))
+    assert(flat.nonEmpty && allCells == flat,
+      "probing every cell must reproduce the flat sweep bit-for-bit")
+    // one probe: results are a per-query subset of the flat candidate
+    // universe with identical scores where they appear
+    val one = rows(graft.operators.ProductQuantize.ivfAdcTopK(
+      c, queries, k = 5, nCentroids = 4, nProbe = 1, M, DSUB, ksub = 4, iters = 1))
+    assert(one.nonEmpty)
+    val flatScores = flat.map(t => (t._1, t._2) -> t._3).toMap
+    assert(one.forall { t =>
+      flatScores.get((t._1, t._2)).forall(_ == t._3)
+    }, "probed subset must score identically to the flat sweep")
+  }
+
   test("codebooks are bitwise partitioning-independent") {
     def books(df: org.apache.spark.sql.DataFrame) =
       ProductQuantize.codebooks(df, M, DSUB, ksub = 4, iters = 2).collect()
