@@ -567,6 +567,147 @@ object PqTopKNeighbors {
     StructField("rnk", LongType, nullable = false)))
 }
 
+/** IVF-PQ variant of [[PqTopKNeighbors]] — the streaming form of
+  * [[graft.operators.ProductQuantize.ivfAdcTopK]] (the FAISS IVFPQ
+  * shape): each row probes its `nProbe` max-dot coarse cells
+  * ([[graft.operators.Similarity.ivfTopK]]'s deterministic rule — raw
+  * strict-fold dots, ties to the lower cent_id; centroid POSITIONS
+  * stand in for labels, legal because centroids are stored in
+  * label-ascending order) and ADC-scores only those cells' coded
+  * members. Per-row cost: O(C·d) coarse dots + O(d·ksub) LUT folds +
+  * O(members·m) adds. Same LUT arithmetic, fixed-association chain,
+  * and `(adc DESC, id ASC)` tie-break as the flat PQ kernel, so the
+  * batch twin is bit-identical to `ivfAdcTopK` and q206's oracle is
+  * q205's SQL verbatim. */
+case class IvfPqTopKNeighbors(left: Expression, right: Expression,
+    index: Broadcast[IvfPqTopKNeighbors.Index], k: Int, nProbe: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+  require(nProbe >= 1, s"IVF needs nProbe >= 1, got $nProbe")
+
+  private def embOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ivfpq_topk_neighbors needs a bigint query id, got ${left.dataType}")
+    else if (!embOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ivfpq_topk_neighbors needs an array<float|double> embedding, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    ArrayType(PqTopKNeighbors.resultStruct, containsNull = false)
+
+  override def prettyName: String = "ivfpq_topk_neighbors"
+
+  private lazy val isFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(idAny: Any, embAny: Any): Any = {
+    val qid = idAny.asInstanceOf[Long]
+    val q = embAny.asInstanceOf[ArrayData]
+    val idx = index.value
+    val m = idx.m
+    val dsub = idx.dsub
+    val d = q.numElements()
+    require(d == m * dsub,
+      s"query vector $qid has $d dims, PQ index expects ${m * dsub}")
+    val qd = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      qd(i) = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
+      i += 1
+    }
+    // coarse probe: top nProbe cells by (raw strict-fold dot DESC,
+    // cent POSITION ASC ≡ label ASC — centroids are label-sorted)
+    require(qd.length == idx.centroids.headOption.map(_.length).getOrElse(d),
+      s"query vector $qid has $d dims, coarse centroids have ${idx.centroids.headOption.map(_.length).getOrElse(-1)}")
+    val probeIds = new Array[Long](nProbe)
+    val probeSims = new Array[Double](nProbe)
+    var probeSize = 0
+    var c = 0
+    while (c < idx.centroids.length) {
+      val ce = idx.centroids(c)
+      var dot = 0.0
+      var j = 0
+      while (j < d) { dot += qd(j) * ce(j); j += 1 }
+      probeSize = TopKNeighbors.insertTopK(probeIds, probeSims, probeSize,
+        nProbe, c.toLong, dot)
+      c += 1
+    }
+    // per-row ADC LUT — identical arithmetic to PqTopKNeighbors
+    val lut = new Array[Array[Double]](m)
+    var sub = 0
+    while (sub < m) {
+      val book = idx.books(sub)
+      val row = new Array[Double](book.length)
+      var p = 0
+      while (p < book.length) {
+        val cent = book(p)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { s += qd(sub * dsub + j) * cent(j); j += 1 }
+        row(p) = s
+        p += 1
+      }
+      lut(sub) = row
+      sub += 1
+    }
+    val ids = new Array[Long](k)
+    val cs = new Array[Double](k)
+    var size = 0
+    var p = 0
+    while (p < probeSize) {
+      val cell = idx.cells(probeIds(p).toInt)
+      var e = 0
+      while (e < cell.length) {
+        val r = cell(e)
+        if (r.id != qid) {
+          var s = lut(0)(r.codes(0))
+          var t = 1
+          while (t < m) { s += lut(t)(r.codes(t)); t += 1 }
+          size = TopKNeighbors.insertTopK(ids, cs, size, k, r.id, s)
+        }
+        e += 1
+      }
+      p += 1
+    }
+    val rows = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      val row = new GenericInternalRow(3)
+      row.setLong(0, ids(i))
+      row.setDouble(1, cs(i))
+      row.setLong(2, (i + 1).toLong)
+      rows(i) = row
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IvfPqTopKNeighbors =
+    copy(left = newLeft, right = newRight)
+}
+
+object IvfPqTopKNeighbors {
+  /** `centroids` = coarse centroids in label-ASCENDING order (raw
+    * doubles — the coarse stage scores FULL vectors); `cells(i)` = the
+    * PQ-coded references assigned to `centroids(i)` (each reference in
+    * exactly one cell); `books` as in [[PqTopKNeighbors.PqIndex]]. */
+  case class Index(m: Int, dsub: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      cells: Array[Array[PqTopKNeighbors.PqRef]])
+}
+
 object IvfTopKNeighbors {
   /** `centroids` in cent_id-ASCENDING order; `cells(i)` = the
     * references assigned to `centroids(i)` (each reference in exactly

@@ -114,22 +114,33 @@ object ProductQuantize {
     * by cell then neighbor, never all-pairs; the LUT and coarse
     * centroids broadcast. Output: (query_id, neighbor_id, adc,
     * rnk ≤ k), self-pairs excluded. */
+  /** Coarse quantizer centroids — [[Similarity.ivfTopK]]'s rule: the
+    * `nCentroids` lowest-id vectors. Output: (coarse_id, __cent). */
+  def coarseCentroids(corpus: DataFrame, nCentroids: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("coarse_id"), col(embCol).as("__cent"))
+
+  /** Assign each row to its `probe` max-raw-dot coarse cells (ties to
+    * the lower coarse_id — ivfTopK's exact rule). Output:
+    * (outId, coarse_id). */
+  def coarseAssign(df: DataFrame, cents: DataFrame, outId: String, probe: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val sims = df.select(col(idCol).as(outId), col(embCol).as("__e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", expr("float_dot(__e, __cent)"))
+    val w = Window.partitionBy(col(outId)).orderBy(col("__sim").desc, col("coarse_id"))
+    sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
+      .select(col(outId), col("coarse_id"))
+  }
+
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCentroids: Int, nProbe: Int,
                  m: Int, dsub: Int, ksub: Int, iters: Int,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("coarse_id"), col(embCol).as("__cent"))
-    def coarse(df: DataFrame, outId: String, probe: Int): DataFrame = {
-      val sims = df.select(col(idCol).as(outId), col(embCol).as("__e"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__sim", expr("float_dot(__e, __cent)"))
-      val w = Window.partitionBy(col(outId)).orderBy(col("__sim").desc, col("coarse_id"))
-      sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
-        .select(col(outId), col("coarse_id"))
-    }
-    val corpusCells = coarse(corpus, "neighbor_id", 1)
-    val queryCells = coarse(queries, "query_id", nProbe)
+    val cents = coarseCentroids(corpus, nCentroids, idCol, embCol)
+    val corpusCells = coarseAssign(corpus, cents, "neighbor_id", 1, idCol, embCol)
+    val queryCells = coarseAssign(queries, cents, "query_id", nProbe, idCol, embCol)
     val books = codebooks(corpus, m, dsub, ksub, iters, idCol, embCol)
       .localCheckpoint() // consumed by two branches (lut + encode): never re-learn
     val codes = encode(corpus, books, m, dsub, idCol, embCol)

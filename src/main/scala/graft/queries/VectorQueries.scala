@@ -1205,6 +1205,25 @@ object VectorQueries {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** The streaming IVF-PQ ANN on its batch twin
+    * ([[graft.streaming.StreamOps.annStreamIvfPq]]): per-row coarse
+    * probe + ADC over cell-grouped coded references — the FAISS-IVFPQ
+    * production shape as a map-only stream op. Cell membership and
+    * codebooks collect the REAL batch frames and the kernel rebuilds
+    * the probe (strict folds, lower-cent ties) and ADC chain exactly,
+    * so the oracle is q205's SQL verbatim — zero new SQL. */
+  def q206AnnStreamIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.streaming.StreamOps.annStreamIvfPq(
+        corpus.filter($"vec_id" < 10), corpus, k = 5,
+        nCentroids = 16, nProbe = 2, m = 8, dsub = 8, ksub = 16, iters = 1)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q206Sql: String = q205Sql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1235,6 +1254,7 @@ object VectorQueries {
     "q203_pq_recall" -> q203PqRecall _,
     "q204_ann_stream_pq" -> q204AnnStreamPq _,
     "q205_ivf_adc" -> q205IvfAdc _,
+    "q206_ann_stream_ivfpq" -> q206AnnStreamIvfPq _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1267,5 +1287,6 @@ object VectorQueries {
     "q203_pq_recall" -> q203Sql,
     "q204_ann_stream_pq" -> q204Sql,
     "q205_ivf_adc" -> q205Sql,
+    "q206_ann_stream_ivfpq" -> q206Sql,
   )
 }

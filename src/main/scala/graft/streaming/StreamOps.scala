@@ -482,8 +482,82 @@ object StreamOps {
     import graft.functions.PqTopKNeighbors
     val spark = corpus.sparkSession
     val clean = corpus.where(col(idCol).isNotNull && col(embCol).isNotNull)
-    // run the real batch learner once; localCheckpoint so the encode
-    // branch and the collect below share one materialization
+    val (books, refs) =
+      collectPqBooksAndCodes(clean, m, dsub, ksub, iters, idCol, embCol, maxBroadcastVecs)
+    val bc = spark.sparkContext.broadcast(
+      PqTopKNeighbors.PqIndex(m, dsub, books, refs.map(_._2)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(PqTopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k))
+    pqNeighborRows(queries, idCol, nn)
+  }
+
+  /** IVF-PQ variant of [[annStreamPq]] — the streaming form of
+    * [[graft.operators.ProductQuantize.ivfAdcTopK]] (the FAISS IVFPQ
+    * shape): the broadcast adds the coarse centroids (raw doubles,
+    * tiny) and groups the coded references into their max-dot cells —
+    * collected from the REAL batch coarse-assignment frame, so cell
+    * membership is bit-identical to the batch operator by
+    * construction. Each row probes its `nProbe` cells
+    * (strict-fold dots, lower-cent ties — ivfTopK's rule) and
+    * ADC-scores only those members: per-row cost drops from O(N·m) to
+    * O(C·d + d·ksub + members·m). q206's oracle is q205's SQL
+    * verbatim. Same contracts as [[annStreamPq]] (inner-product ADC,
+    * zero vectors legal, budget refusal, NULL drops). */
+  def annStreamIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, m: Int, dsub: Int, ksub: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBroadcastVecs: Long = 1L << 21): DataFrame = {
+    import graft.functions.{IvfPqTopKNeighbors, PqTopKNeighbors}
+    val spark = corpus.sparkSession
+    val clean = corpus.where(col(idCol).isNotNull && col(embCol).isNotNull)
+    val (books, refs) =
+      collectPqBooksAndCodes(clean, m, dsub, ksub, iters, idCol, embCol, maxBroadcastVecs)
+    val centsDf = graft.operators.ProductQuantize
+      .coarseCentroids(clean, nCentroids, idCol, embCol).localCheckpoint()
+    val centRows = centsDf.collect().sortBy(_.getLong(0))
+    val centroids = centRows.map(_.getSeq[Any](1).iterator.map {
+      case f: java.lang.Float => f.doubleValue()
+      case d: java.lang.Double => d.doubleValue()
+    }.toArray)
+    val centPos = centRows.iterator.map(_.getLong(0)).zipWithIndex.toMap
+    // cell membership from the REAL batch assignment frame (probe=1:
+    // each reference lives in exactly one cell)
+    val cellRows = graft.operators.ProductQuantize
+      .coarseAssign(clean, centsDf, "__rid", 1, idCol, embCol).collect()
+    val cellOf = cellRows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellBuf = Array.fill(centroids.length)(
+      scala.collection.mutable.ArrayBuffer.empty[PqTopKNeighbors.PqRef])
+    refs.foreach { case (id, ref) => cellBuf(centPos(cellOf(id))) += ref }
+    val bc = spark.sparkContext.broadcast(IvfPqTopKNeighbors.Index(
+      m, dsub, centroids, books, cellBuf.map(_.toArray)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nn = ColumnBridge.column(IvfPqTopKNeighbors(
+      ColumnBridge.expression(col(idCol).cast("long")),
+      ColumnBridge.expression(col(embCol)), bc, k, nProbe))
+    pqNeighborRows(queries, idCol, nn)
+  }
+
+  private def pqNeighborRows(queries: DataFrame, idCol: String,
+      nn: org.apache.spark.sql.Column): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
+      .select(col("query_id"), col("__n.neighbor_id"), col("__n.adc"),
+        col("__n.rnk"))
+
+  /** Run the REAL batch [[graft.operators.ProductQuantize]] learner and
+    * collect (codebooks as position-indexed double arrays, references
+    * as id + code positions) under the broadcast budget — shared by
+    * the flat and IVF streaming PQ ops so index construction cannot
+    * fork from the batch operator. */
+  private def collectPqBooksAndCodes(clean: DataFrame, m: Int, dsub: Int,
+      ksub: Int, iters: Int, idCol: String, embCol: String,
+      maxBroadcastVecs: Long):
+      (Array[Array[Array[Double]]], Array[(Long, graft.functions.PqTopKNeighbors.PqRef)]) = {
+    import graft.functions.PqTopKNeighbors
+    // localCheckpoint: the encode branch and the collect below share
+    // one materialization of the learner
     val booksDf = graft.operators.ProductQuantize
       .codebooks(clean, m, dsub, ksub, iters, idCol, embCol).localCheckpoint()
     val bookRows = booksDf.collect()
@@ -518,19 +592,10 @@ object StreamOps {
       val cs = r.getSeq[org.apache.spark.sql.Row](1)
       require(cs.length == m,
         s"reference vector ${r.getLong(0)} encoded to ${cs.length} of $m codes")
-      PqTopKNeighbors.PqRef(r.getLong(0),
-        cs.iterator.map(c => posOf((c.getInt(0), c.getLong(1)))).toArray)
+      (r.getLong(0), PqTopKNeighbors.PqRef(r.getLong(0),
+        cs.iterator.map(c => posOf((c.getInt(0), c.getLong(1)))).toArray))
     }
-    val bc = spark.sparkContext.broadcast(
-      PqTopKNeighbors.PqIndex(m, dsub, books, refs))
-    import org.apache.spark.sql.graft.ColumnBridge
-    val nn = ColumnBridge.column(PqTopKNeighbors(
-      ColumnBridge.expression(col(idCol).cast("long")),
-      ColumnBridge.expression(col(embCol)), bc, k))
-    queries
-      .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
-      .select(col("query_id"), col("__n.neighbor_id"), col("__n.adc"),
-        col("__n.rnk"))
+    (books, refs)
   }
 
   private def collectRefs(corpus: DataFrame, idCol: String, embCol: String,

@@ -307,6 +307,23 @@ class StreamingSpec extends AnyFunSuite {
     val adc = rows(graft.operators.ProductQuantize.adcTopK(all, queries, k = 3,
       m = 8, dsub = 8, ksub = 4, iters = 1))
     assert(batchTwin == adc, "annStreamPq must be bit-identical to adcTopK")
+    // the IVF-PQ form: real micro-batch run ≡ batch twin ≡ ivfAdcTopK
+    // (coarse probe + cell-restricted ADC — the FAISS-IVFPQ shape)
+    val qIvf = StreamOps.annStreamIvfPq(stream, all, k = 3,
+        nCentroids = 8, nProbe = 2, m = 8, dsub = 8, ksub = 4, iters = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("annstreamivfpq").trigger(Trigger.AvailableNow()).start()
+    qIvf.awaitTermination(120000)
+    val ivfStreamed = rows(spark.table("annstreamivfpq"))
+    val ivfBatchTwin = rows(StreamOps.annStreamIvfPq(queries, all, k = 3,
+      nCentroids = 8, nProbe = 2, m = 8, dsub = 8, ksub = 4, iters = 1))
+    assert(ivfStreamed.nonEmpty && ivfStreamed == ivfBatchTwin,
+      "IVF-PQ real micro-batch run must equal the batch twin")
+    val ivfAdc = rows(graft.operators.ProductQuantize.ivfAdcTopK(all, queries, k = 3,
+      nCentroids = 8, nProbe = 2, m = 8, dsub = 8, ksub = 4, iters = 1))
+    assert(ivfBatchTwin == ivfAdc, "annStreamIvfPq must be bit-identical to ivfAdcTopK")
+    assert(ivfAdc != adc,
+      "fixture must actually restrict candidates (probe ≠ full sweep)")
     // NULL semantics: a NULL query embedding drops; a NULL reference
     // row can never be a neighbor; self-id excluded. ADC has no norms,
     // so (unlike the cosine kernels) zero vectors are legal inputs.
