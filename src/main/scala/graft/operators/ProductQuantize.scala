@@ -44,10 +44,25 @@ object ProductQuantize {
 
   /** (vec_id, sub, subv) — one row per vector per subspace, `subv` the
     * dsub-element slice. The generator is a bounded sequence literal;
-    * the slice runs once per generated row by construction. */
+    * the slice runs once per generated row by construction.
+    *
+    * A NULL or mis-sized embedding fails LOUDLY here (once per row,
+    * before the explode): `slice` would silently shorten and
+    * `float_dot` NULLs on mismatched lengths, which would flow into an
+    * arbitrary-looking assignment instead of an error — every batch PQ
+    * path (codebooks/encode/adcTopK/ivfAdcTopK, both sides) runs
+    * through this projection, and the streaming kernels carry the same
+    * check per row. Stream ops pre-filter NULL rows by their
+    * documented drop semantics before calling in. */
   def subvectors(corpus: DataFrame, m: Int, dsub: Int,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol), col(embCol).as("__e"))
+    corpus.select(col(idCol),
+        when(size(col(embCol)) === lit(m * dsub), col(embCol))
+          .otherwise(raise_error(concat(
+            lit(s"PQ expects ${m * dsub}-dim embeddings, got "),
+            coalesce(size(col(embCol)).cast("string"), lit("NULL")),
+            lit(" for id "), coalesce(col(idCol).cast("string"), lit("NULL")))))
+          .as("__e"))
       .select(col(idCol), col("__e"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("subv", expr(s"slice(__e, sub * $dsub + 1, $dsub)"))
       .select(col(idCol), col("sub"), col("subv"))

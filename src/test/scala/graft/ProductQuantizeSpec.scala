@@ -86,6 +86,26 @@ class ProductQuantizeSpec extends AnyFunSuite {
     }, "probed subset must score identically to the flat sweep")
   }
 
+  test("mis-sized or NULL embeddings fail loudly — slice would silently shorten") {
+    import spark.implicits._
+    val bad = Seq((0L, Some(Seq(1.0f, 2.0f, 3.0f))), (1L, Some(Seq(1.0f, 2.0f, 3.0f, 4.0f))))
+      .toDF("vec_id", "embedding")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    val ex = intercept[Exception] {
+      graft.operators.ProductQuantize.codebooks(bad, m = 2, dsub = 2, ksub = 2, iters = 1)
+        .collect()
+    }
+    assert(chain(ex).exists(_.contains("PQ expects")), chain(ex).mkString(" | "))
+    val withNull = Seq((0L, Some(Seq(1.0f, 2.0f))), (1L, None)).toDF("vec_id", "embedding")
+    val ex2 = intercept[Exception] {
+      graft.operators.ProductQuantize.codebooks(withNull, m = 2, dsub = 1, ksub = 2, iters = 1)
+        .collect()
+    }
+    assert(chain(ex2).exists(_.contains("PQ expects")), chain(ex2).mkString(" | "))
+  }
+
   test("codebooks are bitwise partitioning-independent") {
     def books(df: org.apache.spark.sql.DataFrame) =
       ProductQuantize.codebooks(df, M, DSUB, ksub = 4, iters = 2).collect()
