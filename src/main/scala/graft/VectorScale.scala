@@ -11,20 +11,28 @@ import org.apache.spark.sql.functions._
   * from integer hash arithmetic — no RNG state) at n and 10n and times
   * the retrieval operators on it:
   *
-  *  - `encode` — the corpus-coding map pass (the stage that scans all
-  *    of a 100 TB corpus once; everything downstream reads 8-byte
-  *    codes);
-  *  - `pq_adc` — flat ADC retrieval (codes ⋈ broadcast LUT, grouped);
-  *  - `ivf_adc` — coarse cells + cell-restricted ADC (the candidate
-  *    stream shrinks by ~nProbe/nCentroids);
-  *  - `brute` — the exact float sweep, the cost being avoided;
-  *  - `kernel_pq` — the per-row broadcast ADC kernel (annStreamPq's
-  *    batch twin) driven by a 1024-query batch, measuring kernel
-  *    throughput rather than the broadcast build.
+  * Build and query are timed SEPARATELY — an index outlives many query
+  * batches, so folding the learner into every query (as the
+  * oracle-friendly convenience forms do) would mismeasure the
+  * production shape:
   *
-  * Expected shapes: encode/brute/kernel_pq linear in n (e ≈ 1);
-  * pq_adc/ivf_adc linear in the candidate stream. The generation is
-  * persisted and counted before any timing, like GraphScale.
+  *  - `build` — codebook learning + the corpus-coding map pass (the
+  *    stage that scans all of a 100 TB corpus once; everything
+  *    downstream reads 8-byte codes);
+  *  - `build_ivf` — the coarse cell assignment the IVF form adds;
+  *  - `q_flat` — a 256-query batch against the prebuilt flat index
+  *    (codes ⋈ broadcast LUT, grouped);
+  *  - `q_ivf` — the same batch probing 4 of 64 cells (the candidate
+  *    stream shrinks ~16×);
+  *  - `brute` — the exact codegen float sweep, the comparison point;
+  *  - `kernel_pq` / `kernel_ivfpq` — the stream ops' CALL cost on a
+  *    1024-query batch, including their per-call index build + collect
+  *    (the documented broadcast-per-call contract).
+  *
+  * Expected shapes: build/brute linear in n (e ≈ 1 past fixed
+  * overhead); q_flat linear in the candidate stream, q_ivf ~nProbe/C
+  * of it. The generation is persisted and counted before any timing,
+  * like GraphScale.
   *
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.VectorScale [nBase] [ops]
   * Prints per-operator min-of-2 times at n and 10n plus the scaling
@@ -68,35 +76,69 @@ object VectorScale {
     import graft.operators.{ProductQuantize, Similarity}
     val M = 8; val DSUB = 8; val KSUB = 16; val ITERS = 1
 
-    val allOps: Seq[(String, (DataFrame, DataFrame) => Long)] = Seq(
-      "encode" -> { (c, _) =>
+    /** Per-scale index handle: built ONCE, queried by the q_* ops —
+      * the production shape (an index outlives many query batches);
+      * `build` measures the one-time cost separately. */
+    case class Index(books: DataFrame, codes: DataFrame,
+                     cents: DataFrame, cells: DataFrame)
+
+    val allOps: Seq[(String, (DataFrame, DataFrame, Index) => Long)] = Seq(
+      // one-time costs: the learner+encode scan (and the coarse
+      // assignment the IVF form adds)
+      "build" -> { (c, _, _) =>
         val books = ProductQuantize.codebooks(c, M, DSUB, KSUB, ITERS).localCheckpoint()
         ProductQuantize.encode(c, books, M, DSUB).count() },
-      "pq_adc" -> { (c, q) =>
-        ProductQuantize.adcTopK(c, q, k = 5, M, DSUB, KSUB, ITERS).count() },
-      "ivf_adc" -> { (c, q) =>
-        ProductQuantize.ivfAdcTopK(c, q, k = 5, nCentroids = 64, nProbe = 4,
-          M, DSUB, KSUB, ITERS).count() },
-      "brute" -> { (c, q) =>
+      "build_ivf" -> { (c, _, _) =>
+        val cents = ProductQuantize.coarseCentroids(c, 64).localCheckpoint()
+        ProductQuantize.coarseAssign(c, cents, "neighbor_id", 1).count() },
+      // per-query-batch costs against the prebuilt index
+      "q_flat" -> { (_, q, ix) =>
+        ProductQuantize.adcTopKWith(ix.books, ix.codes, q, k = 5, M, DSUB).count() },
+      "q_ivf" -> { (_, q, ix) =>
+        ProductQuantize.ivfAdcTopKWith(ix.books,
+          ix.codes.withColumnRenamed("vec_id", "neighbor_id"),
+          ix.cents, ix.cells, q, k = 5, nProbe = 4, M, DSUB).count() },
+      "brute" -> { (c, q, _) =>
         Similarity.bruteForceTopK(c, q, k = 5).count() },
-      "kernel_pq" -> { (c, _) =>
+      // the stream op's CALL cost: includes its per-call index build +
+      // collect (the documented broadcast-per-call contract)
+      "kernel_pq" -> { (c, _, _) =>
         val qBatch = c.filter(col("vec_id") < 1024)
         graft.streaming.StreamOps.annStreamPq(qBatch, c, k = 5,
+          M, DSUB, KSUB, ITERS, maxBroadcastVecs = 1L << 24).count() },
+      "kernel_ivfpq" -> { (c, _, _) =>
+        val qBatch = c.filter(col("vec_id") < 1024)
+        graft.streaming.StreamOps.annStreamIvfPq(qBatch, c, k = 5,
+          nCentroids = 64, nProbe = 4,
           M, DSUB, KSUB, ITERS, maxBroadcastVecs = 1L << 24).count() })
     val ops = allOps.filter { case (nm, _) => onlyOps.forall(_.contains(nm)) }
 
     val results = for (n <- Seq(nBase, nBase * 10)) yield {
       val c = corpus(spark, n).persist()
       val rows = c.count()
-      val q = c.filter(col("vec_id") < 10).persist()
+      // 256 queries: enough batch to amortize the IVF form's extra
+      // join stages (at 10 queries fixed stage latency swamps the
+      // 16× candidate cut and the comparison misleads)
+      val q = c.filter(col("vec_id") < 256).persist()
       q.count()
+      val books = ProductQuantize.codebooks(c, M, DSUB, KSUB, ITERS).localCheckpoint()
+      // production index layout: pre-partitioned by the query-join key
+      // (InMemoryRelation preserves outputPartitioning, so the per-batch
+      // candidate join reuses it instead of re-shuffling all codes)
+      val codes = ProductQuantize.encode(c, books, M, DSUB)
+        .repartition(col("vec_id")).persist()
+      codes.count()
+      val cents = ProductQuantize.coarseCentroids(c, 64).localCheckpoint()
+      val cells = ProductQuantize.coarseAssign(c, cents, "neighbor_id", 1).persist()
+      cells.count()
+      val ix = Index(books, codes, cents, cells)
       println(f"[vectorscale] n=$n%d rows=$rows%d")
       val times = ops.map { case (name, f) =>
-        val (t, out) = minOf2(f(c, q))
+        val (t, out) = minOf2(f(c, q, ix))
         println(f"[vectorscale] n=$n%-8d $name%-10s min=$t%6.2f s rows=$out")
         name -> t
       }.toMap
-      c.unpersist(); q.unpersist()
+      c.unpersist(); q.unpersist(); codes.unpersist(); cells.unpersist()
       (n, times)
     }
     val (n1, t1) = results(0); val (n10, t10) = results(1)

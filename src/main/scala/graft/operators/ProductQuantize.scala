@@ -119,16 +119,6 @@ object ProductQuantize {
     assign(subvectors(corpus, m, dsub, idCol, embCol), books, idCol)
       .select(col(idCol), col("sub"), col("cluster").as("code"))
 
-  /** IVF-ADC retrieval (the FAISS IVFPQ shape, without residual
-    * encoding so codes stay cell-independent): a coarse quantizer
-    * restricts each query to its `nProbe` max-dot cells —
-    * [[Similarity.ivfTopK]]'s EXACT deterministic rule (lowest-id
-    * centroids, raw-dot assignment, ties to the lower cent_id) — and
-    * only those cells' members are ADC-scored against the shared
-    * per-subspace codebooks. Shuffle inventory: candidate pairs keyed
-    * by cell then neighbor, never all-pairs; the LUT and coarse
-    * centroids broadcast. Output: (query_id, neighbor_id, adc,
-    * rnk ≤ k), self-pairs excluded. */
   /** Coarse quantizer centroids — [[Similarity.ivfTopK]]'s rule: the
     * `nCentroids` lowest-id vectors. Output: (coarse_id, __cent). */
   def coarseCentroids(corpus: DataFrame, nCentroids: Int,
@@ -138,33 +128,73 @@ object ProductQuantize {
 
   /** Assign each row to its `probe` max-raw-dot coarse cells (ties to
     * the lower coarse_id — ivfTopK's exact rule). Output:
-    * (outId, coarse_id). */
+    * (outId, coarse_id).
+    *
+    * probe = 1 (the corpus side — every retrieval assigns the WHOLE
+    * corpus once) is a map-side-combinable min-struct argmax: the
+    * shuffle carries n reduced rows, not the n·C unreduced dot stream
+    * a row_number window would sort (measured: the window form made
+    * 1M-vector ivf_adc SLOWER than the flat sweep it exists to beat —
+    * VectorScale r16). probe > 1 (the query side, top-nProbe) keeps
+    * the window — Spark's WindowGroupLimit prunes it map-side, and
+    * query batches are small. */
   def coarseAssign(df: DataFrame, cents: DataFrame, outId: String, probe: Int,
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val sims = df.select(col(idCol).as(outId), col(embCol).as("__e"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", expr("float_dot(__e, __cent)"))
-    val w = Window.partitionBy(col(outId)).orderBy(col("__sim").desc, col("coarse_id"))
-    sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
-      .select(col(outId), col("coarse_id"))
+    if (probe == 1) {
+      // min(struct(-sim, coarse_id)) = argmax sim, ties to the lowest
+      // coarse_id — the KMeans.assignWithEmb shape
+      sims.groupBy(col(outId))
+        .agg(min(struct((-col("__sim")).as("ns"), col("coarse_id").as("cid"))).as("__best"))
+        .select(col(outId), col("__best.cid").as("coarse_id"))
+    } else {
+      val w = Window.partitionBy(col(outId)).orderBy(col("__sim").desc, col("coarse_id"))
+      sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
+        .select(col(outId), col("coarse_id"))
+    }
   }
 
+  /** IVF-ADC retrieval (the FAISS IVFPQ shape, without residual
+    * encoding so codes stay cell-independent): a coarse quantizer
+    * restricts each query to its `nProbe` max-dot cells —
+    * [[Similarity.ivfTopK]]'s EXACT deterministic rule (lowest-id
+    * centroids, raw-dot assignment, ties to the lower cent_id) — and
+    * only those cells' members are ADC-scored against the shared
+    * per-subspace codebooks. Shuffle inventory: candidate pairs keyed
+    * by cell then neighbor, never all-pairs; the LUT and coarse
+    * centroids broadcast. Output: (query_id, neighbor_id, adc,
+    * rnk ≤ k), self-pairs excluded. This convenience form REBUILDS the
+    * index per call (oracle-friendly); amortized use goes through
+    * [[ivfAdcTopKWith]]. */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  nCentroids: Int, nProbe: Int,
                  m: Int, dsub: Int, ksub: Int, iters: Int,
                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val cents = coarseCentroids(corpus, nCentroids, idCol, embCol)
     val corpusCells = coarseAssign(corpus, cents, "neighbor_id", 1, idCol, embCol)
-    val queryCells = coarseAssign(queries, cents, "query_id", nProbe, idCol, embCol)
     val books = codebooks(corpus, m, dsub, ksub, iters, idCol, embCol)
       .localCheckpoint() // consumed by two branches (lut + encode): never re-learn
     val codes = encode(corpus, books, m, dsub, idCol, embCol)
       .withColumnRenamed(idCol, "neighbor_id")
-    val lut = subvectors(queries, m, dsub, idCol, embCol)
-      .withColumnRenamed(idCol, "query_id")
-      .join(broadcast(books), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cent_id"),
-              expr("float_dot(subv, cent)").as("lut"))
+    ivfAdcTopKWith(books, codes, cents, corpusCells, queries, k, nProbe, m, dsub,
+      idCol, embCol)
+  }
+
+  /** [[ivfAdcTopK]] against a PREBUILT index — the production query
+    * path: `books`/`codes`/`cents`/`corpusCells` are built (and
+    * persisted/written) once, then every query batch pays only its own
+    * probe + the cell-restricted ADC join. Frames must carry the
+    * builder's schemas: books (sub, cent_id, cent), codes
+    * (neighbor_id, sub, code), cents (coarse_id, __cent), corpusCells
+    * (neighbor_id, coarse_id). */
+  def ivfAdcTopKWith(books: DataFrame, codes: DataFrame, cents: DataFrame,
+                     corpusCells: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+                     m: Int, dsub: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val queryCells = coarseAssign(queries, cents, "query_id", nProbe, idCol, embCol)
+    val lut = queryLut(books, queries, m, dsub, idCol, embCol)
     // each corpus vector lives in exactly one cell, so a (query,
     // neighbor) candidate appears at most once
     val cand = queryCells.join(corpusCells, Seq("coarse_id"))
@@ -178,6 +208,16 @@ object ProductQuantize {
       .select(cand("query_id"), col("neighbor_id"), codes("sub"), col("lut"))
     rankAdc(joined, m, k)
   }
+
+  /** Per-query codebook lookup table: (query_id, sub, cent_id, lut) —
+    * lut the strict-fold dot of the query subvector with the centroid. */
+  private def queryLut(books: DataFrame, queries: DataFrame, m: Int, dsub: Int,
+                       idCol: String, embCol: String): DataFrame =
+    subvectors(queries, m, dsub, idCol, embCol)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+              expr("float_dot(subv, cent)").as("lut"))
 
   /** Pivot the per-(query, neighbor, sub) LUT stream into the
     * fixed-association ADC chain and rank — shared by [[adcTopK]] and
@@ -207,11 +247,16 @@ object ProductQuantize {
     val books = codebooks(corpus, m, dsub, ksub, iters, idCol, embCol)
       .localCheckpoint() // consumed by two branches (lut + encode): never re-learn
     val codes = encode(corpus, books, m, dsub, idCol, embCol)
-    val lut = subvectors(queries, m, dsub, idCol, embCol)
-      .withColumnRenamed(idCol, "query_id")
-      .join(broadcast(books), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cent_id"),
-              expr("float_dot(subv, cent)").as("lut"))
+    adcTopKWith(books, codes, queries, k, m, dsub, idCol, embCol)
+  }
+
+  /** [[adcTopK]] against a PREBUILT index (books/codes persisted or
+    * written once, queried many times) — codes carry the builder's
+    * (idCol, sub, code) schema. */
+  def adcTopKWith(books: DataFrame, codes: DataFrame, queries: DataFrame, k: Int,
+                  m: Int, dsub: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val lut = queryLut(books, queries, m, dsub, idCol, embCol)
     val joined = codes
       .join(broadcast(lut), codes("sub") === lut("sub") && codes("code") === lut("cent_id"))
       .filter(col("query_id") =!= col(idCol))
