@@ -331,6 +331,17 @@ object Similarity {
     val cand = s1.withColumn("__srnk", row_number().over(ws))
       .filter(col("__srnk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
+    rerankExact(cand, corpus, queries, k, idCol, embCol)
+  }
+
+  /** Exact strict-fold cosine re-rank of a candidate pair list
+    * (query_id, neighbor_id) — stage 2 of every two-stage retrieval
+    * ([[quantizedRerank]], the PQ arc q208). Candidates broadcast;
+    * corpus rows never shuffle. Cosine association and the
+    * `(cosine DESC, neighbor_id)` tie-break are q22's, so any shortlist
+    * source composes with the proven rerank SQL. */
+  def rerankExact(cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val withVecs = broadcast(cand)
       .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__ce")),
         Seq("neighbor_id"))

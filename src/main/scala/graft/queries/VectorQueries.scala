@@ -1083,7 +1083,9 @@ object VectorQueries {
       |     FROM UNNEST(range(1, 9)) t(j)) AS lutv
       |  FROM embeddings q, books b WHERE q.vec_id < 10)""".stripMargin
 
-  val q202Sql: String =
+  /** The full flat-ADC ranking at an arbitrary cutoff — q202 uses 5,
+    * q208's shortlist stage uses 20. */
+  private def pqAdcSql(limitK: Int): String =
     s"""WITH $pqCtes,
       |adct AS (
       |  SELECT l.query_id, c.vec_id AS neighbor_id,
@@ -1095,8 +1097,10 @@ object VectorQueries {
       |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
       |           FROM adct)
       |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk
-      |FROM ranked WHERE rnk <= 5
+      |FROM ranked WHERE rnk <= $limitK
       |ORDER BY query_id, rnk""".stripMargin
+
+  val q202Sql: String = pqAdcSql(5)
 
   // ---------------------------------------------------------------- q203
   /** Recall audit of PQ/ADC retrieval (q202) against exact brute force
@@ -1224,6 +1228,70 @@ object VectorQueries {
 
   val q206Sql: String = q205Sql
 
+  // ---------------------------------------------------------------- q207
+  /** The PQ index PERSISTED and queried back — the production on-disk
+    * story: books + codes written to parquet
+    * ([[graft.operators.ProductQuantize.adcTopKWith]] consumes the
+    * read-back frames), proving the index survives storage bit-exactly
+    * (double centroids and long codes round-trip parquet unchanged),
+    * so the oracle is q202's SQL verbatim. Scratch dirs via
+    * [[OracleTmp.fresh]] (Bench calls each query ≥3×). */
+  def q207PqIndexRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val ix = OracleTmp.fresh("pq_index")
+    val books = graft.operators.ProductQuantize
+      .codebooks(corpus, m = 8, dsub = 8, ksub = 16, iters = 1).localCheckpoint()
+    graft.operators.ProductQuantize.encode(corpus, books, m = 8, dsub = 8)
+      .write.mode("overwrite").parquet(ix.resolve("codes").toString)
+    books.write.mode("overwrite").parquet(ix.resolve("books").toString)
+    graft.operators.ProductQuantize.adcTopKWith(
+        s.read.parquet(ix.resolve("books").toString),
+        s.read.parquet(ix.resolve("codes").toString),
+        corpus.filter($"vec_id" < 10), k = 5, m = 8, dsub = 8)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q207Sql: String = q202Sql
+
+  // ---------------------------------------------------------------- q208
+  /** Two-stage PQ retrieval (q196's arc with ADC as stage 1): the
+    * 8-byte-code ADC sweep shortlists 20 candidates per query, exact
+    * strict-fold cosine re-ranks the survivors
+    * ([[Similarity.rerankExact]], shared with q196 so the rerank
+    * cannot fork). Oracle composes the proven blocks: the shortlist is
+    * the q202 chain at cutoff 20, the rerank is q22's cosine over the
+    * shortlist pairs. */
+  def q208PqRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val short = graft.operators.ProductQuantize.adcTopK(
+        corpus, queries, k = 20, m = 8, dsub = 8, ksub = 16, iters = 1)
+      .select($"query_id", $"neighbor_id")
+    Similarity.rerankExact(short, corpus, queries, k = 5)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q208Sql: String =
+    s"""WITH short AS (SELECT query_id, neighbor_id FROM (${pqAdcSql(20)})),
+      |dots AS (SELECT sh.query_id qa, sh.neighbor_id qb,
+      |           (SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+      |            FROM UNNEST(range(1, len(a.embedding)+1)) t(i)) AS dotv
+      |         FROM short sh JOIN embeddings a ON a.vec_id = sh.query_id
+      |           JOIN embeddings b ON b.vec_id = sh.neighbor_id),
+      |norms AS (SELECT vec_id,
+      |            sqrt((SELECT SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+      |                  FROM UNNEST(range(1, len(e.embedding)+1)) t(i))) AS nrm
+      |          FROM embeddings e),
+      |cos AS (SELECT qa AS query_id, qb AS neighbor_id, dotv / (na.nrm * nb.nrm) AS cosine
+      |        FROM dots JOIN norms na ON qa = na.vec_id JOIN norms nb ON qb = nb.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |           FROM cos)
+      |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1255,6 +1323,8 @@ object VectorQueries {
     "q204_ann_stream_pq" -> q204AnnStreamPq _,
     "q205_ivf_adc" -> q205IvfAdc _,
     "q206_ann_stream_ivfpq" -> q206AnnStreamIvfPq _,
+    "q207_pq_index_roundtrip" -> q207PqIndexRoundTrip _,
+    "q208_pq_rerank" -> q208PqRerank _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1288,5 +1358,7 @@ object VectorQueries {
     "q204_ann_stream_pq" -> q204Sql,
     "q205_ivf_adc" -> q205Sql,
     "q206_ann_stream_ivfpq" -> q206Sql,
+    "q207_pq_index_roundtrip" -> q207Sql,
+    "q208_pq_rerank" -> q208Sql,
   )
 }
