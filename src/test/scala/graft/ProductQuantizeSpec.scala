@@ -106,6 +106,30 @@ class ProductQuantizeSpec extends AnyFunSuite {
     assert(chain(ex2).exists(_.contains("PQ expects")), chain(ex2).mkString(" | "))
   }
 
+  test("prebuilt-index query (adcTopKWith / ivfAdcTopKWith) ≡ the relearning forms, pre-partitioned layout included") {
+    import graft.operators.ProductQuantize
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    val books = ProductQuantize.codebooks(c, M, DSUB, ksub = 4, iters = 1).localCheckpoint()
+    // production layout: codes persisted pre-partitioned by the join key
+    val codes = ProductQuantize.encode(c, books, M, DSUB)
+      .repartition(col("vec_id")).localCheckpoint()
+    val flat = rows(ProductQuantize.adcTopKWith(books, codes, queries, k = 5, M, DSUB))
+    assert(flat == rows(ProductQuantize.adcTopK(c, queries, k = 5, M, DSUB, ksub = 4, iters = 1)))
+    val cents = ProductQuantize.coarseCentroids(c, 4).localCheckpoint()
+    val cells = ProductQuantize.coarseAssign(c, cents, "neighbor_id", 1).localCheckpoint()
+    val ivf = rows(ProductQuantize.ivfAdcTopKWith(books,
+      codes.withColumnRenamed("vec_id", "neighbor_id"), cents, cells,
+      queries, k = 5, nProbe = 2, M, DSUB))
+    assert(ivf == rows(ProductQuantize.ivfAdcTopK(c, queries, k = 5,
+      nCentroids = 4, nProbe = 2, M, DSUB, ksub = 4, iters = 1)))
+    assert(ivf.nonEmpty && flat.nonEmpty)
+  }
+
   test("codebooks are bitwise partitioning-independent") {
     def books(df: org.apache.spark.sql.DataFrame) =
       ProductQuantize.codebooks(df, M, DSUB, ksub = 4, iters = 2).collect()
