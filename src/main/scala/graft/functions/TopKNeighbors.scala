@@ -626,9 +626,10 @@ case class IvfPqTopKNeighbors(left: Expression, right: Expression,
       i += 1
     }
     // coarse probe: top nProbe cells by (raw strict-fold dot DESC,
-    // cent POSITION ASC ≡ label ASC — centroids are label-sorted)
-    require(qd.length == idx.centroids.headOption.map(_.length).getOrElse(d),
-      s"query vector $qid has $d dims, coarse centroids have ${idx.centroids.headOption.map(_.length).getOrElse(-1)}")
+    // cent POSITION ASC ≡ label ASC — centroids are label-sorted).
+    // Centroid dimensions are validated ONCE at index build
+    // (annStreamIvfPq), not per row — the d == m·dsub check above
+    // pins the query side.
     val probeIds = new Array[Long](nProbe)
     val probeSims = new Array[Double](nProbe)
     var probeSize = 0

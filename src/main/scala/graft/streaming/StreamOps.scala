@@ -521,6 +521,12 @@ object StreamOps {
       case f: java.lang.Float => f.doubleValue()
       case d: java.lang.Double => d.doubleValue()
     }.toArray)
+    // validate once at build: the kernel's coarse loop reads ce(0..d)
+    // and must never silently ignore (or overrun) a mis-sized centroid
+    centroids.zip(centRows).foreach { case (ce, r) =>
+      require(ce.length == m * dsub,
+        s"coarse centroid ${r.getLong(0)} has ${ce.length} dims, PQ index expects ${m * dsub}")
+    }
     val centPos = centRows.iterator.map(_.getLong(0)).zipWithIndex.toMap
     // cell membership from the REAL batch assignment frame (probe=1:
     // each reference lives in exactly one cell)
@@ -541,10 +547,7 @@ object StreamOps {
 
   private def pqNeighborRows(queries: DataFrame, idCol: String,
       nn: org.apache.spark.sql.Column): DataFrame =
-    queries
-      .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
-      .select(col("query_id"), col("__n.neighbor_id"), col("__n.adc"),
-        col("__n.rnk"))
+    neighborRows(queries, idCol, nn, scoreField = "adc")
 
   /** Run the REAL batch [[graft.operators.ProductQuantize]] learner and
     * collect (codebooks as position-indexed double arrays, references
@@ -630,11 +633,15 @@ object StreamOps {
     }
   }
 
+  /** Shared explode of a per-row top-k kernel result into neighbor
+    * rows — one helper for the cosine kernels and the ADC (PQ) kernels
+    * so the stream-op output shape cannot fork (`scoreField` is the
+    * kernel's score struct field: "cosine" or "adc"). */
   private def neighborRows(queries: DataFrame, idCol: String,
-      nn: org.apache.spark.sql.Column): DataFrame =
+      nn: org.apache.spark.sql.Column, scoreField: String = "cosine"): DataFrame =
     queries
       .select(col(idCol).cast("long").as("query_id"), explode(nn).as("__n"))
-      .select(col("query_id"), col("__n.neighbor_id"), col("__n.cosine"),
+      .select(col("query_id"), col("__n.neighbor_id"), col(s"__n.$scoreField"),
         col("__n.rnk"))
 
   /** Streaming decontamination: flag documents sharing an n-gram with a

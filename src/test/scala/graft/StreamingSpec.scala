@@ -322,8 +322,16 @@ class StreamingSpec extends AnyFunSuite {
     val ivfAdc = rows(graft.operators.ProductQuantize.ivfAdcTopK(all, queries, k = 3,
       nCentroids = 8, nProbe = 2, m = 8, dsub = 8, ksub = 4, iters = 1))
     assert(ivfBatchTwin == ivfAdc, "annStreamIvfPq must be bit-identical to ivfAdcTopK")
-    assert(ivfAdc != adc,
-      "fixture must actually restrict candidates (probe ≠ full sweep)")
+    // the probe must be REAL on this fixture: the corpus must occupy
+    // more cells than nProbe, so every query excludes some non-empty
+    // cell (result-set inequality vs the flat sweep would couple the
+    // test to incidental data geometry — a regenerated corpus could
+    // legally agree on the top-3)
+    val occupiedCells = graft.operators.ProductQuantize.coarseAssign(
+        all, graft.operators.ProductQuantize.coarseCentroids(all, 8), "nid", 1)
+      .select("coarse_id").distinct().count()
+    assert(occupiedCells > 2,
+      s"fixture spreads over only $occupiedCells cells — probe of 2 would be vacuous")
     // NULL semantics: a NULL query embedding drops; a NULL reference
     // row can never be a neighbor; self-id excluded. ADC has no norms,
     // so (unlike the cosine kernels) zero vectors are legal inputs.
