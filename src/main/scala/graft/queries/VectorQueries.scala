@@ -1292,6 +1292,38 @@ object VectorQueries {
       |SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** Recall audit of IVF-ADC (q205) against exact brute force — the
+    * audit that prices BOTH approximations at once (coarse-cell
+    * candidate loss + code quantization), closing the family: q203
+    * audits flat ADC, q197/q199 the int8 paths. Composed oracle embeds
+    * q22's and q205's SQL whole. */
+  def q209IvfAdcRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val ivfpq = graft.operators.ProductQuantize.ivfAdcTopK(
+      corpus, queries, k = 5, nCentroids = 16, nProbe = 2,
+      m = 8, dsub = 8, ksub = 16, iters = 1)
+    Similarity.recallAtK(exact, ivfpq, k = 5)
+      .orderBy($"query_id")
+  }
+
+  val q209Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |qr AS (SELECT query_id, neighbor_id FROM ($q205Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |agg AS (SELECT q.query_id,
+      |          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |          CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |        FROM qids q LEFT JOIN qr a USING (query_id)
+      |          LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        GROUP BY q.query_id)
+      |SELECT query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM agg ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1325,6 +1357,7 @@ object VectorQueries {
     "q206_ann_stream_ivfpq" -> q206AnnStreamIvfPq _,
     "q207_pq_index_roundtrip" -> q207PqIndexRoundTrip _,
     "q208_pq_rerank" -> q208PqRerank _,
+    "q209_ivf_adc_recall" -> q209IvfAdcRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1360,5 +1393,6 @@ object VectorQueries {
     "q206_ann_stream_ivfpq" -> q206Sql,
     "q207_pq_index_roundtrip" -> q207Sql,
     "q208_pq_rerank" -> q208Sql,
+    "q209_ivf_adc_recall" -> q209Sql,
   )
 }
