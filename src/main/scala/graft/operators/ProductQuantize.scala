@@ -209,6 +209,66 @@ object ProductQuantize {
     rankAdc(joined, m, k)
   }
 
+  /** RESIDUAL-encoding IVF-ADC (the full FAISS IVFPQ): codes are
+    * learned on `x − c(x)` (each vector's offset from its coarse
+    * centroid, the native [[graft.functions.FloatSub]] kernel), so the
+    * codebooks spend their 16 centroids on the within-cell structure
+    * instead of the whole space — the reconstruction `x̂ = c + r̂` is
+    * strictly finer than [[ivfAdcTopK]]'s cell-independent codes.
+    * The score is the classical inner-product estimator
+    * `q·x̂ = q·c + q·r̂`: one exact strict-fold dot per (query, probed
+    * cell) plus the ADC chain of RAW query subvectors against the
+    * residual codebooks, combined in the fixed association
+    * `((q·c + lut₀) + …) + lut_{m-1}` — every term bit-portable, so
+    * the whole operator hashes against its SQL oracle (q210).
+    * Same deterministic conventions and shuffle inventory as
+    * [[ivfAdcTopK]]; audit the recall DELTA vs the non-residual form
+    * with q209/q211 before choosing — residual encoding wins only
+    * when the coarse quantizer captures real cluster structure. On
+    * the structureless unit-norm sf corpus it LOSES (recall@5 0.16
+    * vs 0.34): max-dot assignment doesn't minimize ‖x−c‖ there, so
+    * residual norms average 1.21× the raw norms and the codebooks
+    * quantize a wider distribution. */
+  def residualIvfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                         nCentroids: Int, nProbe: Int,
+                         m: Int, dsub: Int, ksub: Int, iters: Int,
+                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(corpus, nCentroids, idCol, embCol)
+      .localCheckpoint() // consumed by 4 branches (cells ×2, residuals, q·c)
+    val corpusCells = coarseAssign(corpus, cents, "neighbor_id", 1, idCol, embCol)
+      .localCheckpoint() // consumed by residuals + candidates
+    // residual corpus: (idCol, __r = emb − its cell's centroid)
+    val resid = corpus.select(col(idCol), col(embCol).as("__e"))
+      .join(corpusCells.withColumnRenamed("neighbor_id", idCol), Seq(idCol))
+      .join(broadcast(cents), Seq("coarse_id"))
+      .select(col(idCol), expr("float_sub(__e, __cent)").as("__r"))
+    val books = codebooks(resid, m, dsub, ksub, iters, idCol, "__r")
+      .localCheckpoint() // consumed by two branches (lut + encode)
+    val codes = encode(resid, books, m, dsub, idCol, "__r")
+      .withColumnRenamed(idCol, "neighbor_id")
+    // q·r̂ terms: RAW query subvectors against the residual codebooks
+    val lut = queryLut(books, queries, m, dsub, idCol, embCol)
+    // q·c: one exact dot per (query, probed cell)
+    val queryCells = coarseAssign(queries, cents, "query_id", nProbe, idCol, embCol)
+    val qc = queries.select(col(idCol).as("query_id"), col(embCol).as("__qe"))
+      .join(queryCells, Seq("query_id"))
+      .join(broadcast(cents), Seq("coarse_id"))
+      .select(col("query_id"), col("coarse_id"),
+        expr("float_dot(__qe, __cent)").as("__qc"))
+    val cand = queryCells.join(corpusCells, Seq("coarse_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("coarse_id"), col("neighbor_id"))
+    val joined = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(lut),
+        cand("query_id") === lut("query_id") && codes("sub") === lut("sub") &&
+          codes("code") === lut("cent_id"))
+      .join(broadcast(qc),
+        cand("query_id") === qc("query_id") && cand("coarse_id") === qc("coarse_id"))
+      .select(cand("query_id"), col("neighbor_id"), codes("sub"), col("lut"), col("__qc"))
+    rankAdc(joined, m, k, leadTerm = Some("__qc"))
+  }
+
   /** Per-query codebook lookup table: (query_id, sub, cent_id, lut) —
     * lut the strict-fold dot of the query subvector with the centroid. */
   private def queryLut(books: DataFrame, queries: DataFrame, m: Int, dsub: Int,
@@ -220,14 +280,20 @@ object ProductQuantize {
               expr("float_dot(subv, cent)").as("lut"))
 
   /** Pivot the per-(query, neighbor, sub) LUT stream into the
-    * fixed-association ADC chain and rank — shared by [[adcTopK]] and
-    * [[ivfAdcTopK]] so the score arithmetic cannot fork. */
-  private def rankAdc(joined: DataFrame, m: Int, k: Int): DataFrame = {
-    val terms = (0 until m).map(i => max(when(col("sub") === i, col("lut"))).as(s"__l$i"))
+    * fixed-association ADC chain and rank — shared by [[adcTopK]],
+    * [[ivfAdcTopK]] and [[residualIvfAdcTopK]] so the score arithmetic
+    * cannot fork. `leadTerm` (the residual form's q·c column, constant
+    * within each group) prepends the chain:
+    * `((lead + lut₀) + …) + lut_{m-1}`. */
+  private def rankAdc(joined: DataFrame, m: Int, k: Int,
+                      leadTerm: Option[String] = None): DataFrame = {
+    val terms = (0 until m).map(i => max(when(col("sub") === i, col("lut"))).as(s"__l$i")) ++
+      leadTerm.map(t => first(col(t)).as("__lead"))
     val pivoted = joined.groupBy(col("query_id"), col("neighbor_id"))
       .agg(terms.head, terms.tail: _*)
     // fixed-association left fold over subspace order — bit-portable
-    val score = (0 until m).map(i => col(s"__l$i")).reduce(_ + _)
+    val score = (leadTerm.map(_ => col("__lead")).toSeq ++
+      (0 until m).map(i => col(s"__l$i"))).reduce(_ + _)
     pivoted
       .withColumn("adc", score)
       .withColumn("rnk", row_number().over(

@@ -24,6 +24,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatDot(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("float_sub"),
+      new ExpressionInfo(classOf[graft.functions.FloatSub].getName, "float_sub"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_sub expects exactly 2 arguments")
+        graft.functions.FloatSub(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "shingles"),
       (children: Seq[Expression]) => {

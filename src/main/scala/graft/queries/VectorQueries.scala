@@ -1171,9 +1171,10 @@ object VectorQueries {
       .orderBy($"query_id", $"rnk")
   }
 
-  val q205Sql: String =
-    s"""WITH $pqCtes,
-      |ccents AS (
+  /** Shared coarse-quantizer CTE block (q205/q210's oracles): cell
+    * assignment for corpus (rn = 1) and queries (rn ≤ nProbe = 2). */
+  private val ivfCtes: String =
+    """ccents AS (
       |  SELECT vec_id AS coarse_id, embedding AS ccemb
       |  FROM embeddings ORDER BY vec_id LIMIT 16),
       |cdots AS (
@@ -1190,7 +1191,11 @@ object VectorQueries {
       |  SELECT vec_id, coarse_id FROM (
       |    SELECT vec_id, coarse_id,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, coarse_id) rn
-      |    FROM cdots WHERE vec_id < 10) WHERE rn <= 2),
+      |    FROM cdots WHERE vec_id < 10) WHERE rn <= 2)""".stripMargin
+
+  val q205Sql: String =
+    s"""WITH $pqCtes,
+      |$ivfCtes,
       |cand AS (
       |  SELECT q.vec_id AS query_id, ca.vec_id AS neighbor_id
       |  FROM query_assign q JOIN corpus_assign ca ON q.coarse_id = ca.coarse_id
@@ -1324,6 +1329,126 @@ object VectorQueries {
       |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
       |FROM agg ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Residual-encoding IVF-PQ
+    * ([[graft.operators.ProductQuantize.residualIvfAdcTopK]] — the
+    * full FAISS IVFPQ): codes learned on `x − c(x)` via the native
+    * `float_sub` kernel, score = the classical inner-product estimator
+    * `q·c + q·r̂` (exact strict-fold q·c per probed cell + the ADC
+    * chain of raw query subvectors against the residual codebooks, one
+    * fixed association). Fully oracle-checked: the coarse block is
+    * [[ivfCtes]], the residual arrays are per-element exact double
+    * subtraction, and the learner chain is the proven q202 form over
+    * the residual source. */
+  def q210ResidualIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    graft.operators.ProductQuantize.residualIvfAdcTopK(
+        corpus, corpus.filter($"vec_id" < 10), k = 5,
+        nCentroids = 16, nProbe = 2, m = 8, dsub = 8, ksub = 16, iters = 1)
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val q210Sql: String = {
+    val chain = "MAX(qc.qcv)" + (0 until 8)
+      .map(i => s" + MAX(CASE WHEN c.sub=$i THEN l.lutv END)").mkString
+    s"""WITH $ivfCtes,
+      |rsrc AS (
+      |  SELECT e.vec_id, list(CAST(e.embedding[i] AS DOUBLE) - CAST(cc.embedding[i] AS DOUBLE) ORDER BY i) AS remb
+      |  FROM embeddings e JOIN corpus_assign ca ON ca.vec_id = e.vec_id
+      |    JOIN embeddings cc ON cc.vec_id = ca.coarse_id,
+      |    UNNEST(range(1, len(e.embedding)+1)) t(i)
+      |  GROUP BY e.vec_id),
+      |rseeds AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 16),
+      |subs AS (SELECT UNNEST(range(0, 8)) AS sub),
+      |rd0 AS (
+      |  SELECT r.vec_id, g.sub, s.cent_id,
+      |    (SELECT SUM(r.remb[g.sub*8+j] * c.remb[g.sub*8+j]) FROM UNNEST(range(1, 9)) t(j))
+      |    - 0.5 * (SELECT SUM(c.remb[g.sub*8+j] * c.remb[g.sub*8+j]) FROM UNNEST(range(1, 9)) t(j)) AS score
+      |  FROM rsrc r, subs g, rseeds s JOIN rsrc c ON c.vec_id = s.cent_id),
+      |ra0 AS (SELECT vec_id, sub, cent_id AS cluster FROM (
+      |          SELECT vec_id, sub, cent_id,
+      |            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, cent_id) rn
+      |          FROM rd0) WHERE rn = 1),
+      |rel AS (SELECT vec_id, (i-1)//8 AS sub, (i-1)%8+1 AS j, remb[i] AS v
+      |        FROM rsrc, UNNEST(range(1, len(remb)+1)) t(i)),
+      |rqv AS (SELECT a.sub, a.cluster, e.j, CAST(floor(e.v * 1048576.0) AS BIGINT) AS q
+      |        FROM ra0 a JOIN rel e ON e.vec_id = a.vec_id AND e.sub = a.sub),
+      |rnewc AS (SELECT sub, cluster, j, CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1048576.0 AS cval
+      |          FROM rqv GROUP BY sub, cluster, j),
+      |rbooks AS (SELECT sub, cluster AS cent_id, list(cval ORDER BY j) AS cemb
+      |           FROM rnewc GROUP BY sub, cluster),
+      |rd1 AS (
+      |  SELECT r.vec_id, b.sub, b.cent_id,
+      |    (SELECT SUM(r.remb[b.sub*8+j] * b.cemb[j]) FROM UNNEST(range(1, 9)) t(j))
+      |    - 0.5 * (SELECT SUM(b.cemb[j] * b.cemb[j]) FROM UNNEST(range(1, 9)) t(j)) AS score
+      |  FROM rsrc r, rbooks b),
+      |rcodes AS (SELECT vec_id, sub, cent_id AS code FROM (
+      |             SELECT vec_id, sub, cent_id,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, cent_id) rn
+      |             FROM rd1) WHERE rn = 1),
+      |rlut AS (
+      |  SELECT q.vec_id AS query_id, b.sub, b.cent_id,
+      |    (SELECT SUM(CAST(q.embedding[b.sub*8+j] AS DOUBLE) * b.cemb[j])
+      |     FROM UNNEST(range(1, 9)) t(j)) AS lutv
+      |  FROM embeddings q, rbooks b WHERE q.vec_id < 10),
+      |qcd AS (
+      |  SELECT qa.vec_id AS query_id, qa.coarse_id,
+      |    (SELECT SUM(CAST(q.embedding[i] AS DOUBLE) * CAST(cc.embedding[i] AS DOUBLE))
+      |     FROM UNNEST(range(1, len(q.embedding)+1)) t(i)) AS qcv
+      |  FROM query_assign qa JOIN embeddings q ON q.vec_id = qa.vec_id
+      |    JOIN embeddings cc ON cc.vec_id = qa.coarse_id),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, q.coarse_id, ca.vec_id AS neighbor_id
+      |  FROM query_assign q JOIN corpus_assign ca ON q.coarse_id = ca.coarse_id
+      |  WHERE ca.vec_id <> q.vec_id),
+      |radct AS (
+      |  SELECT x.query_id, c.vec_id AS neighbor_id,
+      |    $chain AS adc
+      |  FROM cand x
+      |    JOIN rcodes c ON c.vec_id = x.neighbor_id
+      |    JOIN rlut l ON l.query_id = x.query_id AND l.sub = c.sub AND l.cent_id = c.code
+      |    JOIN qcd qc ON qc.query_id = x.query_id AND qc.coarse_id = x.coarse_id
+      |  GROUP BY x.query_id, c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, adc,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rnk
+      |           FROM radct)
+      |SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q211
+  /** Recall audit of residual IVF-PQ (q210) against exact brute force
+    * — next to q209 this prices exactly what residual encoding buys
+    * back at identical cell/probe/codebook parameters. Composed oracle
+    * embeds q22's and q210's SQL whole. */
+  def q211ResidualRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = emb(s, dir)
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val resid = graft.operators.ProductQuantize.residualIvfAdcTopK(
+      corpus, queries, k = 5, nCentroids = 16, nProbe = 2,
+      m = 8, dsub = 8, ksub = 16, iters = 1)
+    Similarity.recallAtK(exact, resid, k = 5)
+      .orderBy($"query_id")
+  }
+
+  val q211Sql: String =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($q22Sql)),
+      |qr AS (SELECT query_id, neighbor_id FROM ($q210Sql)),
+      |qids AS (SELECT DISTINCT query_id FROM brute),
+      |agg AS (SELECT q.query_id,
+      |          CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_approx,
+      |          CAST(COALESCE(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      |        FROM qids q LEFT JOIN qr a USING (query_id)
+      |          LEFT JOIN brute b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      |        GROUP BY q.query_id)
+      |SELECT query_id, n_approx, hits,
+      |  CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+      |FROM agg ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_brute" -> q22AnnBrute _,
     "q194_ann_stream" -> q194AnnStream _,
@@ -1358,6 +1483,8 @@ object VectorQueries {
     "q207_pq_index_roundtrip" -> q207PqIndexRoundTrip _,
     "q208_pq_rerank" -> q208PqRerank _,
     "q209_ivf_adc_recall" -> q209IvfAdcRecall _,
+    "q210_residual_ivfpq" -> q210ResidualIvfPq _,
+    "q211_residual_recall" -> q211ResidualRecall _,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1394,5 +1521,7 @@ object VectorQueries {
     "q207_pq_index_roundtrip" -> q207Sql,
     "q208_pq_rerank" -> q208Sql,
     "q209_ivf_adc_recall" -> q209Sql,
+    "q210_residual_ivfpq" -> q210Sql,
+    "q211_residual_recall" -> q211Sql,
   )
 }

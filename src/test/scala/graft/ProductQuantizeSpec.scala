@@ -130,6 +130,23 @@ class ProductQuantizeSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && flat.nonEmpty)
   }
 
+  test("residualIvfAdcTopK: deterministic under repartitioning, self excluded, full rank sets") {
+    import graft.operators.ProductQuantize
+    val c = corpus
+    val queries = c.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), r.getLong(3))).toSeq
+    val a = rows(ProductQuantize.residualIvfAdcTopK(c, queries, k = 5,
+      nCentroids = 4, nProbe = 4, M, DSUB, ksub = 4, iters = 1))
+    val b = rows(ProductQuantize.residualIvfAdcTopK(c.repartition(7, col("vec_id")),
+      queries, k = 5, nCentroids = 4, nProbe = 4, M, DSUB, ksub = 4, iters = 1))
+    assert(a.nonEmpty && a == b, "residual scores must be bitwise partitioning-independent")
+    assert(a.forall { case (q, n, _, _) => q != n }, "self pair leaked")
+    assert(a.groupBy(_._1).values.forall(_.map(_._4).sorted.sameElements(1L to 5L)))
+  }
+
   test("codebooks are bitwise partitioning-independent") {
     def books(df: org.apache.spark.sql.DataFrame) =
       ProductQuantize.codebooks(df, M, DSUB, ksub = 4, iters = 2).collect()
