@@ -67,9 +67,14 @@ object GraphScale {
       // allowPartial: this probe MEASURES the capped peel — the
       // harmonic construction peels one layer per round by design and
       // hits maxRounds at every scale (r9 note); the default throw is
-      // for production answers, not scaling probes
+      // for production answers, not scaling probes.
+      // driverPeelLimit = 0: the probe times the DISTRIBUTED rounds at
+      // both scales — the r16 driver-finish would swallow the base
+      // scale (~800k edges < the 4M cap) but not the 10× one, making
+      // the exponent compare two different algorithms
       "kcore_k8" -> { e =>
-        graft.operators.KCore.core(e, k = 8, allowPartial = true).count() },
+        graft.operators.KCore.core(e, k = 8, allowPartial = true,
+          driverPeelLimit = 0L).count() },
       "hits_i2" -> { e =>
         graft.operators.Hits.hubsAuthsInt(e, iters = 2).count() },
       "pagerank_i2" -> { e =>
