@@ -62,8 +62,14 @@ object GraphScale {
       val (a, n) = time(f); val (b, _) = time(f); (math.min(a, b), n)
     }
 
+    // driverLimit = 0 everywhere below (as driverPeelLimit for kcore):
+    // this probe measures the DISTRIBUTED rounds at both scales — the
+    // r16 driver-finish would swallow the base scale (~800k edges
+    // < the 4M cap) but not the 10× one, making each exponent compare
+    // two different algorithms
     val allOps: Seq[(String, DataFrame => Long)] = Seq(
-      "triangles" -> { e => graft.operators.Triangles.perNode(e).count() },
+      "triangles" -> { e =>
+        graft.operators.Triangles.perNode(e, driverLimit = 0L).count() },
       // allowPartial: this probe MEASURES the capped peel — the
       // harmonic construction peels one layer per round by design and
       // hits maxRounds at every scale (r9 note); the default throw is
@@ -76,17 +82,21 @@ object GraphScale {
         graft.operators.KCore.core(e, k = 8, allowPartial = true,
           driverPeelLimit = 0L).count() },
       "hits_i2" -> { e =>
-        graft.operators.Hits.hubsAuthsInt(e, iters = 2).count() },
+        graft.operators.Hits.hubsAuthsInt(e, iters = 2,
+          driverLimit = 0L).count() },
       "pagerank_i2" -> { e =>
-        graft.operators.PageRank.ranksInt(e, iters = 2).count() },
+        graft.operators.PageRank.ranksInt(e, iters = 2,
+          driverLimit = 0L).count() },
       "lpa_r4" -> { e =>
         val nodes = e.select($"src".as("node")).distinct()
         graft.operators.LabelProp.communities(nodes,
-          e.select($"src".as("a"), $"dst".as("b")), rounds = 4).count() },
+          e.select($"src".as("a"), $"dst".as("b")), rounds = 4,
+          driverLimit = 0L).count() },
       "cc" -> { e =>
         val verts = e.select($"src".as("doc_id")).distinct()
         graft.operators.ConnectedComponents.labels(verts,
-          e.select($"src".as("doc_a"), $"dst".as("doc_b"))).count() })
+          e.select($"src".as("doc_a"), $"dst".as("doc_b")),
+          driverLimit = 0L).count() })
     val ops = allOps.filter { case (n, _) => onlyOps.forall(_.contains(n)) }
 
     val results = for (m <- Seq(mBase, mBase * 10)) yield {

@@ -49,7 +49,8 @@ object ConnectedComponents {
   def labels(vertices: DataFrame, edges: DataFrame,
              idCol: String = "doc_id",
              srcCol: String = "doc_a", dstCol: String = "doc_b",
-             maxRounds: Int = 16): DataFrame = {
+             maxRounds: Int = 16,
+             driverLimit: Long = DriverGraph.DefaultEdgeLimit): DataFrame = {
     // symmetrize with one explode, not a self-union: a union would
     // execute the upstream pair pipeline twice before the persist
     // materializes (measured 2x the near-dup generation cost on q41)
@@ -58,6 +59,24 @@ object ConnectedComponents {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // driver-finish (r16): components are determined by the edge set
+    // alone — when the symmetric arc set fits the bounded collect (the
+    // count doubles as the persist materializer round 1 would pay),
+    // one union-find pass labels every ENDPOINT with its component
+    // minimum (root = smallest dense index = smallest id, exactly the
+    // min-label fixpoint) and the labels ride a broadcast left-join
+    // onto the still-distributed vertex set (vertices keep their own
+    // id when absent from edges, as before). Restricted to a uniform
+    // integral id type so no column promotion can diverge from the
+    // distributed output schema; pinned ≡ distributed by
+    // GraphDriverFinishSpec.
+    val vT = vertices.schema(idCol).dataType
+    if (DriverGraph.integral(vT) &&
+        sym.schema("src").dataType == vT && sym.schema("dst").dataType == vT &&
+        sym.count() <= 2L * driverLimit) {
+      try return driverLabels(vertices, sym, idCol)
+      finally sym.unpersist(false)
+    }
     // sum over zero rows is NULL — normalize so an empty vertex set
     // converges on the first comparison instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -103,6 +122,50 @@ object ConnectedComponents {
     done
       .join(vertices.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Union-find over the collected symmetric arcs (each undirected
+    * edge appears twice — idempotent for the DSU). Roots are kept at
+    * the smaller dense index, and dense-index order is id order, so
+    * the final root of every endpoint IS its component minimum —
+    * identical to the min-label propagation fixpoint. */
+  private def driverLabels(vertices: DataFrame, sym: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = sym.sparkSession
+    val vT = vertices.schema(idCol).dataType
+    val (ea, eb) = DriverGraph.collectPairs(sym, "src", "dst")
+    val ids = DriverGraph.denseIndex(ea, eb)
+    val n = ids.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))   // path halving
+        x = parent(x)
+      }
+      x
+    }
+    var i = 0
+    while (i < ea.length) {
+      val ra = find(DriverGraph.idx(ids, ea(i)))
+      val rb = find(DriverGraph.idx(ids, eb(i)))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+      i += 1
+    }
+    val rowsOut = new java.util.ArrayList[Row](n)
+    i = 0
+    while (i < n) { rowsOut.add(Row(ids(i), ids(find(i)))); i += 1 }
+    val endpointLab = s.createDataFrame(rowsOut, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false))))
+      .select(col("id").cast(vT).as("id"), col("label").cast(vT).as("label"))
+    vertices.select(col(idCol).as("id")).distinct()
+      .join(broadcast(endpointLab), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Alternating large-star / small-star contraction (Kiveris et al.,

@@ -31,12 +31,29 @@ object PageRank {
   /** `(node, rank)` after `iters` rounds from a uniform start of
     * `scale` per node; expects `src`/`dst` columns, multi-edges are
     * collapsed. Materializes eagerly (the returned frame is
-    * lineage-cut). */
+    * lineage-cut).
+    *
+    * Driver-finish (r16): when the deduped edge set has at most
+    * `driverLimit` rows (count known before collecting — it doubles as
+    * the persist materializer round 1 would pay anyway) and node ids
+    * are integral, the whole iteration runs as a primitive-array loop
+    * on the driver. Every update is exact integer arithmetic (sums +
+    * floor divisions, overflow mirrored with addExact/multiplyExact as
+    * ANSI mode throws), so the driver pass is bit-identical to the
+    * distributed rounds (pinned by GraphDriverFinishSpec). Graphs over
+    * the cap never collect. */
   def ranksInt(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-               basePct: Int = 15, dampPct: Int = 85): DataFrame = {
+               basePct: Int = 15, dampPct: Int = 85,
+               driverLimit: Long = DriverGraph.DefaultEdgeLimit): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(basePct + dampPct == 100, s"basePct + dampPct must be 100")
     val e = edges.select(col("src"), col("dst")).distinct().persist()
+    if (DriverGraph.integral(e.schema("src").dataType) &&
+        DriverGraph.integral(e.schema("dst").dataType) &&
+        e.count() <= driverLimit) {
+      try return driverRanks(e, iters, scale, basePct, dampPct)
+      finally e.unpersist()
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     try {
@@ -67,5 +84,63 @@ object PageRank {
       e.unpersist()
       nodes.unpersist()
     }
+  }
+
+  /** Exact in-memory mirror of the distributed rounds over the
+    * (already deduped) edge set: dense node index, per-round
+    * `acc(dst) += rank(src) / outd(src)` then
+    * `rank' = base + damp·acc / 100` — all nonnegative longs, so Java
+    * `/` coincides with Spark's `div`, and integer sums are order-free
+    * (exactly why ranksInt is quantized in the first place). */
+  private def driverRanks(e: DataFrame, iters: Int, scale: Long,
+      basePct: Int, dampPct: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val s = e.sparkSession
+    // output node type = what the distributed union would resolve to
+    val nodeType = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).schema("node").dataType
+    val (ea, eb) = DriverGraph.collectPairs(e, "src", "dst")
+    val ids = DriverGraph.denseIndex(ea, eb)
+    val n = ids.length
+    val m = ea.length
+    val es = new Array[Int](m)
+    val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      es(i) = DriverGraph.idx(ids, ea(i)); ed(i) = DriverGraph.idx(ids, eb(i))
+      i += 1
+    }
+    val outd = new Array[Long](n)
+    i = 0
+    while (i < m) { outd(es(i)) += 1; i += 1 }
+    val base = scale * basePct / 100
+    var rank = Array.fill(n)(scale)
+    var round = 1
+    while (round <= iters) {
+      val acc = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        acc(ed(i)) = Math.addExact(acc(ed(i)), rank(es(i)) / outd(es(i)))
+        i += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        next(i) = Math.addExact(base,
+          Math.multiplyExact(dampPct.toLong, acc(i)) / 100)
+        i += 1
+      }
+      rank = next
+      round += 1
+    }
+    val rowsOut = new java.util.ArrayList[Row](n)
+    i = 0
+    while (i < n) { rowsOut.add(Row(ids(i), rank(i))); i += 1 }
+    val df = s.createDataFrame(rowsOut, StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
+    if (nodeType == LongType) df
+    else df.select(col("node").cast(nodeType).as("node"), col("rank"))
   }
 }

@@ -9,12 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class HitsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** driverLimit = 0 forces the distributed half-steps (the
+    * production default would send every test graph down the r16
+    * driver path and silently un-cover them); driver ≡ distributed is
+    * pinned by GraphDriverFinishSpec. */
   private def run(edges: Seq[(Long, Long)], iters: Int,
                   parts: Int = 1): Map[Long, (Long, Long)] = {
     import spark.implicits._
     val e = edges.toDF("src", "dst")
     graft.operators.Hits
-      .hubsAuthsInt(if (parts > 1) e.repartition(parts) else e, iters)
+      .hubsAuthsInt(if (parts > 1) e.repartition(parts) else e, iters,
+        driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
   }
 
@@ -45,6 +50,7 @@ class HitsSpec extends AnyFunSuite {
   test("scoped persists release — cache manager empty after the call") {
     import spark.implicits._
     val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    graft.operators.Hits.hubsAuthsInt(e, iters = 2, driverLimit = 0L).count()
     graft.operators.Hits.hubsAuthsInt(e, iters = 2).count()
     assert(spark.sharedState.cacheManager.isEmpty)
   }

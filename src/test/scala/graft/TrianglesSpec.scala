@@ -34,7 +34,9 @@ class TrianglesSpec extends AnyFunSuite {
       (6, 7), (7, 8), (8, 9), (9, 6), (6, 8),
       (2, 1), (3, 3), (1, 2))
     val exp = brute(edges)
-    val got = Triangles.perNode(edges.toDF("src", "dst"))
+    // distributed joins forced (driverLimit = 0); GraphDriverFinishSpec
+    // pins the r16 driver path equal
+    val got = Triangles.perNode(edges.toDF("src", "dst"), driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got.keySet == exp.keySet)
     for ((n, (d, t)) <- exp) {
@@ -52,7 +54,7 @@ class TrianglesSpec extends AnyFunSuite {
 
   test("triangle-free graph yields all zeros") {
     val path = Seq[(Long, Long)]((1, 2), (2, 3), (3, 4))
-    val got = Triangles.perNode(path.toDF("src", "dst"))
+    val got = Triangles.perNode(path.toDF("src", "dst"), driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got.values.forall(_ == 0L) && got.size == 4)
   }
