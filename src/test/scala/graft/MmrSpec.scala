@@ -42,19 +42,24 @@ class MmrSpec extends AnyFunSuite {
   test("matches the greedy reference and is invariant to partitioning") {
     val rnd = new scala.util.Random(17)
     val vs = (0L until 80L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f)).toMap
-    for (p <- Seq(1, 9)) {
+    // lim = 0 forces the distributed greedy rounds; the default sends
+    // this size down the r16 driver loop — both must match the
+    // reference bit-for-bit (and therefore each other)
+    for (p <- Seq(1, 9); lim <- Seq(0L, Mmr.DriverCandLimit)) {
       val df = vs.toSeq.map { case (id, v) => (id, v) }
         .toDF("vec_id", "embedding").repartition(p)
-      val got = Mmr.rerank(df, df.filter($"vec_id" < 3), nCand = 12, k = 4)
+      val got = Mmr.rerank(df, df.filter($"vec_id" < 3), nCand = 12, k = 4,
+          driverLimit = lim)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .groupBy(_._1)
       for (q <- 0L until 3L) {
         val exp = refMmr(vs, q, nCand = 12, k = 4)
         val act = got(q).sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
-        assert(act == exp, s"query $q p=$p")
+        assert(act == exp, s"query $q p=$p lim=$lim")
       }
     }
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("picked set is relevance top-1 first, then diversity-adjusted") {
@@ -68,9 +73,12 @@ class MmrSpec extends AnyFunSuite {
       2L -> Array(1.0f, 1.001f, 0.0f),   // near-duplicate of 1
       3L -> Array(1.0f, -1.002f, 0.0f))  // diverse, similar relevance
     val df = vs.toSeq.toDF("vec_id", "embedding")
-    val picks = Mmr.rerank(df, df.filter($"vec_id" === 0L), nCand = 3, k = 3)
-      .orderBy($"mmr_rnk").collect().map(_.getLong(2)).toSeq
-    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+    for (lim <- Seq(0L, Mmr.DriverCandLimit)) {
+      val picks = Mmr.rerank(df, df.filter($"vec_id" === 0L), nCand = 3, k = 3,
+          driverLimit = lim)
+        .orderBy($"mmr_rnk").collect().map(_.getLong(2)).toSeq
+      assert(picks == Seq(1L, 3L, 2L), s"got $picks lim=$lim")
+    }
   }
 
   test("systematic resampling: copy counts hit the grid exactly") {
