@@ -42,6 +42,168 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantize {
 
+  /** r16 driver-finish cap for the INDEX-BUILD stages (codebooks /
+    * encode / probe-1 coarse assignment): vectors, not edges —
+    * embeddings dominate the collect (64 doubles ≈ 512 B/vector →
+    * ≤128 MB at the cap). The cap is probed with a LIMIT collect (the
+    * collectRefs idiom), so an over-cap corpus pays one partial scan,
+    * never a full collect; the QUERY-side joins (LUT, candidates, ADC
+    * ranking) stay distributed. Every mirrored operation is one of the
+    * operator's documented bit-portable forms (strict folds, quantized
+    * integer means, fixed associations, min-struct argmax with Spark's
+    * exact double order), pinned ≡ distributed by ProductQuantizeSpec. */
+  val DriverVecLimit = 1L << 18
+
+  /** Spark's exact double total order (0.0 == -0.0, NaN greatest). */
+  private def dcmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Strict ascending-index fold — [[graft.functions.FloatDot]]'s
+    * exact form (float→double widening per element is exact, so
+    * converting whole vectors to doubles up front is equivalent). */
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Bounded LIMIT-probed collect of (id, emb as exact doubles);
+    * None past the cap, on non-integral ids, duplicate ids, NULLs,
+    * or any embedding not exactly m·dsub long (the distributed
+    * raise_error path owns the loud failure). */
+  private def collectVecs(df: DataFrame, idCol: String, embCol: String,
+      dims: Int, cap: Long): Option[Array[(Long, Array[Double])]] = {
+    if (!DriverGraph.integral(df.schema(idCol).dataType)) return None
+    val capI = math.min(cap + 1, Int.MaxValue.toLong - 1).toInt
+    val rows = df.select(col(idCol).cast("long"), col(embCol)).limit(capI).collect()
+    if (rows.length > cap) return None
+    val out = new Array[(Long, Array[Double])](rows.length)
+    val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+    var i = 0
+    while (i < out.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      if (!seen.add(r.getLong(0))) return None
+      val seq = r.getSeq[Any](1)
+      if (seq.length != dims) return None
+      val arr = new Array[Double](dims)
+      var j = 0
+      while (j < dims) {
+        seq(j) match {
+          case f: java.lang.Float  => arr(j) = f.toDouble
+          case d: java.lang.Double => arr(j) = d
+          case _                   => return None
+        }
+        j += 1
+      }
+      out(i) = (r.getLong(0), arr)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** In-memory assign: per (vector, sub) the argmax of
+    * `dot(subv, cent) − 0.5·dot(cent, cent)` over that subspace's
+    * centroids, ties to the lowest cent_id — `min(struct(-score,
+    * cent_id))` semantics with Spark's double order. Books as
+    * per-sub (cent_id, cent) arrays. Returns code per (vec, sub). */
+  private def driverAssign(vecs: Array[(Long, Array[Double])], m: Int, dsub: Int,
+      books: Array[Array[(Long, Array[Double])]]): Array[Array[Long]] = {
+    val codes = new Array[Array[Long]](vecs.length)
+    var i = 0
+    while (i < vecs.length) {
+      val emb = vecs(i)._2
+      val row = new Array[Long](m)
+      var sub = 0
+      while (sub < m) {
+        val subv = java.util.Arrays.copyOfRange(emb, sub * dsub, (sub + 1) * dsub)
+        val bs = books(sub)
+        var bestNs = 0.0
+        var bestId = 0L
+        var first = true
+        var c = 0
+        while (c < bs.length) {
+          val (cid, cent) = bs(c)
+          val ns = -(ddot(subv, cent) - 0.5 * ddot(cent, cent))
+          if (first || dcmp(ns, bestNs) < 0 ||
+              (dcmp(ns, bestNs) == 0 && cid < bestId)) {
+            bestNs = ns; bestId = cid; first = false
+          }
+          c += 1
+        }
+        row(sub) = bestId
+        sub += 1
+      }
+      codes(i) = row
+      i += 1
+    }
+    codes
+  }
+
+  /** In-memory Lloyd mirror of [[codebooks]]: seed with the ksub
+    * lowest-id subvectors, then `iters` quantized-integer-mean updates
+    * (floor(v·2²⁰) long sums — order-free — one double division chain
+    * at the end, exactly the distributed `update`). Empty clusters
+    * drop. Returns per-sub (cent_id, cent) sorted by cent_id. */
+  private def driverLearnBooks(vecs: Array[(Long, Array[Double])], m: Int,
+      dsub: Int, ksub: Int, iters: Int): Array[Array[(Long, Array[Double])]] = {
+    val sorted = vecs.sortBy(_._1)
+    val seeds = sorted.take(ksub)
+    var books: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(m) { sub =>
+        seeds.map { case (id, emb) =>
+          (id, java.util.Arrays.copyOfRange(emb, sub * dsub, (sub + 1) * dsub))
+        }
+      }
+    var it = 0
+    while (it < iters) {
+      val codes = driverAssign(vecs, m, dsub, books)
+      books = Array.tabulate(m) { sub =>
+        // quantized-exact mean per non-empty cluster
+        val qsum = new java.util.HashMap[Long, Array[Long]]()
+        val cnt = new java.util.HashMap[Long, Array[Long]]()
+        var i = 0
+        while (i < vecs.length) {
+          val cid = codes(i)(sub)
+          var qs = qsum.get(cid)
+          if (qs == null) {
+            qs = new Array[Long](dsub); qsum.put(cid, qs)
+            cnt.put(cid, new Array[Long](1))
+          }
+          cnt.get(cid)(0) += 1
+          val emb = vecs(i)._2
+          var j = 0
+          while (j < dsub) {
+            qs(j) = Math.addExact(qs(j),
+              math.floor(emb(sub * dsub + j) * KMeans.QuantScale).toLong)
+            j += 1
+          }
+          i += 1
+        }
+        val out = new Array[(Long, Array[Double])](qsum.size())
+        val ks = qsum.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
+        java.util.Arrays.sort(ks)
+        var c = 0
+        while (c < ks.length) {
+          val qs = qsum.get(ks(c))
+          val n = cnt.get(ks(c))(0)
+          val cent = new Array[Double](dsub)
+          var j = 0
+          while (j < dsub) {
+            cent(j) = qs(j).toDouble / n.toDouble / KMeans.QuantScale
+            j += 1
+          }
+          out(c) = (ks(c), cent)
+          c += 1
+        }
+        out
+      }
+      it += 1
+    }
+    books
+  }
+
   /** (vec_id, sub, subv) — one row per vector per subspace, `subv` the
     * dsub-element slice. The generator is a bounded sequence literal;
     * the slice runs once per generated row by construction.
@@ -102,6 +264,19 @@ object ProductQuantize {
     * in [[KMeans]]. */
   def codebooks(corpus: DataFrame, m: Int, dsub: Int, ksub: Int, iters: Int,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // driver-finish (r16): a sub-cap corpus learns in memory (iters=0
+    // keeps the seed frame's float schema — distributed only). Any
+    // irregularity (NULLs, dup ids, mis-sized embeddings) declines to
+    // the distributed plan, whose raise_error owns the loud failure.
+    if (iters >= 1) {
+      collectVecs(corpus, idCol, embCol, m * dsub, DriverVecLimit) match {
+        case Some(vecs) =>
+          return booksFrame(corpus.sparkSession,
+            driverLearnBooks(vecs, m, dsub, ksub, iters),
+            corpus.schema(idCol).dataType)
+        case None =>
+      }
+    }
     val sv = subvectors(corpus, m, dsub, idCol, embCol)
     val seedIds = corpus.orderBy(col(idCol)).limit(ksub).select(col(idCol))
     var books = sv.join(broadcast(seedIds), Seq(idCol))
@@ -110,14 +285,103 @@ object ProductQuantize {
     books
   }
 
+  private def booksFrame(s: org.apache.spark.sql.SparkSession,
+      books: Array[Array[(Long, Array[Double])]],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = new java.util.ArrayList[Row]()
+    var sub = 0
+    while (sub < books.length) {
+      books(sub).foreach { case (cid, cent) => rows.add(Row(sub, cid, cent.toSeq)) }
+      sub += 1
+    }
+    val df = s.createDataFrame(rows, StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cent_id", LongType, nullable = false),
+      StructField("cent", ArrayType(DoubleType), nullable = false))))
+    if (idType == LongType) df
+    else df.select(col("sub"), col("cent_id").cast(idType).as("cent_id"), col("cent"))
+  }
+
+  /** Bounded collect of a books frame into per-sub (cent_id, cent)
+    * arrays; None when it doesn't look like a (sub, cent_id, cent)
+    * codebook under the m·ksub size class, so callers decline to the
+    * distributed join. */
+  private def collectBooks(books: DataFrame, m: Int):
+      Option[Array[Array[(Long, Array[Double])]]] = {
+    val sch = books.schema
+    if (!Seq("sub", "cent_id", "cent").forall(f => sch.fieldNames.contains(f)))
+      return None
+    if (!DriverGraph.integral(sch("cent_id").dataType)) return None
+    val rows = books.select(col("sub").cast("int"), col("cent_id").cast("long"),
+      col("cent")).limit(65537).collect()
+    if (rows.length > 65536) return None
+    val out = Array.fill(m)(List.newBuilder[(Long, Array[Double])])
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) return None
+      val sub = r.getInt(0)
+      if (sub < 0 || sub >= m) return None
+      val seq = r.getSeq[Any](2)
+      val cent = new Array[Double](seq.length)
+      var j = 0
+      while (j < cent.length) {
+        seq(j) match {
+          case f: java.lang.Float  => cent(j) = f.toDouble
+          case d: java.lang.Double => cent(j) = d
+          case _                   => return None
+        }
+        j += 1
+      }
+      out(sub) += ((r.getLong(1), cent))
+      i += 1
+    }
+    Some(out.map(_.result().toArray))
+  }
+
   /** Encode every vector as its per-subspace nearest-centroid code.
     * Output: (idCol, sub, code) — the long form ADC consumes; a
     * compacted array form is one `collect_list` away when a store
     * wants m bytes per row. */
   def encode(corpus: DataFrame, books: DataFrame, m: Int, dsub: Int,
-             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    assign(subvectors(corpus, m, dsub, idCol, embCol), books, idCol)
-      .select(col(idCol), col("sub"), col("cluster").as("code"))
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // driver-finish (r16): same argmax, in memory, when both sides fit
+    // (books are m·ksub rows by construction — the bound guards
+    // misuse). Works against ANY books frame incl. parquet round-trips.
+    val drv = for {
+      bs <- collectBooks(books, m)
+      vecs <- collectVecs(corpus, idCol, embCol, m * dsub, DriverVecLimit)
+    } yield {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val codes = driverAssign(vecs, m, dsub, bs)
+      val rows = new java.util.ArrayList[Row]()
+      var i = 0
+      while (i < vecs.length) {
+        var sub = 0
+        while (sub < m) {
+          // a sub with no centroids drops its rows (the inner join)
+          if (bs(sub).nonEmpty) rows.add(Row(vecs(i)._1, sub, codes(i)(sub)))
+          sub += 1
+        }
+        i += 1
+      }
+      val s = corpus.sparkSession
+      val df = s.createDataFrame(rows, StructType(Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("sub", IntegerType, nullable = false),
+        StructField("code", LongType, nullable = false))))
+      val idT = corpus.schema(idCol).dataType
+      val codeT = books.schema("cent_id").dataType
+      df.select(col(idCol).cast(idT).as(idCol), col("sub"),
+        col("code").cast(codeT).as("code"))
+    }
+    drv.getOrElse(
+      assign(subvectors(corpus, m, dsub, idCol, embCol), books, idCol)
+        .select(col(idCol), col("sub"), col("cluster").as("code")))
+  }
 
   /** Coarse quantizer centroids — [[Similarity.ivfTopK]]'s rule: the
     * `nCentroids` lowest-id vectors. Output: (coarse_id, __cent). */
@@ -140,6 +404,45 @@ object ProductQuantize {
     * query batches are small. */
   def coarseAssign(df: DataFrame, cents: DataFrame, outId: String, probe: Int,
                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // driver-finish (r16), probe = 1 only (the corpus side): same
+    // raw-dot argmax with lower-cent ties, in memory, when the row
+    // side fits the LIMIT-probed cap. probe > 1 is the query side —
+    // already small, stays on the WindowGroupLimit-pruned window.
+    if (probe == 1) {
+      val drv = for {
+        cs <- collectCents(cents)
+        dims = if (cs.isEmpty) -1 else cs(0)._2.length
+        vecs <- collectVecs(df, idCol, embCol, dims, DriverVecLimit)
+      } yield {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val rows = new java.util.ArrayList[Row](vecs.length)
+        var i = 0
+        while (i < vecs.length) {
+          var bestNs = 0.0
+          var bestId = 0L
+          var first = true
+          var c = 0
+          while (c < cs.length) {
+            val ns = -ddot(vecs(i)._2, cs(c)._2)
+            if (first || dcmp(ns, bestNs) < 0 ||
+                (dcmp(ns, bestNs) == 0 && cs(c)._1 < bestId)) {
+              bestNs = ns; bestId = cs(c)._1; first = false
+            }
+            c += 1
+          }
+          if (!first) rows.add(Row(vecs(i)._1, bestId))
+          i += 1
+        }
+        val s = df.sparkSession
+        val out = s.createDataFrame(rows, StructType(Seq(
+          StructField(outId, LongType, nullable = false),
+          StructField("coarse_id", LongType, nullable = false))))
+        out.select(col(outId).cast(df.schema(idCol).dataType).as(outId),
+          col("coarse_id").cast(cents.schema("coarse_id").dataType).as("coarse_id"))
+      }
+      if (drv.isDefined) return drv.get
+    }
     val sims = df.select(col(idCol).as(outId), col(embCol).as("__e"))
       .crossJoin(broadcast(cents))
       .withColumn("__sim", expr("float_dot(__e, __cent)"))
@@ -154,6 +457,42 @@ object ProductQuantize {
       sims.withColumn("__r", row_number().over(w)).filter(col("__r") <= probe)
         .select(col(outId), col("coarse_id"))
     }
+  }
+
+  /** Bounded collect of a coarse-centroid frame (coarse_id, __cent) —
+    * nCentroids rows by construction; None on anything irregular
+    * (size, types, NULLs, mixed dims). */
+  private def collectCents(cents: DataFrame): Option[Array[(Long, Array[Double])]] = {
+    val sch = cents.schema
+    if (!Seq("coarse_id", "__cent").forall(f => sch.fieldNames.contains(f)))
+      return None
+    if (!DriverGraph.integral(sch("coarse_id").dataType)) return None
+    val rows = cents.select(col("coarse_id").cast("long"), col("__cent"))
+      .limit(4097).collect()
+    if (rows.length > 4096) return None
+    val out = new Array[(Long, Array[Double])](rows.length)
+    var dims = -1
+    var i = 0
+    while (i < out.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val seq = r.getSeq[Any](1)
+      if (dims < 0) dims = seq.length
+      if (seq.length != dims) return None
+      val cent = new Array[Double](dims)
+      var j = 0
+      while (j < dims) {
+        seq(j) match {
+          case f: java.lang.Float  => cent(j) = f.toDouble
+          case d: java.lang.Double => cent(j) = d
+          case _                   => return None
+        }
+        j += 1
+      }
+      out(i) = (r.getLong(0), cent)
+      i += 1
+    }
+    Some(out)
   }
 
   /** IVF-ADC retrieval (the FAISS IVFPQ shape, without residual
