@@ -35,12 +35,37 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object BpeTrain {
 
+  /** Bounded driver-finish cap: total corpus characters collectible
+    * for the in-memory round loop (~4-6× expansion as String/array
+    * objects → ≤ ~200 MB at the cap). A sub-cap corpus pays one
+    * column-pruned `sum(length)` scan (cheaper than a single census
+    * round, which scans the same bytes AND shuffles the pairs) and
+    * then runs all rounds as driver hash-census + greedy rewrite —
+    * the census/argmax/rewrite arithmetic is exact string equality
+    * and integer counts, so the result is bit-identical to the
+    * distributed rounds (tie-break mirrors Spark's UTF8String binary
+    * order; pinned by TrainingOpsSpec's cross-check). Over-cap
+    * corpora take the distributed census rounds, unchanged — at
+    * 100 TB the census IS the right formulation. */
+  private[graft] val DriverFinishMaxChars = 32L * 1024 * 1024
+
   /** Learned merge table: `(rank, left, right, cnt)` — merge #rank
     * fused adjacent (left, right) occurring cnt times at selection
     * time. Stops early when no pair occurs at least `minCount`
     * times. */
   def learn(docs: DataFrame, textCol: String, nMerges: Int,
-            minCount: Long = 2L, checkpointEvery: Int = 4): DataFrame = {
+            minCount: Long = 2L, checkpointEvery: Int = 4,
+            driverCharLimit: Long = DriverFinishMaxChars): DataFrame = {
+    if (driverCharLimit > 0) {
+      val chars = docs.select(sum(length(col(textCol)))).collect()(0)
+      if (!chars.isNullAt(0) && chars.getLong(0) <= driverCharLimit)
+        return learnDriver(docs, textCol, nMerges, minCount)
+    }
+    learnDistributed(docs, textCol, nMerges, minCount, checkpointEvery)
+  }
+
+  private def learnDistributed(docs: DataFrame, textCol: String, nMerges: Int,
+            minCount: Long, checkpointEvery: Int): DataFrame = {
     val spark = docs.sparkSession
     var corpus = docs.select(split(col(textCol), " ").as("s")).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -69,12 +94,86 @@ object BpeTrain {
         }
       }
     } finally corpus.unpersist(false)
+    mergesFrame(spark, merges.toSeq)
+  }
+
+  /** The `(rank, left, right, cnt)` result frame — one schema for the
+    * driver and distributed paths. */
+  private def mergesFrame(spark: SparkSession,
+      merges: Seq[(Long, String, String, Long)]): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq.map(Row.fromTuple), 1),
+      spark.sparkContext.parallelize(merges.map(Row.fromTuple), 1),
       StructType(Seq(StructField("rank", LongType, nullable = false),
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false))))
+
+  /** The round loop on the driver: same census (hash count), same
+    * argmax (cnt desc, then UTF8String BINARY order on left/right —
+    * `UTF8String.compareTo`, exactly Spark's string sort; Java
+    * `String.compareTo` would diverge on supplementary characters),
+    * same greedy left-to-right rewrite as the [[graft.functions.BpeMerge]]
+    * kernel. Null texts census as empty (explode of a null array
+    * yields nothing). */
+  private def learnDriver(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    val rows = docs.select(split(col(textCol), " ").as("s")).collect()
+    var corpus: Array[Array[String]] = rows.map { r =>
+      if (r.isNullAt(0)) Array.empty[String]
+      else r.getSeq[String](0).toArray
+    }
+    def binLt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      round += 1
+      // tuple key, NOT a joined string: from round 2 on, symbols
+      // themselves contain spaces, so a joined key would be ambiguous
+      val census = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      corpus.foreach { s =>
+        var i = 0
+        while (i + 1 < s.length) {
+          if (s(i) != null && s(i + 1) != null) {
+            val k = (s(i), s(i + 1))
+            census.update(k, census.getOrElse(k, 0L) + 1L)
+          }
+          i += 1
+        }
+      }
+      var bestL: String = null
+      var bestR: String = null
+      var bestC = 0L
+      census.foreach { case ((l, r), c) =>
+        val better = c > bestC || (c == bestC && bestL != null && (
+          binLt(l, bestL) || (l == bestL && binLt(r, bestR))))
+        if (bestL == null || better) { bestL = l; bestR = r; bestC = c }
+      }
+      if (bestL == null || bestC < minCount) done = true
+      else {
+        merges += ((round.toLong, bestL, bestR, bestC))
+        corpus = corpus.map(mergeOnce(_, bestL, bestR))
+      }
+    }
+    mergesFrame(spark, merges.toSeq)
+  }
+
+  /** One greedy left-to-right merge pass — the [[graft.functions.BpeMerge]]
+    * kernel's exact loop on driver arrays. */
+  private def mergeOnce(s: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) != null && s(i) == l &&
+          s(i + 1) != null && s(i + 1) == r) {
+        out += s(i) + " " + s(i + 1)
+        i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** Tokenize a corpus with a learned merge list (rank order): the

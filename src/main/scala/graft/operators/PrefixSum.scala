@@ -45,25 +45,52 @@ object PrefixSum {
     * keeping the driver-side sample tiny (numParts × 32 keys). */
   private val SamplePerPart = 32L
 
+  /** Small-input fast path gate (rows). Below this, the two-phase
+    * machinery (cut sample collect + bucketed window + second source
+    * scan + offsets window + broadcast join) costs more wall clock
+    * than the single window task it avoids — r16 measured the
+    * PrefixSum-backed queries (q48/q50/q61/q63/q72/q89) spending
+    * ~0.3-0.6 s each in pure phase plumbing over ≤ 240k-row inputs.
+    * The global-window funnel this admits is BOUNDED BY THE COUNT
+    * GATE (≤ 64k rows through one task — the bounded-by-construction
+    * class PlanAuditSpec audits; the SinglePartition count per query
+    * is unchanged: the global window replaces the offsets window).
+    * The count that decides is the same count the cut sampler already
+    * paid. At scale inputs exceed the gate and the two-phase path is
+    * untouched. */
+  private[graft] val SmallInputRows = 65536L
+
   /** Adds `outCol` = running total of `valueCol` over ascending
     * `orderCol` (inclusive of the current row). `orderCol` values must
     * be distinct and non-null (a total order). */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                       outCol: String, numParts: Int = 0): DataFrame =
-    withRunningTotalOrdered(df, Seq(orderCol), valueCol, outCol, numParts)
+                       outCol: String, numParts: Int = 0,
+                       smallGate: Long = SmallInputRows): DataFrame =
+    withRunningTotalOrdered(df, Seq(orderCol), valueCol, outCol, numParts,
+      smallGate)
 
   /** Multi-column order variant: the running total follows the
     * lexicographic ascending order of `orderCols`, whose combinations
     * must be distinct and non-null (later columns break ties in
     * earlier ones). */
   def withRunningTotalOrdered(df: DataFrame, orderCols: Seq[String], valueCol: String,
-                              outCol: String, numParts: Int = 0): DataFrame = {
+                              outCol: String, numParts: Int = 0,
+                              smallGate: Long = SmallInputRows): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     val n = if (numParts > 0) numParts
             else df.sparkSession.sparkContext.defaultParallelism
-    val cuts = deterministicCuts(df, orderCols, n)
-    val pid = bucketExpr(orderCols, cuts)
     val ord = orderCols.map(col)
+    val total = df.select(ord: _*).count()
+    // Small-input fast path: one global-order window, no cut sample,
+    // no second source scan, no broadcast join. The prefix sum over a
+    // total order is invariant to bucketing, so the values are
+    // identical to the two-phase result (PrefixSumSpec pins both).
+    if (total <= smallGate)
+      return df.withColumn(outCol,
+        sum(col(valueCol)).over(Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = deterministicCuts(df, orderCols, n, total)
+    val pid = bucketExpr(orderCols, cuts)
     // bucket-local running sums: the window's hash(__pid) exchange is
     // the only corpus-sized shuffle, and __pid is a deterministic
     // expression — no range-sampling, no persist
@@ -105,9 +132,11 @@ object PrefixSum {
     *
     * `(groupCols ++ orderCols)` must be distinct and non-null per row. */
   def withRunningTotalGrouped(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-                              valueCol: String, outCol: String, numParts: Int = 0): DataFrame = {
+                              valueCol: String, outCol: String, numParts: Int = 0,
+                              smallGate: Long = SmallInputRows): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val g = withRunningTotalOrdered(df, groupCols ++ orderCols, valueCol, "__gtot", numParts)
+    val g = withRunningTotalOrdered(df, groupCols ++ orderCols, valueCol, "__gtot",
+      numParts, smallGate)
     val grp = groupCols.map(col)
     val starts = df.groupBy(grp: _*)
       .agg(sum(col(valueCol)).as("__t"))
@@ -126,11 +155,16 @@ object PrefixSum {
     * key-column-pruned passes (a count to size the residue class, the
     * filtered sample collect); at most `numParts × SamplePerPart` keys
     * ever reach the driver. */
-  private[operators] def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int): Seq[Seq[Any]] = {
+  private[operators] def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int): Seq[Seq[Any]] =
+    deterministicCuts(df, orderCols, numParts,
+      df.select(orderCols.map(col): _*).count())
+
+  /** Variant for callers that already know the row count (the
+    * running-total dispatch counts once for its small-input gate). */
+  private[operators] def deterministicCuts(df: DataFrame, orderCols: Seq[String], numParts: Int, total: Long): Seq[Seq[Any]] = {
     if (numParts <= 1) return Nil
     val ord = orderCols.map(col)
     val keys = df.select(ord: _*)
-    val total = keys.count()
     if (total == 0) return Nil
     val mod = math.max(1L, total / (numParts.toLong * SamplePerPart))
     val sample = keys

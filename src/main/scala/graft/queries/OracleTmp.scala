@@ -6,8 +6,22 @@ package graft.queries
   * replace `createTempDirectory` (which leaks a tree per call). */
 private[queries] object OracleTmp {
 
-  private def base = java.nio.file.Paths.get(
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  /** Scratch base: prefer a RAM-backed tmpfs (`/dev/shm`) when one is
+    * writable — every byte under here is ephemeral WITHIN one query
+    * invocation by construction (`fresh` wipes the dir at call start;
+    * nothing is ever read across invocations), so checkpoint/state-
+    * store durability buys nothing while its small-file fsync + CRC
+    * round-trips dominate the per-micro-batch wall clock of the
+    * real-run streaming fixtures on a disk-backed /tmp (guide §6 I/O
+    * layout; measured r16: q180/q179/q181 batch times). Durability of
+    * REAL deployments is untouched — callers there choose their own
+    * checkpoint locations; this object only serves the oracle
+    * fixtures. Fallback: java.io.tmpdir. */
+  private def base = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  }
 
   /** Per-process namespace token: stable within one JVM (Bench's repeated
     * calls reuse the same dirs) but disjoint across concurrent JVMs

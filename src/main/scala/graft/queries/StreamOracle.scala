@@ -19,15 +19,18 @@ object StreamOracle {
     * fixture commits hundreds of KB-scale delta files whose fsync/CRC
     * round-trips dominate the wall clock — fixed cost, not engine
     * work. The fixture's state volume is bounded by its constructed
-    * input (one sf-table split in two), so 8 partitions keeps tasks
-    * small while cutting the per-batch store commits 4×. Scoped here
+    * input (one sf-table split in two), so 2 partitions keeps tasks
+    * small while cutting the per-batch store commits 16× (r14 measured
+    * 32→8 at 4×; r16 re-measured 8→2 on the per-batch traces — results
+    * are partition-count-independent because every op keys on explicit
+    * columns, re-pinned by the oracle gate). Scoped here
     * (fixtures build their own bounded input by definition); a real
     * deployment sizes the session conf to its volume — this helper
     * must never wrap a query over the raw sf tables. */
   private[queries] def withFixtureShuffle[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, "2")
     try body finally s.conf.set(key, prev)
   }
 

@@ -1754,9 +1754,9 @@ object TextQueries {
     import s.implicits._
     val d = docs(s, dir)
     val label = when($"lang" === "en", 1L).otherwise(-1L)
-    val w = graft.operators.Perceptron.learn(d, "doc_id", "text", label,
-      nBuckets = 256, epochs = 3)
-    graft.operators.Perceptron.evaluate(d, "doc_id", "text", label, w, nBuckets = 256)
+    val (_, ev) = graft.operators.Perceptron.learnAndEvaluate(d, "doc_id",
+      "text", label, nBuckets = 256, epochs = 3)
+    ev
       .join(d.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"correct").as("n_correct"))

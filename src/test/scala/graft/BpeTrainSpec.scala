@@ -84,10 +84,41 @@ class BpeTrainSpec extends AnyFunSuite {
   test("learn survives many rounds with bounded lineage (checkpoint path)") {
     // corpus engineered so every round has a unique >=2 count pair:
     // w1 w2 ... w12 repeated twice as documents
+    // driverCharLimit = -1 forces the DISTRIBUTED rounds — this test
+    // exists to exercise the checkpoint/lineage path, which the r16
+    // driver-finish would otherwise bypass on a corpus this small
     val text = (1 to 12).map(i => s"w$i").mkString(" ")
     val docs = Seq(text, text).toDF("text")
-    val got = BpeTrain.learn(docs, "text", nMerges = 11, checkpointEvery = 3).collect()
+    val got = BpeTrain.learn(docs, "text", nMerges = 11, checkpointEvery = 3,
+      driverCharLimit = -1L).collect()
     assert(got.length == 11) // merges left-to-right: (w1 w2), (w1 w2 w3), ...
     assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("learn: driver-finish ≡ distributed rounds on the sf0.001 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val driver = rows(BpeTrain.learn(docs, "text", nMerges = 4))
+    val dist = rows(BpeTrain.learn(docs, "text", nMerges = 4,
+      driverCharLimit = -1L))
+    assert(driver == dist)
+    assert(driver.nonEmpty) // the cross-check must compare real merges
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("learn driver-finish: multi-round ambiguity — merged symbols contain spaces") {
+    // after round 1 fuses (a,b), round 2's census contains the pair
+    // ("a b", "c") whose naive string-joined key would collide with
+    // ("a", "b c"); tuple keys must keep them distinct
+    val docs = Seq("a b c", "a b c", "x b c").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val driver = rows(BpeTrain.learn(docs, "text", nMerges = 2))
+    val dist = rows(BpeTrain.learn(docs, "text", nMerges = 2, driverCharLimit = -1L))
+    assert(driver == dist)
+    assert(driver == Seq((1L, "b", "c", 3L), (2L, "a", "b c", 2L)))
   }
 }

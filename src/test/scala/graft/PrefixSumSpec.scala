@@ -26,10 +26,15 @@ class PrefixSumSpec extends AnyFunSuite {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     for (parts <- Seq(1, 7, 32)) {
-      val got = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", parts)
+      val got = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", parts,
+          smallGate = -1L)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
       assert(got == naive, s"mismatch at numParts=$parts")
     }
+    // the r16 small-input fast path (default gate) must agree too
+    val small = PrefixSum.withRunningTotal(corpus, "k", "v", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(small == naive, "small-input fast path diverged")
   }
 
   test("wide frames (extra columns) keep totals exact — branch consistency") {
@@ -61,14 +66,20 @@ class PrefixSumSpec extends AnyFunSuite {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
     for (parts <- Seq(1, 8, 32)) {
-      val got = PrefixSum.withRunningTotalGrouped(df, Seq("g"), Seq("k"), "v", "rt", parts)
+      val got = PrefixSum.withRunningTotalGrouped(df, Seq("g"), Seq("k"), "v",
+          "rt", parts, smallGate = -1L)
         .collect().map(r => ((r.getString(0), r.getLong(1)), r.getAs[Long]("rt"))).toMap
       assert(got == naive, s"mismatch at numParts=$parts")
     }
+    // small-input fast path through the grouped identity
+    val small = PrefixSum.withRunningTotalGrouped(df, Seq("g"), Seq("k"), "v", "rt")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getAs[Long]("rt"))).toMap
+    assert(small == naive, "grouped small-input fast path diverged")
   }
 
   test("the corpus never passes through a single-partition or per-group exchange") {
-    val plan = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8)
+    val plan = PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8,
+        smallGate = -1L)
       .queryExecution.executedPlan.toString
     // the corpus-sized window shuffles by the deterministic bucket id;
     // the only SinglePartition stage is the 8-row offsets branch,
@@ -79,7 +90,8 @@ class PrefixSumSpec extends AnyFunSuite {
 
   test("nothing persisted outlives the call") {
     spark.catalog.clearCache()
-    PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8).collect()
+    PrefixSum.withRunningTotal(corpus, "k", "v", "rt", 8, smallGate = -1L)
+      .collect()
     PrefixSum.withRunningTotalGrouped(
       corpus.withColumn("g", col("k") % 3), Seq("g"), Seq("k"), "v", "rt", 8).collect()
     assert(spark.sharedState.cacheManager.isEmpty,

@@ -505,6 +505,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(inf.map(_.getLong(3)).toSeq == Seq(1L, 0L)) // keep=margin>0
   }
 
+  test("perceptron: driver-finish ≡ distributed epochs on the sf0.001 corpus") {
+    import spark.implicits._
+    import graft.operators.Perceptron
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val label = when($"lang" === "en", 1L).otherwise(-1L)
+    def wmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wDriver = wmap(Perceptron.learn(docs, "doc_id", "text", label,
+      nBuckets = 64, epochs = 3))
+    val wDist = wmap(Perceptron.learn(docs, "doc_id", "text", label,
+      nBuckets = 64, epochs = 3, driverLimit = -1L))
+    assert(wDriver == wDist)
+    assert(wDriver.nonEmpty)
+    // the fused learn+eval path must equal learn-then-evaluate
+    val (_, evDriver) = Perceptron.learnAndEvaluate(docs, "doc_id", "text",
+      label, nBuckets = 64, epochs = 3)
+    val evDist = Perceptron.evaluate(docs, "doc_id", "text", label,
+      Perceptron.learn(docs, "doc_id", "text", label, nBuckets = 64,
+        epochs = 3, driverLimit = -1L), nBuckets = 64)
+    def evRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(evRows(evDriver) == evRows(evDist))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "perceptron paths leaked cache entries")
+  }
+
   test("ann recall eval: q78 bounds — ivf/lsh recall in [0,1], hits <= n_approx") {
     val rows = graft.queries.VectorQueries.q78AnnRecall(spark, sf).collect()
     assert(rows.length == 20) // 2 methods × 10 queries
