@@ -104,4 +104,129 @@ object KMeans {
     }
     assign(corpus, cents, idCol, embCol)
   }
+
+  /** Assignment TRAJECTORY: `iters + 1` frames of `(idCol, cluster)` —
+    * element 0 under the deterministic seeds, element i after i Lloyd
+    * updates (q45's shape: seed assignment AND the post-update
+    * assignment of the same run, without re-composing `step`/`assign`
+    * by hand).
+    *
+    * r16 driver-finish: a corpus that fits the LIMIT-probed
+    * [[ProductQuantize.DriverVecLimit]] collect (long ids, distinct,
+    * uniform dims, no NULLs) runs the Lloyd rounds as in-memory loops —
+    * every mirrored operation is one of this operator's documented
+    * bit-portable forms (strict ascending-index dot fold, min-struct
+    * argmax under Spark's exact double order with lowest-cent_id ties,
+    * quantized-integer mean with the exact division chain
+    * `qsum.toDouble / cnt / 2²⁰`), pinned ≡ distributed by KMeansSpec.
+    * Anything else (over-cap, non-long ids, ragged dims) composes the
+    * distributed [[step]]/[[assign]] exactly as before. */
+  def assignTrajectory(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      driverLimit: Long = ProductQuantize.DriverVecLimit): Seq[DataFrame] = {
+    val spark = corpus.sparkSession
+    if (driverLimit > 0 &&
+        corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      ProductQuantize.collectVecs(corpus, idCol, embCol, -1, driverLimit) match {
+        case Some(vecs) if vecs.nonEmpty =>
+          return driverTrajectory(spark, vecs, k, iters, idCol)
+        case _ => ()
+      }
+    }
+    var cents = seedCentroids(corpus, k, idCol, embCol)
+    val out = scala.collection.mutable.ArrayBuffer(
+      assign(corpus, cents, idCol, embCol))
+    for (_ <- 0 until iters) {
+      val (_, c) = step(corpus, cents, idCol, embCol)
+      cents = c
+      out += assign(corpus, cents, idCol, embCol)
+    }
+    out.toSeq
+  }
+
+  private def driverTrajectory(spark: org.apache.spark.sql.SparkSession,
+      vecs: Array[(Long, Array[Double])], k: Int, iters: Int,
+      idCol: String): Seq[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val pq = ProductQuantize
+    // seeds: the k lowest-id vectors
+    val sorted = vecs.sortBy(_._1)
+    var cents: Array[(Long, Array[Double])] = sorted.take(k)
+    def assignNow(): Array[Long] = {
+      val out = new Array[Long](vecs.length)
+      var i = 0
+      while (i < vecs.length) {
+        val e = vecs(i)._2
+        var bestNs = 0.0
+        var bestId = 0L
+        var first = true
+        var c = 0
+        while (c < cents.length) {
+          val (cid, cent) = cents(c)
+          val ns = -pq.ddot(e, cent)
+          if (first || pq.dcmp(ns, bestNs) < 0 ||
+              (pq.dcmp(ns, bestNs) == 0 && cid < bestId)) {
+            bestNs = ns; bestId = cid; first = false
+          }
+          c += 1
+        }
+        out(i) = bestId
+        i += 1
+      }
+      out
+    }
+    def toFrame(a: Array[Long]): DataFrame = {
+      val rows = vecs.indices.map(i => Row(vecs(i)._1, a(i)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField(idCol, LongType, nullable = false),
+          StructField("cluster", LongType, nullable = false))))
+    }
+    var cur = assignNow()
+    val frames = scala.collection.mutable.ArrayBuffer(toFrame(cur))
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val assigned = cur
+      val dims = vecs(0)._2.length
+      // quantized-exact mean per non-empty cluster — updateCentroids'
+      // exact arithmetic (floor(v·2²⁰) long sums, division chain)
+      val qsum = new java.util.HashMap[Long, Array[Long]]()
+      val cnt = new java.util.HashMap[Long, Array[Long]]()
+      var i = 0
+      while (i < vecs.length) {
+        val cid = assigned(i)
+        var qs = qsum.get(cid)
+        if (qs == null) {
+          qs = new Array[Long](dims); qsum.put(cid, qs)
+          cnt.put(cid, new Array[Long](1))
+        }
+        cnt.get(cid)(0) += 1
+        val e = vecs(i)._2
+        var j = 0
+        while (j < dims) {
+          qs(j) = Math.addExact(qs(j),
+            math.floor(e(j) * QuantScale).toLong)
+          j += 1
+        }
+        i += 1
+      }
+      val ks = qsum.keySet().toArray(new Array[java.lang.Long](0)).map(_.longValue())
+      java.util.Arrays.sort(ks)
+      cents = ks.map { cid =>
+        val qs = qsum.get(cid)
+        val n = cnt.get(cid)(0)
+        val cent = new Array[Double](dims)
+        var j = 0
+        while (j < dims) {
+          cent(j) = qs(j).toDouble / n.toDouble / QuantScale
+          j += 1
+        }
+        (cid, cent)
+      }
+      cur = assignNow()
+      frames += toFrame(cur)
+    }
+    frames.toSeq
+  }
 }

@@ -55,13 +55,13 @@ object ProductQuantize {
   val DriverVecLimit = 1L << 18
 
   /** Spark's exact double total order (0.0 == -0.0, NaN greatest). */
-  private def dcmp(a: Double, b: Double): Int =
+  private[operators] def dcmp(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
 
   /** Strict ascending-index fold — [[graft.functions.FloatDot]]'s
     * exact form (float→double widening per element is exact, so
     * converting whole vectors to doubles up front is equivalent). */
-  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def ddot(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { acc += a(i) * b(i); i += 1 }
@@ -72,20 +72,25 @@ object ProductQuantize {
     * None past the cap, on non-integral ids, duplicate ids, NULLs,
     * or any embedding not exactly m·dsub long (the distributed
     * raise_error path owns the loud failure). */
-  private def collectVecs(df: DataFrame, idCol: String, embCol: String,
-      dims: Int, cap: Long): Option[Array[(Long, Array[Double])]] = {
+  private[operators] def collectVecs(df: DataFrame, idCol: String, embCol: String,
+      dims0: Int, cap: Long): Option[Array[(Long, Array[Double])]] = {
     if (!DriverGraph.integral(df.schema(idCol).dataType)) return None
     val capI = math.min(cap + 1, Int.MaxValue.toLong - 1).toInt
     val rows = df.select(col(idCol).cast("long"), col(embCol)).limit(capI).collect()
     if (rows.length > cap) return None
     val out = new Array[(Long, Array[Double])](rows.length)
     val seen = new java.util.HashSet[java.lang.Long](rows.length * 2)
+    // dims0 < 0: uniform-length mode — the first row fixes the width
+    // (KMeans' caller has no declared dim; raggedness falls back to
+    // the distributed path, which owns mismatch semantics)
+    var dims = dims0
     var i = 0
     while (i < out.length) {
       val r = rows(i)
       if (r.isNullAt(0) || r.isNullAt(1)) return None
       if (!seen.add(r.getLong(0))) return None
       val seq = r.getSeq[Any](1)
+      if (dims < 0) dims = seq.length
       if (seq.length != dims) return None
       val arr = new Array[Double](dims)
       var j = 0

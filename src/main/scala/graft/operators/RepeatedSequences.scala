@@ -49,13 +49,71 @@ object RepeatedSequences {
     i
   }
 
+  /** r16 driver-finish cap on collected window rows (~60-80 B each at
+    * the word level → ≤ ~300 MB at the cap). LIMIT-probed, so an
+    * over-cap corpus pays one partial scan and stays on the
+    * distributed bucketed sort. */
+  private[graft] val DriverWindowLimit = 4000000L
+
+  /** The sorted neighbor-LCP scan in memory: sort by (ws UTF8-binary,
+    * doc_id, p) — exactly the bucketed `sortWithinPartitions` order —
+    * then adjacent lcpLen, distinct, (lcp DESC, seq) top-k. The
+    * (lcp, seq) result set is provably invariant to how equal-ws ties
+    * order (equal windows pair to a full-window lcp either way), but
+    * the comparator mirrors Spark's anyway. */
+  private def driverTopRepeats(s: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row], topK: Int): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    final case class W(doc: Long, p: Long, ws: String, u8: UTF8String)
+    val ws = new Array[W](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val w = r.getString(2)
+      ws(i) = W(r.getLong(0), r.getLong(1), w, UTF8String.fromString(w))
+      i += 1
+    }
+    java.util.Arrays.sort(ws, new java.util.Comparator[W] {
+      def compare(a: W, b: W): Int = {
+        val c = a.u8.compareTo(b.u8)
+        if (c != 0) c
+        else if (a.doc != b.doc) java.lang.Long.compare(a.doc, b.doc)
+        else java.lang.Long.compare(a.p, b.p)
+      }
+    })
+    val seen = scala.collection.mutable.HashSet.empty[(Long, String)]
+    i = 1
+    var prev: Array[String] = if (ws.nonEmpty) ws(0).ws.split(" ", -1) else null
+    while (i < ws.length) {
+      val cur = ws(i).ws.split(" ", -1)
+      val l = lcpLen(prev, cur)
+      if (l >= 1) seen += ((l.toLong, cur.take(l).mkString(" ")))
+      prev = cur
+      i += 1
+    }
+    val top = seen.toArray
+    java.util.Arrays.sort(top, new java.util.Comparator[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+        else UTF8String.fromString(a._2).compareTo(UTF8String.fromString(b._2))
+      }
+    })
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val out = top.take(topK).map { case (l, seq) => Row(l, seq) }
+    s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(StructField("lcp", LongType, nullable = false),
+        StructField("seq", StringType, nullable = true))))
+  }
+
   /** Top-`topK` distinct repeated sequences: `(lcp, seq)` = token
     * length and text of a maximal-up-to-`window` repeated prefix
     * shared by at least two corpus positions, ordered by
     * (lcp DESC, seq). Deterministic — output is a pure function of
     * the corpus, invariant to partitioning (pinned by spec). */
   def topRepeats(docs: DataFrame, idCol: String, textCol: String,
-                 window: Int = 8, topK: Int = 25, numParts: Int = 0): DataFrame = {
+                 window: Int = 8, topK: Int = 25, numParts: Int = 0,
+                 driverLimit: Long = DriverWindowLimit): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val n = if (numParts > 0) numParts else s.sparkContext.defaultParallelism
@@ -69,6 +127,21 @@ object RepeatedSequences {
         array_join(slice(col("ts"), col("pos") + 1, lit(window)), " ").as("ws"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // r16 driver-finish: a LIMIT-probed collect of the WINDOWS frame
+      // (Spark's own split/slice/join construction — nothing
+      // re-implemented) runs the sort + neighbor-LCP scan + distinct +
+      // top-k in memory. Sort order mirrors the cut/sortWithinPartitions
+      // order exactly: ws by UTF8String BINARY bytes, then doc_id, then
+      // p. An over-cap corpus pays one partial scan (the persist makes
+      // the two-phase fallback reuse it) — at 100 TB the bucketed
+      // external sort below is the right formulation.
+      if (driverLimit > 0) {
+        val capI = math.min(driverLimit + 1, Int.MaxValue.toLong - 1).toInt
+        val rows = win.select(col("doc_id"), col("p").cast("long"), col("ws"))
+          .limit(capI).collect()
+        if (rows.length <= driverLimit)
+          return driverTopRepeats(s, rows, topK)
+      }
       val ordCols = Seq("ws", "doc_id", "p")
       val cuts = PrefixSum.deterministicCuts(win, ordCols, n)
       val bucket = PrefixSum.bucketExpr(ordCols, cuts)

@@ -196,9 +196,11 @@ object VectorQueries {
   def q45KMeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = emb(s, dir)
-    val c0 = graft.operators.KMeans.seedCentroids(corpus, k = 8)
-    val (a1, c1) = graft.operators.KMeans.step(corpus, c0)
-    val a2 = graft.operators.KMeans.assign(corpus, c1)
+    // assignTrajectory(k, 1) ≡ the former seedCentroids→step→assign
+    // composition (KMeansSpec pins trajectory == composition); the
+    // driver-finish inside it runs the Lloyd round in memory when the
+    // corpus fits the bounded collect
+    val Seq(a1, a2) = graft.operators.KMeans.assignTrajectory(corpus, k = 8, iters = 1)
     a1.select($"vec_id", $"cluster".as("cluster1"))
       .join(a2.select($"vec_id", $"cluster".as("cluster2")), Seq("vec_id"))
       .withColumn("moved", $"cluster1" =!= $"cluster2")

@@ -68,4 +68,23 @@ class KMeansSpec extends AnyFunSuite {
     assert(KMeans.fit(separable, k = 2, iters = 3).queryExecution
       .optimizedPlan != null)
   }
+
+  test("assignTrajectory: driver-finish ≡ distributed composition (sf0.001 embeddings)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val driver = KMeans.assignTrajectory(corpus, k = 8, iters = 2)
+    val dist = KMeans.assignTrajectory(corpus, k = 8, iters = 2,
+      driverLimit = -1L)
+    assert(driver.length == 3 && dist.length == 3)
+    driver.zip(dist).zipWithIndex.foreach { case ((d, x), i) =>
+      assert(m(d) == m(x), s"trajectory diverged at step $i")
+    }
+    // and the distributed trajectory is the hand composition q45 used
+    val c0 = KMeans.seedCentroids(corpus, 8)
+    val (_, c1) = KMeans.step(corpus, c0)
+    assert(m(dist(0)) == m(KMeans.assign(corpus, c0)))
+    assert(m(dist(1)) == m(KMeans.assign(corpus, c1)))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }

@@ -41,13 +41,36 @@ class RepeatedSequencesSpec extends AnyFunSuite {
     assert(got.head._1 == 8L)
   }
 
-  test("output is invariant to bucket count") {
+  test("output is invariant to bucket count (distributed path forced)") {
     val df = corpus.toDF("doc_id", "text")
+    // driverLimit = -1 keeps this on the two-phase bucketed sort — the
+    // machinery this test exists to pin (the r16 driver-finish would
+    // otherwise absorb a corpus this small)
     def run(parts: Int) = RepeatedSequences
-      .topRepeats(df, "doc_id", "text", window = 5, topK = 50, numParts = parts)
+      .topRepeats(df, "doc_id", "text", window = 5, topK = 50, numParts = parts,
+        driverLimit = -1L)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val r1 = run(1)
     assert(run(3) == r1 && run(7) == r1)
+    // and the driver-finish agrees with the distributed set
+    val drv = RepeatedSequences
+      .topRepeats(df, "doc_id", "text", window = 5, topK = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drv == r1)
+  }
+
+  test("driver-finish ≡ distributed on the sf0.001 corpus") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(driverLimit: Long) = RepeatedSequences
+      .topRepeats(df, "doc_id", "text", window = 8, topK = 25,
+        driverLimit = driverLimit)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy { case (l, seq) => (-l, seq) }
+    val driver = rows(RepeatedSequences.DriverWindowLimit)
+    val dist = rows(-1L)
+    assert(driver == dist)
+    assert(driver.nonEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("empty and single-token documents do not break the scan") {
