@@ -3575,7 +3575,15 @@ object TextQueries {
     * DECIMAL(38,0) (≡ DuckDB HUGEINT — exact), the denominator is ONE
     * sqrt of the exact product and the result ONE double division —
     * bit-portable, no per-edge floats. Graph: q105's families. */
-  def q121Assortativity(s: SparkSession, dir: String): DataFrame = {
+  def q121Assortativity(s: SparkSession, dir: String): DataFrame =
+    q121AssortativityImpl(s, dir,
+      graft.operators.DriverGraph.DefaultEdgeLimit)
+
+  /** `driverLimit` forces the distributed aggregation in specs (-1);
+    * the default dispatches the r16 driver-finish under the shared
+    * 4M-edge bound (GraphDriverFinishSpec pins both paths equal). */
+  private[graft] def q121AssortativityImpl(s: SparkSession, dir: String,
+      driverLimit: Long): DataFrame = {
     import s.implicits._
     val d = docs(s, dir)
     val e1 = d.filter($"doc_id" % 2 === 0)
@@ -3589,6 +3597,27 @@ object TextQueries {
       .filter($"a" =!= $"b").distinct()
       .persist()
     try {
+      // r16 driver-finish: the canonical edge set is ~200 nodes by
+      // construction — the count (which materializes the persist the
+      // first consumer would pay) gates a bounded collect, and the
+      // degree/sum arithmetic is exact integers with the SAME decimal
+      // last mile (BigDecimal products, one double cast each side,
+      // IEEE sqrt + division — bit-identical to the distributed
+      // expression; Math.addExact mirrors the ANSI sum overflow).
+      if (driverLimit > 0 && ce.count() <= driverLimit) {
+        val (ea, eb) = graft.operators.DriverGraph.collectPairs(ce, "a", "b")
+        return s.createDataFrame(
+          s.sparkContext.parallelize(Seq(assortRow(ea, eb)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("m",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("sx",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("sxy",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("assortativity",
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
+      }
       val deg = ce.select($"a".as("node")).union(ce.select($"b".as("node")))
         .groupBy($"node").agg(count(lit(1)).as("deg"))
       // both orientations -> symmetric sums; degrees arrive by join
@@ -3611,6 +3640,50 @@ object TextQueries {
           .as("assortativity"))
         .localCheckpoint(true)
     } finally ce.unpersist(false)
+  }
+
+  /** Driver mirror of q121's sums + decimal last mile over collected
+    * canonical edges. Empty edge set mirrors the global agg's
+    * (0, NULL, NULL, NULL) row. */
+  private def assortRow(ea: Array[Long], eb: Array[Long]): org.apache.spark.sql.Row = {
+    if (ea.isEmpty)
+      return org.apache.spark.sql.Row(0L, null, null, null)
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < ea.length) {
+      deg.update(ea(i), deg.getOrElse(ea(i), 0L) + 1L)
+      deg.update(eb(i), deg.getOrElse(eb(i), 0L) + 1L)
+      i += 1
+    }
+    var m = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L; var syy = 0L
+    def acc(x: Long, y: Long): Unit = {
+      val dx = deg(x); val dy = deg(y)
+      m = Math.addExact(m, 1L)
+      sx = Math.addExact(sx, dx); sy = Math.addExact(sy, dy)
+      sxy = Math.addExact(sxy, Math.multiplyExact(dx, dy))
+      sxx = Math.addExact(sxx, Math.multiplyExact(dx, dx))
+      syy = Math.addExact(syy, Math.multiplyExact(dy, dy))
+    }
+    i = 0
+    while (i < ea.length) { acc(ea(i), eb(i)); acc(eb(i), ea(i)); i += 1 }
+    import java.math.BigDecimal
+    // every decimal op result mirrors Spark's DECIMAL(38,0) overflow
+    // check (ANSI mode throws) so the driver path cannot silently
+    // succeed where the distributed expression would error
+    def chk(b: BigDecimal): BigDecimal = {
+      if (b.precision > 38)
+        throw new ArithmeticException("q121 driver mirror: DECIMAL(38,0) overflow")
+      b
+    }
+    val bm = BigDecimal.valueOf(m)
+    val num = chk(chk(bm.multiply(BigDecimal.valueOf(sxy)))
+      .subtract(chk(BigDecimal.valueOf(sx).multiply(BigDecimal.valueOf(sy)))))
+    val vx = chk(chk(bm.multiply(BigDecimal.valueOf(sxx)))
+      .subtract(chk(BigDecimal.valueOf(sx).multiply(BigDecimal.valueOf(sx)))))
+    val vy = chk(chk(bm.multiply(BigDecimal.valueOf(syy)))
+      .subtract(chk(BigDecimal.valueOf(sy).multiply(BigDecimal.valueOf(sy)))))
+    val r = num.doubleValue() / math.sqrt(chk(vx.multiply(vy)).doubleValue())
+    org.apache.spark.sql.Row(m, sx, sxy, r)
   }
 
   val q121Sql: String =

@@ -137,4 +137,17 @@ class GraphDriverFinishSpec extends AnyFunSuite {
     assert(got.keySet === Set("a", "b", "c"))
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("q121 assortativity: driver ≡ distributed (decimal last mile bit-equal)") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(lim: Long) = graft.queries.TextQueries
+      .q121AssortativityImpl(spark, sf, lim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSeq
+    val drv = rows(graft.operators.DriverGraph.DefaultEdgeLimit)
+    val dist = rows(-1L)
+    assert(drv == dist)
+    assert(drv.head._1 > 0L)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
