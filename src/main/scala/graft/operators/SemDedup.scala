@@ -54,7 +54,25 @@ object SemDeDup {
     * per action (two assignment passes total instead of a cache entry
     * holding the whole corpus for the life of the session). */
   def dropVerdicts(corpus: DataFrame, k: Int, threshold: Double,
-                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   driverLimit: Long = ProductQuantize.DriverVecLimit): DataFrame = {
+    // r16 driver-finish: under the shared LIMIT-probed vector cap the
+    // assignment + within-cluster pair pass run in memory with the
+    // operator's bit-portable forms (strict dot folds, min-struct
+    // argmax, IEEE sqrt/division). Two Spark-side subtleties mirrored
+    // EXACTLY (both spec-pinned): ANSI double division throws
+    // DIVIDE_BY_ZERO on a zero-norm pair, and Spark comparison
+    // semantics order NaN above every number, so a NaN cosine (NaN
+    // embedding elements) IS >= threshold and drops. Over-cap / non-
+    // long-id corpora take the distributed path unchanged.
+    if (driverLimit > 0 &&
+        corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      ProductQuantize.collectVecs(corpus, idCol, embCol, -1, driverLimit) match {
+        case Some(vecs) if vecs.nonEmpty =>
+          return driverVerdicts(corpus.sparkSession, vecs, k, threshold, idCol)
+        case _ => ()
+      }
+    }
     val cents = KMeans.seedCentroids(corpus, k, idCol, embCol)
     val assigned = KMeans.assignWithEmb(corpus, cents, idCol, embCol)
     val cached = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -76,5 +94,70 @@ object SemDeDup {
     assigned.select(col(idCol), col("cluster"))
       .join(drops, Seq(idCol), "left")
       .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+  }
+
+  /** In-memory mirror of the assign + within-cluster pair pass. */
+  private def driverVerdicts(spark: org.apache.spark.sql.SparkSession,
+      vecs: Array[(Long, Array[Double])], k: Int, threshold: Double,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val pq = ProductQuantize
+    val cents = vecs.sortBy(_._1).take(k)
+    val n = vecs.length
+    val cluster = new Array[Long](n)
+    val norm = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val e = vecs(i)._2
+      var bestNs = 0.0; var bestId = 0L; var first = true
+      var c = 0
+      while (c < cents.length) {
+        val (cid, cent) = cents(c)
+        val ns = -pq.ddot(e, cent)
+        if (first || pq.dcmp(ns, bestNs) < 0 ||
+            (pq.dcmp(ns, bestNs) == 0 && cid < bestId)) {
+          bestNs = ns; bestId = cid; first = false
+        }
+        c += 1
+      }
+      cluster(i) = bestId
+      norm(i) = math.sqrt(pq.ddot(e, e))
+      i += 1
+    }
+    // within-cluster pairs, idA < idB — dropped(B) iff cosine >=
+    // threshold under SPARK's NaN-above-everything comparison; a
+    // zero-norm denominator throws like the ANSI double division
+    val byCluster = vecs.indices.groupBy(cluster(_))
+    val dropped = new Array[Boolean](n)
+    byCluster.valuesIterator.foreach { members =>
+      val ms = members.sortBy(m => vecs(m)._1)
+      var a = 0
+      while (a < ms.length) {
+        var b = a + 1
+        while (b < ms.length) {
+          val (ia, ib) = (ms(a), ms(b))
+          if (!dropped(ib)) {
+            val denom = norm(ia) * norm(ib)
+            if (denom == 0.0)
+              throw new ArithmeticException(
+                "SemDeDup driver mirror: zero-norm cosine (ANSI DIVIDE_BY_ZERO)")
+            val cos = pq.ddot(vecs(ia)._2, vecs(ib)._2) / denom
+            if (java.lang.Double.isNaN(cos) || cos >= threshold) dropped(ib) = true
+          }
+          b += 1
+        }
+        a += 1
+      }
+      // a dropped vector still drops OTHERS (the distributed join
+      // pairs every va < vb regardless of va's own verdict) — the
+      // !dropped(ib) guard above only skips RE-dropping ib, never
+      // skips ia as a dropper, so semantics match
+    }
+    val rows = vecs.indices.map(i => Row(vecs(i)._1, cluster(i), dropped(i)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField(idCol, LongType, nullable = false),
+        StructField("cluster", LongType, nullable = false),
+        StructField("dropped", BooleanType, nullable = false))))
   }
 }

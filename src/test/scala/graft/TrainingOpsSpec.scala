@@ -271,6 +271,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.size == 30, "every vector gets a verdict")
     val kept = got.filter(!_._2).keys.toSet
     assert(kept == Set(0L, 1L, 2L), s"expected one rep per bundle, got $kept")
+    // the distributed path (driverLimit = -1 forces it) must agree
+    val dist = graft.operators.SemDeDup.dropVerdicts(corpus, k = 3,
+        threshold = 0.99, driverLimit = -1L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(dist == got)
+  }
+
+  test("semdedup: driver-finish ≡ distributed on the sf0.001 embeddings") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    def m(lim: Long) = graft.operators.SemDeDup
+      .dropVerdicts(corpus, k = 8, threshold = 0.35, driverLimit = lim)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val drv = m(graft.operators.ProductQuantize.DriverVecLimit)
+    val dist = m(-1L)
+    assert(drv == dist)
+    assert(drv.values.exists(_._2), "fixture should drop at least one vector")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("decontamination flags exactly the docs sharing an n-gram with the bench set") {
