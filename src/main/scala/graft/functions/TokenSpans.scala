@@ -146,6 +146,77 @@ case class CutSpans(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** ALL suffix windows of a whitespace-tokenized text: element `j`
+  * (0-based) is tokens `j .. min(j+n, nTokens)-1` joined by single
+  * spaces — i.e. the output of `array_join(slice(split(text,' '),
+  * j+1, n), ' ')` for every position, including the truncated tail
+  * windows (unlike [[TokenSpans]], which stops at the last FULL
+  * n-gram). This is the suffix-window unit of corpus-level
+  * repeated-sequence mining ([[graft.operators.RepeatedSequences]]):
+  * the declarative form carries the whole token array through the
+  * Generate and pays a fresh `slice` array + `array_join` string per
+  * POSITION; this expression makes one call per row and — because
+  * consecutive tokens joined by ' ' are byte-identical to the
+  * original text between their offsets — emits each window as one
+  * byte-range copy of the input, no token array at all.
+  *
+  * Byte scanning is exact: ' ' (0x20) can never occur inside a UTF-8
+  * multibyte sequence. Every window is an OWNED copy
+  * (`Arrays.copyOfRange`) — never a view of the caller's buffer,
+  * which Spark reuses across rows (the r8 DiffKernelU8 lesson). */
+case class TokenWindows(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_windows requires (string, foldable int), got $l and $r")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "token_windows"
+
+  @transient private lazy val n: Int =
+    right.eval(null).asInstanceOf[Int]
+
+  override protected def nullSafeEval(text: Any, _n: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    // token starts: offset 0 plus one past every space; sentinel one
+    // past a virtual trailing space so token i spans
+    // [starts(i), starts(i+1)-1) uniformly, tail included
+    var count = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) count += 1; i += 1 }
+    val starts = new Array[Int](count + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(count) = len + 1
+    val k = n
+    val out = new Array[Any](count)
+    var j = 0
+    while (j < count) {
+      val endTok = math.min(j + k, count)
+      out(j) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(j), starts(endTok) - 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenWindows =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Non-overlapping n-token chunks of a whitespace-tokenized text, in
   * document order; the final chunk keeps the partial tail. The array
   * index is the chunk ordinal (token offset = index · n). This is the

@@ -49,6 +49,21 @@ object BpeTrain {
     * 100 TB the census IS the right formulation. */
   private[graft] val DriverFinishMaxChars = 32L * 1024 * 1024
 
+  /** One-sided pre-gate on the exact `sum(length)` probe (r16 verdict
+    * #2: over-cap corpora paid one full column-pruned scan that bought
+    * nothing — at 100 TB that is a wasted pass). The optimizer's
+    * size-in-bytes ESTIMATE costs no job; it is only trusted in the
+    * direction that cannot lose the driver finish: an estimate within
+    * `ProbeEstimateFactor`× of the char cap still runs the exact probe
+    * (a small corpus whose stats overestimate just probes, as before),
+    * while a corpus estimated far above it skips straight to the
+    * distributed census — file-size-derived estimates cannot sit 64×
+    * BELOW the real char count, so no driver-eligible corpus is ever
+    * misrouted (the census path is correct for any size regardless). */
+  private[graft] val ProbeEstimateFactor = 64L
+  private[graft] def worthProbing(estBytes: BigInt, cap: Long): Boolean =
+    estBytes <= BigInt(cap) * ProbeEstimateFactor
+
   /** Learned merge table: `(rank, left, right, cnt)` — merge #rank
     * fused adjacent (left, right) occurring cnt times at selection
     * time. Stops early when no pair occurs at least `minCount`
@@ -56,7 +71,9 @@ object BpeTrain {
   def learn(docs: DataFrame, textCol: String, nMerges: Int,
             minCount: Long = 2L, checkpointEvery: Int = 4,
             driverCharLimit: Long = DriverFinishMaxChars): DataFrame = {
-    if (driverCharLimit > 0) {
+    if (driverCharLimit > 0 && worthProbing(
+        docs.select(col(textCol)).queryExecution.optimizedPlan.stats.sizeInBytes,
+        driverCharLimit)) {
       val chars = docs.select(sum(length(col(textCol)))).collect()(0)
       if (!chars.isNullAt(0) && chars.getLong(0) <= driverCharLimit)
         return learnDriver(docs, textCol, nMerges, minCount)

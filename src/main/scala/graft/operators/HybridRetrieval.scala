@@ -28,9 +28,19 @@ object HybridRetrieval {
     * all-pairs. Returns `(query_id, neighbor_id, jaccard, rnk)`. */
   def jaccardTopK(docs: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // r17: per-doc-distinct tokens via the native shingles(·, 1)
+    // expression — same set as `explode(split).distinct()` (TokenShingles
+    // dedupes per row with split-identical tokenization, incl. empty
+    // tokens), but with NO distinct Exchange: the old plan shuffled
+    // every corpus token once just to dedupe what is per-document
+    // state. Downstream consumers (size agg, postings join) are
+    // set-order-free.
     def toks(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), explode(split(col(textCol), " ")).as("__tok"))
-      .distinct()
+      .select(col(idCol).as(as),
+        explode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.TokenShingles(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol)),
+            org.apache.spark.sql.catalyst.expressions.Literal(1)))).as("__tok"))
     val tok = toks(docs, "neighbor_id")
     val qtok = toks(queries, "query_id")
     val sz = tok.groupBy(col("neighbor_id")).agg(count(lit(1)).as("__n"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, HashedMargin, Int8Quantize, NormalizeTitle, TokenChunks, TokenShingles, TokenSpans, WikiDiffSafe}
+import graft.functions.{BpeMerge, CutSpans, DocFingerprint64, FloatDot, HashedMargin, Int8Quantize, NormalizeTitle, TokenChunks, TokenShingles, TokenSpans, TokenWindows, WikiDiffSafe}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -43,6 +43,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "token_spans expects exactly 2 arguments")
         TokenSpans(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_windows"),
+      new ExpressionInfo(classOf[TokenWindows].getName, "token_windows"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "token_windows expects exactly 2 arguments")
+        TokenWindows(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("token_chunks"),

@@ -27,11 +27,28 @@ object StreamOracle {
     * (fixtures build their own bounded input by definition); a real
     * deployment sizes the session conf to its volume — this helper
     * must never wrap a query over the raw sf tables. */
+  /** State-store provider for the fixture scope, A/B-testable via
+    * `GRAFT_FIXTURE_STATESTORE` (`rocksdb` | `hdfs` | unset = session
+    * default). r17 measured RocksDB vs the default HDFS-backed
+    * provider on the KB-scale fixture state (r16 verdict #1) — see
+    * OPTIMIZATION_r17.md for the per-batch traces and the verdict. */
+  private[queries] def fixtureStateStore: Option[String] =
+    sys.env.get("GRAFT_FIXTURE_STATESTORE").collect {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
+
   private[queries] def withFixtureShuffle[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "2")
-    try body finally s.conf.set(key, prev)
+    val confs = Seq("spark.sql.shuffle.partitions" -> "2") ++
+      fixtureStateStore.map("spark.sql.streaming.stateStore.providerClass" -> _)
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   // ---------------------------------------------------------------- q170

@@ -272,24 +272,52 @@ object TextQueries {
     minhashPairs(s, dir, minEst = 0.25).orderBy($"doc_a", $"doc_b")
   }
 
+  /** One minhash SIGNATURE build per (session, corpus): q20, q85,
+    * q108 and q113 all consume the same 8-slice per-doc signature
+    * table, and the build (shingle explode → 2 md5s per shingle →
+    * per-doc min aggregation) is its dominant cost — re-run per query
+    * it was paid four times per sweep (r16 verdict #2; the
+    * [[shingleStats]] probe memo is the r9 precedent for this class:
+    * per (session, dir) INSIDE one process, never across runs —
+    * every fresh invocation still computes from the parquet inputs).
+    * The entry is an EAGER `localCheckpoint` (RDD-level storage, so
+    * the order-coupled `cacheManager.isEmpty` suite asserts stay
+    * green — the r10 BlockGrid pattern) and is replaced wholesale on
+    * a new (session, dir); a signature row is one doc_id + 8×8-char
+    * strings, so a stale entry is KB-scale, the price the r3 lesson
+    * sets for checkpoint-backed sharing (Dataset.unpersist is a no-op
+    * on localCheckpoint'd frames). */
+  @volatile private[this] var minhashSigMemo:
+      (SparkSession, String, DataFrame) = null
+  private[graft] def minhashSigWide(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val m = minhashSigMemo
+      if (m != null && (m._1 eq s) && m._2 == dir) m._3
+      else {
+        import s.implicits._
+        val sh = bigramShingles(s, dir)
+        // hash family: 8 independent 32-bit slices of two md5s — one
+        // projection per shingle, per-doc mins computed map-side in ONE
+        // aggregation (no explode-by-k, k× less hashing and shuffle)
+        val hs = sh.withColumn("m1", md5($"shingle"))
+          .withColumn("m2", md5(concat(lit("x"), $"shingle")))
+        val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
+          (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
+        val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
+          .localCheckpoint(true)
+        minhashSigMemo = (s, dir, sigWide)
+        sigWide
+      }
+    }
+
   /** q20's minhash candidate pipeline at any estimate threshold —
     * shared by q20 (0.25) and q108's verification stage (0.5). */
   private[graft] def minhashPairs(s: SparkSession, dir: String,
       minEst: Double): DataFrame = {
-    import s.implicits._
-    val sh = bigramShingles(s, dir)
-    // hash family: 8 independent 32-bit slices of two md5s — one
-    // projection per shingle, per-doc mins computed map-side in ONE
-    // aggregation (no explode-by-k, k× less hashing and shuffle)
-    val hs = sh.withColumn("m1", md5($"shingle"))
-      .withColumn("m2", md5(concat(lit("x"), $"shingle")))
-    val sliceCols = (0 until 4).map(i => min(substring($"m1", i * 8 + 1, 8)).as(s"h$i")) ++
-      (0 until 4).map(i => min(substring($"m2", i * 8 + 1, 8)).as(s"h${i + 4}"))
-    val sigWide = hs.groupBy($"doc_id").agg(sliceCols.head, sliceCols.tail: _*)
     // LSH candidate = any colliding slice; the per-pair count of
     // colliding slices IS the minhash estimate (×1/8). The operator
     // picks band-join (scale path) vs broadcast sweep (small corpus).
-    graft.operators.MinHashLsh.pairs(sigWide, k = 8, minEst = minEst)
+    graft.operators.MinHashLsh.pairs(minhashSigWide(s, dir), k = 8, minEst = minEst)
   }
 
   val q20Sql: String = minhashSql("0.25")

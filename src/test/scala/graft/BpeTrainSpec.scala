@@ -81,6 +81,24 @@ class BpeTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("learn: far-over-cap stats estimate skips the probe, result unchanged") {
+    // r17 (r16 verdict #4): the exact sum(length) probe is pre-gated by
+    // the optimizer's free size estimate so a 100 TB corpus pays no
+    // wasted pass. One-sided: within 64x of the cap still probes.
+    assert(BpeTrain.worthProbing(BigInt(640), 10))
+    assert(!BpeTrain.worthProbing(BigInt(641), 10))
+    // end-to-end through the skip branch: driverCharLimit=1 puts any
+    // real frame's estimate far over 64x, so learn must go straight to
+    // the distributed census and still match the driver-finish result
+    val docs = (1 to 50).map(i => s"the cat sat on mat $i").toDF("text")
+    def rows(limit: Long) = BpeTrain.learn(docs, "text", nMerges = 3,
+        driverCharLimit = limit)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows(1L) == rows(BpeTrain.DriverFinishMaxChars))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("learn survives many rounds with bounded lineage (checkpoint path)") {
     // corpus engineered so every round has a unique >=2 count pair:
     // w1 w2 ... w12 repeated twice as documents

@@ -293,6 +293,27 @@ class DedupOpsSpec extends AnyFunSuite {
            b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("minhash signature memo keys on (session, corpus) state") {
+    // r17: q20/q85/q108/q113 share ONE signature build per
+    // (session, dir) (the r9 shingleStats precedent). The memo must
+    // key on BOTH fields, replace wholesale, and stay out of
+    // cacheManager (order-coupled isEmpty asserts in other suites).
+    val q = graft.queries.TextQueries
+    val a = q.minhashSigWide(spark, "/root/testdata/sf0.001")
+    assert(q.minhashSigWide(spark, "/root/testdata/sf0.001") eq a)
+    val c = q.minhashSigWide(spark, "/root/testdata/sf0.01")
+    assert(!(c eq a), "a different corpus must not serve the memo entry")
+    // single-entry: returning to the first dir rebuilds (replaced wholesale)
+    val a2 = q.minhashSigWide(spark, "/root/testdata/sf0.001")
+    assert(!(a2 eq a) && (q.minhashSigWide(spark, "/root/testdata/sf0.001") eq a2))
+    // values are the real signatures: one row per doc, 8 slice columns
+    val nDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(a2.count() == nDocs && a2.columns.toSeq ==
+      ("doc_id" +: (0 until 8).map(i => s"h$i")))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "memo must be checkpoint-backed, not cacheManager-backed")
+  }
+
   test("shingles() edge cases: short text, empty tokens, n=3") {
     import spark.implicits._
     val df = Seq("one", "", "a b", "a  b", "x y z").toDF("text")

@@ -73,6 +73,36 @@ class RepeatedSequencesSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("token_windows ≡ split→posexplode→slice→array_join (fuzz incl. " +
+      "multi-space, empty tokens, unicode)") {
+    // the r17 native expression replaced the declarative window
+    // construction inside topRepeats — this pins byte-identical output
+    // on adversarial tokenizations (empty text, leading/trailing/double
+    // spaces → empty tokens, multibyte chars around the 0x20 scan)
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "bb", "ccc", "", "déjà", "日本", "x y".replace(" ", ""))
+    val texts = Seq("", " ", "  ", "x", " x", "x ", "a  b", "é ü 日 本") ++
+      (1 to 40).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+          .mkString(" ")
+      }
+    for (w <- Seq(1, 3, 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = df.selectExpr("doc_id",
+          s"posexplode(token_windows(text, $w)) AS (pos, ws)")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      val declarative = df
+        .select($"doc_id", org.apache.spark.sql.functions.split($"text", " ").as("ts"))
+        .select($"doc_id", $"ts",
+          org.apache.spark.sql.functions.posexplode($"ts"))
+        .selectExpr("doc_id", "pos",
+          s"array_join(slice(ts, pos + 1, $w), ' ') AS ws")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(native == declarative, s"window=$w")
+    }
+  }
+
   test("empty and single-token documents do not break the scan") {
     val df = Seq(1L -> "", 2L -> "x", 3L -> "x").toDF("doc_id", "text")
     val got = RepeatedSequences.topRepeats(df, "doc_id", "text", window = 4, topK = 10)
