@@ -67,5 +67,10 @@ object SparkEntry {
     "q187_entry_ms_stream", "q188_entry_ms_articles",
     "q189_entry_ms_stream_articles", "q190_entry_ms_write",
     "q191_entry_ms_rate_limited", "q192_entry_ms_write_stream",
-    "q193_entry_ms_write_idxbz2")
+    "q193_entry_ms_write_idxbz2",
+    // r17: q207 synthesizes its OWN parquet index (two writes + read-back)
+    // per invocation — the round-trip is the thing being proven, so its
+    // wall clock is fixture I/O, the same class as the write-sink rows
+    // above (r16's verdict already grouped it with the fixture machinery)
+    "q207_pq_index_roundtrip")
 }

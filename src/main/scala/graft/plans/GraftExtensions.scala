@@ -66,6 +66,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         CutSpans(children(0), children(1), children(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("long_pairs"),
+      new ExpressionInfo(classOf[graft.functions.LongPairs].getName, "long_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "long_pairs expects exactly 1 argument")
+        graft.functions.LongPairs(children(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("doc_fingerprint64"),
       new ExpressionInfo(classOf[DocFingerprint64].getName, "doc_fingerprint64"),
       (children: Seq[Expression]) => {

@@ -1066,10 +1066,20 @@ object Relational {
     * filter >= 3, top 50 by support with pair tiebreak. */
   def q122CoPurchase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    op.as("x").join(op.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
-      .groupBy($"x.pk".as("part_a"), $"y.pk".as("part_b"))
+    // r17 (guide §2.3/§2.4): ONE scan + one exchange keyed l_orderkey
+    // with a map-side-combined collect_set, then the native long_pairs
+    // generator emits each basket's unordered (min, max) pairs — the
+    // former shape scanned lineitem TWICE (two separate distinct
+    // subtrees feeding a self-join) and re-materialized the Σ·b² pair
+    // stream through a join. Pair VALUES are a pure function of the
+    // basket SET, so collect_set's nondeterministic order is
+    // aggregated away; support counts are unchanged (pinned by the
+    // oracle hash).
+    t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .groupBy($"ok").agg(collect_set($"pk").as("ps"))
+      .select(explode(expr("long_pairs(ps)")).as("p"))
+      .groupBy($"p.a".as("part_a"), $"p.b".as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= 3L)
       .orderBy($"support".desc, $"part_a", $"part_b")

@@ -1249,9 +1249,16 @@ object VectorQueries {
     val ix = OracleTmp.fresh("pq_index")
     val books = graft.operators.ProductQuantize
       .codebooks(corpus, m = 8, dsub = 8, ksub = 16, iters = 1).localCheckpoint()
+    // r17, guide §6 output sizing: the index is KB-scale by construction
+    // (2000 code rows, 128 book rows) — the session-default 32-way write
+    // emitted 32 tiny files per table and read 32 splits back; one file
+    // each cuts the commit + listing + open overhead. A production-scale
+    // index sizes its own files; this is the fixture's write, not the
+    // operator's.
     graft.operators.ProductQuantize.encode(corpus, books, m = 8, dsub = 8)
+      .coalesce(1)
       .write.mode("overwrite").parquet(ix.resolve("codes").toString)
-    books.write.mode("overwrite").parquet(ix.resolve("books").toString)
+    books.coalesce(1).write.mode("overwrite").parquet(ix.resolve("books").toString)
     graft.operators.ProductQuantize.adcTopKWith(
         s.read.parquet(ix.resolve("books").toString),
         s.read.parquet(ix.resolve("codes").toString),

@@ -76,6 +76,38 @@ class RelationalSpec extends AnyFunSuite {
       .rollingFingerprint("the quick brown fox jumps"))
   }
 
+  test("long_pairs: unordered (min,max) pairs, order-invariant, no self-pairs") {
+    import spark.implicits._
+    val got = Seq(Seq(3L, 1L, 2L), Seq(2L, 1L, 3L), Seq(7L), Seq.empty[Long],
+        Seq(5L, 5L, 9L))
+      .toDF("ps").selectExpr("long_pairs(ps) AS p").collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // pair SET is invariant to input order
+    assert(got(0) == Set((1L, 3L), (2L, 3L), (1L, 2L)))
+    assert(got(1) == got(0))
+    assert(got(2).isEmpty && got(3).isEmpty)
+    // duplicates never fabricate self-pairs
+    assert(got(4) == Set((5L, 9L)))
+  }
+
+  test("q122 collect_set+long_pairs shape ≡ the former distinct self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = "/root/testdata/sf0.001"
+    val newShape = graft.queries.Relational.queries("q122_copurchase")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val op = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val old = op.as("x").join(op.as("y"), $"x.ok" === $"y.ok" && $"x.pk" < $"y.pk")
+      .groupBy($"x.pk".as("part_a"), $"y.pk".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 3L)
+      .orderBy($"support".desc, $"part_a", $"part_b").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(newShape == old)
+    assert(newShape.nonEmpty)
+  }
+
   test("q1 aggregates are consistent") {
     val rows = graft.queries.Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.nonEmpty)
